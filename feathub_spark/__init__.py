@@ -1,0 +1,65 @@
+"""feathub_spark: a PySpark-native feature-engineering engine with the query
+and data-processing capabilities of a stream-batch unified feature store.
+
+Public API surface mirrors the reference SDK shape (Schema, sources/sinks,
+feature views, transforms, client) while compiling everything to Spark
+DataFrame plans optimized by Catalyst.
+"""
+
+from feathub_spark.common import types
+from feathub_spark.common.types import (
+    Bool,
+    Bytes,
+    Float32,
+    Float64,
+    Int32,
+    Int64,
+    MapType,
+    String,
+    Timestamp,
+    Unknown,
+    VectorType,
+)
+from feathub_spark.table.schema import Schema
+from feathub_spark.table.table import Table
+from feathub_spark.table.table_descriptor import TableDescriptor
+from feathub_spark.feature_views.feature import Feature
+from feathub_spark.feature_views.derived_feature_view import DerivedFeatureView
+from feathub_spark.feature_views.sliding_feature_view import SlidingFeatureView
+from feathub_spark.feature_views.sql_feature_view import SqlFeatureView
+from feathub_spark.feature_views.transforms import (
+    AggFunc,
+    ExpressionTransform,
+    JoinTransform,
+    OverWindowTransform,
+    PythonUdfTransform,
+    SlidingWindowTransform,
+)
+from feathub_spark.feature_tables.sources.file_system_source import FileSystemSource
+from feathub_spark.feature_tables.sinks.file_system_sink import FileSystemSink
+from feathub_spark.feature_tables.sinks.misc_sinks import (
+    BlackHoleSink,
+    MemoryStoreSink,
+    PrintSink,
+)
+from feathub_spark.registries.registry import LocalRegistry
+from feathub_spark.processors.spark.spark_processor import (
+    FeathubClient,
+    SparkProcessor,
+    default_spark_session,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "types",
+    "Bool", "Bytes", "Float32", "Float64", "Int32", "Int64",
+    "MapType", "String", "Timestamp", "Unknown", "VectorType",
+    "Schema", "Table", "TableDescriptor", "Feature",
+    "DerivedFeatureView", "SlidingFeatureView", "SqlFeatureView",
+    "AggFunc", "ExpressionTransform", "JoinTransform", "OverWindowTransform",
+    "PythonUdfTransform", "SlidingWindowTransform",
+    "FileSystemSource", "FileSystemSink", "BlackHoleSink", "MemoryStoreSink",
+    "PrintSink", "LocalRegistry", "FeathubClient", "SparkProcessor",
+    "default_spark_session",
+]

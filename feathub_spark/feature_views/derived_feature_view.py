@@ -1,0 +1,169 @@
+"""DerivedFeatureView: per-row transforms, point-in-time joins and
+over-window aggregations over a source table.
+
+Resolution semantics re-express the reference
+(feature_views/derived_feature_view.py:79-265): feature strings may be
+``{feature}`` (a source feature), ``{table}.{feature}`` (point-in-time join)
+or ``{table}.{map_feature}[{key}]`` (map-entry join); every feature may only
+depend on source fields and features declared before it; ``filter_expr`` is
+applied after all transforms.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Union
+
+from feathub_spark.common.exceptions import RegistryError
+from feathub_spark.common.types import DType, MapType
+from feathub_spark.dsl.parser import parse_expr
+from feathub_spark.table.table_descriptor import TableDescriptor
+from feathub_spark.feature_views.feature import Feature
+from feathub_spark.feature_views.feature_view import FeatureView
+from feathub_spark.feature_views.transforms.expression_transform import (
+    ExpressionTransform,
+)
+from feathub_spark.feature_views.transforms.join_transform import JoinTransform
+from feathub_spark.feature_views.transforms.over_window_transform import (
+    OverWindowTransform,
+)
+from feathub_spark.feature_views.transforms.python_udf_transform import (
+    PythonUdfTransform,
+)
+from feathub_spark.feature_views.transforms.sliding_window_transform import (
+    SlidingWindowTransform,
+)
+
+_JOIN_REF_RE = re.compile(
+    r"^\s*(?P<table>[A-Za-z_][\w]*)\.(?P<feature>[A-Za-z_][\w]*)"
+    r"(?:\[(?P<key>.+)\])?\s*$"
+)
+
+
+def _parse_map_key(raw: str):
+    raw = raw.strip()
+    if raw.startswith("'") and raw.endswith("'"):
+        return raw[1:-1]
+    try:
+        return int(raw)
+    except ValueError:
+        raise RegistryError(f"Unsupported map key literal {raw!r} in join feature.")
+
+
+class DerivedFeatureView(FeatureView):
+    def __init__(
+        self,
+        name: str,
+        source: Union[str, TableDescriptor],
+        features: Sequence[Union[str, Feature]],
+        keep_source_fields: bool = False,
+        filter_expr: Optional[str] = None,
+    ) -> None:
+        super().__init__(name, source, features, keep_source_fields)
+        self.filter_expr = filter_expr
+
+    def build(self, registry) -> "DerivedFeatureView":
+        source = (
+            registry.get_features(self.source)
+            if isinstance(self.source, str)
+            else self.source.build(registry)
+        )
+        source_schema = source.get_output_schema()
+        variable_types: Dict[str, DType] = dict(
+            zip(source_schema.field_names, source_schema.field_types)
+        )
+
+        resolved: List[Feature] = []
+        for raw in self.features:
+            feature = self._resolve_feature(raw, variable_types, source, registry)
+            variable_types[feature.name] = feature.dtype
+            resolved.append(feature)
+
+        view = DerivedFeatureView(
+            self.name,
+            source,
+            resolved,
+            keep_source_fields=self.keep_source_fields,
+            filter_expr=self.filter_expr,
+        )
+        view.keys = source.keys
+        view.timestamp_field = source.timestamp_field
+        view.timestamp_format = source.timestamp_format
+        return view
+
+    def _resolve_feature(
+        self,
+        raw: Union[str, Feature],
+        variable_types: Dict[str, DType],
+        source: TableDescriptor,
+        registry,
+    ) -> Feature:
+        if isinstance(raw, str):
+            m = _JOIN_REF_RE.match(raw)
+            if m and m.group("table") != source.name:
+                table_name = m.group("table")
+                feature_name = m.group("feature")
+                map_key = (
+                    _parse_map_key(m.group("key")) if m.group("key") else None
+                )
+                right = registry.get_features(table_name)
+                right_schema = right.get_output_schema()
+                dtype = right_schema.get_field_type(feature_name)
+                if map_key is not None:
+                    if not isinstance(dtype, MapType):
+                        raise RegistryError(
+                            f"{raw!r}: {feature_name} is not map-typed."
+                        )
+                    dtype = dtype.value_dtype
+                out_name = feature_name if map_key is None else f"{feature_name}"
+                return Feature(
+                    out_name,
+                    transform=JoinTransform(table_name, feature_name, map_key),
+                    dtype=dtype,
+                    keys=right.keys,
+                )
+            # plain source feature reference
+            name = raw.strip().strip("`")
+            if name not in variable_types:
+                raise RegistryError(
+                    f"Feature {raw!r} not found in source {source.name}."
+                )
+            return Feature(
+                name,
+                transform=ExpressionTransform(f"`{name}`"),
+                dtype=variable_types[name],
+                keys=source.keys,
+            )
+
+        feature = raw.copy()
+        if feature.dtype is None:
+            feature.dtype = self._derive_dtype(feature, variable_types, registry)
+        return feature
+
+    def _derive_dtype(self, feature: Feature, variable_types, registry) -> DType:
+        tr = feature.transform
+        if isinstance(tr, ExpressionTransform):
+            return parse_expr(tr.expr).eval_dtype(variable_types)
+        if isinstance(tr, (OverWindowTransform, SlidingWindowTransform)):
+            from feathub_spark.feature_views.transforms.agg_func import AggFunc
+
+            if tr.agg_func in (AggFunc.ROW_NUMBER, AggFunc.COUNT):
+                input_dtype = None
+            else:
+                input_dtype = parse_expr(tr.expr).eval_dtype(variable_types)
+            return tr.agg_func.result_dtype(input_dtype)
+        if isinstance(tr, JoinTransform):
+            right = registry.get_features(tr.table_name)
+            dtype = right.get_output_schema().get_field_type(tr.feature_name)
+            if tr.map_key is not None:
+                if not isinstance(dtype, MapType):
+                    raise RegistryError(
+                        f"{tr.feature_name} is not map-typed, cannot take entry."
+                    )
+                dtype = dtype.value_dtype
+            return dtype
+        if isinstance(tr, PythonUdfTransform):
+            raise RegistryError(
+                f"Feature {feature.name!r} with a Python UDF must declare dtype."
+            )
+        raise RegistryError(f"Cannot derive dtype for transform {tr!r}.")

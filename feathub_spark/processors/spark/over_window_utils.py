@@ -1,0 +1,202 @@
+"""Over-window (per-row trailing window) aggregation on Spark.
+
+Golden semantics are the reference local loop
+(processors/local/local_processor.py:525-603): for each row at t0 in its
+group_by_keys partition, aggregate rows with event time in
+[t0 - window_size, t0] — both endpoints inclusive, ties included — filtered
+by filter_expr, keeping only the ``limit`` most recent rows.
+
+Physical strategy (all JVM-side, no Python UDFs):
+
+- unbounded / window_size only → RANGE frame over unix_millis(event_time)
+  (a range frame, unlike ROWS, includes all rows tied on the boundary);
+- limit only                   → ROWS frame (1-limit .. current);
+- limit with window_size and/or filter_expr, and VALUE_COUNTS/COLLECT_LIST →
+  collect_list(struct(ts, value)) over the range frame, then array_sort /
+  slice / higher-order-function aggregation, entirely in Catalyst
+  expressions.
+
+This closes the reference Spark processor's gaps (its
+over_window_utils.py:86-173 rejects filter_expr, window_size+limit, and
+VALUE_COUNTS/COLLECT_LIST).  Aggregations sharing one OverWindowDescriptor
+are computed over a single WindowSpec so Catalyst plans one WindowExec per
+descriptor (over-window fusion, reference flink_table_builder.py:300-305).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+from feathub_spark.common import types as t
+from feathub_spark.common.exceptions import PlanError
+from feathub_spark.common.types import to_spark_sql_type_name
+from feathub_spark.dsl.parser import to_spark_sql
+from feathub_spark.feature_views.feature import Feature
+from feathub_spark.feature_views.transforms.agg_func import AggFunc
+from feathub_spark.feature_views.transforms.over_window_transform import (
+    OverWindowTransform,
+)
+from feathub_spark.processors.spark.constants import EVENT_TIME_COL
+
+_ORDER_MS = "unix_millis(`" + EVENT_TIME_COL + "`)"
+
+
+class OverWindowDescriptor(NamedTuple):
+    """Grouping key for over-window fusion (reference
+    spark/dataframe_builder/over_window_utils.py:31-77 includes limit and
+    filter_expr in the key)."""
+
+    window_size_ms: Optional[int]
+    group_by_keys: Tuple[str, ...]
+    filter_expr: Optional[str]
+    limit: Optional[int]
+
+    @staticmethod
+    def from_transform(tr: OverWindowTransform) -> "OverWindowDescriptor":
+        return OverWindowDescriptor(
+            tr.window_size_ms, tuple(tr.group_by_keys), tr.filter_expr, tr.limit
+        )
+
+
+class AggField(NamedTuple):
+    name: str
+    expr_sql: str      # Spark SQL for the aggregated value expression
+    agg_func: AggFunc
+    dtype: t.DType
+
+    @staticmethod
+    def from_feature(feature: Feature) -> "AggField":
+        tr = feature.transform
+        return AggField(
+            feature.name, to_spark_sql(tr.expr), tr.agg_func, feature.dtype
+        )
+
+
+def _window_spec(desc: OverWindowDescriptor) -> WindowSpec:
+    w = Window.partitionBy(*[F.col(k) for k in desc.group_by_keys]).orderBy(
+        F.expr(_ORDER_MS)
+    )
+    if desc.limit is not None and desc.window_size_ms is None and desc.filter_expr is None:
+        return w.rowsBetween(1 - desc.limit, Window.currentRow)
+    if desc.window_size_ms is not None:
+        return w.rangeBetween(-desc.window_size_ms, Window.currentRow)
+    return w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def _needs_collect(desc: OverWindowDescriptor, agg: AggFunc) -> bool:
+    if agg in (AggFunc.VALUE_COUNTS, AggFunc.COLLECT_LIST):
+        return True
+    return desc.limit is not None and (
+        desc.window_size_ms is not None or desc.filter_expr is not None
+    )
+
+
+def _filtered_value_sql(value_sql: str, filter_sql: Optional[str]) -> str:
+    if filter_sql is None:
+        return value_sql
+    return f"CASE WHEN {filter_sql} THEN {value_sql} END"
+
+
+def _array_agg_sql(vals: str, agg: AggFunc, dtype: t.DType) -> str:
+    """Aggregate a (time-sorted, non-null) value array with higher-order
+    functions.  ``vals`` is a SQL expression of type array<V>."""
+    if agg == AggFunc.SUM:
+        acc_t = to_spark_sql_type_name(dtype)
+        return (
+            f"CASE WHEN size({vals}) > 0 THEN "
+            f"aggregate({vals}, CAST(0 AS {acc_t}), (a, x) -> a + x) "
+            f"ELSE CAST(0 AS {acc_t}) END"
+        )
+    if agg == AggFunc.AVG:
+        return (
+            f"CASE WHEN size({vals}) > 0 THEN "
+            f"aggregate({vals}, CAST(0 AS DOUBLE), (a, x) -> a + x) / size({vals}) "
+            f"END"
+        )
+    if agg == AggFunc.MAX:
+        return f"array_max({vals})"
+    if agg == AggFunc.MIN:
+        return f"array_min({vals})"
+    if agg == AggFunc.FIRST_VALUE:
+        return f"element_at({vals}, 1)"
+    if agg == AggFunc.LAST_VALUE:
+        return f"element_at({vals}, -1)"
+    if agg in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
+        return f"size({vals})"
+    if agg == AggFunc.COLLECT_LIST:
+        return f"CASE WHEN size({vals}) > 0 THEN {vals} END"
+    if agg == AggFunc.VALUE_COUNTS:
+        # map value → occurrence count; empty → NULL.
+        entries = (
+            f"transform(array_distinct({vals}), "
+            f"d -> struct(d AS k, CAST(size(filter({vals}, x -> x <=> d)) AS BIGINT) AS v))"
+        )
+        return f"CASE WHEN size({vals}) > 0 THEN map_from_entries({entries}) END"
+    raise PlanError(f"Unsupported agg {agg} over collected array.")
+
+
+def evaluate_over_window(
+    df: DataFrame,
+    desc: OverWindowDescriptor,
+    fields: Sequence[AggField],
+) -> DataFrame:
+    """Append one column per AggField, all over a single WindowSpec."""
+    spec = _window_spec(desc)
+    filter_sql = to_spark_sql(desc.filter_expr) if desc.filter_expr else None
+    out_cols = {}
+
+    collect_fields = [f for f in fields if _needs_collect(desc, f.agg_func)]
+    direct_fields = [f for f in fields if not _needs_collect(desc, f.agg_func)]
+
+    for f_ in direct_fields:
+        value_sql = _filtered_value_sql(f_.expr_sql, filter_sql)
+        agg = f_.agg_func
+        if agg == AggFunc.AVG:
+            col = F.expr(f"avg({value_sql})").over(spec)
+        elif agg == AggFunc.SUM:
+            col = F.coalesce(F.expr(f"sum({value_sql})").over(spec), F.lit(0))
+        elif agg == AggFunc.MAX:
+            col = F.expr(f"max({value_sql})").over(spec)
+        elif agg == AggFunc.MIN:
+            col = F.expr(f"min({value_sql})").over(spec)
+        elif agg == AggFunc.FIRST_VALUE:
+            col = F.expr(f"first({value_sql}, true)").over(spec)
+        elif agg == AggFunc.LAST_VALUE:
+            col = F.expr(f"last({value_sql}, true)").over(spec)
+        elif agg == AggFunc.COUNT:
+            col = F.expr(f"count({value_sql})").over(spec)
+        elif agg == AggFunc.ROW_NUMBER:
+            # Count of window rows up to the current one (ties included),
+            # per the local golden len(window) semantics.
+            col = F.expr(
+                f"count({_filtered_value_sql('1', filter_sql)})"
+            ).over(spec)
+        else:
+            raise PlanError(f"Unsupported direct agg {agg}.")
+        out_cols[f_.name] = col.cast(t.to_spark_type(f_.dtype))
+
+    if collect_fields:
+        # One collected struct array shared by all collect-path fields.
+        for f_ in collect_fields:
+            value_sql = _filtered_value_sql(f_.expr_sql, filter_sql)
+            pair = f"CASE WHEN {value_sql} IS NOT NULL THEN struct({_ORDER_MS} AS t, {value_sql} AS v) END"
+            collected = F.expr(f"collect_list({pair})").over(spec)
+            sorted_vals = f"transform(array_sort(__arr__), s -> s.v)"
+            if desc.limit is not None:
+                sliced = (
+                    f"slice({sorted_vals}, "
+                    f"greatest(1, size(__arr__) + 1 - {desc.limit}), {desc.limit})"
+                )
+            else:
+                sliced = sorted_vals
+            agg_sql = _array_agg_sql(sliced, f_.agg_func, f_.dtype)
+            tmp = f"__collect_{f_.name}__"
+            df = df.withColumn(tmp, collected)
+            out_cols[f_.name] = F.expr(agg_sql.replace("__arr__", f"`{tmp}`")).cast(
+                t.to_spark_type(f_.dtype)
+            )
+
+    df = df.withColumns(out_cols)
+    return df.drop(*[c for c in df.columns if c.startswith("__collect_")])

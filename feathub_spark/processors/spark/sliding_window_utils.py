@@ -1,0 +1,307 @@
+"""Batch sliding-window evaluation on Spark.
+
+Golden semantics are the reference local two-pointer sweep
+(processors/local/sliding_window_utils.py:116-327):
+
+- windows align to the epoch: a row at time t belongs to windows ending at
+  ``wend = floor(t/step)*step + step + k*step`` for k in 0..window/step-1;
+  the window ending at ``wend`` covers [wend - window_size, wend);
+- emissions carry ``window_time = wend - 1ms``;
+- with ``enable_empty_window_output`` the per-key step grid extends to the
+  first fully-empty window end (last_step_end + max_window), emitting 0 for
+  SUM/COUNT and NULL otherwise;
+- with ``skip_same_window_output`` a step row is dropped when every feature
+  value equals the previous step's.
+
+Physical strategy (2-stage, mirroring the shape of the reference Flink
+runtime SlidingWindowUtils.java:76-186 but batch-declarative):
+
+1. partial-aggregate per (group_by_keys, step_end) — map-side combinable,
+   one shuffle on the group keys;
+2. explode each partial into the k = 0..max_window/step-1 window ends it
+   contributes to and re-aggregate per (keys, wend); a field with a smaller
+   window only merges contributions with k < window_i/step.  State is shared
+   across window sizes by construction (the reference's headline
+   optimization, docs/content/deep-dive/optimizations.md:10-33): partials are
+   computed once, reused by every window size;
+3. per-key step grid via sequence()+explode, left-joined (co-partitioned on
+   keys) to realize empty windows; lag() over (keys, wend) to skip unchanged
+   emissions.
+
+SUM/COUNT/AVG/MIN/MAX/FIRST/LAST use constant-size accumulators;
+VALUE_COUNTS/COLLECT_LIST and any field with ``limit`` carry
+(time, value) struct arrays.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from feathub_spark.common import types as t
+from feathub_spark.common.exceptions import PlanError
+from feathub_spark.common.types import to_spark_sql_type_name, to_spark_type
+from feathub_spark.dsl.parser import to_spark_sql
+from feathub_spark.feature_views.feature import Feature
+from feathub_spark.feature_views.transforms.agg_func import AggFunc
+from feathub_spark.processors.spark.constants import EVENT_TIME_COL, WINDOW_TIME_MS_COL
+from feathub_spark.processors.spark.over_window_utils import _array_agg_sql
+
+_MS = "__ms__"
+_STEP_END = "__step_end__"
+_WEND = "__wend__"
+_K = "__k__"
+
+
+class SlidingAggField(NamedTuple):
+    name: str
+    expr_sql: str
+    agg_func: AggFunc
+    dtype: t.DType
+    window_ms: int
+    filter_sql: Optional[str]
+    limit: Optional[int]
+
+    @staticmethod
+    def from_feature(feature: Feature) -> "SlidingAggField":
+        tr = feature.transform
+        return SlidingAggField(
+            feature.name,
+            to_spark_sql(tr.expr),
+            tr.agg_func,
+            feature.dtype,
+            tr.window_size_ms,
+            to_spark_sql(tr.filter_expr) if tr.filter_expr else None,
+            tr.limit,
+        )
+
+    @property
+    def uses_array(self) -> bool:
+        return self.limit is not None or self.agg_func in (
+            AggFunc.VALUE_COUNTS,
+            AggFunc.COLLECT_LIST,
+        )
+
+    def value_sql(self) -> str:
+        if self.filter_sql is None:
+            return self.expr_sql
+        return f"CASE WHEN {self.filter_sql} THEN {self.expr_sql} END"
+
+
+def _default_col(field: SlidingAggField, col: Column) -> Column:
+    if field.agg_func in (AggFunc.SUM, AggFunc.COUNT):
+        return F.coalesce(col, F.lit(0).cast(to_spark_type(field.dtype)))
+    return col
+
+
+def evaluate_sliding_window(
+    df: DataFrame,
+    keys: List[str],
+    step_ms: int,
+    fields: List[SlidingAggField],
+    enable_empty_window_output: bool,
+    skip_same_window_output: bool,
+) -> DataFrame:
+    """Returns a DataFrame with columns: keys + WINDOW_TIME_MS_COL +
+    EVENT_TIME_COL + one column per field (cast to its dtype)."""
+    if any(f.window_ms == 0 for f in fields):
+        return _evaluate_infinite_window(df, keys, fields)
+
+    max_m = max(f.window_ms // step_ms for f in fields)
+
+    base = df.withColumn(_MS, F.unix_millis(F.col(EVENT_TIME_COL))).withColumn(
+        _STEP_END,
+        (F.floor(F.col(_MS) / F.lit(step_ms)).cast("bigint") + 1) * F.lit(step_ms),
+    )
+
+    # ---- stage 1: partial accumulators per (keys, step_end) -------------
+    partial_aggs: List[Column] = []
+    for i, f_ in enumerate(fields):
+        v = f_.value_sql()
+        p = f"__p{i}_"
+        a = f_.agg_func
+        if f_.uses_array:
+            pair = f"CASE WHEN {v} IS NOT NULL THEN struct(`{_MS}` AS t, {v} AS v) END"
+            arr = f"array_sort(collect_list({pair}))"
+            if f_.limit is not None:
+                arr = (
+                    f"slice({arr}, greatest(1, size({arr}) + 1 - {f_.limit}), "
+                    f"{f_.limit})"
+                )
+            partial_aggs.append(F.expr(arr).alias(p + "arr"))
+        elif a == AggFunc.AVG:
+            partial_aggs.append(F.expr(f"sum({v})").alias(p + "sum"))
+            partial_aggs.append(F.expr(f"count({v})").alias(p + "cnt"))
+        elif a == AggFunc.SUM:
+            partial_aggs.append(F.expr(f"sum({v})").alias(p + "sum"))
+        elif a in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
+            partial_aggs.append(F.expr(f"count({v})").alias(p + "cnt"))
+        elif a == AggFunc.MAX:
+            partial_aggs.append(F.expr(f"max({v})").alias(p + "max"))
+        elif a == AggFunc.MIN:
+            partial_aggs.append(F.expr(f"min({v})").alias(p + "min"))
+        elif a == AggFunc.FIRST_VALUE:
+            # min(struct(ms, value)) — deterministic earliest-row pick.
+            partial_aggs.append(
+                F.expr(
+                    f"min(CASE WHEN {v} IS NOT NULL THEN struct(`{_MS}` AS t, {v} AS v) END)"
+                ).alias(p + "first")
+            )
+        elif a == AggFunc.LAST_VALUE:
+            partial_aggs.append(
+                F.expr(
+                    f"max(CASE WHEN {v} IS NOT NULL THEN struct(`{_MS}` AS t, {v} AS v) END)"
+                ).alias(p + "last")
+            )
+        else:
+            raise PlanError(f"Unsupported sliding agg {a}.")
+
+    partials = base.groupBy(*[F.col(k) for k in keys], F.col(_STEP_END)).agg(
+        *partial_aggs
+    )
+
+    # ---- stage 2: explode into contributing window ends and merge -------
+    exploded = partials.withColumn(
+        _K, F.explode(F.sequence(F.lit(0), F.lit(max_m - 1)))
+    ).withColumn(_WEND, F.col(_STEP_END) + F.col(_K) * F.lit(step_ms))
+
+    merge_aggs: List[Column] = []
+    for i, f_ in enumerate(fields):
+        p = f"__p{i}_"
+        m_i = f_.window_ms // step_ms
+        guard = f"`{_K}` < {m_i}"
+        a = f_.agg_func
+
+        def g(col_sql: str) -> str:
+            return f"CASE WHEN {guard} THEN {col_sql} END"
+
+        if f_.uses_array:
+            merge_aggs.append(
+                F.expr(f"flatten(collect_list({g('`' + p + 'arr`')})) ").alias(p + "arr")
+            )
+        elif a == AggFunc.AVG:
+            merge_aggs.append(F.expr(f"sum({g('`' + p + 'sum`')})").alias(p + "sum"))
+            merge_aggs.append(F.expr(f"sum({g('`' + p + 'cnt`')})").alias(p + "cnt"))
+        elif a == AggFunc.SUM:
+            merge_aggs.append(F.expr(f"sum({g('`' + p + 'sum`')})").alias(p + "sum"))
+        elif a in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
+            merge_aggs.append(F.expr(f"sum({g('`' + p + 'cnt`')})").alias(p + "cnt"))
+        elif a == AggFunc.MAX:
+            merge_aggs.append(F.expr(f"max({g('`' + p + 'max`')})").alias(p + "max"))
+        elif a == AggFunc.MIN:
+            merge_aggs.append(F.expr(f"min({g('`' + p + 'min`')})").alias(p + "min"))
+        elif a == AggFunc.FIRST_VALUE:
+            merge_aggs.append(F.expr(f"min({g('`' + p + 'first`')})").alias(p + "first"))
+        elif a == AggFunc.LAST_VALUE:
+            merge_aggs.append(F.expr(f"max({g('`' + p + 'last`')})").alias(p + "last"))
+
+    merged = exploded.groupBy(*[F.col(k) for k in keys], F.col(_WEND)).agg(*merge_aggs)
+
+    # ---- step grid for empty-window emission ---------------------------
+    if enable_empty_window_output:
+        max_window = max_m * step_ms
+        bounds = base.groupBy(*[F.col(k) for k in keys]).agg(
+            F.min(_STEP_END).alias("__first_wend__"),
+            F.max(_STEP_END).alias("__last_wend__"),
+        )
+        grid = bounds.select(
+            *[F.col(k) for k in keys],
+            F.explode(
+                F.sequence(
+                    F.col("__first_wend__"),
+                    F.col("__last_wend__") + F.lit(max_window),
+                    F.lit(step_ms),
+                )
+            ).alias(_WEND),
+        )
+        result = grid.join(merged, on=keys + [_WEND], how="left")
+    else:
+        result = merged
+
+    # ---- finalize feature values ---------------------------------------
+    out_cols = {}
+    for i, f_ in enumerate(fields):
+        p = f"__p{i}_"
+        a = f_.agg_func
+        if f_.uses_array:
+            arr = f"array_sort(`{p}arr`)"
+            if f_.limit is not None:
+                arr = (
+                    f"slice({arr}, greatest(1, size({arr}) + 1 - {f_.limit}), "
+                    f"{f_.limit})"
+                )
+            vals = f"transform({arr}, s -> s.v)"
+            col = F.expr(_array_agg_sql(vals, a, f_.dtype))
+            if a in (AggFunc.COUNT, AggFunc.ROW_NUMBER, AggFunc.SUM):
+                col = F.coalesce(col, F.lit(0))
+        elif a == AggFunc.AVG:
+            col = F.col(p + "sum") / F.col(p + "cnt")
+        elif a == AggFunc.SUM:
+            col = F.col(p + "sum")
+        elif a in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
+            col = F.col(p + "cnt")
+        elif a == AggFunc.MAX:
+            col = F.col(p + "max")
+        elif a == AggFunc.MIN:
+            col = F.col(p + "min")
+        elif a == AggFunc.FIRST_VALUE:
+            col = F.col(p + "first").getField("v")
+        elif a == AggFunc.LAST_VALUE:
+            col = F.col(p + "last").getField("v")
+        col = _default_col(f_, col).cast(to_spark_type(f_.dtype))
+        out_cols[f_.name] = col
+
+    result = result.withColumns(out_cols)
+
+    # ---- skip-same-window output ---------------------------------------
+    if skip_same_window_output:
+        names = [f_.name for f_ in fields]
+        cur = F.struct(*[F.col(n) for n in names])
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(_WEND))
+        result = (
+            result.withColumn("__prev__", F.lag(cur).over(w))
+            .filter(~cur.eqNullSafe(F.col("__prev__")))
+            .drop("__prev__")
+        )
+
+    result = result.withColumn(
+        WINDOW_TIME_MS_COL, F.col(_WEND) - F.lit(1)
+    ).withColumn(EVENT_TIME_COL, F.timestamp_millis(F.col(WINDOW_TIME_MS_COL)))
+    return result.select(
+        *[F.col(k) for k in keys],
+        F.col(WINDOW_TIME_MS_COL),
+        F.col(EVENT_TIME_COL),
+        *[F.col(f_.name) for f_ in fields],
+    )
+
+
+def _evaluate_infinite_window(
+    df: DataFrame, keys: List[str], fields: List[SlidingAggField]
+) -> DataFrame:
+    """window_size == step_size == 0: infinite window, one emission per input
+    row (reference GlobalWindowKeyedProcessFunction semantics)."""
+    from feathub_spark.processors.spark.over_window_utils import (
+        AggField,
+        OverWindowDescriptor,
+        evaluate_over_window,
+    )
+
+    out = df.withColumn("__ms0__", F.unix_millis(F.col(EVENT_TIME_COL)))
+    for f_ in fields:
+        desc = OverWindowDescriptor(
+            None, tuple(keys), f_.filter_sql and f_.filter_sql, f_.limit
+        )
+        # Re-wrap via AggField; filter_sql is already lowered Spark SQL here,
+        # so pass it through OverWindowDescriptor as raw SQL.
+        desc = OverWindowDescriptor(None, tuple(keys), None, f_.limit)
+        value_sql = f_.value_sql()
+        af = AggField(f_.name, value_sql, f_.agg_func, f_.dtype)
+        out = evaluate_over_window(out, desc, [af])
+    out = out.withColumn(WINDOW_TIME_MS_COL, F.col("__ms0__")).drop("__ms0__")
+    return out.select(
+        *[F.col(k) for k in keys],
+        F.col(WINDOW_TIME_MS_COL),
+        F.col(EVENT_TIME_COL),
+        *[F.col(f_.name) for f_ in fields],
+    )

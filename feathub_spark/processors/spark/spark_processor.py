@@ -1,0 +1,135 @@
+"""SparkProcessor: compiles descriptors and executes them on a SparkSession.
+
+Mirrors the responsibilities of the reference SparkProcessor
+(processors/spark/spark_processor.py:75-99): session-level config (UTC
+session timezone so epoch-aligned windows and timestamp parsing are engine-
+independent), descriptor compilation, key/time-range filtered reads, and
+sink materialization.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Optional, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from feathub_spark.processors.spark.constants import EVENT_TIME_COL, METADATA_COLS
+from feathub_spark.processors.spark.dataframe_builder import SparkDataFrameBuilder
+from feathub_spark.processors.spark.source_sink_utils import insert_into_sink
+from feathub_spark.registries.registry import LocalRegistry
+from feathub_spark.table.table import Table
+from feathub_spark.table.table_descriptor import TableDescriptor
+
+
+def default_spark_session(app_name: str = "feathub_spark", cpus: int = 0) -> SparkSession:
+    """SparkSession tuned for this engine: UTC session tz (window alignment +
+    timestamp parsing are timezone-dependent), AQE on (runtime re-plan, skew
+    join handling), non-ANSI mode (NULL-on-error semantics like x[missing])."""
+    import os
+
+    master = f"local[{cpus}]" if cpus > 0 else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", master))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.sizeOfNull", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+class SparkProcessor:
+    def __init__(self, spark: SparkSession, registry: Optional[LocalRegistry] = None) -> None:
+        self.spark = spark
+        self.registry = registry or LocalRegistry()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+        except Exception:
+            pass
+
+    def get_table(
+        self,
+        descriptor: TableDescriptor,
+        keys: Union[pd.DataFrame, DataFrame, TableDescriptor, None] = None,
+        start_datetime: Optional[datetime] = None,
+        end_datetime: Optional[datetime] = None,
+    ) -> Table:
+        if not descriptor.is_resolved():
+            descriptor = self.registry.build_features(descriptor)[0]
+        builder = SparkDataFrameBuilder(self.spark, self.registry)
+        df = builder.build_with_event_time(descriptor)
+
+        if start_datetime is not None or end_datetime is not None:
+            # event_time >= start AND event_time < end
+            # (reference spark_dataframe_builder.py:360-382)
+            if EVENT_TIME_COL not in df.columns:
+                raise ValueError(
+                    "start/end_datetime filters require a timestamp_field."
+                )
+            if start_datetime is not None:
+                df = df.filter(F.col(EVENT_TIME_COL) >= F.lit(start_datetime))
+            if end_datetime is not None:
+                df = df.filter(F.col(EVENT_TIME_COL) < F.lit(end_datetime))
+
+        if keys is not None:
+            key_df = self._to_key_dataframe(keys, builder)
+            key_cols = list(key_df.columns)
+            missing = [k for k in key_cols if k not in df.columns]
+            if missing:
+                raise ValueError(f"Key fields {missing} not in table output.")
+            # left_semi keeps rows whose keys appear in the keys table
+            # (reference spark_dataframe_builder.py:136-148); broadcast the
+            # (small) key set so no shuffle of the fact side is needed.
+            df = df.join(F.broadcast(key_df.distinct()), on=key_cols, how="left_semi")
+
+        df = df.drop(*[c for c in df.columns if c in METADATA_COLS])
+        return Table(df, descriptor, self)
+
+    def _to_key_dataframe(self, keys, builder: SparkDataFrameBuilder) -> DataFrame:
+        if isinstance(keys, pd.DataFrame):
+            return self.spark.createDataFrame(keys)
+        if isinstance(keys, DataFrame):
+            return keys
+        if isinstance(keys, TableDescriptor):
+            d = keys if keys.is_resolved() else self.registry.build_features(keys)[0]
+            return builder.build(d)
+        raise ValueError(f"Unsupported keys type {type(keys).__name__}.")
+
+    def materialize_features(self, descriptor: TableDescriptor, sink) -> None:
+        table = self.get_table(descriptor)
+        table.execute_insert(sink)
+
+
+class FeathubClient:
+    """Small façade mirroring the reference client entry points
+    (feathub_client.py:54-155)."""
+
+    def __init__(self, spark: Optional[SparkSession] = None) -> None:
+        self.spark = spark or default_spark_session()
+        self.registry = LocalRegistry()
+        self.processor = SparkProcessor(self.spark, self.registry)
+
+    def build_features(self, descriptors) -> list:
+        return self.registry.build_features(descriptors)
+
+    def get_features(
+        self,
+        features: TableDescriptor,
+        keys=None,
+        start_datetime: Optional[datetime] = None,
+        end_datetime: Optional[datetime] = None,
+    ) -> Table:
+        return self.processor.get_table(features, keys, start_datetime, end_datetime)
+
+    def materialize_features(self, features: TableDescriptor, sink) -> None:
+        self.processor.materialize_features(features, sink)
