@@ -86,7 +86,18 @@ class DerivedFeatureView(FeatureView):
             keep_source_fields=self.keep_source_fields,
             filter_expr=self.filter_expr,
         )
-        view.keys = source.keys
+        # View keys: source keys, else the common key set declared by the
+        # view's features (reference test_join_transform.py asserts the view
+        # inherits the join feature's keys when the source has none).
+        if source.keys is not None:
+            view.keys = source.keys
+        else:
+            feature_key_sets = {
+                tuple(f.keys) for f in resolved if f.keys is not None
+            }
+            view.keys = (
+                list(feature_key_sets.pop()) if len(feature_key_sets) == 1 else None
+            )
         view.timestamp_field = source.timestamp_field
         view.timestamp_format = source.timestamp_format
         return view

@@ -18,9 +18,10 @@ F1_ROWS = [
 F2_ROWS = [
     ("Alex", 100.0, "2022-01-01,09:01:00"),
     ("Emma", 400.0, "2022-01-01,09:02:00"),
-    ("Alex", 200.0, "2022-01-02,09:03:00"),
+    ("Alex", 200.0, "2022-01-02,07:03:00"),
     ("Emma", 300.0, "2022-01-02,09:04:00"),
-    ("Alex", 450.0, "2022-01-03,09:05:00"),
+    ("Jack", 500.0, "2022-01-03,09:05:00"),
+    ("Alex", 450.0, "2022-01-03,09:06:00"),
 ]
 
 

@@ -1,0 +1,167 @@
+import math
+from datetime import timedelta
+
+from feathub_spark import AggFunc, DerivedFeatureView, Feature, Float64, Int64
+from feathub_spark.feature_views.transforms import OverWindowTransform
+
+from tests.fixtures import write_f1_source
+
+
+def _by_time(client, view):
+    return (
+        client.get_features(view).to_pandas().sort_values("time").reset_index(drop=True)
+    )
+
+
+def test_unbounded_over_window(client, tmp_path):
+    source = write_f1_source(tmp_path)
+    view = DerivedFeatureView(
+        name="ow1",
+        source=source,
+        features=[
+            Feature(
+                "avg_cost",
+                transform=OverWindowTransform("cost", "AVG", group_by_keys=["name"]),
+            ),
+            Feature(
+                "rn",
+                transform=OverWindowTransform("cost", "ROW_NUMBER", group_by_keys=["name"]),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = _by_time(client, view)
+    # rows by time: Alex100, Emma400, Alex300, Emma200, Jack500, Alex600
+    assert df["avg_cost"].tolist() == [100.0, 400.0, 200.0, 300.0, 500.0, 1000.0 / 3]
+    assert df["rn"].tolist() == [1, 1, 2, 2, 1, 3]
+
+
+def test_window_size_over_window(client, tmp_path):
+    source = write_f1_source(tmp_path)
+    view = DerivedFeatureView(
+        name="ow2",
+        source=source,
+        features=[
+            Feature(
+                "sum_2d",
+                transform=OverWindowTransform(
+                    "cost", "SUM", window_size=timedelta(days=2), group_by_keys=["name"]
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = _by_time(client, view)
+    # Alex: [100], [100+300], [300+600] (Jan1 08:01 outside [Jan1 08:06-2d… wait:
+    # row at Jan3 08:06 window [Jan1 08:06, Jan3 08:06] excludes Jan1 08:01.
+    assert df["sum_2d"].tolist() == [100, 400, 400, 600, 500, 900]
+
+
+def test_limit_over_window(client, tmp_path):
+    source = write_f1_source(tmp_path)
+    view = DerivedFeatureView(
+        name="ow3",
+        source=source,
+        features=[
+            Feature(
+                "sum_last2",
+                transform=OverWindowTransform("cost", "SUM", group_by_keys=["name"], limit=2),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = _by_time(client, view)
+    assert df["sum_last2"].tolist() == [100, 400, 400, 600, 500, 900]
+
+
+def test_filter_expr_over_window(client, tmp_path):
+    source = write_f1_source(tmp_path)
+    view = DerivedFeatureView(
+        name="ow4",
+        source=source,
+        features=[
+            Feature(
+                "n_big",
+                transform=OverWindowTransform(
+                    "cost", "COUNT", group_by_keys=["name"], filter_expr="cost > 150"
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = _by_time(client, view)
+    assert df["n_big"].tolist() == [0, 1, 1, 2, 1, 2]
+
+
+def test_window_size_and_limit(client, tmp_path):
+    source = write_f1_source(tmp_path)
+    view = DerivedFeatureView(
+        name="ow5",
+        source=source,
+        features=[
+            Feature(
+                "last_in_2d",
+                transform=OverWindowTransform(
+                    "cost",
+                    "SUM",
+                    window_size=timedelta(days=2),
+                    group_by_keys=["name"],
+                    limit=1,
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = _by_time(client, view)
+    assert df["last_in_2d"].tolist() == [100, 400, 300, 200, 500, 600]
+
+
+def test_value_counts_and_collect_list(client, tmp_path):
+    source = write_f1_source(tmp_path)
+    view = DerivedFeatureView(
+        name="ow6",
+        source=source,
+        features=[
+            Feature(
+                "costs",
+                transform=OverWindowTransform("cost", "COLLECT_LIST", group_by_keys=["name"]),
+            ),
+            Feature(
+                "cost_counts",
+                transform=OverWindowTransform("cost", "VALUE_COUNTS", group_by_keys=["name"]),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = _by_time(client, view)
+    assert list(df["costs"])[5].tolist() == [100, 300, 600]
+    assert dict(list(df["cost_counts"])[5]) == {100: 1, 300: 1, 600: 1}
+
+
+def test_first_last_value(client, tmp_path):
+    source = write_f1_source(tmp_path)
+    view = DerivedFeatureView(
+        name="ow7",
+        source=source,
+        features=[
+            Feature(
+                "first_cost",
+                transform=OverWindowTransform("cost", "FIRST_VALUE", group_by_keys=["name"]),
+            ),
+            Feature(
+                "last_cost",
+                transform=OverWindowTransform("cost", "LAST_VALUE", group_by_keys=["name"]),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = _by_time(client, view)
+    assert df["first_cost"].tolist() == [100, 400, 100, 400, 500, 100]
+    assert df["last_cost"].tolist() == [100, 400, 300, 200, 500, 600]

@@ -1,0 +1,179 @@
+from datetime import timedelta
+
+from feathub_spark import Feature, SlidingFeatureView
+from feathub_spark.feature_views.transforms import SlidingWindowTransform
+
+from tests.fixtures import write_f1_source
+
+MS_DAY = 86_400_000
+# epoch millis of 2022-01-02 00:00:00 UTC
+JAN2 = 1641081600000
+
+
+def _window_times(n):
+    return [JAN2 + i * MS_DAY - 1 for i in range(n)]
+
+
+def test_sliding_sum_keyless(client, tmp_path):
+    """Reference golden case test_sliding_window_transform.py:89-119:
+    SUM(cost), window=2d, step=1d, no key → 500, 1000, 1600, 1100, 0."""
+    source = write_f1_source(tmp_path)
+    view = SlidingFeatureView(
+        name="sw1",
+        source=source,
+        features=[
+            Feature(
+                "total_cost",
+                transform=SlidingWindowTransform(
+                    "cost", "SUM", window_size=timedelta(days=2), step_size=timedelta(days=1)
+                ),
+            ),
+        ],
+    )
+    client.build_features([source, view])
+    df = (
+        client.get_features(view)
+        .to_pandas()
+        .sort_values("window_time")
+        .reset_index(drop=True)
+    )
+    assert df["total_cost"].tolist() == [500, 1000, 1600, 1100, 0]
+    assert df["window_time"].tolist() == _window_times(5)
+    assert list(df.columns) == ["window_time", "total_cost"]
+
+
+def test_sliding_keyed_multi_window(client, tmp_path):
+    """Two window sizes sharing one step; per-key emissions with empty-window
+    defaults and skip-same suppression."""
+    source = write_f1_source(tmp_path)
+    view = SlidingFeatureView(
+        name="sw2",
+        source=source,
+        features=[
+            Feature(
+                "cost_1d",
+                transform=SlidingWindowTransform(
+                    "cost", "SUM", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["name"],
+                ),
+            ),
+            Feature(
+                "cnt_2d",
+                transform=SlidingWindowTransform(
+                    "cost", "COUNT", window_size=timedelta(days=2),
+                    step_size=timedelta(days=1), group_by_keys=["name"],
+                ),
+            ),
+        ],
+    )
+    client.build_features([source, view])
+    df = (
+        client.get_features(view)
+        .to_pandas()
+        .sort_values(["name", "window_time"])
+        .reset_index(drop=True)
+    )
+    alex = df[df["name"] == "Alex"]
+    # Alex rows: Jan1 100, Jan2 300, Jan3 600.
+    # wend Jan2: 1d=100 2d-cnt=1 | Jan3: 1d=300 cnt=2 | Jan4: 1d=600 cnt=2
+    # Jan5: 1d=0 cnt=1 | Jan6: 1d=0 cnt=0
+    assert alex["cost_1d"].tolist() == [100, 300, 600, 0, 0]
+    assert alex["cnt_2d"].tolist() == [1, 2, 2, 1, 0]
+    jack = df[df["name"] == "Jack"]
+    # Jack: Jan3 500 → Jan4: (500,1); Jan5: (0,1); Jan6: (0,0)
+    assert jack["cost_1d"].tolist() == [500, 0, 0]
+    assert jack["cnt_2d"].tolist() == [1, 1, 0]
+
+
+def test_sliding_no_empty_output(client, tmp_path):
+    source = write_f1_source(tmp_path)
+    view = SlidingFeatureView(
+        name="sw3",
+        source=source,
+        features=[
+            Feature(
+                "total_cost",
+                transform=SlidingWindowTransform(
+                    "cost", "SUM", window_size=timedelta(days=2),
+                    step_size=timedelta(days=1),
+                ),
+            ),
+        ],
+        enable_empty_window_output=False,
+        skip_same_window_output=False,
+    )
+    client.build_features([source, view])
+    df = (
+        client.get_features(view)
+        .to_pandas()
+        .sort_values("window_time")
+        .reset_index(drop=True)
+    )
+    assert df["total_cost"].tolist() == [500, 1000, 1600, 1100]
+
+
+def test_sliding_skip_same_suppression(client, tmp_path):
+    """With a 3d window, consecutive equal emissions are suppressed only when
+    skip_same_window_output=True."""
+    source = write_f1_source(tmp_path)
+
+    def make_view(name, skip):
+        return SlidingFeatureView(
+            name=name,
+            source=source,
+            features=[
+                Feature(
+                    "max_cost",
+                    transform=SlidingWindowTransform(
+                        "cost", "MAX", window_size=timedelta(days=3),
+                        step_size=timedelta(days=1),
+                    ),
+                ),
+            ],
+            skip_same_window_output=skip,
+            enable_empty_window_output=True,
+        )
+
+    v_skip = make_view("sw4a", True)
+    v_all = make_view("sw4b", False)
+    client.build_features([source, v_skip, v_all])
+    skip_vals = (
+        client.get_features(v_skip).to_pandas().sort_values("window_time")["max_cost"].tolist()
+    )
+    all_vals = (
+        client.get_features(v_all).to_pandas().sort_values("window_time")["max_cost"].tolist()
+    )
+    # windows ending Jan2..Jan6(+3d drain): max over trailing 3d of all rows
+    # Jan2:400, Jan3:500(?)... rows: Jan1(100,400) Jan2(300,200) Jan3(500,600)
+    # Jan2:max(100,400)=400; Jan3:max(...Jan1,Jan2)=400; Jan4:600; Jan5:600;
+    # Jan6:600; Jan7(empty):NULL
+    assert all_vals[:3] == [400.0, 400.0, 600.0]
+    assert len(all_vals) == 6
+    # skip-same drops the repeated 400 and 600s
+    assert skip_vals[:2] == [400.0, 600.0]
+
+
+def test_post_sliding_expression(client, tmp_path):
+    source = write_f1_source(tmp_path)
+    view = SlidingFeatureView(
+        name="sw5",
+        source=source,
+        features=[
+            Feature(
+                "total_cost",
+                transform=SlidingWindowTransform(
+                    "cost", "SUM", window_size=timedelta(days=2),
+                    step_size=timedelta(days=1),
+                ),
+            ),
+            Feature("double_cost", transform="total_cost * 2"),
+        ],
+    )
+    client.build_features([source, view])
+    df = (
+        client.get_features(view)
+        .to_pandas()
+        .sort_values("window_time")
+        .reset_index(drop=True)
+    )
+    assert df["double_cost"].tolist() == [1000, 2000, 3200, 2200, 0]
