@@ -1,38 +1,915 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship multi-operator pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (plus the beyond-reference data-pipeline operators);
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL for each.  Column
+names/aliases match pairwise so the driver's sorted-column value hash lines
+up.  Aggregates over doubles are rounded on BOTH sides (engine and oracle)
+to absorb summation-order differences between engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from datetime import timedelta
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MS_HOUR = 3_600_000
+MS_DAY = 86_400_000
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _processor(spark: SparkSession):
+    from feathub_spark import LocalRegistry, SparkProcessor
+
+    return SparkProcessor(spark, LocalRegistry())
+
+
+def _parquet_source(name: str, sf_dir: str, keys=None, timestamp_field=None):
+    from feathub_spark import FileSystemSource
+
+    return FileSystemSource(
+        name=name,
+        path=os.path.join(sf_dir, f"{name}.parquet"),
+        data_format="parquet",
+        keys=keys,
+        timestamp_field=timestamp_field,
+        timestamp_format="timestamp",
+    )
+
+
+def _round2(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 2))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: expression + point-in-time join + over-window pipeline on
+    sf0.001 (events enriched with as-of order totals and trailing stats)."""
+    return _q_flagship(spark, "/root/testdata/sf0.001")
 
+
+def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feathub_spark import DerivedFeatureView, Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    view = DerivedFeatureView(
+        name="flagship_view",
+        source=events,
+        features=[
+            Feature("value_bucket", transform="CASE WHEN value > 100 THEN 'high' ELSE 'low' END"),
+            Feature(
+                "avg_1h",
+                transform=OverWindowTransform(
+                    "value", "AVG", window_size=timedelta(hours=1), group_by_keys=["user_id"]
+                ),
+            ),
+            Feature(
+                "n_events",
+                transform=OverWindowTransform("value", "COUNT", group_by_keys=["user_id"]),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    proc.registry.build_features([events])
+    built = proc.registry.build_features([view])[0]
+    return _round2(proc.get_table(built).to_dataframe(), "avg_1h")
+
+
+# ---------------------------------------------------------------------------
+# operator queries
+# ---------------------------------------------------------------------------
+
+def _q_expr_filter(spark, sf_dir):
+    from feathub_spark import DerivedFeatureView, Feature
+
+    proc = _processor(spark)
+    lineitem = _parquet_source("lineitem", sf_dir, keys=["l_orderkey", "l_linenumber"])
+    view = DerivedFeatureView(
+        name="expr_view",
+        source=lineitem,
+        features=[
+            Feature("revenue", transform="l_extendedprice * (1 - l_discount)"),
+            Feature("charge", transform="revenue * (1 + l_tax)"),
+            Feature(
+                "qty_tier",
+                transform="CASE WHEN l_quantity < 10 THEN 'small' WHEN l_quantity < 30 THEN 'mid' ELSE 'big' END",
+            ),
+        ],
+        keep_source_fields=False,
+        filter_expr="l_quantity < 40 AND revenue > 1000.0",
+    )
+    proc.registry.build_features([lineitem])
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe()
+
+
+_ORACLE_EXPR_FILTER = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge,
+       CASE WHEN l_quantity < 10 THEN 'small'
+            WHEN l_quantity < 30 THEN 'mid' ELSE 'big' END AS qty_tier
+FROM lineitem
+WHERE l_quantity < 40 AND l_extendedprice * (1 - l_discount) > 1000.0
+"""
+
+
+def _q_scalar_funcs(spark, sf_dir):
+    from feathub_spark import DerivedFeatureView, Feature
+
+    proc = _processor(spark)
+    orders = _parquet_source("orders", sf_dir, keys=["o_orderkey"])
+    view = DerivedFeatureView(
+        name="scalar_view",
+        source=orders,
+        features=[
+            Feature("status_lc", transform="LOWER(o_orderstatus)"),
+            Feature("tag", transform="CONCAT(o_orderpriority, '_', o_orderstatus)"),
+            Feature(
+                "size_class",
+                transform="CASE WHEN o_totalprice > 200000.0 THEN 'big' WHEN o_totalprice > 50000.0 THEN 'mid' ELSE 'small' END",
+            ),
+            Feature("order_epoch", transform="UNIX_TIMESTAMP(CAST(o_orderdate AS STRING))"),
+            Feature("is_urgent", transform="o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'"),
+        ],
+        keep_source_fields=False,
+    )
+    proc.registry.build_features([orders])
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe()
+
+
+_ORACLE_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       lower(o_orderstatus) AS status_lc,
+       o_orderpriority || '_' || o_orderstatus AS tag,
+       CASE WHEN o_totalprice > 200000.0 THEN 'big'
+            WHEN o_totalprice > 50000.0 THEN 'mid' ELSE 'small' END AS size_class,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+       (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH') AS is_urgent
+FROM orders
+"""
+
+
+def _events_over_view(spark, sf_dir, features, name):
+    from feathub_spark import DerivedFeatureView
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    view = DerivedFeatureView(
+        name=name, source=events, features=features, keep_source_fields=True
+    )
+    proc.registry.build_features([events])
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe()
+
+
+def _q_over_cumulative(spark, sf_dir):
+    from feathub_spark import Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    df = _events_over_view(
+        spark,
+        sf_dir,
+        [
+            Feature("avg_value", transform=OverWindowTransform("value", "AVG", group_by_keys=["user_id"])),
+            Feature("n_seen", transform=OverWindowTransform("value", "COUNT", group_by_keys=["user_id"])),
+            Feature("rn", transform=OverWindowTransform("value", "ROW_NUMBER", group_by_keys=["user_id"])),
+        ],
+        "over_cum_view",
+    ).select("event_id", "user_id", "avg_value", "n_seen", "rn")
+    # Averages of 2-decimal data land on exact half-way rounding boundaries;
+    # recover the cents-exact sum (round(avg*n, 2)) before dividing so both
+    # engines round identical doubles.
+    return df.withColumn(
+        "avg_value",
+        F.round(F.round(F.col("avg_value") * F.col("n_seen"), 2) / F.col("n_seen"), 6),
+    )
+
+
+_ORACLE_OVER_CUMULATIVE = """
+SELECT event_id, user_id,
+       round(round(AVG(value) OVER w * COUNT(value) OVER w, 2)
+             / COUNT(value) OVER w, 6) AS avg_value,
+       COUNT(value) OVER w AS n_seen,
+       COUNT(*) OVER w AS rn
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_over_range_1h(spark, sf_dir):
+    from feathub_spark import Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    df = _events_over_view(
+        spark,
+        sf_dir,
+        [
+            Feature(
+                "sum_1h",
+                transform=OverWindowTransform(
+                    "value", "SUM", window_size=timedelta(hours=1), group_by_keys=["user_id"]
+                ),
+            ),
+            Feature(
+                "max_1h",
+                transform=OverWindowTransform(
+                    "value", "MAX", window_size=timedelta(hours=1), group_by_keys=["user_id"]
+                ),
+            ),
+            Feature(
+                "cnt_1h",
+                transform=OverWindowTransform(
+                    "value", "COUNT", window_size=timedelta(hours=1), group_by_keys=["user_id"]
+                ),
+            ),
+        ],
+        "over_range_view",
+    ).select("event_id", "user_id", "sum_1h", "max_1h", "cnt_1h")
+    return _round2(df, "sum_1h")
+
+
+_ORACLE_OVER_RANGE_1H = f"""
+SELECT event_id, user_id,
+       round(coalesce(SUM(value) OVER w, 0), 2) AS sum_1h,
+       MAX(value) OVER w AS max_1h,
+       COUNT(value) OVER w AS cnt_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN {MS_HOUR} PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_over_rows_limit(spark, sf_dir):
+    from feathub_spark import Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    df = _events_over_view(
+        spark,
+        sf_dir,
+        [
+            Feature(
+                "sum_last5",
+                transform=OverWindowTransform("value", "SUM", group_by_keys=["user_id"], limit=5),
+            ),
+            Feature(
+                "min_last5",
+                transform=OverWindowTransform("value", "MIN", group_by_keys=["user_id"], limit=5),
+            ),
+        ],
+        "over_limit_view",
+    ).select("event_id", "user_id", "sum_last5", "min_last5")
+    return _round2(df, "sum_last5")
+
+
+_ORACLE_OVER_ROWS_LIMIT = """
+SELECT event_id, user_id,
+       round(coalesce(SUM(value) OVER w, 0), 2) AS sum_last5,
+       MIN(value) OVER w AS min_last5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_over_filtered(spark, sf_dir):
+    from feathub_spark import Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    df = _events_over_view(
+        spark,
+        sf_dir,
+        [
+            Feature(
+                "n_purchases",
+                transform=OverWindowTransform(
+                    "value", "COUNT", group_by_keys=["user_id"],
+                    filter_expr="event_type = 'purchase'",
+                ),
+            ),
+            Feature(
+                "purchase_total",
+                transform=OverWindowTransform(
+                    "value", "SUM", group_by_keys=["user_id"],
+                    filter_expr="event_type = 'purchase'",
+                ),
+            ),
+        ],
+        "over_filtered_view",
+    ).select("event_id", "user_id", "n_purchases", "purchase_total")
+    return _round2(df, "purchase_total")
+
+
+_ORACLE_OVER_FILTERED = """
+SELECT event_id, user_id,
+       COUNT(CASE WHEN event_type = 'purchase' THEN value END) OVER w AS n_purchases,
+       round(coalesce(SUM(CASE WHEN event_type = 'purchase' THEN value END) OVER w, 0), 2)
+         AS purchase_total
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_over_first_last(spark, sf_dir):
+    from feathub_spark import Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    return _events_over_view(
+        spark,
+        sf_dir,
+        [
+            Feature("first_type", transform=OverWindowTransform("event_type", "FIRST_VALUE", group_by_keys=["user_id"])),
+            Feature("last_type", transform=OverWindowTransform("event_type", "LAST_VALUE", group_by_keys=["user_id"])),
+        ],
+        "over_fl_view",
+    ).select("event_id", "user_id", "first_type", "last_type")
+
+
+_ORACLE_OVER_FIRST_LAST = """
+SELECT event_id, user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_pit_join(spark, sf_dir):
+    from feathub_spark import DerivedFeatureView, Feature
+
+    proc = _processor(spark)
+    lineitem = _parquet_source(
+        "lineitem", sf_dir, keys=["l_orderkey"], timestamp_field="l_shipdate"
+    )
+    orders = _parquet_source(
+        "orders", sf_dir, keys=["o_orderkey"], timestamp_field="o_orderdate"
+    )
+    # as-of join needs equal key names: project orders with l_orderkey alias
+    from feathub_spark import Schema, SqlFeatureView
+    from feathub_spark.common import types as t
+
+    proc.registry.build_features([orders])
+    proc.get_table(proc.registry.get_features("orders"))  # register temp view
+    orders_keyed = SqlFeatureView(
+        name="orders_keyed",
+        sql_statement=(
+            "SELECT o_orderkey AS l_orderkey, o_totalprice, o_orderpriority, "
+            "o_orderdate FROM orders"
+        ),
+        schema=Schema(
+            ["l_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate"],
+            [t.Int64, t.Float64, t.String, t.Timestamp],
+        ),
+        keys=["l_orderkey"],
+        timestamp_field="o_orderdate",
+        timestamp_format="timestamp",
+    )
+    view = DerivedFeatureView(
+        name="pit_view",
+        source=lineitem,
+        features=[
+            "orders_keyed.o_totalprice",
+            "orders_keyed.o_orderpriority",
+            Feature("price_ratio", transform="l_extendedprice / o_totalprice"),
+        ],
+        keep_source_fields=False,
+    )
+    proc.registry.build_features([lineitem, orders_keyed])
+    built = proc.registry.build_features([view])[0]
+    df = proc.get_table(built).to_dataframe()
+    return df.select(
+        "l_orderkey", "l_shipdate", "o_totalprice", "o_orderpriority", "price_ratio"
+    )
+
+
+_ORACLE_PIT_JOIN = """
+SELECT l.l_orderkey, l.l_shipdate, o.o_totalprice, o.o_orderpriority,
+       l.l_extendedprice / o.o_totalprice AS price_ratio
+FROM lineitem l
+ASOF LEFT JOIN orders o
+  ON l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate
+"""
+
+
+def _q_sliding_2d_1d(spark, sf_dir):
+    from feathub_spark import Feature, SlidingFeatureView
+    from feathub_spark.feature_views.transforms import SlidingWindowTransform
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    view = SlidingFeatureView(
+        name="sliding_2d_view",
+        source=events,
+        features=[
+            Feature(
+                "sum_2d",
+                transform=SlidingWindowTransform(
+                    "value", "SUM", window_size=timedelta(days=2),
+                    step_size=timedelta(days=1), group_by_keys=["user_id"],
+                ),
+            ),
+            Feature(
+                "cnt_2d",
+                transform=SlidingWindowTransform(
+                    "value", "COUNT", window_size=timedelta(days=2),
+                    step_size=timedelta(days=1), group_by_keys=["user_id"],
+                ),
+            ),
+        ],
+        enable_empty_window_output=False,
+        skip_same_window_output=False,
+    )
+    proc.registry.build_features([events])
+    built = proc.registry.build_features([view])[0]
+    df = proc.get_table(built).to_dataframe()
+    return _round2(df.select("user_id", "window_time", "sum_2d", "cnt_2d"), "sum_2d")
+
+
+_ORACLE_SLIDING_2D_1D = f"""
+SELECT user_id, wend - 1 AS window_time,
+       round(SUM(value), 2) AS sum_2d,
+       COUNT(value) AS cnt_2d
+FROM (
+    SELECT user_id, value,
+           ((epoch_ms(ts) // {MS_DAY}) + 1 + k.k) * {MS_DAY} AS wend
+    FROM events, (VALUES (0), (1)) k(k)
+)
+GROUP BY user_id, wend
+"""
+
+
+def _q_sliding_tumbling_1d(spark, sf_dir):
+    from feathub_spark import Feature, SlidingFeatureView
+    from feathub_spark.feature_views.transforms import SlidingWindowTransform
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["event_type"], timestamp_field="ts")
+    view = SlidingFeatureView(
+        name="tumbling_view",
+        source=events,
+        features=[
+            Feature(
+                "avg_daily",
+                transform=SlidingWindowTransform(
+                    "value", "AVG", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["event_type"],
+                ),
+            ),
+            Feature(
+                "cnt_daily",
+                transform=SlidingWindowTransform(
+                    "value", "COUNT", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["event_type"],
+                ),
+            ),
+        ],
+        enable_empty_window_output=False,
+        skip_same_window_output=False,
+    )
+    proc.registry.build_features([events])
+    built = proc.registry.build_features([view])[0]
+    df = proc.get_table(built).to_dataframe().select(
+        "event_type", "window_time", "avg_daily", "cnt_daily"
+    )
+    return df.withColumn(
+        "avg_daily",
+        F.round(
+            F.round(F.col("avg_daily") * F.col("cnt_daily"), 2) / F.col("cnt_daily"), 6
+        ),
+    )
+
+
+_ORACLE_SLIDING_TUMBLING_1D = f"""
+SELECT event_type,
+       ((epoch_ms(ts) // {MS_DAY}) + 1) * {MS_DAY} - 1 AS window_time,
+       round(round(SUM(value), 2) / COUNT(value), 6) AS avg_daily,
+       COUNT(value) AS cnt_daily
+FROM events
+GROUP BY event_type, (epoch_ms(ts) // {MS_DAY})
+"""
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(round(SUM(l_discount), 2) / COUNT(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_sql_view(spark, sf_dir):
+    from feathub_spark import Schema, SqlFeatureView
+    from feathub_spark.common import types as t
+
+    proc = _processor(spark)
+    lineitem = _parquet_source("lineitem", sf_dir)
+    proc.registry.build_features([lineitem])
+    proc.get_table(proc.registry.get_features("lineitem"))  # register temp view
+    view = SqlFeatureView(
+        name="tpch_q1_view",
+        sql_statement=_TPCH_Q1_SQL,
+        schema=Schema(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "avg_disc", "count_order"],
+            [t.String, t.String, t.Float64, t.Float64, t.Float64, t.Float64, t.Int64],
+        ),
+    )
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe()
+
+
+def _q_udf_token_count(spark, sf_dir):
+    from feathub_spark import DerivedFeatureView, Feature
+    from feathub_spark.common import types as t
+    from feathub_spark.feature_views.transforms import PythonUdfTransform
+
+    proc = _processor(spark)
+    documents = _parquet_source("documents", sf_dir, keys=["doc_id"])
+    view = DerivedFeatureView(
+        name="udf_view",
+        source=documents,
+        features=[
+            Feature(
+                "udf_tokens",
+                transform=PythonUdfTransform(lambda row: len(row["text"].split())),
+                dtype=t.Int64,
+            ),
+        ],
+        keep_source_fields=False,
+    )
+    proc.registry.build_features([documents])
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe().select("doc_id", "udf_tokens")
+
+
+_ORACLE_UDF_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT)
+         AS udf_tokens
+FROM documents
+"""
+
+
+def _q_datagen_seq(spark, sf_dir):
+    from feathub_spark import DerivedFeatureView, Feature, Schema
+    from feathub_spark.common import types as t
+    from feathub_spark.feature_tables.sources.datagen_source import (
+        DataGenSource,
+        SequenceField,
+    )
+
+    proc = _processor(spark)
+    gen = DataGenSource(
+        name="gen_seq",
+        schema=Schema(["id"], [t.Int64]),
+        field_configs={"id": SequenceField(0, 999)},
+        keys=["id"],
+    )
+    view = DerivedFeatureView(
+        name="gen_view",
+        source=gen,
+        features=[Feature("val", transform="id * 3 + 1")],
+        keep_source_fields=True,
+        filter_expr="val > 500",
+    )
+    proc.registry.build_features([gen])
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe()
+
+
+_ORACLE_DATAGEN_SEQ = """
+SELECT i AS id, i * 3 + 1 AS val FROM range(0, 1000) t(i) WHERE i * 3 + 1 > 500
+"""
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from feathub_spark.datapipe.dedup import exact_dedup
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    kept = exact_dedup(df, ["text"], "doc_id")
+    return kept.select(
+        F.md5("text").alias("content_fp"), "doc_id", "dup_count"
+    )
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_fp,
+       min(doc_id) AS doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def _q_text_stats(spark, sf_dir):
+    from feathub_spark.datapipe.text import analyze_documents
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return analyze_documents(df).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_chars_calc", "fingerprint",
+        "lang_guess", "quality",
+    )
+
+
+_ORACLE_TEXT_STATS = """
+WITH toks AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tkl
+    FROM documents
+), scored AS (
+    SELECT doc_id, text, tk,
+      len(list_filter(tkl, t -> list_contains(['der','die','das','und','ist','von','mit','den','für','auf'], t))) AS s_de,
+      len(list_filter(tkl, t -> list_contains(['the','and','of','to','a','in','is','that','for','it'], t))) AS s_en,
+      len(list_filter(tkl, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t))) AS s_es,
+      len(list_filter(tkl, t -> list_contains(['le','la','de','et','un','en','est','que','pour','dans'], t))) AS s_fr
+    FROM toks
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       md5(text) AS fingerprint,
+       CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+            WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+            WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+            WHEN s_de > 0 THEN 'de'
+            ELSE 'und' END AS lang_guess,
+       CASE WHEN len(tk) = 0 THEN CAST(0 AS DOUBLE) ELSE
+         round(0.4 * (CASE WHEN len(tk) >= 10 AND len(tk) <= 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN (list_aggregate(list_transform(tk, t -> CAST(length(t) AS DOUBLE)), 'sum') / len(tk)) >= 2
+                            AND (list_aggregate(list_transform(tk, t -> CAST(length(t) AS DOUBLE)), 'sum') / len(tk)) <= 12
+                           THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6) END AS quality
+FROM scored
+"""
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.2)
+
+
+_ORACLE_NGRAM_JACCARD = """
+WITH grams AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 3 THEN
+             list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])
+           ELSE [array_to_string(tk, ' ')] END AS gs
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+          FROM documents)
+), inv AS (
+    SELECT doc_id, unnest(gs) AS gram FROM grams
+), co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT co.id_a, co.id_b,
+       round(CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common), 6) AS jaccard
+FROM co
+JOIN grams ga ON ga.doc_id = co.id_a
+JOIN grams gb ON gb.doc_id = co.id_b
+WHERE CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common) >= 0.2
+"""
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    from feathub_spark.datapipe.dedup import minhash_lsh_pairs
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from feathub_spark.datapipe.dedup import simhash_pairs
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_pairs(df, "text", "doc_id", max_hamming=3, bands=4)
+
+
+def _q_ann_topk(spark, sf_dir):
+    from feathub_spark.datapipe.similarity import brute_force_topk
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = df.filter(F.col("vec_id") < 20)
+    return brute_force_topk(df, queries_df, "embedding", "vec_id", k=5)
+
+
+_ORACLE_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(
+             list_aggregate(list_transform(range(1, len(qv) + 1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(qv, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+           6) AS cosine
+    FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from feathub_spark.datapipe.dedup import embedding_neardup_pairs
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_pairs(
+        df, "embedding", "vec_id", threshold=0.9, block_col="label"
+    )
+
+
+_ORACLE_EMBEDDING_NEARDUP = """
+SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+           6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.9
+"""
+
+
+def _q_value_counts(spark, sf_dir):
+    from feathub_spark import DerivedFeatureView, Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    view = DerivedFeatureView(
+        name="vc_view",
+        source=events,
+        features=[
+            Feature(
+                "type_counts",
+                transform=OverWindowTransform(
+                    "event_type", "VALUE_COUNTS", group_by_keys=["user_id"]
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    proc.registry.build_features([events])
+    built = proc.registry.build_features([view])[0]
+    df = proc.get_table(built).to_dataframe()
+    exploded = df.select(
+        "event_id", F.explode("type_counts").alias("etype", "n")
+    )
+    return exploded
+
+
+_ORACLE_VALUE_COUNTS = """
+SELECT a.event_id, b.event_type AS etype, count(*) AS n
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND epoch_ms(b.ts) <= epoch_ms(a.ts)
+GROUP BY a.event_id, b.event_type
+"""
+
+
+def _q_key_time_filter(spark, sf_dir):
+    from datetime import datetime
+
+    import pandas as pd
+
+    from feathub_spark import DerivedFeatureView, Feature
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    view = DerivedFeatureView(
+        name="ktf_view",
+        source=events,
+        features=[Feature("v2", transform="value * 2")],
+        keep_source_fields=True,
+    )
+    proc.registry.build_features([events])
+    built = proc.registry.build_features([view])[0]
+    keys = pd.DataFrame({"user_id": [1, 2, 3, 5, 8]})
+    df = proc.get_table(
+        built,
+        keys=keys,
+        start_datetime=datetime(2024, 1, 5),
+        end_datetime=datetime(2024, 1, 20),
+    ).to_dataframe()
+    return df.select("event_id", "user_id", "value", "v2")
+
+
+_ORACLE_KEY_TIME_FILTER = """
+SELECT event_id, user_id, value, value * 2 AS v2
+FROM events
+WHERE user_id IN (1, 2, 3, 5, 8)
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    from feathub_spark.datapipe.multimodal import decode_image_metadata
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    meta = decode_image_metadata(df, "payload", fake=True)
+    return meta.select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.channels").alias("channels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "expr_filter": _q_expr_filter,
+        "scalar_funcs": _q_scalar_funcs,
+        "over_cumulative": _q_over_cumulative,
+        "over_range_1h": _q_over_range_1h,
+        "over_rows_limit": _q_over_rows_limit,
+        "over_filtered": _q_over_filtered,
+        "over_first_last": _q_over_first_last,
+        "pit_join": _q_pit_join,
+        "sliding_2d_1d": _q_sliding_2d_1d,
+        "sliding_tumbling_1d": _q_sliding_tumbling_1d,
+        "sql_view_tpch_q1": _q_sql_view,
+        "udf_token_count": _q_udf_token_count,
+        "datagen_seq": _q_datagen_seq,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_topk": _q_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "value_counts": _q_value_counts,
+        "key_time_filter": _q_key_time_filter,
+        "multimodal_meta": _q_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "expr_filter": _ORACLE_EXPR_FILTER,
+        "scalar_funcs": _ORACLE_SCALAR_FUNCS,
+        "over_cumulative": _ORACLE_OVER_CUMULATIVE,
+        "over_range_1h": _ORACLE_OVER_RANGE_1H,
+        "over_rows_limit": _ORACLE_OVER_ROWS_LIMIT,
+        "over_filtered": _ORACLE_OVER_FILTERED,
+        "over_first_last": _ORACLE_OVER_FIRST_LAST,
+        "pit_join": _ORACLE_PIT_JOIN,
+        "sliding_2d_1d": _ORACLE_SLIDING_2D_1D,
+        "sliding_tumbling_1d": _ORACLE_SLIDING_TUMBLING_1D,
+        "sql_view_tpch_q1": _TPCH_Q1_SQL,
+        "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
+        "datagen_seq": _ORACLE_DATAGEN_SEQ,
+        "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "text_stats": _ORACLE_TEXT_STATS,
+        "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        "ann_topk": _ORACLE_ANN_TOPK,
+        "embedding_neardup": _ORACLE_EMBEDDING_NEARDUP,
+        "value_counts": _ORACLE_VALUE_COUNTS,
+        "key_time_filter": _ORACLE_KEY_TIME_FILTER,
+        # minhash_dedup / simhash_pairs / multimodal_meta: hash- or stub-based,
+        # not expressible in DuckDB → rows-only checks.
+    }

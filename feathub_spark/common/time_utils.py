@@ -18,6 +18,7 @@ from feathub_spark.common.exceptions import FeathubError
 
 EPOCH = "epoch"
 EPOCH_MILLIS = "epoch_millis"
+NATIVE = "timestamp"  # column is already a Spark TIMESTAMP (e.g. parquet)
 
 # strftime directive → java.time.format.DateTimeFormatter pattern.
 _STRFTIME_TO_JAVA = {
@@ -75,6 +76,8 @@ def to_java_date_format(python_format: str) -> str:
 def event_time_sql(timestamp_field: str, timestamp_format: str) -> str:
     """Spark SQL expression producing the TIMESTAMP event time for a row."""
     col = f"`{timestamp_field}`"
+    if timestamp_format == NATIVE:
+        return f"CAST({col} AS TIMESTAMP)"
     if timestamp_format == EPOCH:
         return f"timestamp_seconds(CAST({col} AS BIGINT))"
     if timestamp_format == EPOCH_MILLIS:

@@ -1,0 +1,293 @@
+"""Deduplication operators for 100 TB-scale corpora.
+
+- exact_dedup: hash-groupBy — one shuffle on the content hash, map-side
+  combinable, no driver collect.
+- minhash: word-shingle MinHash signatures + banded LSH bucket join.  Hash
+  chains are built from xxhash64 (JVM) with (a*h + b) mod p universal
+  rehashing evaluated as array expressions — no Python in the hot path.
+  Candidate pairs verified with exact shingle-set Jaccard.
+- simhash: 64-bit token-hash bit-majority fingerprint + exact Hamming
+  verification over banded buckets.
+- ngram_jaccard_pairs: exact n-gram Jaccard via an inverted-index join
+  (explode n-grams → co-occurrence counts → |A∩B| / (|A|+|B|-|A∩B|)).
+- embedding_neardup_pairs: blocked pairwise cosine similarity.
+
+All pair generation is blocked/bucketed so no operator materializes the full
+n² cross product.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: Sequence[str], id_col: str
+) -> DataFrame:
+    """One surviving row id per distinct content; dup_count per group."""
+    return df.groupBy(*[F.col(c) for c in content_cols]).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def _shingles_sql(text_col: str, k: int) -> str:
+    """Word k-shingles (space-joined runs of k consecutive tokens)."""
+    toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    return (
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {k} + 1), "
+        f"i -> array_join(slice({toks}, i, {k}), ' '))) "
+        f"ELSE array(array_join({toks}, ' ')) END"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Append __minhash__: array<bigint> of length num_hashes."""
+    import random
+
+    rnd = random.Random(seed)
+    params = [
+        (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+    base = (
+        f"transform({_shingles_sql(text_col, shingle_k)}, "
+        f"s -> abs(xxhash64(s)) % {_MERSENNE_P})"
+    )
+    sigs = ", ".join(
+        f"array_min(transform(__mh_base__, h -> ({a}L * h + {b}L) % {_MERSENNE_P}))"
+        for a, b in params
+    )
+    return (
+        df.withColumn("__mh_base__", F.expr(base))
+        .withColumn("__minhash__", F.expr(f"array({sigs})"))
+        .drop("__mh_base__")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate id pairs (a < b) whose exact shingle Jaccard >=
+    threshold, found via banded-LSH candidate generation."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    sigs = sigs.select(
+        F.col(id_col).alias("__id__"),
+        F.expr(_shingles_sql(text_col, shingle_k)).alias("__sh__"),
+        F.col("__minhash__"),
+    )
+    banded = sigs.select(
+        "__id__",
+        "__sh__",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                f"xxhash64(array_join(slice(__minhash__, b * {rows_per_band} + 1, "
+                f"{rows_per_band}), ',')) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("__id__", "__sh__", F.col("bb.band"), F.col("bb.bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.__id__") < F.col("r.__id__"),
+            ],
+        )
+        .select(
+            F.col("l.__id__").alias("id_a"),
+            F.col("r.__id__").alias("id_b"),
+            F.col("l.__sh__").alias("sh_a"),
+            F.col("r.__sh__").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = (
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+        "size(array_union(sh_a, sh_b))"
+    )
+    return (
+        candidates.withColumn("jaccard", F.expr(jac))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted-index join —
+    fully SQL-expressible (oracle-checkable), no hashing involved."""
+    grams = df.select(
+        F.col(id_col).alias("__id__"),
+        F.expr(_shingles_sql(text_col, n)).alias("__grams__"),
+    )
+    sizes = grams.select("__id__", F.size("__grams__").alias("__n__"))
+    inverted = grams.select(
+        "__id__", F.explode("__grams__").alias("__gram__")
+    )
+    co = (
+        inverted.alias("a")
+        .join(
+            inverted.alias("b"),
+            on=[
+                F.col("a.__gram__") == F.col("b.__gram__"),
+                F.col("a.__id__") < F.col("b.__id__"),
+            ],
+        )
+        .groupBy(
+            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        co.join(sizes.withColumnRenamed("__id__", "id_a").withColumnRenamed("__n__", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id__", "id_b").withColumnRenamed("__n__", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """Append __simhash__ bigint: per-token 64-bit hash, bitwise majority."""
+    toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    hashes = f"transform(array_distinct({toks}), t -> xxhash64(t))"
+    bit_sums = (
+        f"transform(sequence(0, {bits - 1}), b -> "
+        f"size(filter({hashes}, h -> (shiftright(h, b) & 1) = 1)) * 2 - size({hashes}))"
+    )
+    sim = (
+        f"aggregate(zip_with({bit_sums}, sequence(0, {bits - 1}), "
+        f"(s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), "
+        f"0L, (acc, x) -> acc | x)"
+    )
+    return df.withColumn("__simhash__", F.expr(sim))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs with simhash Hamming distance <= max_hamming.  Band the 64 bits
+    into ``bands`` chunks: any pair within distance < bands shares at least
+    one identical chunk (pigeonhole), so the bucket join finds all of them
+    without an n^2 scan."""
+    width = 64 // bands
+    sh = simhash(df, text_col, id_col).select(
+        F.col(id_col).alias("__id__"), "__simhash__"
+    )
+    banded = sh.select(
+        "__id__",
+        "__simhash__",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                f"shiftright(__simhash__, b * {width}) & {(1 << width) - 1} AS chunk))"
+            )
+        ).alias("bb"),
+    ).select("__id__", "__simhash__", F.col("bb.band"), F.col("bb.chunk"))
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.__id__") < F.col("r.__id__"),
+            ],
+        )
+        .select(
+            F.col("l.__id__").alias("id_a"),
+            F.col("r.__id__").alias("id_b"),
+            F.col("l.__simhash__").alias("sh_a"),
+            F.col("r.__simhash__").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs.  With ``block_col`` the pairwise compare
+    runs within blocks only (LSH-bucket style), avoiding the full n^2."""
+    dot = (
+        "aggregate(zip_with(v_a, v_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    norm = (
+        "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (a, x) -> a + x))"
+    )
+    cols = [F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")]
+    if block_col:
+        cols.append(F.col(block_col).alias("__blk__"))
+    base = df.select(*cols)
+    join_cond = [F.col("l.__id__") < F.col("r.__id__")]
+    if block_col:
+        join_cond.insert(0, F.col("l.__blk__") == F.col("r.__blk__"))
+    pairs = (
+        base.alias("l")
+        .join(base.alias("r"), on=join_cond)
+        .select(
+            F.col("l.__id__").alias("id_a"),
+            F.col("r.__id__").alias("id_b"),
+            F.col("l.__v__").alias("v_a"),
+            F.col("r.__v__").alias("v_b"),
+        )
+    )
+    cos = f"({dot}) / ({norm.format(v='v_a')} * {norm.format(v='v_b')})"
+    return (
+        pairs.withColumn("cosine", F.round(F.expr(cos), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

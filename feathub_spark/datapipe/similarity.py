@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline.  Dot
+  products run as Catalyst higher-order expressions (zip_with + aggregate in
+  double precision), top-k via per-query window rank; the (small) query set
+  is broadcast so the corpus is scanned once with no shuffle of the corpus
+  side.
+- lsh_topk: the scale path — sign-random-projection (SimHash for vectors)
+  bucketing; only candidates sharing >= 1 of the hyperplane-band buckets are
+  scored.  Hyperplane coefficients derive deterministically from
+  xxhash64(seed, plane, dim) so executors need no broadcast of plane
+  matrices and reruns are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({_DOT.format(a=a, b=b)}) / ({_NORM.format(v=a)} * {_NORM.format(v=b)})"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    query_id_col: str = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query row (self-matches excluded when
+    ids collide).  Returns (query_id, neighbor_id, rank, cosine)."""
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(cosine_expr("__qv__", "__cv__")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _srp_signature(vec_col: str, planes: int, dims: int, seed: int) -> str:
+    """Sign-random-projection signature: bit p = sign(sum_d w[p,d]*v[d]) with
+    w[p,d] = xxhash64(seed, p, d) scaled to [-1,1] deterministically."""
+    scale = float(1 << 62)
+    proj = (
+        f"aggregate(zip_with(`{vec_col}`, sequence(0, {dims - 1}), "
+        f"(x, d) -> CAST(x AS DOUBLE) * "
+        f"(CAST(xxhash64({seed}, {{p}}, d) AS DOUBLE) / {scale})), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    bits = (
+        f"transform(sequence(0, {planes - 1}), "
+        f"p -> CASE WHEN ({proj.replace('{p}', 'p')}) > 0 THEN 1 ELSE 0 END)"
+    )
+    return bits
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    planes: int = 16,
+    bands: int = 4,
+    dims: int = 64,
+    seed: int = 7,
+    query_id_col: str = None,
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing an LSH band bucket with the
+    query are scored.  Recall < 1.0 by design; at 100 TB this replaces the
+    corpus-wide scan with a bucket-local join."""
+    query_id_col = query_id_col or id_col
+    width = planes // bands
+
+    def with_buckets(df: DataFrame, ident: str, out_id: str) -> DataFrame:
+        sig = _srp_signature(vec_col, planes, dims, seed)
+        return (
+            df.select(
+                F.col(ident).alias(out_id),
+                F.col(vec_col).alias(f"__{out_id}_v__"),
+                F.expr(sig).alias("__bits__"),
+            )
+            .select(
+                out_id,
+                f"__{out_id}_v__",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {bands - 1}), "
+                        f"b -> struct(b AS band, "
+                        f"array_join(slice(__bits__, b * {width} + 1, {width}), '') AS bucket))"
+                    )
+                ).alias("bb"),
+            )
+            .select(out_id, f"__{out_id}_v__", "bb.band", "bb.bucket")
+        )
+
+    qb = with_buckets(queries, query_id_col, "query_id")
+    cb = with_buckets(corpus, id_col, "neighbor_id")
+    cand = (
+        cb.join(F.broadcast(qb), on=["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(F.expr(cosine_expr("__query_id_v__", "__neighbor_id_v__")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path computation is JVM-side Catalyst expressions (split / regexp /
+higher-order array functions) — no Python UDFs — so these scale linearly with
+executors and stay inside whole-stage codegen.  Functions return Column
+expressions; ``analyze_documents`` assembles the standard per-document
+feature set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Minimal stopword inventories for the n-gram/stopword language heuristic.
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "für", "auf"],
+}
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokens, empty strings dropped (mirrors str.split())."""
+    return F.expr(
+        f"filter(split(trim(`{text_col}`), '\\\\s+'), t -> t <> '')"
+    )
+
+
+def token_count(text_col: str) -> Column:
+    return F.size(tokens(text_col)).cast("bigint")
+
+
+def distinct_token_count(text_col: str) -> Column:
+    return F.size(F.array_distinct(tokens(text_col))).cast("bigint")
+
+
+def char_count(text_col: str) -> Column:
+    return F.length(F.col(text_col)).cast("bigint")
+
+
+def avg_token_length(text_col: str) -> Column:
+    t = tokens(text_col)
+    return (
+        F.expr(
+            f"aggregate(filter(split(trim(`{text_col}`), '\\\\s+'), t -> t <> ''), "
+            f"CAST(0 AS DOUBLE), (a, x) -> a + length(x))"
+        )
+        / F.size(t)
+    )
+
+
+def fingerprint_md5(text_col: str) -> Column:
+    """Deterministic document fingerprint (md5 hex)."""
+    return F.md5(F.col(text_col))
+
+
+def fingerprint_sha256(text_col: str) -> Column:
+    return F.sha2(F.col(text_col), 256)
+
+
+def stopword_ratio(text_col: str, lang: str = "en") -> Column:
+    words = _LANG_STOPWORDS[lang]
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    toks = f"filter(split(trim(`{text_col}`), '\\\\s+'), t -> t <> '')"
+    return F.expr(
+        f"CASE WHEN size({toks}) > 0 THEN "
+        f"CAST(size(filter({toks}, t -> array_contains({arr}, lower(t)))) AS DOUBLE)"
+        f" / size({toks}) ELSE CAST(0 AS DOUBLE) END"
+    )
+
+
+def language_guess(text_col: str) -> Column:
+    """Stopword-overlap language heuristic: the language whose stopword list
+    overlaps the document's tokens most; 'und' (undetermined) when nothing
+    matches.  Deterministic tie-break by language code order."""
+    toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    scores = []
+    for lang in sorted(_LANG_STOPWORDS):
+        arr = "array(" + ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[lang]) + ")"
+        scores.append(
+            f"struct(size(filter({toks}, t -> array_contains({arr}, t))) AS score, "
+            f"'{lang}' AS lang)"
+        )
+    best = f"array_max(array({', '.join(scores)}))"
+    return F.expr(f"CASE WHEN {best}.score > 0 THEN {best}.lang ELSE 'und' END")
+
+
+def quality_score(text_col: str) -> Column:
+    """Heuristic quality in [0,1]: combines length band, mean token length
+    band, punctuation ratio and repetition (distinct-token ratio)."""
+    toks = f"filter(split(trim(`{text_col}`), '\\\\s+'), t -> t <> '')"
+    n = f"size({toks})"
+    distinct_ratio = f"(CAST(size(array_distinct({toks})) AS DOUBLE) / {n})"
+    len_ok = f"(CASE WHEN {n} >= 10 AND {n} <= 100000 THEN 1.0 ELSE 0.0 END)"
+    mean_len = (
+        f"(aggregate({toks}, CAST(0 AS DOUBLE), (a, x) -> a + length(x)) / {n})"
+    )
+    mean_len_ok = f"(CASE WHEN {mean_len} >= 2 AND {mean_len} <= 12 THEN 1.0 ELSE 0.0 END)"
+    return F.expr(
+        f"CASE WHEN {n} = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        f"round(0.4 * {len_ok} + 0.3 * {mean_len_ok} + 0.3 * {distinct_ratio}, 6) END"
+    )
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "n_distinct_tokens": distinct_token_count(text_col),
+            "n_chars_calc": char_count(text_col),
+            "fingerprint": fingerprint_md5(text_col),
+            "lang_guess": language_guess(text_col),
+            "quality": quality_score(text_col),
+        }
+    )

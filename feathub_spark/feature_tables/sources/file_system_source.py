@@ -50,3 +50,55 @@ class FileSystemSource(FeatureTable):
         self.data_format = data_format
         self.max_out_of_orderness = max_out_of_orderness
         self.data_format_props = dict(data_format_props or {})
+        # Parquet schemas may be inferred from the footer for resolution, but
+        # the physical read must then let Spark derive its own types (e.g.
+        # timestamp vs timestamp_ntz physical encodings).
+        self.schema_declared = schema is not None
+
+    def get_output_schema(self) -> Schema:
+        if self.schema is None and self.data_format == "parquet":
+            self.schema = _infer_parquet_schema(self.path)
+        return super().get_output_schema()
+
+
+def _infer_parquet_schema(path: str) -> Schema:
+    """Read the parquet footer (pyarrow, no Spark needed) so descriptor
+    resolution can derive feature dtypes before a session exists."""
+    import pyarrow.dataset as ds
+
+    from feathub_spark.common import types as t
+
+    arrow_schema = ds.dataset(path, format="parquet").schema
+    names, dtypes = [], []
+    for field in arrow_schema:
+        names.append(field.name)
+        dtypes.append(_arrow_to_dtype(field.type))
+    return Schema(names, dtypes)
+
+
+def _arrow_to_dtype(at):
+    import pyarrow as pa
+
+    from feathub_spark.common import types as t
+
+    if pa.types.is_binary(at) or pa.types.is_large_binary(at):
+        return t.Bytes
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return t.String
+    if pa.types.is_boolean(at):
+        return t.Bool
+    if pa.types.is_int8(at) or pa.types.is_int16(at) or pa.types.is_int32(at):
+        return t.Int32
+    if pa.types.is_int64(at) or pa.types.is_uint32(at) or pa.types.is_uint64(at):
+        return t.Int64
+    if pa.types.is_float32(at):
+        return t.Float32
+    if pa.types.is_float64(at):
+        return t.Float64
+    if pa.types.is_timestamp(at) or pa.types.is_date(at):
+        return t.Timestamp
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        return t.VectorType(_arrow_to_dtype(at.value_type))
+    if pa.types.is_map(at):
+        return t.MapType(_arrow_to_dtype(at.key_type), _arrow_to_dtype(at.item_type))
+    return t.Unknown

@@ -26,16 +26,27 @@ from feathub_spark.table.table_descriptor import TableDescriptor
 def append_event_time(df: DataFrame, descriptor: TableDescriptor) -> DataFrame:
     if descriptor.timestamp_field is None:
         return df
+    from feathub_spark.common.time_utils import NATIVE
+    from pyspark.sql import types as T
+
+    field = descriptor.timestamp_field
+    if descriptor.timestamp_format == NATIVE and isinstance(
+        df.schema[field].dataType, T.LongType
+    ):
+        # Parquet TIMESTAMP(NANOS) read as bigint via nanosAsLong.
+        return df.withColumn(
+            EVENT_TIME_COL, F.expr(f"timestamp_micros(`{field}` div 1000)")
+        )
     return df.withColumn(
         EVENT_TIME_COL,
-        F.expr(event_time_sql(descriptor.timestamp_field, descriptor.timestamp_format)),
+        F.expr(event_time_sql(field, descriptor.timestamp_format)),
     )
 
 
 def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFrame:
     if isinstance(source, FileSystemSource):
         reader = spark.read.format(source.data_format)
-        if source.schema is not None:
+        if source.schema is not None and getattr(source, "schema_declared", True):
             reader = reader.schema(source.schema.to_spark_struct())
         for k, v in source.data_format_props.items():
             reader = reader.option(k, v)
@@ -43,6 +54,10 @@ def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFr
             reader = reader.option("header", source.data_format_props.get("header", "true"))
         df = reader.load(source.path)
         return append_event_time(df, source)
+    from feathub_spark.feature_tables.sources.datagen_source import DataGenSource
+
+    if isinstance(source, DataGenSource):
+        return append_event_time(source.to_dataframe(spark), source)
     raise PlanError(f"Unsupported source type {type(source).__name__}.")
 
 

@@ -40,6 +40,9 @@ def default_spark_session(app_name: str = "feathub_spark", cpus: int = 0) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.legacy.sizeOfNull", "false")
+        # Parquet TIMESTAMP(NANOS) columns (unsupported by Spark natively)
+        # surface as bigint nanos; append_event_time converts them.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
