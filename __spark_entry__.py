@@ -749,7 +749,7 @@ def _q_embedding_neardup(spark, sf_dir):
 
     df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return embedding_neardup_pairs(
-        df, "embedding", "vec_id", threshold=0.9, block_col="label"
+        df, "embedding", "vec_id", threshold=0.35, block_col="label"
     )
 
 
@@ -764,7 +764,7 @@ SELECT * FROM (
            6) AS cosine
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-) WHERE cosine >= 0.9
+) WHERE cosine >= 0.35
 """
 
 

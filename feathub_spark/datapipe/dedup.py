@@ -91,14 +91,15 @@ def minhash_lsh_pairs(
     threshold, found via banded-LSH candidate generation."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    sigs = sigs.select(
+    # Keep the (heavy) shingle arrays OUT of the banded explode/self-join:
+    # band on (id, bucket) only, dedup candidate id pairs, then re-attach
+    # shingles with two narrow joins for exact-Jaccard verification.
+    shingles = df.select(
         F.col(id_col).alias("__id__"),
         F.expr(_shingles_sql(text_col, shingle_k)).alias("__sh__"),
-        F.col("__minhash__"),
     )
     banded = sigs.select(
-        "__id__",
-        "__sh__",
+        F.col(id_col).alias("__id__"),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
@@ -107,13 +108,12 @@ def minhash_lsh_pairs(
                 f"{rows_per_band}), ',')) AS bucket))"
             )
         ).alias("bb"),
-    ).select("__id__", "__sh__", F.col("bb.band"), F.col("bb.bucket"))
+    ).select("__id__", F.col("bb.band"), F.col("bb.bucket"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
     candidates = (
-        left.join(
-            right,
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.bucket") == F.col("r.bucket"),
@@ -123,17 +123,29 @@ def minhash_lsh_pairs(
         .select(
             F.col("l.__id__").alias("id_a"),
             F.col("r.__id__").alias("id_b"),
-            F.col("l.__sh__").alias("sh_a"),
-            F.col("r.__sh__").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        candidates.join(
+            shingles.select(
+                F.col("__id__").alias("id_a"), F.col("__sh__").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            shingles.select(
+                F.col("__id__").alias("id_b"), F.col("__sh__").alias("sh_b")
+            ),
+            "id_b",
+        )
     )
     jac = (
         "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
         "size(array_union(sh_a, sh_b))"
     )
     return (
-        candidates.withColumn("jaccard", F.expr(jac))
+        pairs.withColumn("jaccard", F.expr(jac))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -185,19 +197,33 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """Append __simhash__ bigint: per-token 64-bit hash, bitwise majority."""
+    """Append __simhash__ bigint: per-token 64-bit hash, bitwise majority.
+
+    Single pass over the token hashes: fold into a 64-wide counter array
+    (zip_with accumulate), then collapse sign bits.  Intermediates are
+    materialized as columns so nothing is recomputed per bit.
+    """
     toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
     hashes = f"transform(array_distinct({toks}), t -> xxhash64(t))"
-    bit_sums = (
-        f"transform(sequence(0, {bits - 1}), b -> "
-        f"size(filter({hashes}, h -> (shiftright(h, b) & 1) = 1)) * 2 - size({hashes}))"
+    df = df.withColumn("__tok_hashes__", F.expr(hashes))
+    bit_counts = (
+        f"aggregate(`__tok_hashes__`, "
+        f"array_repeat(0, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + CAST(shiftright(h, b) & 1 AS INT)))"
+    )
+    df = df.withColumn("__bit_counts__", F.expr(bit_counts)).withColumn(
+        "__n_hashes__", F.size("__tok_hashes__")
     )
     sim = (
-        f"aggregate(zip_with({bit_sums}, sequence(0, {bits - 1}), "
-        f"(s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), "
+        f"aggregate(zip_with(`__bit_counts__`, sequence(0, {bits - 1}), "
+        f"(c, b) -> CASE WHEN 2 * c > `__n_hashes__` "
+        f"THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), "
         f"0L, (acc, x) -> acc | x)"
     )
-    return df.withColumn("__simhash__", F.expr(sim))
+    return df.withColumn("__simhash__", F.expr(sim)).drop(
+        "__tok_hashes__", "__bit_counts__", "__n_hashes__"
+    )
 
 
 def simhash_pairs(
@@ -260,15 +286,17 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine near-duplicate pairs.  With ``block_col`` the pairwise compare
     runs within blocks only (LSH-bucket style), avoiding the full n^2."""
-    dot = (
-        "aggregate(zip_with(v_a, v_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0 AS DOUBLE), (a, x) -> a + x)"
-    )
+    # Norms are computed ONCE per row before the pairwise join; the join
+    # then evaluates a single dot product per pair.
     norm = (
-        "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"sqrt(aggregate(transform(`{vec_col}`, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "CAST(0 AS DOUBLE), (a, x) -> a + x))"
     )
-    cols = [F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")]
+    cols = [
+        F.col(id_col).alias("__id__"),
+        F.col(vec_col).alias("__v__"),
+        F.expr(norm).alias("__norm__"),
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("__blk__"))
     base = df.select(*cols)
@@ -283,11 +311,15 @@ def embedding_neardup_pairs(
             F.col("r.__id__").alias("id_b"),
             F.col("l.__v__").alias("v_a"),
             F.col("r.__v__").alias("v_b"),
+            (F.col("l.__norm__") * F.col("r.__norm__")).alias("__nn__"),
         )
     )
-    cos = f"({dot}) / ({norm.format(v='v_a')} * {norm.format(v='v_b')})"
+    dot = (
+        "aggregate(zip_with(v_a, v_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
     return (
-        pairs.withColumn("cosine", F.round(F.expr(cos), 6))
+        pairs.withColumn("cosine", F.round(F.expr(dot) / F.col("__nn__"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

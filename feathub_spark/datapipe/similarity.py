@@ -41,16 +41,25 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per query row (self-matches excluded when
     ids collide).  Returns (query_id, neighbor_id, rank, cosine)."""
     query_id_col = query_id_col or id_col
+    norm = _NORM.format(v=f"`{vec_col}`")
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        F.expr(norm).alias("__qn__"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        F.expr(norm).alias("__cn__"),
     )
+    dot = _DOT.format(a="__qv__", b="__cv__")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(F.expr(cosine_expr("__qv__", "__cv__")), 6))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(dot) / (F.col("__qn__") * F.col("__cn__")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

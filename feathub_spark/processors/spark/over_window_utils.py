@@ -178,25 +178,31 @@ def evaluate_over_window(
         out_cols[f_.name] = col.cast(t.to_spark_type(f_.dtype))
 
     if collect_fields:
-        # One collected struct array shared by all collect-path fields.
+        # Materialize the sorted (and sliced) value array per field ONCE as a
+        # column, so the aggregation expression references it instead of
+        # re-inlining (and re-sorting) the collected array several times.
         for f_ in collect_fields:
             value_sql = _filtered_value_sql(f_.expr_sql, filter_sql)
             pair = f"CASE WHEN {value_sql} IS NOT NULL THEN struct({_ORDER_MS} AS t, {value_sql} AS v) END"
             collected = F.expr(f"collect_list({pair})").over(spec)
-            sorted_vals = f"transform(array_sort(__arr__), s -> s.v)"
-            if desc.limit is not None:
-                sliced = (
-                    f"slice({sorted_vals}, "
-                    f"greatest(1, size(__arr__) + 1 - {desc.limit}), {desc.limit})"
-                )
-            else:
-                sliced = sorted_vals
-            agg_sql = _array_agg_sql(sliced, f_.agg_func, f_.dtype)
             tmp = f"__collect_{f_.name}__"
             df = df.withColumn(tmp, collected)
-            out_cols[f_.name] = F.expr(agg_sql.replace("__arr__", f"`{tmp}`")).cast(
-                t.to_spark_type(f_.dtype)
-            )
+            sorted_vals = f"transform(array_sort(`{tmp}`), s -> s.v)"
+            if desc.limit is not None:
+                sorted_vals = (
+                    f"slice({sorted_vals}, "
+                    f"greatest(1, size(`{tmp}`) + 1 - {desc.limit}), {desc.limit})"
+                )
+            vals_col = f"__vals_{f_.name}__"
+            df = df.withColumn(vals_col, F.expr(sorted_vals))
+            agg_sql = _array_agg_sql(f"`{vals_col}`", f_.agg_func, f_.dtype)
+            out_cols[f_.name] = F.expr(agg_sql).cast(t.to_spark_type(f_.dtype))
 
     df = df.withColumns(out_cols)
-    return df.drop(*[c for c in df.columns if c.startswith("__collect_")])
+    return df.drop(
+        *[
+            c
+            for c in df.columns
+            if c.startswith("__collect_") or c.startswith("__vals_")
+        ]
+    )
