@@ -35,13 +35,37 @@ from feathub_spark.feature_views.transforms import (
     PythonUdfTransform,
     SlidingWindowTransform,
 )
+from feathub_spark.feature_views.on_demand_feature_view import OnDemandFeatureView
 from feathub_spark.feature_tables.sources.file_system_source import FileSystemSource
+from feathub_spark.feature_tables.sources.datagen_source import (
+    DataGenSource,
+    RandomField,
+    SequenceField,
+)
+from feathub_spark.feature_tables.sources.connector_sources import (
+    HiveSource,
+    JdbcSource,
+    KafkaSource,
+    MemoryStoreSource,
+    MySQLSource,
+    RedisSource,
+)
 from feathub_spark.feature_tables.sinks.file_system_sink import FileSystemSink
 from feathub_spark.feature_tables.sinks.misc_sinks import (
     BlackHoleSink,
     MemoryStoreSink,
     PrintSink,
 )
+from feathub_spark.feature_tables.sinks.connector_sinks import (
+    HiveSink,
+    JdbcSink,
+    KafkaSink,
+    MySQLSink,
+    PrometheusSink,
+    RedisSink,
+)
+from feathub_spark.online_stores.memory_online_store import MemoryOnlineStore
+from feathub_spark.feature_service.local_feature_service import LocalFeatureService
 from feathub_spark.registries.registry import LocalRegistry
 from feathub_spark.processors.spark.spark_processor import (
     FeathubClient,
@@ -62,4 +86,9 @@ __all__ = [
     "FileSystemSource", "FileSystemSink", "BlackHoleSink", "MemoryStoreSink",
     "PrintSink", "LocalRegistry", "FeathubClient", "SparkProcessor",
     "default_spark_session",
+    "OnDemandFeatureView", "DataGenSource", "RandomField", "SequenceField",
+    "HiveSource", "JdbcSource", "KafkaSource", "MemoryStoreSource",
+    "MySQLSource", "RedisSource",
+    "HiveSink", "JdbcSink", "KafkaSink", "MySQLSink", "PrometheusSink",
+    "RedisSink", "MemoryOnlineStore", "LocalFeatureService",
 ]

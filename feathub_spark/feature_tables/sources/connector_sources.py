@@ -1,0 +1,244 @@
+"""Connector sources beyond the filesystem.
+
+Descriptor semantics mirror the reference connectors; the planner maps each
+to the idiomatic Spark reader:
+
+- KafkaSource (reference feature_tables/sources/kafka_source.py:25-100):
+  batch (bounded) → ``spark.read.format("kafka")`` with
+  startingOffsets/endingOffsets; streaming → ``spark.readStream``; the
+  value payload is parsed per ``value_format`` (json/csv) against the
+  declared schema.
+- JdbcSource / MySQLSource (mysql_source.py:22): ``spark.read.format("jdbc")``.
+- HiveSource (hive_source.py:47): ``spark.table(db.tbl)`` (needs
+  enableHiveSupport).
+- RedisSource (redis_source.py:23-110): a KV lookup table; batch mapping is
+  a snapshot DataFrame provided by the caller (broadcast-joined), since core
+  Spark has no Redis connector.
+- MemoryStoreSource (memory_store_source.py:24): a table in the in-process
+  MemoryOnlineStore → ``spark.createDataFrame``.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from typing import Dict, List, Optional, Sequence
+
+from feathub_spark.table.schema import Schema
+from feathub_spark.feature_tables.feature_table import FeatureTable
+
+
+class KafkaSource(FeatureTable):
+    def __init__(
+        self,
+        name: str,
+        bootstrap_server: str,
+        topic: str,
+        schema: Schema,
+        key_format: str = "json",
+        value_format: str = "json",
+        consumer_group: str = "feathub",
+        keys: Optional[Sequence[str]] = None,
+        timestamp_field: Optional[str] = None,
+        timestamp_format: str = "epoch",
+        startup_mode: str = "group-offsets",
+        startup_datetime=None,
+        max_out_of_orderness: timedelta = timedelta(0),
+        is_bounded: bool = False,
+    ) -> None:
+        super().__init__(
+            name,
+            system_name="kafka",
+            schema=schema,
+            keys=keys,
+            timestamp_field=timestamp_field,
+            timestamp_format=timestamp_format,
+        )
+        self.bootstrap_server = bootstrap_server
+        self.topic = topic
+        self.key_format = key_format
+        self.value_format = value_format
+        self.consumer_group = consumer_group
+        self.startup_mode = startup_mode
+        self.startup_datetime = startup_datetime
+        self.max_out_of_orderness = max_out_of_orderness
+        self._is_bounded = is_bounded
+
+    def is_bounded(self) -> bool:
+        return self._is_bounded
+
+    def get_bounded_view(self) -> "KafkaSource":
+        if self._is_bounded:
+            return self
+        import copy
+
+        bounded = copy.copy(self)
+        bounded._is_bounded = True
+        return bounded
+
+    def starting_offsets(self) -> str:
+        if self.startup_mode == "earliest-offset":
+            return "earliest"
+        if self.startup_mode == "latest-offset":
+            return "latest"
+        if self.startup_mode == "timestamp" and self.startup_datetime is not None:
+            import json
+
+            ts_ms = int(self.startup_datetime.timestamp() * 1000)
+            return json.dumps({self.topic: {"0": ts_ms}})
+        return "earliest"
+
+
+class JdbcSource(FeatureTable):
+    def __init__(
+        self,
+        name: str,
+        url: str,
+        table: str,
+        schema: Optional[Schema] = None,
+        driver: Optional[str] = None,
+        username: Optional[str] = None,
+        password: Optional[str] = None,
+        keys: Optional[Sequence[str]] = None,
+        timestamp_field: Optional[str] = None,
+        timestamp_format: str = "epoch",
+        partition_column: Optional[str] = None,
+        num_partitions: int = 32,
+    ) -> None:
+        super().__init__(
+            name,
+            system_name="jdbc",
+            schema=schema,
+            keys=keys,
+            timestamp_field=timestamp_field,
+            timestamp_format=timestamp_format,
+        )
+        self.url = url
+        self.table = table
+        self.driver = driver
+        self.username = username
+        self.password = password
+        # partition_column enables parallel JDBC reads — required for any
+        # non-toy table: a single-connection scan cannot feed a cluster.
+        self.partition_column = partition_column
+        self.num_partitions = num_partitions
+
+
+class MySQLSource(JdbcSource):
+    def __init__(
+        self,
+        name: str,
+        database: str,
+        table: str,
+        host: str,
+        port: int = 3306,
+        username: Optional[str] = None,
+        password: Optional[str] = None,
+        schema: Optional[Schema] = None,
+        keys: Optional[Sequence[str]] = None,
+        timestamp_field: Optional[str] = None,
+        timestamp_format: str = "epoch",
+    ) -> None:
+        super().__init__(
+            name,
+            url=f"jdbc:mysql://{host}:{port}/{database}",
+            table=table,
+            schema=schema,
+            driver="com.mysql.cj.jdbc.Driver",
+            username=username,
+            password=password,
+            keys=keys,
+            timestamp_field=timestamp_field,
+            timestamp_format=timestamp_format,
+        )
+
+
+class HiveSource(FeatureTable):
+    def __init__(
+        self,
+        name: str,
+        database: str,
+        table: str,
+        schema: Optional[Schema] = None,
+        keys: Optional[Sequence[str]] = None,
+        timestamp_field: Optional[str] = None,
+        timestamp_format: str = "epoch",
+    ) -> None:
+        super().__init__(
+            name,
+            system_name="hive",
+            schema=schema,
+            keys=keys,
+            timestamp_field=timestamp_field,
+            timestamp_format=timestamp_format,
+        )
+        self.database = database
+        self.table = table
+
+
+class RedisSource(FeatureTable):
+    """KV lookup table previously written by RedisSink.  Core Spark has no
+    Redis connector: batch plans join against a snapshot DataFrame loaded
+    via the (optional) ``redis`` client at plan-build time, broadcast to
+    executors; streaming enrichment would use foreachBatch."""
+
+    def __init__(
+        self,
+        name: str,
+        schema: Schema,
+        keys: Sequence[str],
+        host: str,
+        port: int = 6379,
+        mode: str = "standalone",
+        db_num: int = 0,
+        namespace: str = "default",
+        key_expr: Optional[str] = None,
+    ) -> None:
+        super().__init__(
+            name, system_name="redis", schema=schema, keys=keys
+        )
+        self.host = host
+        self.port = port
+        self.mode = mode
+        self.db_num = db_num
+        self.namespace = namespace
+        self.key_expr = key_expr
+
+
+class MemoryStoreSource(FeatureTable):
+    def __init__(
+        self,
+        name: str,
+        keys: Sequence[str],
+        table_name: str,
+        schema: Optional[Schema] = None,
+    ) -> None:
+        super().__init__(name, system_name="memory", schema=schema, keys=keys)
+        self.table_name = table_name
+
+    def get_output_schema(self) -> Schema:
+        if self.schema is None:
+            import pandas as pd
+
+            from feathub_spark.common import types as t
+            from feathub_spark.online_stores.memory_online_store import (
+                MemoryOnlineStore,
+            )
+
+            store = MemoryOnlineStore.get_instance()
+            pdf = store._tables[self.table_name]
+            names, dtypes = [], []
+            for col, dt in zip(pdf.columns, pdf.dtypes):
+                names.append(col)
+                s = str(dt)
+                if s.startswith("int"):
+                    dtypes.append(t.Int64)
+                elif s.startswith("float"):
+                    dtypes.append(t.Float64)
+                elif s.startswith("datetime"):
+                    dtypes.append(t.Timestamp)
+                elif s == "bool":
+                    dtypes.append(t.Bool)
+                else:
+                    dtypes.append(t.String)
+            self.schema = Schema(names, dtypes)
+        return self.schema

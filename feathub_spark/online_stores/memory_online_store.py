@@ -1,0 +1,89 @@
+"""MemoryOnlineStore: in-process key → latest-feature-row store for serving.
+
+Semantics per the reference (online_stores/memory_online_store.py:40-163):
+``put`` upserts rows keeping the max-timestamp row per key; ``get`` returns
+the latest row per requested key, optionally projected to selected features.
+The store is a serving-side structure (pandas), not a Spark job.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import pandas as pd
+
+
+class MemoryOnlineStore:
+    _instance: Optional["MemoryOnlineStore"] = None
+    _lock = threading.Lock()
+
+    def __init__(self) -> None:
+        self._tables: Dict[str, pd.DataFrame] = {}
+        self._keys: Dict[str, List[str]] = {}
+        self._ts_fields: Dict[str, Optional[str]] = {}
+
+    @classmethod
+    def get_instance(cls) -> "MemoryOnlineStore":
+        with cls._lock:
+            if cls._instance is None:
+                cls._instance = MemoryOnlineStore()
+            return cls._instance
+
+    @classmethod
+    def reset(cls) -> None:
+        with cls._lock:
+            cls._instance = None
+
+    def put(
+        self,
+        table_name: str,
+        data,
+        key_fields: Optional[Sequence[str]] = None,
+        timestamp_field: Optional[str] = None,
+    ) -> None:
+        if not isinstance(data, pd.DataFrame):
+            data = data.toPandas()
+        if key_fields is None:
+            key_fields = self._keys.get(table_name)
+        if key_fields is None:
+            raise ValueError(f"No key fields known for table {table_name!r}.")
+        key_fields = list(key_fields)
+        if timestamp_field is None:
+            timestamp_field = self._ts_fields.get(table_name)
+
+        existing = self._tables.get(table_name)
+        combined = (
+            pd.concat([existing, data], ignore_index=True)
+            if existing is not None
+            else data.copy()
+        )
+        if timestamp_field is not None and timestamp_field in combined.columns:
+            # keep the max-timestamp row per key (last wins on ties, matching
+            # upsert order semantics)
+            combined = combined.sort_values(
+                timestamp_field, kind="stable"
+            )
+        combined = combined.drop_duplicates(subset=key_fields, keep="last")
+        self._tables[table_name] = combined.reset_index(drop=True)
+        self._keys[table_name] = key_fields
+        self._ts_fields[table_name] = timestamp_field
+
+    def get(
+        self,
+        table_name: str,
+        input_data: pd.DataFrame,
+        feature_names: Optional[Sequence[str]] = None,
+    ) -> pd.DataFrame:
+        table = self._tables.get(table_name)
+        if table is None:
+            raise KeyError(f"Table {table_name!r} not in the online store.")
+        key_fields = self._keys[table_name]
+        cols = list(table.columns)
+        if feature_names is not None:
+            cols = key_fields + [c for c in feature_names if c not in key_fields]
+            table = table[cols]
+        return input_data.merge(table, on=key_fields, how="left")
+
+    def all_tables(self) -> List[str]:
+        return sorted(self._tables)

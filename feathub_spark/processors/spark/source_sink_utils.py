@@ -54,23 +54,210 @@ def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFr
             reader = reader.option("header", source.data_format_props.get("header", "true"))
         df = reader.load(source.path)
         return append_event_time(df, source)
+
     from feathub_spark.feature_tables.sources.datagen_source import DataGenSource
 
     if isinstance(source, DataGenSource):
         return append_event_time(source.to_dataframe(spark), source)
+
+    from feathub_spark.feature_tables.sources.connector_sources import (
+        HiveSource,
+        JdbcSource,
+        KafkaSource,
+        MemoryStoreSource,
+        RedisSource,
+    )
+
+    if isinstance(source, KafkaSource):
+        if not source.is_bounded():
+            raise PlanError(
+                f"KafkaSource {source.name!r} is unbounded; use the streaming "
+                "builder (get_stream_dataframe) or get_bounded_view()."
+            )
+        raw = (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", source.bootstrap_server)
+            .option("subscribe", source.topic)
+            .option("startingOffsets", source.starting_offsets())
+            .option("endingOffsets", "latest")
+            .load()
+        )
+        return append_event_time(_parse_kafka_value(raw, source), source)
+
+    if isinstance(source, JdbcSource):
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", source.url)
+            .option("dbtable", source.table)
+        )
+        if source.driver:
+            reader = reader.option("driver", source.driver)
+        if source.username:
+            reader = reader.option("user", source.username)
+        if source.password:
+            reader = reader.option("password", source.password)
+        if source.partition_column:
+            # Parallel scan: Spark probes min/max and splits the range so the
+            # read fans out across executors instead of one connection.
+            reader = reader.option("partitionColumn", source.partition_column).option(
+                "numPartitions", str(source.num_partitions)
+            )
+        return append_event_time(reader.load(), source)
+
+    if isinstance(source, HiveSource):
+        return append_event_time(
+            spark.table(f"{source.database}.{source.table}"), source
+        )
+
+    if isinstance(source, MemoryStoreSource):
+        from feathub_spark.online_stores.memory_online_store import MemoryOnlineStore
+
+        store = MemoryOnlineStore.get_instance()
+        pdf = store._tables[source.table_name]
+        return append_event_time(spark.createDataFrame(pdf), source)
+
+    if isinstance(source, RedisSource):
+        raise PlanError(
+            f"RedisSource {source.name!r} is a lookup table: load a snapshot "
+            "DataFrame client-side and register it, or use it as the right "
+            "side of a lookup join in streaming foreachBatch."
+        )
+
     raise PlanError(f"Unsupported source type {type(source).__name__}.")
 
 
-def insert_into_sink(df: DataFrame, sink) -> None:
+def _parse_kafka_value(raw: DataFrame, source) -> DataFrame:
+    struct = source.schema.to_spark_struct()
+    if source.value_format == "json":
+        return raw.select(
+            F.from_json(F.col("value").cast("string"), struct).alias("v")
+        ).select("v.*")
+    if source.value_format == "csv":
+        return raw.select(
+            F.from_csv(F.col("value").cast("string"), struct.simpleString()).alias("v")
+        ).select("v.*")
+    raise PlanError(f"Unsupported Kafka value_format {source.value_format!r}.")
+
+
+def insert_into_sink(df: DataFrame, sink, descriptor: TableDescriptor = None) -> None:
     if isinstance(sink, FileSystemSink):
         df.write.format(sink.data_format).mode("overwrite").save(sink.path)
-    elif isinstance(sink, PrintSink):
+        return
+    if isinstance(sink, PrintSink):
         df.show(sink.num_rows, truncate=False)
-    elif isinstance(sink, BlackHoleSink):
+        return
+    if isinstance(sink, BlackHoleSink):
         df.write.format("noop").mode("overwrite").save()
-    elif isinstance(sink, MemoryStoreSink):
+        return
+    if isinstance(sink, MemoryStoreSink):
         from feathub_spark.online_stores.memory_online_store import MemoryOnlineStore
 
-        MemoryOnlineStore.get_instance().put(sink.table_name, df)
-    else:
-        raise PlanError(f"Unsupported sink type {type(sink).__name__}.")
+        MemoryOnlineStore.get_instance().put(
+            sink.table_name,
+            df,
+            key_fields=descriptor.keys if descriptor is not None else None,
+            timestamp_field=(
+                descriptor.timestamp_field if descriptor is not None else None
+            ),
+        )
+        return
+
+    from feathub_spark.feature_tables.sinks.connector_sinks import (
+        HiveSink,
+        JdbcSink,
+        KafkaSink,
+        PrometheusSink,
+        RedisSink,
+    )
+
+    if isinstance(sink, KafkaSink):
+        keys = descriptor.keys if descriptor is not None else None
+        value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        out = df.select(value.alias("value"))
+        if keys:
+            out = df.select(
+                F.to_json(F.struct(*[F.col(k) for k in keys])).alias("key"),
+                value.alias("value"),
+            )
+        (
+            out.write.format("kafka")
+            .option("kafka.bootstrap.servers", sink.bootstrap_server)
+            .option("topic", sink.topic)
+            .save()
+        )
+        return
+    if isinstance(sink, JdbcSink):
+        writer = (
+            df.write.format("jdbc")
+            .option("url", sink.url)
+            .option("dbtable", sink.table)
+            .mode("append")
+        )
+        if sink.driver:
+            writer = writer.option("driver", sink.driver)
+        if sink.username:
+            writer = writer.option("user", sink.username)
+        if sink.password:
+            writer = writer.option("password", sink.password)
+        writer.save()
+        return
+    if isinstance(sink, HiveSink):
+        df.write.mode("append").saveAsTable(f"{sink.database}.{sink.table}")
+        return
+    if isinstance(sink, RedisSink):
+        _write_redis(df, sink, descriptor)
+        return
+    if isinstance(sink, PrometheusSink):
+        _write_prometheus(df, sink)
+        return
+    raise PlanError(f"Unsupported sink type {type(sink).__name__}.")
+
+
+def _write_redis(df: DataFrame, sink, descriptor) -> None:
+    """Per-partition upsert through the redis client (import-gated)."""
+    try:
+        import redis  # noqa: F401
+    except ImportError as e:
+        raise PlanError(
+            "RedisSink requires the 'redis' package, which is not installed."
+        ) from e
+    keys = descriptor.keys if descriptor is not None else None
+    if not keys:
+        raise PlanError("RedisSink requires the table to declare keys.")
+    host, port, db_num, namespace = sink.host, sink.port, sink.db_num, sink.namespace
+    columns = df.columns
+
+    def write_partition(rows):
+        import json
+
+        import redis as redis_mod
+
+        client = redis_mod.Redis(host=host, port=port, db=db_num)
+        pipe = client.pipeline()
+        for row in rows:
+            d = row.asDict()
+            key = namespace + ":" + ":".join(str(d[k]) for k in keys)
+            pipe.hset(
+                key,
+                mapping={c: json.dumps(d[c], default=str) for c in columns},
+            )
+        pipe.execute()
+
+    df.foreachPartition(write_partition)
+
+
+def _write_prometheus(df: DataFrame, sink) -> None:
+    try:
+        from prometheus_client import CollectorRegistry, Gauge, push_to_gateway
+    except ImportError as e:
+        raise PlanError(
+            "PrometheusSink requires 'prometheus_client', which is not installed."
+        ) from e
+    registry = CollectorRegistry()
+    rows = df.collect()
+    for row in rows:
+        for col, val in row.asDict().items():
+            if isinstance(val, (int, float)):
+                g = Gauge(col, col, registry=registry)
+                g.set(val)
+    push_to_gateway(sink.host_url, job=sink.job_name, registry=registry)

@@ -31,4 +31,4 @@ class Table:
             and self._descriptor.timestamp_field is not None
         ):
             df = df.drop(self._descriptor.timestamp_field)
-        insert_into_sink(df, sink)
+        insert_into_sink(df, sink, self._descriptor)
