@@ -112,6 +112,35 @@ class SparkProcessor:
         table = self.get_table(descriptor)
         table.execute_insert(sink)
 
+    # -- streaming -------------------------------------------------------
+    def get_stream_dataframe(self, descriptor: TableDescriptor) -> DataFrame:
+        """Compile to a Structured Streaming DataFrame (stream-batch
+        unification: same descriptors, streaming physical plan)."""
+        from feathub_spark.streaming.stream_builder import SparkStreamBuilder
+
+        if not descriptor.is_resolved():
+            descriptor = self.registry.build_features(descriptor)[0]
+        builder = SparkStreamBuilder(self.spark, self.registry)
+        df = builder.get_stream_dataframe(descriptor)
+        return df.drop(*[c for c in df.columns if c in METADATA_COLS])
+
+    def materialize_stream(
+        self,
+        descriptor: TableDescriptor,
+        sink,
+        checkpoint_dir=None,
+        query_name=None,
+        output_mode: str = "append",
+    ):
+        from feathub_spark.streaming.stream_builder import write_stream
+
+        if not descriptor.is_resolved():
+            descriptor = self.registry.build_features(descriptor)[0]
+        df = self.get_stream_dataframe(descriptor)
+        return write_stream(
+            df, sink, descriptor, checkpoint_dir, query_name, output_mode
+        )
+
 
 class FeathubClient:
     """Small façade mirroring the reference client entry points

@@ -1,0 +1,267 @@
+"""Structured Streaming compilation path.
+
+Stream-batch unification per the reference's design: the same descriptors
+compile either to batch DataFrames (processors/spark/dataframe_builder.py)
+or, here, to streaming DataFrames:
+
+- sources → ``spark.readStream`` (file directory, Kafka, rate for datagen);
+- watermark = event_time - (max_out_of_orderness + 1ms), mirroring
+  source_sink_utils_common.py:95-103;
+- per-row transforms/filters reuse the exact batch expressions;
+- SlidingFeatureView → ``groupBy(window(ts, size, step))`` windowed
+  aggregation in append mode (the no-empty-emission subset of the batch
+  semantics; empty-window defaults and skip-same-output need a custom
+  stateful operator — see NOTES in SlidingFeatureView docs — and are
+  documented divergences in streaming mode);
+- sinks → native streaming writers where they exist (kafka, file, memory,
+  noop), ``foreachBatch`` + the batch sink writer otherwise.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from feathub_spark.common.exceptions import PlanError
+from feathub_spark.common.time_utils import event_time_sql
+from feathub_spark.common.types import to_spark_type
+from feathub_spark.dsl.parser import to_spark_sql
+from feathub_spark.feature_tables.sources.connector_sources import KafkaSource
+from feathub_spark.feature_tables.sources.datagen_source import DataGenSource
+from feathub_spark.feature_tables.sources.file_system_source import FileSystemSource
+from feathub_spark.feature_views.derived_feature_view import DerivedFeatureView
+from feathub_spark.feature_views.feature import Feature
+from feathub_spark.feature_views.sliding_feature_view import SlidingFeatureView
+from feathub_spark.feature_views.transforms.expression_transform import (
+    ExpressionTransform,
+)
+from feathub_spark.feature_views.transforms.sliding_window_transform import (
+    SlidingWindowTransform,
+)
+from feathub_spark.processors.spark.constants import EVENT_TIME_COL, WINDOW_TIME_MS_COL
+from feathub_spark.processors.spark.source_sink_utils import _parse_kafka_value
+from feathub_spark.table.table_descriptor import TableDescriptor
+
+
+def _watermark_delay_ms(source) -> int:
+    ooo = getattr(source, "max_out_of_orderness", timedelta(0)) or timedelta(0)
+    return int(ooo.total_seconds() * 1000) + 1
+
+
+class SparkStreamBuilder:
+    def __init__(self, spark: SparkSession, registry) -> None:
+        self._spark = spark
+        self._registry = registry
+
+    # -- sources ---------------------------------------------------------
+    def get_stream_dataframe(self, descriptor: TableDescriptor) -> DataFrame:
+        if isinstance(descriptor, SlidingFeatureView):
+            return self._build_sliding(descriptor)
+        if isinstance(descriptor, DerivedFeatureView):
+            return self._build_derived(descriptor)
+        return self._read_stream_source(descriptor)
+
+    def _read_stream_source(self, source: TableDescriptor) -> DataFrame:
+        if isinstance(source, FileSystemSource):
+            if source.schema is None:
+                raise PlanError("Streaming file sources need a declared schema.")
+            reader = (
+                self._spark.readStream.format(source.data_format)
+                .schema(source.schema.to_spark_struct())
+            )
+            for k, v in source.data_format_props.items():
+                reader = reader.option(k, v)
+            if source.data_format == "csv":
+                reader = reader.option("header", "true")
+            df = reader.load(source.path)
+        elif isinstance(source, KafkaSource):
+            raw = (
+                self._spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", source.bootstrap_server)
+                .option("subscribe", source.topic)
+                .option("startingOffsets", source.starting_offsets())
+                .load()
+            )
+            df = _parse_kafka_value(raw, source)
+        elif isinstance(source, DataGenSource):
+            rate = (
+                self._spark.readStream.format("rate")
+                .option("rowsPerSecond", str(source.rows_per_second))
+                .load()
+            )
+            df = rate.select(F.col("value").alias("id"))
+            # project schema columns from the monotonically increasing id
+            cols = []
+            for fname, ftype in zip(
+                source.schema.field_names, source.schema.field_types
+            ):
+                cols.append((F.col("id") % 1000).cast(to_spark_type(ftype)).alias(fname))
+            df = df.select(*cols)
+        else:
+            raise PlanError(
+                f"Unsupported streaming source {type(source).__name__}."
+            )
+        return self._append_event_time_and_watermark(df, source)
+
+    def _append_event_time_and_watermark(self, df: DataFrame, source) -> DataFrame:
+        if source.timestamp_field is None:
+            return df
+        from feathub_spark.processors.spark.source_sink_utils import append_event_time
+
+        df = append_event_time(df, source)
+        delay_ms = _watermark_delay_ms(source)
+        return df.withWatermark(EVENT_TIME_COL, f"{delay_ms} milliseconds")
+
+    # -- derived view (per-row subset) -----------------------------------
+    def _build_derived(self, view: DerivedFeatureView) -> DataFrame:
+        source = view.get_resolved_source()
+        df = self.get_stream_dataframe(source)
+        for feature in view.get_resolved_features():
+            tr = feature.transform
+            if isinstance(tr, ExpressionTransform):
+                df = df.withColumn(
+                    feature.name,
+                    F.expr(to_spark_sql(tr.expr)).cast(to_spark_type(feature.dtype)),
+                )
+            else:
+                raise PlanError(
+                    f"Streaming DerivedFeatureView supports per-row expressions; "
+                    f"{type(tr).__name__} needs the batch path or a stateful "
+                    "operator (round 2)."
+                )
+        if view.filter_expr is not None:
+            df = df.filter(F.expr(to_spark_sql(view.filter_expr)))
+        output_fields = view.get_output_fields()
+        keep = [c for c in df.columns if c == EVENT_TIME_COL]
+        return df.select(*output_fields, *keep)
+
+    # -- sliding windows (windowed-agg subset) ----------------------------
+    def _build_sliding(self, view: SlidingFeatureView) -> DataFrame:
+        source = view.get_resolved_source()
+        df = self.get_stream_dataframe(source)
+
+        for feature in view.pre_sliding_features():
+            tr = feature.transform
+            if isinstance(tr, ExpressionTransform):
+                df = df.withColumn(
+                    feature.name,
+                    F.expr(to_spark_sql(tr.expr)).cast(to_spark_type(feature.dtype)),
+                )
+
+        sliding = view.sliding_features()
+        step_ms = view.step_size_ms
+        window_sizes = {f.transform.window_size_ms for f in sliding}
+        if len(window_sizes) != 1:
+            raise PlanError(
+                "Streaming sliding views currently require a single window "
+                "size (multi-size shared state is the round-2 stateful op)."
+            )
+        window_ms = window_sizes.pop()
+        keys = view.group_by_keys
+
+        aggs = []
+        for f_ in sliding:
+            tr = f_.transform
+            value_sql = to_spark_sql(tr.expr)
+            if tr.filter_expr:
+                value_sql = (
+                    f"CASE WHEN {to_spark_sql(tr.filter_expr)} THEN {value_sql} END"
+                )
+            agg_name = tr.agg_func.name
+            if agg_name == "AVG":
+                col = F.expr(f"avg({value_sql})")
+            elif agg_name == "SUM":
+                col = F.expr(f"sum({value_sql})")
+            elif agg_name in ("COUNT", "ROW_NUMBER"):
+                col = F.expr(f"count({value_sql})")
+            elif agg_name == "MAX":
+                col = F.expr(f"max({value_sql})")
+            elif agg_name == "MIN":
+                col = F.expr(f"min({value_sql})")
+            elif agg_name == "FIRST_VALUE":
+                col = F.expr(
+                    f"min_by({value_sql}, unix_millis(`{EVENT_TIME_COL}`))"
+                )
+            elif agg_name == "LAST_VALUE":
+                col = F.expr(
+                    f"max_by({value_sql}, unix_millis(`{EVENT_TIME_COL}`))"
+                )
+            elif agg_name == "COLLECT_LIST":
+                col = F.expr(f"collect_list({value_sql})")
+            else:
+                raise PlanError(f"Streaming sliding agg {agg_name} unsupported.")
+            aggs.append(col.cast(to_spark_type(f_.dtype)).alias(f_.name))
+
+        window_col = F.window(
+            F.col(EVENT_TIME_COL),
+            f"{window_ms} milliseconds",
+            f"{step_ms} milliseconds",
+        )
+        grouped = df.groupBy(window_col.alias("__w__"), *[F.col(k) for k in keys]).agg(
+            *aggs
+        )
+        result = grouped.withColumn(
+            WINDOW_TIME_MS_COL, F.unix_millis(F.col("__w__.end")) - F.lit(1)
+        )
+        from feathub_spark.processors.spark.dataframe_builder import _window_time_col
+
+        result = result.withColumn(
+            view.timestamp_field, _window_time_col(view.timestamp_format)
+        )
+
+        for feature in view.post_sliding_features():
+            tr = feature.transform
+            if isinstance(tr, ExpressionTransform):
+                result = result.withColumn(
+                    feature.name,
+                    F.expr(to_spark_sql(tr.expr)).cast(to_spark_type(feature.dtype)),
+                )
+
+        output_fields = view.get_output_fields()
+        return result.select(*output_fields)
+
+
+def write_stream(
+    df: DataFrame,
+    sink,
+    descriptor: TableDescriptor = None,
+    checkpoint_dir: Optional[str] = None,
+    query_name: Optional[str] = None,
+    output_mode: str = "append",
+):
+    """Start a streaming write to any engine sink.  Native writers for
+    kafka/file/noop; everything else goes through foreachBatch reusing the
+    batch sink writer (exactly-once per batch where the sink allows)."""
+    from feathub_spark.feature_tables.sinks.connector_sinks import KafkaSink
+    from feathub_spark.feature_tables.sinks.file_system_sink import FileSystemSink
+    from feathub_spark.feature_tables.sinks.misc_sinks import BlackHoleSink
+    from feathub_spark.processors.spark.source_sink_utils import insert_into_sink
+
+    writer = df.writeStream.outputMode(output_mode)
+    if query_name:
+        writer = writer.queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+
+    if isinstance(sink, FileSystemSink):
+        return writer.format(sink.data_format).option("path", sink.path).start()
+    if isinstance(sink, BlackHoleSink):
+        return writer.format("noop").start()
+    if isinstance(sink, KafkaSink):
+        value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        out = df.select(value.alias("value"))
+        return (
+            out.writeStream.outputMode(output_mode)
+            .format("kafka")
+            .option("kafka.bootstrap.servers", sink.bootstrap_server)
+            .option("topic", sink.topic)
+            .option("checkpointLocation", checkpoint_dir or "/tmp/feathub_ckpt")
+            .start()
+        )
+
+    def write_batch(batch_df, batch_id):
+        insert_into_sink(batch_df, sink, descriptor)
+
+    return writer.foreachBatch(write_batch).start()

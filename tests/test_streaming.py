@@ -1,0 +1,130 @@
+"""Structured Streaming path: file-stream source -> expression view ->
+sliding window -> in-memory streaming sink; results must agree with the
+batch path on the same data (stream-batch unification)."""
+
+import os
+import time
+from datetime import timedelta
+
+import pytest
+
+from feathub_spark import (
+    DerivedFeatureView,
+    Feature,
+    FileSystemSource,
+    Int64,
+    Schema,
+    SlidingFeatureView,
+    String,
+)
+from feathub_spark.feature_views.transforms import SlidingWindowTransform
+
+from tests.fixtures import F1_ROWS
+
+
+def _write_stream_dir(tmp_path):
+    d = os.path.join(str(tmp_path), "stream_in")
+    os.makedirs(d, exist_ok=True)
+    # two files to exercise multi-file discovery
+    for i, chunk in enumerate([F1_ROWS[:3], F1_ROWS[3:]]):
+        with open(os.path.join(d, f"part{i}.csv"), "w") as f:
+            f.write("name,cost,distance,time\n")
+            for r in chunk:
+                f.write(",".join(str(x) for x in r) + "\n")
+    return d
+
+
+def _stream_source(tmp_path, name):
+    schema = (
+        Schema.new_builder()
+        .column("name", String)
+        .column("cost", Int64)
+        .column("distance", Int64)
+        .column("time", String)
+        .build()
+    )
+    return FileSystemSource(
+        name=name,
+        path=_write_stream_dir(tmp_path),
+        data_format="csv",
+        schema=schema,
+        keys=["name"],
+        timestamp_field="time",
+        timestamp_format="%Y-%m-%d %H:%M:%S",
+        max_out_of_orderness=timedelta(seconds=10),
+    )
+
+
+def _run_to_memory(spark, processor, view, name, mode="append"):
+    df = processor.get_stream_dataframe(view)
+    query = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_expression_view(client, tmp_path):
+    source = _stream_source(tmp_path, "stream_src_1")
+    view = DerivedFeatureView(
+        name="stream_expr_view",
+        source=source,
+        features=[Feature("total", transform="cost + distance")],
+        keep_source_fields=True,
+        filter_expr="total > 400",
+    )
+    client.build_features([source, view])
+    out = _run_to_memory(client.spark, client.processor, view, "stream_expr_out")
+    rows = out.orderBy("time").collect()
+    assert [r.total for r in rows] == [650, 500, 450, 1000, 1400]
+
+
+def test_streaming_sliding_window_matches_batch(client, tmp_path):
+    source = _stream_source(tmp_path, "stream_src_2")
+
+    def make_view(name, src):
+        return SlidingFeatureView(
+            name=name,
+            source=src,
+            features=[
+                Feature(
+                    "total_cost",
+                    transform=SlidingWindowTransform(
+                        "cost",
+                        "SUM",
+                        window_size=timedelta(days=2),
+                        step_size=timedelta(days=1),
+                        group_by_keys=["name"],
+                    ),
+                ),
+            ],
+            enable_empty_window_output=False,
+            skip_same_window_output=False,
+        )
+
+    stream_view = make_view("stream_sliding_view", source)
+    client.build_features([source, stream_view])
+    # complete mode so windows beyond the final watermark are also emitted
+    # (append mode would hold them until the watermark passes — correct
+    # production behavior, but here we compare against the batch result).
+    out = _run_to_memory(
+        client.spark, client.processor, stream_view, "stream_sliding_out", "complete"
+    )
+    stream_rows = {
+        (r["name"], r.window_time): r.total_cost
+        for r in out.collect()
+    }
+
+    # batch path on the same source
+    batch_view = make_view("batch_sliding_view", source)
+    client.build_features([batch_view])
+    batch = client.get_features(batch_view).to_pandas()
+    batch_rows = {
+        (r["name"], r["window_time"]): r["total_cost"] for _, r in batch.iterrows()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
