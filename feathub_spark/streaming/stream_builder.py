@@ -153,11 +153,41 @@ class SparkStreamBuilder:
         sliding = view.sliding_features()
         step_ms = view.step_size_ms
         window_sizes = {f.transform.window_size_ms for f in sliding}
-        if len(window_sizes) != 1:
-            raise PlanError(
-                "Streaming sliding views currently require a single window "
-                "size (multi-size shared state is the round-2 stateful op)."
+        needs_stateful = (
+            view.enable_empty_window_output
+            or view.skip_same_window_output
+            or len(window_sizes) > 1
+            or any(f.transform.limit is not None for f in sliding)
+            or any(
+                f.transform.agg_func.name in ("VALUE_COUNTS",) for f in sliding
             )
+        )
+        if needs_stateful:
+            # Full semantics (empty-window defaults, skip-same, multi-size
+            # shared state) → the custom stateful operator.
+            from feathub_spark.streaming.stateful_sliding import (
+                stateful_sliding_window,
+            )
+
+            result = stateful_sliding_window(df, view)
+            from feathub_spark.processors.spark.dataframe_builder import (
+                _window_time_col,
+            )
+
+            result = result.withColumn(
+                view.timestamp_field, _window_time_col(view.timestamp_format)
+            )
+            for feature in view.post_sliding_features():
+                tr = feature.transform
+                if isinstance(tr, ExpressionTransform):
+                    result = result.withColumn(
+                        feature.name,
+                        F.expr(to_spark_sql(tr.expr)).cast(
+                            to_spark_type(feature.dtype)
+                        ),
+                    )
+            return result.select(*view.get_output_fields())
+
         window_ms = window_sizes.pop()
         keys = view.group_by_keys
 

@@ -128,3 +128,80 @@ def test_streaming_sliding_window_matches_batch(client, tmp_path):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stateful_sliding_full_semantics_matches_batch(client, tmp_path):
+    """Default emission semantics (empty-window defaults + skip-same) via the
+    custom applyInPandasWithState operator must reproduce the batch golden
+    output for every window the final watermark has passed.  A sentinel key
+    far in the future pushes the watermark beyond the drain point of the
+    real keys."""
+    d = _write_stream_dir(tmp_path)
+    with open(os.path.join(d, "part_sentinel.csv"), "w") as f:
+        f.write("name,cost,distance,time\n")
+        f.write("Zed,1,1,2022-01-20 00:00:00\n")
+
+    schema = (
+        Schema.new_builder()
+        .column("name", String)
+        .column("cost", Int64)
+        .column("distance", Int64)
+        .column("time", String)
+        .build()
+    )
+    source = FileSystemSource(
+        name="stream_src_3",
+        path=d,
+        data_format="csv",
+        schema=schema,
+        keys=["name"],
+        timestamp_field="time",
+        timestamp_format="%Y-%m-%d %H:%M:%S",
+        max_out_of_orderness=timedelta(seconds=0),
+    )
+
+    def make_view(name, src):
+        return SlidingFeatureView(
+            name=name,
+            source=src,
+            features=[
+                Feature(
+                    "total_cost",
+                    transform=SlidingWindowTransform(
+                        "cost", "SUM", window_size=timedelta(days=2),
+                        step_size=timedelta(days=1), group_by_keys=["name"],
+                    ),
+                ),
+                Feature(
+                    "cnt_1d",
+                    transform=SlidingWindowTransform(
+                        "cost", "COUNT", window_size=timedelta(days=1),
+                        step_size=timedelta(days=1), group_by_keys=["name"],
+                    ),
+                ),
+            ],
+            enable_empty_window_output=True,
+            skip_same_window_output=True,
+        )
+
+    stream_view = make_view("stateful_sliding_view", source)
+    client.build_features([source, stream_view])
+    out = _run_to_memory(
+        client.spark, client.processor, stream_view, "stateful_sliding_out"
+    )
+    stream_rows = {
+        (r["name"], r.window_time): (r.total_cost, r.cnt_1d)
+        for r in out.collect()
+        if r["name"] != "Zed"
+    }
+
+    batch_view = make_view("stateful_batch_view", source)
+    client.build_features([batch_view])
+    batch = client.get_features(batch_view).to_pandas()
+    batch_rows = {
+        (r["name"], r["window_time"]): (r["total_cost"], r["cnt_1d"])
+        for _, r in batch.iterrows()
+        if r["name"] != "Zed"
+    }
+    assert len(stream_rows) > 0
+    assert stream_rows == batch_rows
