@@ -840,6 +840,195 @@ WHERE user_id IN (1, 2, 3, 5, 8)
 """
 
 
+def _q_dsl_functions(spark, sf_dir):
+    from feathub_spark import DerivedFeatureView, Feature
+
+    proc = _processor(spark)
+    orders = _parquet_source("orders", sf_dir, keys=["o_orderkey"])
+    view = DerivedFeatureView(
+        name="dsl_view",
+        source=orders,
+        features=[
+            Feature("joined_tag", transform="CONCAT_WS('-', o_orderstatus, o_orderpriority)"),
+            Feature("key_json", transform="JSON_STRING(o_orderkey)"),
+            Feature("bad_cast", transform="TRY_CAST(o_orderpriority AS DOUBLE)"),
+            Feature("roundtrip", transform="TRY_CAST(CAST(o_orderkey AS STRING) AS BIGINT)"),
+            Feature("n_parts", transform="SIZE(ARRAY(o_totalprice, o_totalprice, o_totalprice))"),
+            Feature("prio_rank", transform="MAP('1-URGENT', 1, '2-HIGH', 2, '3-MEDIUM', 3, '4-NOT SPECIFIED', 4, '5-LOW', 5)[o_orderpriority]"),
+            Feature("null_test", transform="CASE WHEN TRY_CAST(o_orderstatus AS DOUBLE) IS NULL THEN 'nan' ELSE 'num' END"),
+            Feature("neg_total", transform="- o_totalprice"),
+        ],
+        keep_source_fields=False,
+    )
+    proc.registry.build_features([orders])
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe()
+
+
+_ORACLE_DSL_FUNCTIONS = """
+SELECT o_orderkey,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS joined_tag,
+       CAST(o_orderkey AS VARCHAR) AS key_json,
+       TRY_CAST(o_orderpriority AS DOUBLE) AS bad_cast,
+       TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip,
+       3 AS n_parts,
+       CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+            WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+            WHEN '5-LOW' THEN 5 END AS prio_rank,
+       CASE WHEN TRY_CAST(o_orderstatus AS DOUBLE) IS NULL THEN 'nan' ELSE 'num' END AS null_test,
+       - o_totalprice AS neg_total
+FROM orders
+"""
+
+
+def _q_over_on_joined(spark, sf_dir):
+    from feathub_spark import DerivedFeatureView, Feature, Schema, SqlFeatureView
+    from feathub_spark.common import types as t
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    proc = _processor(spark)
+    lineitem = _parquet_source(
+        "lineitem", sf_dir, keys=["l_orderkey"], timestamp_field="l_shipdate"
+    )
+    orders = _parquet_source(
+        "orders", sf_dir, keys=["o_orderkey"], timestamp_field="o_orderdate"
+    )
+    proc.registry.build_features([orders])
+    proc.get_table(proc.registry.get_features("orders"))
+    orders_keyed = SqlFeatureView(
+        name="orders_keyed2",
+        sql_statement=(
+            "SELECT o_orderkey AS l_orderkey, o_totalprice, o_orderdate FROM orders"
+        ),
+        schema=Schema(
+            ["l_orderkey", "o_totalprice", "o_orderdate"],
+            [t.Int64, t.Float64, t.Timestamp],
+        ),
+        keys=["l_orderkey"],
+        timestamp_field="o_orderdate",
+        timestamp_format="timestamp",
+    )
+    view = DerivedFeatureView(
+        name="over_joined_view",
+        source=lineitem,
+        features=[
+            "orders_keyed2.o_totalprice",
+            Feature(
+                "max_total_so_far",
+                transform=OverWindowTransform(
+                    "o_totalprice", "MAX", group_by_keys=["l_returnflag"]
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    proc.registry.build_features([lineitem, orders_keyed])
+    built = proc.registry.build_features([view])[0]
+    return (
+        proc.get_table(built)
+        .to_dataframe()
+        .select("l_orderkey", "l_linenumber", "o_totalprice", "max_total_so_far")
+    )
+
+
+_ORACLE_OVER_ON_JOINED = """
+WITH joined AS (
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_shipdate,
+           o.o_totalprice
+    FROM lineitem l
+    ASOF LEFT JOIN orders o
+      ON l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate
+)
+SELECT l_orderkey, l_linenumber, o_totalprice,
+       MAX(o_totalprice) OVER (PARTITION BY l_returnflag
+                               ORDER BY epoch_ms(l_shipdate)
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS max_total_so_far
+FROM joined
+"""
+
+
+def _q_sliding_first_last(spark, sf_dir):
+    from feathub_spark import Feature, SlidingFeatureView
+    from feathub_spark.feature_views.transforms import SlidingWindowTransform
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    view = SlidingFeatureView(
+        name="sliding_fl_view",
+        source=events,
+        features=[
+            Feature(
+                "first_val",
+                transform=SlidingWindowTransform(
+                    "value", "FIRST_VALUE", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["user_id"],
+                ),
+            ),
+            Feature(
+                "last_val",
+                transform=SlidingWindowTransform(
+                    "value", "LAST_VALUE", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["user_id"],
+                ),
+            ),
+            Feature(
+                "min_val",
+                transform=SlidingWindowTransform(
+                    "value", "MIN", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["user_id"],
+                ),
+            ),
+        ],
+        enable_empty_window_output=False,
+        skip_same_window_output=False,
+    )
+    proc.registry.build_features([events])
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe().select(
+        "user_id", "window_time", "first_val", "last_val", "min_val"
+    )
+
+
+_ORACLE_SLIDING_FIRST_LAST = f"""
+SELECT user_id,
+       ((epoch_ms(ts) // {MS_DAY}) + 1) * {MS_DAY} - 1 AS window_time,
+       arg_min(value, epoch_ms(ts)) AS first_val,
+       arg_max(value, epoch_ms(ts)) AS last_val,
+       MIN(value) AS min_val
+FROM events
+GROUP BY user_id, (epoch_ms(ts) // {MS_DAY})
+"""
+
+
+def _q_over_collect_list(spark, sf_dir):
+    from feathub_spark import Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    return _events_over_view(
+        spark,
+        sf_dir,
+        [
+            Feature(
+                "recent_values",
+                transform=OverWindowTransform(
+                    "value", "COLLECT_LIST", group_by_keys=["user_id"], limit=3
+                ),
+            ),
+        ],
+        "over_cl_view",
+    ).select("event_id", "user_id", "recent_values")
+
+
+_ORACLE_OVER_COLLECT_LIST = """
+SELECT event_id, user_id,
+       list(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS recent_values
+FROM events
+"""
+
+
 def _q_multimodal_meta(spark, sf_dir):
     from feathub_spark.datapipe.multimodal import decode_image_metadata
 
@@ -885,6 +1074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_counts": _q_value_counts,
         "key_time_filter": _q_key_time_filter,
         "multimodal_meta": _q_multimodal_meta,
+        "dsl_functions": _q_dsl_functions,
+        "over_on_joined": _q_over_on_joined,
+        "sliding_first_last": _q_sliding_first_last,
+        "over_collect_list": _q_over_collect_list,
     }
 
 
@@ -910,6 +1103,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _ORACLE_EMBEDDING_NEARDUP,
         "value_counts": _ORACLE_VALUE_COUNTS,
         "key_time_filter": _ORACLE_KEY_TIME_FILTER,
+        "dsl_functions": _ORACLE_DSL_FUNCTIONS,
+        "over_on_joined": _ORACLE_OVER_ON_JOINED,
+        "sliding_first_last": _ORACLE_SLIDING_FIRST_LAST,
+        "over_collect_list": _ORACLE_OVER_COLLECT_LIST,
         # minhash_dedup / simhash_pairs / multimodal_meta: hash- or stub-based,
         # not expressible in DuckDB → rows-only checks.
     }

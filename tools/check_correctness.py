@@ -33,7 +33,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             s = s.map(
                 lambda v: tuple(v.tolist())
                 if isinstance(v, np.ndarray)
-                else (tuple(sorted(v.items())) if isinstance(v, dict) else v)
+                else (
+                    tuple(v)
+                    if isinstance(v, list)
+                    else (tuple(sorted(v.items())) if isinstance(v, dict) else v)
+                )
             )
         if str(s.dtype).startswith("datetime64"):
             s = s.astype("datetime64[us]")
