@@ -53,8 +53,13 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    shingles_col: Optional[str] = None,
 ) -> DataFrame:
-    """Append __minhash__: array<bigint> of length num_hashes."""
+    """Append __minhash__: array<bigint> of length num_hashes.
+
+    Pass ``shingles_col`` to derive signatures from an existing shingle
+    array column instead of re-tokenizing (lets callers share the
+    tokenization between signature and verification)."""
     import random
 
     rnd = random.Random(seed)
@@ -62,10 +67,10 @@ def minhash_signatures(
         (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
         for _ in range(num_hashes)
     ]
-    base = (
-        f"transform({_shingles_sql(text_col, shingle_k)}, "
-        f"s -> abs(xxhash64(s)) % {_MERSENNE_P})"
+    shingle_expr = (
+        f"`{shingles_col}`" if shingles_col else _shingles_sql(text_col, shingle_k)
     )
+    base = f"transform({shingle_expr}, s -> abs(xxhash64(s)) % {_MERSENNE_P})"
     sigs = ", ".join(
         f"array_min(transform(__mh_base__, h -> ({a}L * h + {b}L) % {_MERSENNE_P}))"
         for a, b in params
@@ -90,16 +95,22 @@ def minhash_lsh_pairs(
     """Near-duplicate id pairs (a < b) whose exact shingle Jaccard >=
     threshold, found via banded-LSH candidate generation."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    # Keep the (heavy) shingle arrays OUT of the banded explode/self-join:
-    # band on (id, bucket) only, dedup candidate id pairs, then re-attach
-    # shingles with two narrow joins for exact-Jaccard verification.
-    shingles = df.select(
+    # The shingle array feeds both the signature and (twice) the
+    # verification join; Catalyst does not dedupe repeated subplans, so
+    # tokenize ONCE into a column, derive signatures from it, and persist
+    # the narrow (id, shingles, signature) projection (spills to disk at
+    # scale).
+    with_shingles = df.select(
         F.col(id_col).alias("__id__"),
         F.expr(_shingles_sql(text_col, shingle_k)).alias("__sh__"),
     )
+    sigs = minhash_signatures(
+        with_shingles, text_col, "__id__", num_hashes, shingle_k, seed,
+        shingles_col="__sh__",
+    ).persist()
+    shingles = sigs.select("__id__", "__sh__")
     banded = sigs.select(
-        F.col(id_col).alias("__id__"),
+        F.col("__id__"),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
@@ -160,10 +171,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via inverted-index join —
     fully SQL-expressible (oracle-checkable), no hashing involved."""
+    # grams are scanned 4x in this plan (inverted index, two verify joins,
+    # sizes) — tokenize once and persist the narrow projection.
     grams = df.select(
         F.col(id_col).alias("__id__"),
         F.expr(_shingles_sql(text_col, n)).alias("__grams__"),
-    )
+    ).persist()
     sizes = grams.select("__id__", F.size("__grams__").alias("__n__"))
     inverted = grams.select(
         "__id__", F.explode("__grams__").alias("__gram__")
