@@ -28,9 +28,26 @@ MS_DAY = 86_400_000
 # helpers
 # ---------------------------------------------------------------------------
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver may hand us a plain SparkSession; set the runtime-settable
+    confs the engine's semantics depend on (UTC window alignment, non-ANSI
+    NULL-on-error, nanos-as-long parquet reads)."""
+    for k, v in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.legacy.sizeOfNull", "false"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def _processor(spark: SparkSession):
     from feathub_spark import LocalRegistry, SparkProcessor
 
+    _ensure_session_confs(spark)
     return SparkProcessor(spark, LocalRegistry())
 
 
@@ -1049,8 +1066,23 @@ def _q_multimodal_meta(spark, sf_dir):
 # contract surface
 # ---------------------------------------------------------------------------
 
+def _configured(fn):
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_session_confs(spark)
+        return fn(spark, sf_dir)
+
+    wrapper.__name__ = fn.__name__
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        name: _configured(fn)
+        for name, fn in _RAW_QUERIES.items()
+    }
+
+
+_RAW_QUERIES = {
         "expr_filter": _q_expr_filter,
         "scalar_funcs": _q_scalar_funcs,
         "over_cumulative": _q_over_cumulative,
