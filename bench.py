@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "ann_topk",
     "embedding_neardup",
     "value_counts",
+    "dsl_functions",
+    "over_on_joined",
+    "sliding_first_last",
+    "over_collect_list",
 ]
 
 
