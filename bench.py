@@ -65,6 +65,9 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # operators may persist() shared intermediates; drop them so later
+        # queries measure cold and executor memory stays flat
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
