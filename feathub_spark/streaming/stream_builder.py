@@ -114,23 +114,52 @@ class SparkStreamBuilder:
         delay_ms = _watermark_delay_ms(source)
         return df.withWatermark(EVENT_TIME_COL, f"{delay_ms} milliseconds")
 
-    # -- derived view (per-row subset) -----------------------------------
+    # -- derived view (expressions + stateful over-windows) ---------------
     def _build_derived(self, view: DerivedFeatureView) -> DataFrame:
+        from feathub_spark.feature_views.transforms.over_window_transform import (
+            OverWindowTransform,
+        )
+        from feathub_spark.streaming.stateful_over import stateful_over_window
+
         source = view.get_resolved_source()
         df = self.get_stream_dataframe(source)
+
+        # reference phase order: leading per-row exprs → windows → rest
+        window_groups: dict = {}
+        late_features = []
         for feature in view.get_resolved_features():
             tr = feature.transform
             if isinstance(tr, ExpressionTransform):
-                df = df.withColumn(
-                    feature.name,
-                    F.expr(to_spark_sql(tr.expr)).cast(to_spark_type(feature.dtype)),
+                if window_groups:
+                    late_features.append(feature)
+                else:
+                    df = df.withColumn(
+                        feature.name,
+                        F.expr(to_spark_sql(tr.expr)).cast(
+                            to_spark_type(feature.dtype)
+                        ),
+                    )
+            elif isinstance(tr, OverWindowTransform):
+                window_groups.setdefault(tuple(tr.group_by_keys), []).append(
+                    feature
                 )
             else:
                 raise PlanError(
-                    f"Streaming DerivedFeatureView supports per-row expressions; "
-                    f"{type(tr).__name__} needs the batch path or a stateful "
-                    "operator (round 2)."
+                    f"Streaming DerivedFeatureView supports per-row expressions "
+                    f"and over-windows; {type(tr).__name__} needs the batch path."
                 )
+
+        for _, group in window_groups.items():
+            df = stateful_over_window(df, group)
+
+        for feature in late_features:
+            df = df.withColumn(
+                feature.name,
+                F.expr(to_spark_sql(feature.transform.expr)).cast(
+                    to_spark_type(feature.dtype)
+                ),
+            )
+
         if view.filter_expr is not None:
             df = df.filter(F.expr(to_spark_sql(view.filter_expr)))
         output_fields = view.get_output_fields()

@@ -205,3 +205,75 @@ def test_stateful_sliding_full_semantics_matches_batch(client, tmp_path):
     }
     assert len(stream_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_streaming_over_window_matches_batch(client, tmp_path):
+    """Per-row over-window on a stream (stateful operator) must equal the
+    batch evaluator for every row the watermark has passed."""
+    d = _write_stream_dir(tmp_path)
+    with open(os.path.join(d, "part_sentinel.csv"), "w") as f:
+        f.write("name,cost,distance,time\n")
+        f.write("Zed,1,1,2022-01-20 00:00:00\n")
+    schema = (
+        Schema.new_builder()
+        .column("name", String)
+        .column("cost", Int64)
+        .column("distance", Int64)
+        .column("time", String)
+        .build()
+    )
+    source = FileSystemSource(
+        name="stream_src_over",
+        path=d,
+        data_format="csv",
+        schema=schema,
+        keys=["name"],
+        timestamp_field="time",
+        timestamp_format="%Y-%m-%d %H:%M:%S",
+        max_out_of_orderness=timedelta(seconds=0),
+    )
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    def make_view(name):
+        return DerivedFeatureView(
+            name=name,
+            source=source,
+            features=[
+                Feature("total", transform="cost + distance"),
+                Feature(
+                    "sum_2d",
+                    transform=OverWindowTransform(
+                        "cost", "SUM", window_size=timedelta(days=2),
+                        group_by_keys=["name"],
+                    ),
+                ),
+                Feature(
+                    "cnt_last2",
+                    transform=OverWindowTransform(
+                        "cost", "COUNT", group_by_keys=["name"], limit=2
+                    ),
+                ),
+                Feature("ratio", transform="CAST(sum_2d AS DOUBLE) / total"),
+            ],
+            keep_source_fields=True,
+        )
+
+    stream_view = make_view("stream_over_view")
+    client.build_features([source, stream_view])
+    out = _run_to_memory(client.spark, client.processor, stream_view, "stream_over_out")
+    stream_rows = {
+        (r["name"], r["time"]): (r.total, r.sum_2d, r.cnt_last2, r.ratio)
+        for r in out.collect()
+        if r["name"] != "Zed"
+    }
+
+    batch_view = make_view("batch_over_view")
+    client.build_features([batch_view])
+    batch = client.get_features(batch_view).to_pandas()
+    batch_rows = {
+        (r["name"], r["time"]): (r["total"], r["sum_2d"], r["cnt_last2"], r["ratio"])
+        for _, r in batch.iterrows()
+        if r["name"] != "Zed"
+    }
+    assert len(stream_rows) == 6
+    assert stream_rows == batch_rows
