@@ -157,12 +157,17 @@ def stateful_sliding_window(
             last_ms = history[-1][0]
             new_drain = (last_ms // step_ms + 1) * step_ms + max_window
             drain_wend = new_drain if drain_wend is None else max(drain_wend, new_drain)
-            if last_wend is None:
-                first_ms = history[0][0]
-                last_wend = (first_ms // step_ms + 1) * step_ms - step_ms
 
-        if last_wend is not None and drain_wend is not None:
-            wend = last_wend + step_ms
+        if drain_wend is not None:
+            # Loop start: after the last processed step, or — before any
+            # emission — the first step end of the OLDEST row currently in
+            # history.  last_wend must not be pinned at data arrival: an
+            # earlier-timestamped row arriving in a later batch (still ahead
+            # of the watermark) would otherwise have its windows skipped.
+            if last_wend is not None:
+                wend = last_wend + step_ms
+            else:
+                wend = (history[0][0] // step_ms + 1) * step_ms
             while wend <= wm and wend <= drain_wend:
                 values = []
                 for i in range(n_fields):
@@ -189,8 +194,9 @@ def stateful_sliding_window(
                 wend += step_ms
 
             # Keep exactly the rows a future window (> last_wend) can see.
-            horizon = last_wend + step_ms - max_window
-            history = [r for r in history if r[0] >= horizon]
+            if last_wend is not None:
+                horizon = last_wend + step_ms - max_window
+                history = [r for r in history if r[0] >= horizon]
 
         done = (
             last_wend is not None

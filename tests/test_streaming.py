@@ -277,3 +277,70 @@ def test_streaming_over_window_matches_batch(client, tmp_path):
     }
     assert len(stream_rows) == 6
     assert stream_rows == batch_rows
+
+
+def test_stateful_sliding_late_data_within_watermark(client, tmp_path):
+    """A row arriving in a later micro-batch but within the watermark bound
+    must be incorporated before its windows close (the reference re-merges
+    late data via side outputs; here the watermark holds windows open)."""
+    d = os.path.join(str(tmp_path), "late_in")
+    os.makedirs(d)
+    # batch 1: two rows on Jan 1 and Jan 3
+    with open(os.path.join(d, "0_first.csv"), "w") as f:
+        f.write("name,cost,distance,time\n")
+        f.write("Alex,100,1,2022-01-01 10:00:00\n")
+        f.write("Alex,50,1,2022-01-03 10:00:00\n")
+    # batch 2: an out-of-order row for Jan 2 (within the 3-day ooo bound)
+    # plus a sentinel pushing the watermark past every drain point
+    with open(os.path.join(d, "1_late.csv"), "w") as f:
+        f.write("name,cost,distance,time\n")
+        f.write("Alex,7,1,2022-01-02 09:00:00\n")
+        f.write("Zed,1,1,2022-01-30 00:00:00\n")
+
+    schema = (
+        Schema.new_builder()
+        .column("name", String)
+        .column("cost", Int64)
+        .column("distance", Int64)
+        .column("time", String)
+        .build()
+    )
+    source = FileSystemSource(
+        name="late_src",
+        path=d,
+        data_format="csv",
+        schema=schema,
+        keys=["name"],
+        timestamp_field="time",
+        timestamp_format="%Y-%m-%d %H:%M:%S",
+        max_out_of_orderness=timedelta(days=3),
+        data_format_props={"maxFilesPerTrigger": "1"},
+    )
+
+    view = SlidingFeatureView(
+        name="late_sliding_view",
+        source=source,
+        features=[
+            Feature(
+                "sum_1d",
+                transform=SlidingWindowTransform(
+                    "cost", "SUM", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["name"],
+                ),
+            ),
+        ],
+        enable_empty_window_output=True,
+        skip_same_window_output=True,
+    )
+    client.build_features([source, view])
+    out = _run_to_memory(client.spark, client.processor, view, "late_sliding_out")
+    alex = {
+        r.window_time: r.sum_1d for r in out.collect() if r["name"] == "Alex"
+    }
+    # daily windows: Jan1→100, Jan2→7 (the late row!), Jan3→50, Jan4→0
+    ms_day = 86_400_000
+    jan2 = 1641081600000
+    assert alex.get(jan2 - 1) == 100
+    assert alex.get(jan2 + ms_day - 1) == 7
+    assert alex.get(jan2 + 2 * ms_day - 1) == 50
+    assert alex.get(jan2 + 3 * ms_day - 1) == 0
