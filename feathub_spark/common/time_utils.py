@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import re
 from datetime import timedelta
-from string import Template
 from typing import Optional
 
 from feathub_spark.common.exceptions import FeathubError

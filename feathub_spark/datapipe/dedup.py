@@ -18,7 +18,7 @@ n² cross product.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 

@@ -21,7 +21,7 @@ to the idiomatic Spark reader:
 from __future__ import annotations
 
 from datetime import timedelta
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 from feathub_spark.table.schema import Schema
 from feathub_spark.feature_tables.feature_table import FeatureTable

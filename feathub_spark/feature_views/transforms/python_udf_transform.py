@@ -11,7 +11,7 @@ is applied per row of the batch.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 from feathub_spark.feature_views.transforms.transformation import Transformation
 

@@ -19,7 +19,7 @@ memoized subplans — reference §4 rows 1, 2, 7).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import pandas as pd
 
@@ -27,16 +27,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from feathub_spark.common.exceptions import PlanError
-from feathub_spark.common.time_utils import event_time_sql, timedelta_ms
+from feathub_spark.common.time_utils import event_time_sql
 from feathub_spark.common.types import DType, to_spark_type
 from feathub_spark.dsl.parser import to_spark_sql
 from feathub_spark.feature_views.derived_feature_view import DerivedFeatureView
 from feathub_spark.feature_views.feature import Feature
 from feathub_spark.feature_views.feature_view import FeatureView
-from feathub_spark.feature_views.sliding_feature_view import (
-    WINDOW_TIME_EXPR,
-    SlidingFeatureView,
-)
+from feathub_spark.feature_views.sliding_feature_view import SlidingFeatureView
 from feathub_spark.feature_views.sql_feature_view import SqlFeatureView
 from feathub_spark.feature_views.transforms.expression_transform import (
     ExpressionTransform,

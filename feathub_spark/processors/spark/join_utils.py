@@ -30,7 +30,7 @@ value older than valid_time_ms is replaced by the agg default.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 

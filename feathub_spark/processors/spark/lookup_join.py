@@ -17,7 +17,7 @@ plugs in the same interface (import-gated, per-partition pipelined mget).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import pandas as pd
 

@@ -25,7 +25,7 @@ descriptor (over-window fusion, reference flink_table_builder.py:300-305).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
 

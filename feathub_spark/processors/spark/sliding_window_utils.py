@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from feathub_spark.common import types as t
 from feathub_spark.common.exceptions import PlanError
-from feathub_spark.common.types import to_spark_sql_type_name, to_spark_type
+from feathub_spark.common.types import to_spark_type
 from feathub_spark.dsl.parser import to_spark_sql
 from feathub_spark.feature_views.feature import Feature
 from feathub_spark.feature_views.transforms.agg_func import AggFunc

@@ -10,14 +10,13 @@ sink materialization.
 from __future__ import annotations
 
 from datetime import datetime
-from typing import Optional, Sequence, Union
+from typing import Optional, Union
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from feathub_spark.processors.spark.constants import EVENT_TIME_COL, METADATA_COLS
 from feathub_spark.processors.spark.dataframe_builder import SparkDataFrameBuilder
-from feathub_spark.processors.spark.source_sink_utils import insert_into_sink
 from feathub_spark.registries.registry import LocalRegistry
 from feathub_spark.table.table import Table
 from feathub_spark.table.table_descriptor import TableDescriptor

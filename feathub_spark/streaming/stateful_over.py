@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import math
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import pandas as pd
 

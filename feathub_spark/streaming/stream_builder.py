@@ -20,12 +20,11 @@ or, here, to streaming DataFrames:
 from __future__ import annotations
 
 from datetime import timedelta
-from typing import List, Optional
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from feathub_spark.common.exceptions import PlanError
-from feathub_spark.common.time_utils import event_time_sql
 from feathub_spark.common.types import to_spark_type
 from feathub_spark.dsl.parser import to_spark_sql
 from feathub_spark.feature_tables.sources.connector_sources import KafkaSource
@@ -36,9 +35,6 @@ from feathub_spark.feature_views.feature import Feature
 from feathub_spark.feature_views.sliding_feature_view import SlidingFeatureView
 from feathub_spark.feature_views.transforms.expression_transform import (
     ExpressionTransform,
-)
-from feathub_spark.feature_views.transforms.sliding_window_transform import (
-    SlidingWindowTransform,
 )
 from feathub_spark.processors.spark.constants import EVENT_TIME_COL, WINDOW_TIME_MS_COL
 from feathub_spark.processors.spark.source_sink_utils import _parse_kafka_value

@@ -1,7 +1,6 @@
-import math
 from datetime import timedelta
 
-from feathub_spark import AggFunc, DerivedFeatureView, Feature, Float64, Int64
+from feathub_spark import DerivedFeatureView, Feature
 from feathub_spark.feature_views.transforms import OverWindowTransform
 
 from tests.fixtures import write_f1_source

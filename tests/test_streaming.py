@@ -6,8 +6,6 @@ import os
 import time
 from datetime import timedelta
 
-import pytest
-
 from feathub_spark import (
     DerivedFeatureView,
     Feature,
