@@ -100,8 +100,11 @@ def _filtered_value_sql(value_sql: str, filter_sql: Optional[str]) -> str:
 
 
 def _array_agg_sql(vals: str, agg: AggFunc, dtype: t.DType) -> str:
-    """Aggregate a (time-sorted, non-null) value array with higher-order
-    functions.  ``vals`` is a SQL expression of type array<V>."""
+    """Aggregate a time-sorted value array with higher-order functions.
+    ``vals`` is a SQL expression of type array<V>; null ELEMENTS are rows
+    that occupied a limit slot but hold no value — they are skipped by every
+    aggregation (matching null-skipping agg semantics)."""
+    vals = f"filter({vals}, x -> x IS NOT NULL)"
     if agg == AggFunc.SUM:
         acc_t = to_spark_sql_type_name(dtype)
         return (
@@ -182,8 +185,16 @@ def evaluate_over_window(
         # column, so the aggregation expression references it instead of
         # re-inlining (and re-sorting) the collected array several times.
         for f_ in collect_fields:
-            value_sql = _filtered_value_sql(f_.expr_sql, filter_sql)
-            pair = f"CASE WHEN {value_sql} IS NOT NULL THEN struct({_ORDER_MS} AS t, {value_sql} AS v) END"
+            # The filter gates whether a ROW enters the window (and occupies
+            # a limit slot); a NULL value on a passing row still takes a
+            # slot (reference local_processor.py:592-600 slices rows, not
+            # values).
+            base_pair = f"struct({_ORDER_MS} AS t, {f_.expr_sql} AS v)"
+            pair = (
+                f"CASE WHEN {filter_sql} THEN {base_pair} END"
+                if filter_sql is not None
+                else base_pair
+            )
             collected = F.expr(f"collect_list({pair})").over(spec)
             tmp = f"__collect_{f_.name}__"
             df = df.withColumn(tmp, collected)

@@ -122,7 +122,14 @@ def evaluate_sliding_window(
         p = f"__p{i}_"
         a = f_.agg_func
         if f_.uses_array:
-            pair = f"CASE WHEN {v} IS NOT NULL THEN struct(`{_MS}` AS t, {v} AS v) END"
+            # filter gates the ROW (slot); a null value on a passing row
+            # still occupies a limit slot.
+            base_pair = f"struct(`{_MS}` AS t, {f_.expr_sql} AS v)"
+            pair = (
+                f"CASE WHEN {f_.filter_sql} THEN {base_pair} END"
+                if f_.filter_sql is not None
+                else base_pair
+            )
             arr = f"array_sort(collect_list({pair}))"
             if f_.limit is not None:
                 arr = (

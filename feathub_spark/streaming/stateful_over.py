@@ -64,10 +64,13 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
 
     prepared = df
     for i, tr in enumerate(transforms):
-        sql = to_spark_sql(tr.expr)
-        if tr.filter_expr:
-            sql = f"CASE WHEN {to_spark_sql(tr.filter_expr)} THEN {sql} END"
-        prepared = prepared.withColumn(f"__v{i}__", F.expr(sql))
+        prepared = prepared.withColumn(f"__v{i}__", F.expr(to_spark_sql(tr.expr)))
+        prepared = prepared.withColumn(
+            f"__f{i}__",
+            F.expr(f"coalesce({to_spark_sql(tr.filter_expr)}, false)")
+            if tr.filter_expr
+            else F.lit(True),
+        )
     prepared = prepared.withColumn(
         "__ms__", F.unix_millis(F.col(EVENT_TIME_COL))
     ).withColumn(
@@ -75,6 +78,7 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
     )
     prepared = prepared.select(
         *keys, "__ms__", *[f"__v{i}__" for i in range(n_fields)],
+        *[f"__f{i}__" for i in range(n_fields)],
         "__row_json__", EVENT_TIME_COL,
     )
 
@@ -103,7 +107,10 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
                     None if (isinstance(v, float) and math.isnan(v)) else v
                     for v in row[nk + 1 : nk + 1 + n_fields]
                 ]
-                pending.append([ms] + vals + [row[nk + 1 + n_fields]])
+                flags = [
+                    bool(x) for x in row[nk + 1 + n_fields : nk + 1 + 2 * n_fields]
+                ]
+                pending.append([ms] + vals + flags + [row[nk + 1 + 2 * n_fields]])
 
         wm = state.getCurrentWatermarkMs()
         ready = [p for p in pending if p[0] <= wm]
@@ -111,7 +118,7 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
 
         emissions = []
         if ready:
-            history.extend([p[: 1 + n_fields] for p in ready])
+            history.extend([p[: 1 + 2 * n_fields] for p in ready])
             history.sort(key=lambda r: r[0])
             ready.sort(key=lambda r: r[0])
             for p in ready:
@@ -123,15 +130,17 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
                     in_win = [
                         r[1 + i]
                         for r in history
-                        if r[0] <= t0 and (lo is None or r[0] >= lo)
+                        if r[0] <= t0
+                        and (lo is None or r[0] >= lo)
+                        and r[1 + n_fields + i]
                     ]
                     if limits[i] is not None:
-                        in_win = [v for v in in_win if v is not None][-limits[i]:]
+                        in_win = in_win[-limits[i]:]
                     v = _agg_pandas(aggs[i], in_win)
                     if v is None and aggs[i].empty_window_default() is not None:
                         v = aggs[i].empty_window_default()
                     out_vals.append(v)
-                emissions.append(list(key) + [t0, p[1 + n_fields]] + out_vals)
+                emissions.append(list(key) + [t0, p[1 + 2 * n_fields]] + out_vals)
 
         if max_window is not None:
             horizon = wm - max_window

@@ -101,12 +101,18 @@ def stateful_sliding_window(
     enable_empty = view.enable_empty_window_output
     skip_same = view.skip_same_window_output
 
-    # Pre-compute per-field (filtered) value columns so the pandas function
-    # only sees (keys..., ms, v0..vn) — expressions stay JVM-side.
+    # Pre-compute per-field raw value and filter-flag columns so the pandas
+    # function only sees (keys..., ms, v0..vn, f0..fn) — expressions stay
+    # JVM-side.  The flag is separate from the value: a filtered-out row
+    # never enters the window, while a passing row with a NULL value still
+    # occupies a limit slot.
     prepared = df
     for i, (vexpr, fexpr) in enumerate(zip(value_exprs, filter_exprs)):
-        sql = vexpr if fexpr is None else f"CASE WHEN {fexpr} THEN {vexpr} END"
-        prepared = prepared.withColumn(f"__v{i}__", F.expr(sql))
+        prepared = prepared.withColumn(f"__v{i}__", F.expr(vexpr))
+        prepared = prepared.withColumn(
+            f"__f{i}__",
+            F.expr(f"coalesce({fexpr}, false)") if fexpr else F.lit(True),
+        )
     prepared = prepared.withColumn("__ms__", F.unix_millis(F.col(EVENT_TIME_COL)))
     # EVENT_TIME_COL stays in the projection: event-time timeout requires the
     # watermarked column to remain present in the child plan.
@@ -114,6 +120,7 @@ def stateful_sliding_window(
         *keys,
         "__ms__",
         *[f"__v{i}__" for i in range(len(sliding))],
+        *[f"__f{i}__" for i in range(len(sliding))],
         EVENT_TIME_COL,
     )
 
@@ -147,7 +154,11 @@ def stateful_sliding_window(
                     None if (isinstance(v, float) and math.isnan(v)) else v
                     for v in vals
                 ]
-                history.append([ms] + vals)
+                flags = [
+                    bool(x)
+                    for x in row[len(key) + 1 + n_fields : len(key) + 1 + 2 * n_fields]
+                ]
+                history.append([ms] + vals + flags)
 
         wm = state.getCurrentWatermarkMs()
 
@@ -172,10 +183,13 @@ def stateful_sliding_window(
                 values = []
                 for i in range(n_fields):
                     w = windows_ms[i]
-                    in_win = [r[1 + i] for r in history if wend - w <= r[0] < wend]
+                    in_win = [
+                        r[1 + i]
+                        for r in history
+                        if wend - w <= r[0] < wend and r[1 + n_fields + i]
+                    ]
                     if limits[i] is not None:
-                        non_null = [v for v in in_win if v is not None]
-                        in_win = non_null[-limits[i]:]
+                        in_win = in_win[-limits[i]:]
                     v = _agg_pandas(aggs[i], in_win)
                     if v is None and defaults[i] is not None:
                         v = defaults[i]
