@@ -1046,6 +1046,38 @@ FROM events
 """
 
 
+def _q_token_metrics(spark, sf_dir):
+    from feathub_spark.datapipe.text import bpe_like_token_count, rolling_fingerprint
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return df.select(
+        "doc_id",
+        bpe_like_token_count("text").alias("bpe_tokens"),
+        rolling_fingerprint("text").alias("roll_fp"),
+    )
+
+
+_ORACLE_TOKEN_METRICS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)
+         AS bpe_tokens,
+       list_reduce(
+         list_prepend(CAST(7 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+         (h, c) -> (h * 31 + c) % 1000000007) AS roll_fp
+FROM documents
+"""
+
+
+def _q_lsh_ann(spark, sf_dir):
+    from feathub_spark.datapipe.similarity import lsh_topk
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = df.filter(F.col("vec_id") < 20)
+    return lsh_topk(df, queries_df, "embedding", "vec_id", k=5)
+
+
 def _q_multimodal_meta(spark, sf_dir):
     from feathub_spark.datapipe.multimodal import decode_image_metadata
 
@@ -1110,6 +1142,8 @@ _RAW_QUERIES = {
         "over_on_joined": _q_over_on_joined,
         "sliding_first_last": _q_sliding_first_last,
         "over_collect_list": _q_over_collect_list,
+        "token_metrics": _q_token_metrics,
+        "lsh_ann": _q_lsh_ann,
     }
 
 
@@ -1139,6 +1173,8 @@ def oracle_sql() -> dict[str, str]:
         "over_on_joined": _ORACLE_OVER_ON_JOINED,
         "sliding_first_last": _ORACLE_SLIDING_FIRST_LAST,
         "over_collect_list": _ORACLE_OVER_COLLECT_LIST,
+        "token_metrics": _ORACLE_TOKEN_METRICS,
+        # lsh_ann: approximate by design → rows-only check.
         # minhash_dedup / simhash_pairs / multimodal_meta: hash- or stub-based,
         # not expressible in DuckDB → rows-only checks.
     }

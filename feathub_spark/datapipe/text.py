@@ -103,6 +103,29 @@ def quality_score(text_col: str) -> Column:
     )
 
 
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_like_token_count(text_col: str) -> Column:
+    """Token count under a GPT-style pre-tokenization regex (words, numbers,
+    punctuation runs with leading-space affinity) — the usual cheap proxy
+    for LLM token budgets when no tokenizer model is loaded."""
+    return F.expr(
+        f"size(regexp_extract_all(`{text_col}`, '{BPE_ISH_PATTERN}', 0))"
+    ).cast("bigint")
+
+
+def rolling_fingerprint(text_col: str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the character stream: a positional
+    fingerprint (unlike md5, nearby edits perturb it predictably), computed
+    entirely in Catalyst expressions."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length(`{text_col}`)), "
+        f"i -> ascii(substr(`{text_col}`, i, 1))), "
+        f"CAST(7 AS BIGINT), (h, c) -> (h * {base} + c) % {mod})"
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {
