@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "over_on_joined",
     "sliding_first_last",
     "over_collect_list",
+    "token_metrics",
+    "lsh_ann",
 ]
 
 
