@@ -889,9 +889,9 @@ SELECT o_orderkey,
        TRY_CAST(o_orderpriority AS DOUBLE) AS bad_cast,
        TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip,
        3 AS n_parts,
-       CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+       CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
             WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
-            WHEN '5-LOW' THEN 5 END AS prio_rank,
+            WHEN '5-LOW' THEN 5 END AS BIGINT) AS prio_rank,
        CASE WHEN TRY_CAST(o_orderstatus AS DOUBLE) IS NULL THEN 'nan' ELSE 'num' END AS null_test,
        - o_totalprice AS neg_total
 FROM orders

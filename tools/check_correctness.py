@@ -62,6 +62,12 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list:
         return issues
     if issues:
         return issues
+    # dtype comparison BEFORE normalization: the driver may match schemas
+    # strictly, so surface any raw dtype divergence as a warning
+    for c in spark_df.columns:
+        sd, od = str(spark_df[c].dtype), str(oracle_df[c].dtype)
+        if sd != od:
+            issues.append(f"[dtype-warn] col {c}: spark={sd} oracle={od}")
     s = _normalize(spark_df)
     o = _normalize(oracle_df)
     for c in s.columns:
@@ -124,8 +130,11 @@ def main() -> None:
             print(f"[FAIL-oracle] {name}: {results[name][0][:400]}")
             continue
         issues = compare(name, sdf, odf)
-        results[name] = issues
-        status = "OK" if not issues else "MISMATCH"
+        hard = [i for i in issues if not i.startswith("[dtype-warn]")]
+        results[name] = hard
+        status = "OK" if not hard else "MISMATCH"
+        if not hard and issues:
+            status = "OK~"  # value-clean with dtype warnings
         print(f"[{status}] {name}: {len(sdf)} rows, spark {t1 - t0:.1f}s")
         for i in issues[:4]:
             print(f"    - {i[:400]}")
