@@ -68,10 +68,18 @@ from feathub_spark.table.table_descriptor import TableDescriptor
 
 
 class SparkDataFrameBuilder:
-    def __init__(self, spark: SparkSession, registry) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry,
+        over_window_salt_chunk_ms: int = None,
+    ) -> None:
         self._spark = spark
         self._registry = registry
         self._built: Dict[str, DataFrame] = {}
+        # Opt-in hot-key mitigation: unbounded decomposable over-windows use
+        # the two-phase chunked plan (evaluate_salted_over_window).
+        self._salt_chunk_ms = over_window_salt_chunk_ms
 
     # -- public ----------------------------------------------------------
     def build(self, descriptor: TableDescriptor) -> DataFrame:
@@ -212,7 +220,28 @@ class SparkDataFrameBuilder:
                     "to declare a timestamp_field."
                 )
             fields = [AggField.from_feature(f_) for f_ in features]
-            df = evaluate_over_window(df, desc, fields)
+            from feathub_spark.feature_views.transforms.agg_func import AggFunc
+            from feathub_spark.processors.spark.over_window_utils import (
+                evaluate_salted_over_window,
+            )
+
+            saltable = (
+                self._salt_chunk_ms is not None
+                and desc.window_size_ms is None
+                and desc.limit is None
+                and all(
+                    f_.agg_func
+                    in (AggFunc.SUM, AggFunc.COUNT, AggFunc.AVG, AggFunc.MIN,
+                        AggFunc.MAX, AggFunc.ROW_NUMBER)
+                    for f_ in fields
+                )
+            )
+            if saltable:
+                df = evaluate_salted_over_window(
+                    df, desc, fields, self._salt_chunk_ms
+                )
+            else:
+                df = evaluate_over_window(df, desc, fields)
             for f_ in features:
                 df = df.withColumn(
                     f_.name, F.col(f_.name).cast(to_spark_type(f_.dtype))

@@ -140,6 +140,126 @@ def _array_agg_sql(vals: str, agg: AggFunc, dtype: t.DType) -> str:
     raise PlanError(f"Unsupported agg {agg} over collected array.")
 
 
+def evaluate_salted_over_window(
+    df: DataFrame,
+    desc: OverWindowDescriptor,
+    fields: Sequence[AggField],
+    chunk_ms: int,
+) -> DataFrame:
+    """Hot-key-safe unbounded over-window for decomposable aggregations.
+
+    A plain ``Window.partitionBy(key)`` serializes each key into one task: a
+    key holding billions of rows becomes the straggler at 100 TB.  This
+    two-phase plan splits every key by time chunk:
+
+      1. partial per (keys, chunk = floor(ms/chunk_ms)) — map-side combine;
+      2. exclusive prefix of partials over chunks per key (tiny table:
+         one row per key x chunk);
+      3. within-chunk running aggregate, partitioned by (keys, chunk) —
+         the hot key now parallelizes across its chunks;
+      4. combine prefix + within-chunk value per row.
+
+    Supports SUM / COUNT / AVG / MIN / MAX (+ filter_expr), unbounded frames
+    only — exactly the shape of "lifetime stats per entity" that hits the
+    hot-key wall first.  Other shapes fall back to the standard plan.
+    """
+    assert desc.window_size_ms is None and desc.limit is None
+    filter_sql = to_spark_sql(desc.filter_expr) if desc.filter_expr else None
+    keys = list(desc.group_by_keys)
+
+    base = df.withColumn("__ow_ms__", F.expr(_ORDER_MS)).withColumn(
+        "__ow_chunk__", F.floor(F.col("__ow_ms__") / F.lit(chunk_ms))
+    )
+
+    partial_aggs, combine = [], {}
+    for i, f_ in enumerate(fields):
+        v = _filtered_value_sql(f_.expr_sql, filter_sql)
+        p = f"__owp{i}_"
+        a = f_.agg_func
+        if a in (AggFunc.SUM, AggFunc.AVG):
+            partial_aggs.append(F.expr(f"sum({v})").alias(p + "sum"))
+        if a in (AggFunc.AVG, AggFunc.COUNT, AggFunc.ROW_NUMBER):
+            cnt_v = v if a != AggFunc.ROW_NUMBER else _filtered_value_sql("1", filter_sql)
+            partial_aggs.append(F.expr(f"count({cnt_v})").alias(p + "cnt"))
+        if a == AggFunc.MAX:
+            partial_aggs.append(F.expr(f"max({v})").alias(p + "max"))
+        if a == AggFunc.MIN:
+            partial_aggs.append(F.expr(f"min({v})").alias(p + "min"))
+        if a not in (AggFunc.SUM, AggFunc.AVG, AggFunc.COUNT, AggFunc.ROW_NUMBER,
+                     AggFunc.MAX, AggFunc.MIN):
+            raise PlanError(f"Salted over-window does not support {a}.")
+
+    partials = base.groupBy(
+        *[F.col(k) for k in keys], F.col("__ow_chunk__")
+    ).agg(*partial_aggs)
+
+    # exclusive prefix over the (small) per-key chunk table
+    wprev = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("__ow_chunk__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix_cols = {}
+    for i, f_ in enumerate(fields):
+        p = f"__owp{i}_"
+        a = f_.agg_func
+        if a in (AggFunc.SUM, AggFunc.AVG):
+            prefix_cols[p + "psum"] = F.sum(p + "sum").over(wprev)
+        if a in (AggFunc.AVG, AggFunc.COUNT, AggFunc.ROW_NUMBER):
+            prefix_cols[p + "pcnt"] = F.sum(p + "cnt").over(wprev)
+        if a == AggFunc.MAX:
+            prefix_cols[p + "pmax"] = F.max(p + "max").over(wprev)
+        if a == AggFunc.MIN:
+            prefix_cols[p + "pmin"] = F.min(p + "min").over(wprev)
+    prefixes = partials.withColumns(prefix_cols).select(
+        *keys, "__ow_chunk__", *prefix_cols.keys()
+    )
+
+    joined = base.join(prefixes, on=keys + ["__ow_chunk__"], how="left")
+
+    # within-chunk running aggregate: partitions are (keys, chunk)
+    wchunk = (
+        Window.partitionBy(*[F.col(k) for k in keys], F.col("__ow_chunk__"))
+        .orderBy(F.col("__ow_ms__"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = {}
+    for i, f_ in enumerate(fields):
+        v = _filtered_value_sql(f_.expr_sql, filter_sql)
+        p = f"__owp{i}_"
+        a = f_.agg_func
+        if a == AggFunc.SUM:
+            col = F.coalesce(F.expr(f"sum({v})").over(wchunk), F.lit(0)) + F.coalesce(
+                F.col(p + "psum"), F.lit(0)
+            )
+        elif a in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
+            cnt_v = v if a != AggFunc.ROW_NUMBER else _filtered_value_sql("1", filter_sql)
+            col = F.expr(f"count({cnt_v})").over(wchunk) + F.coalesce(
+                F.col(p + "pcnt"), F.lit(0)
+            )
+        elif a == AggFunc.AVG:
+            total = F.coalesce(F.expr(f"sum({v})").over(wchunk), F.lit(0)) + F.coalesce(
+                F.col(p + "psum"), F.lit(0)
+            )
+            n = F.expr(f"count({v})").over(wchunk) + F.coalesce(
+                F.col(p + "pcnt"), F.lit(0)
+            )
+            col = F.when(n > 0, total / n)
+        elif a == AggFunc.MAX:
+            col = F.greatest(
+                F.expr(f"max({v})").over(wchunk), F.col(p + "pmax")
+            )
+        elif a == AggFunc.MIN:
+            col = F.least(F.expr(f"min({v})").over(wchunk), F.col(p + "pmin"))
+        out_cols[f_.name] = col.cast(t.to_spark_type(f_.dtype))
+
+    joined = joined.withColumns(out_cols)
+    drop = ["__ow_ms__", "__ow_chunk__"] + [
+        c for c in joined.columns if c.startswith("__owp")
+    ]
+    return joined.drop(*drop)
+
+
 def evaluate_over_window(
     df: DataFrame,
     desc: OverWindowDescriptor,

@@ -50,9 +50,16 @@ def default_spark_session(app_name: str = "feathub_spark", cpus: int = 0) -> Spa
 
 
 class SparkProcessor:
-    def __init__(self, spark: SparkSession, registry: Optional[LocalRegistry] = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: Optional[LocalRegistry] = None,
+        over_window_salt_chunk_ms: Optional[int] = None,
+    ) -> None:
         self.spark = spark
         self.registry = registry or LocalRegistry()
+        # hot-key mitigation for unbounded over-windows (docs/SCALE.md)
+        self.over_window_salt_chunk_ms = over_window_salt_chunk_ms
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         try:
             spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -68,7 +75,9 @@ class SparkProcessor:
     ) -> Table:
         if not descriptor.is_resolved():
             descriptor = self.registry.build_features(descriptor)[0]
-        builder = SparkDataFrameBuilder(self.spark, self.registry)
+        builder = SparkDataFrameBuilder(
+            self.spark, self.registry, self.over_window_salt_chunk_ms
+        )
         df = builder.build_with_event_time(descriptor)
 
         if start_datetime is not None or end_datetime is not None:
