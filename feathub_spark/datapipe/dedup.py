@@ -168,9 +168,17 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via inverted-index join —
-    fully SQL-expressible (oracle-checkable), no hashing involved."""
+    fully SQL-expressible (oracle-checkable), no hashing involved.
+
+    ``max_doc_freq`` is the scale knob: grams appearing in more than this
+    many documents are dropped from the INVERTED INDEX ONLY (candidate
+    generation), bounding the worst-case join fan-out of corpus-wide
+    stop-grams; Jaccard is still computed over the full gram sets, so a
+    found pair's score is exact — only pairs connected exclusively through
+    stop-grams can be missed (approximate recall, exact precision)."""
     # grams are scanned 4x in this plan (inverted index, two verify joins,
     # sizes) — tokenize once and persist the narrow projection.
     grams = df.select(
@@ -181,6 +189,14 @@ def ngram_jaccard_pairs(
     inverted = grams.select(
         "__id__", F.explode("__grams__").alias("__gram__")
     )
+    if max_doc_freq is not None:
+        from pyspark.sql import Window as _W
+
+        df_count = inverted.groupBy("__gram__").agg(
+            F.count(F.lit(1)).alias("__df__")
+        )
+        rare = df_count.filter(F.col("__df__") <= max_doc_freq).select("__gram__")
+        inverted = inverted.join(rare, "__gram__")
     co = (
         inverted.alias("a")
         .join(
@@ -195,17 +211,44 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
-        co.join(sizes.withColumnRenamed("__id__", "id_a").withColumnRenamed("__n__", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("__id__", "id_b").withColumnRenamed("__n__", "n_b"), "id_b")
+    if max_doc_freq is None:
+        # the index is complete, so the co-occurrence count IS |A ∩ B|
+        return (
+            co.join(sizes.withColumnRenamed("__id__", "id_a").withColumnRenamed("__n__", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("__id__", "id_b").withColumnRenamed("__n__", "n_b"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # with the doc-freq cut the index undercounts intersections: re-verify
+    # candidates against the FULL gram sets so reported scores stay exact
+    verified = (
+        co.join(
+            grams.select(F.col("__id__").alias("id_a"), F.col("__grams__").alias("ga")),
+            "id_a",
+        )
+        .join(
+            grams.select(F.col("__id__").alias("id_b"), F.col("__grams__").alias("gb")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.round(
-                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+                F.expr(
+                    "CAST(size(array_intersect(ga, gb)) AS DOUBLE) / "
+                    "size(array_union(ga, gb))"
+                ),
+                6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

@@ -296,14 +296,10 @@ def _evaluate_infinite_window(
 
     out = df.withColumn("__ms0__", F.unix_millis(F.col(EVENT_TIME_COL)))
     for f_ in fields:
-        desc = OverWindowDescriptor(
-            None, tuple(keys), f_.filter_sql and f_.filter_sql, f_.limit
-        )
-        # Re-wrap via AggField; filter_sql is already lowered Spark SQL here,
-        # so pass it through OverWindowDescriptor as raw SQL.
+        # filter_sql is already lowered Spark SQL here, so it is embedded in
+        # the value expression rather than passed through the descriptor.
         desc = OverWindowDescriptor(None, tuple(keys), None, f_.limit)
-        value_sql = f_.value_sql()
-        af = AggField(f_.name, value_sql, f_.agg_func, f_.dtype)
+        af = AggField(f_.name, f_.value_sql(), f_.agg_func, f_.dtype)
         out = evaluate_over_window(out, desc, [af])
     out = out.withColumn(WINDOW_TIME_MS_COL, F.col("__ms0__")).drop("__ms0__")
     return out.select(

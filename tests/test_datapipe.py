@@ -47,6 +47,27 @@ def test_ngram_jaccard_exact(docs):
     assert pairs[0].jaccard == 1.0
 
 
+def test_ngram_jaccard_doc_freq_cut(docs):
+    """With the stop-gram cut, scores stay exact for every surfaced pair."""
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.3).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=2, threshold=0.3, max_doc_freq=3
+        ).collect()
+    }
+    # recall may drop, precision and scores may not
+    assert set(cut) <= set(full)
+    for pair, score in cut.items():
+        assert score == full[pair]
+    assert (0, 1) in cut  # exact dup still found
+
+
 def test_simhash_pairs(docs):
     from feathub_spark.datapipe.dedup import simhash_pairs
 
