@@ -1078,6 +1078,48 @@ def _q_lsh_ann(spark, sf_dir):
     return lsh_topk(df, queries_df, "embedding", "vec_id", k=5)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from feathub_spark.datapipe.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.2)
+    return dedup_clusters(pairs)
+
+
+_ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 3 THEN
+             list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])
+           ELSE [array_to_string(tk, ' ')] END AS gs
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+          FROM documents)
+), inv AS (
+    SELECT doc_id, unnest(gs) AS gram FROM grams
+), co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT co.id_a, co.id_b
+    FROM co
+    JOIN grams ga ON ga.doc_id = co.id_a
+    JOIN grams gb ON gb.doc_id = co.id_b
+    WHERE CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common) >= 0.2
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+    SELECT DISTINCT s, s FROM edges
+    UNION
+    SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def _q_multimodal_meta(spark, sf_dir):
     from feathub_spark.datapipe.multimodal import decode_image_metadata
 
@@ -1144,6 +1186,7 @@ _RAW_QUERIES = {
         "over_collect_list": _q_over_collect_list,
         "token_metrics": _q_token_metrics,
         "lsh_ann": _q_lsh_ann,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1174,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_first_last": _ORACLE_SLIDING_FIRST_LAST,
         "over_collect_list": _ORACLE_OVER_COLLECT_LIST,
         "token_metrics": _ORACLE_TOKEN_METRICS,
+        "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         # lsh_ann: approximate by design → rows-only check.
         # minhash_dedup / simhash_pairs / multimodal_meta: hash- or stub-based,
         # not expressible in DuckDB → rows-only checks.

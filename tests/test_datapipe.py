@@ -68,6 +68,17 @@ def test_ngram_jaccard_doc_freq_cut(docs):
     assert (0, 1) in cut  # exact dup still found
 
 
+def test_dedup_clusters(spark):
+    from feathub_spark.datapipe.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (3, 4)], ["id_a", "id_b"]
+    )
+    labels = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    # chain 1-2-3-4 collapses to min id 1; 7-9 and 10-11 separate
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 10: 10, 11: 10}
+
+
 def test_simhash_pairs(docs):
     from feathub_spark.datapipe.dedup import simhash_pairs
 
