@@ -186,6 +186,137 @@ def test_sliding_window_random(client, tmp_path, seed):
     assert got_map == _brute_sliding(rows, window_s, step_s)
 
 
+def _brute_sliding_full(rows, window_s, step_s):
+    """Golden model of the full emission semantics per key: step grid to the
+    first empty window, SUM default 0, skip-same suppression."""
+    by_key = {}
+    for k, v, t in rows:
+        by_key.setdefault(k, []).append((t, v))
+    out = {}
+    for k, kv in by_key.items():
+        times = sorted(t for t, _ in kv)
+        first_wend = (times[0] // step_s + 1) * step_s
+        last_wend = (times[-1] // step_s + 1) * step_s + window_s
+        prev = None
+        wend = first_wend
+        while wend <= last_wend:
+            vals = [v for (t, v) in kv if wend - window_s <= t < wend and v is not None]
+            cur = (sum(vals) if vals else 0, len(vals))
+            if prev is None or cur != prev:
+                out[(k, wend * 1000 - 1)] = cur
+                prev = cur
+            wend += step_s
+    return out
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_sliding_full_semantics_random(client, tmp_path, seed):
+    rnd = random.Random(seed)
+    rows = _gen_rows(rnd)
+    window_s, step_s = 30, 10
+    name = f"rndf_{seed}"
+    source = _write_source(tmp_path, name, rows)
+    from datetime import timedelta
+
+    view = SlidingFeatureView(
+        name=f"v_{name}",
+        source=source,
+        features=[
+            Feature(
+                "s",
+                transform=SlidingWindowTransform(
+                    "v", "SUM", window_size=timedelta(seconds=window_s),
+                    step_size=timedelta(seconds=step_s), group_by_keys=["k"],
+                ),
+            ),
+            Feature(
+                "c",
+                transform=SlidingWindowTransform(
+                    "v", "COUNT", window_size=timedelta(seconds=window_s),
+                    step_size=timedelta(seconds=step_s), group_by_keys=["k"],
+                ),
+            ),
+        ],
+        enable_empty_window_output=True,
+        skip_same_window_output=True,
+    )
+    client.build_features([source, view])
+    got = client.get_features(view).to_pandas()
+    got_map = {
+        (r["k"], int(r["window_time"])): (int(r["s"]), int(r["c"]))
+        for _, r in got.iterrows()
+    }
+    assert got_map == _brute_sliding_full(rows, window_s, step_s)
+
+
+def _brute_collect(rows, limit):
+    out = []
+    for k, v, t in rows:
+        in_win = sorted(
+            [(tt, vv) for (kk, vv, tt) in rows if kk == k and tt <= t],
+            key=lambda r: r[0],
+        )
+        if limit is not None:
+            in_win = in_win[-limit:]
+        vals = [vv for _, vv in in_win if vv is not None]
+        counts = {}
+        for vv in vals:
+            counts[vv] = counts.get(vv, 0) + 1
+        first = vals[0] if vals else None
+        last = vals[-1] if vals else None
+        out.append((k, t, tuple(vals), tuple(sorted(counts.items())), first, last))
+    return out
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+@pytest.mark.parametrize("limit", [None, 4])
+def test_over_collect_paths_random(client, tmp_path, seed, limit):
+    rnd = random.Random(seed * 13 + (limit or 0))
+    rows = _gen_rows(rnd, allow_ties=False)  # unique ts → deterministic order
+    name = f"rndc_{seed}_{limit}"
+    source = _write_source(tmp_path, name, rows)
+
+    kwargs = dict(group_by_keys=["k"])
+    if limit is not None:
+        kwargs["limit"] = limit
+    view = DerivedFeatureView(
+        name=f"v_{name}",
+        source=source,
+        features=[
+            Feature("cl", transform=OverWindowTransform("v", "COLLECT_LIST", **kwargs)),
+            Feature("vc", transform=OverWindowTransform("v", "VALUE_COUNTS", **kwargs)),
+            Feature("fv", transform=OverWindowTransform("v", "FIRST_VALUE", **kwargs)),
+            Feature("lv", transform=OverWindowTransform("v", "LAST_VALUE", **kwargs)),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    got = client.get_features(view).to_pandas()
+
+    def _tup(x):
+        if x is None or (isinstance(x, float) and math.isnan(x)):
+            return ()
+        return tuple(int(i) for i in x)
+
+    def _ival(x):
+        return None if x is None or (isinstance(x, float) and math.isnan(x)) else int(x)
+
+    got_set = sorted(
+        (
+            r["k"], int(r["t"]), _tup(r["cl"]),
+            tuple(sorted((int(kk), int(vv)) for kk, vv in (r["vc"] or {}).items()))
+            if r["vc"] is not None else (),
+            _ival(r["fv"]), _ival(r["lv"]),
+        )
+        for _, r in got.iterrows()
+    )
+    exp_set = sorted(
+        (k, t, vals, counts, first, last)
+        for (k, t, vals, counts, first, last) in _brute_collect(rows, limit)
+    )
+    assert got_set == exp_set
+
+
 def _brute_asof(left_rows, right_rows):
     out = []
     for k, v, t in left_rows:
