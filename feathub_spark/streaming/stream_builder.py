@@ -112,21 +112,26 @@ class SparkStreamBuilder:
 
     # -- derived view (expressions + stateful over-windows) ---------------
     def _build_derived(self, view: DerivedFeatureView) -> DataFrame:
+        from feathub_spark.feature_views.transforms.join_transform import (
+            JoinTransform,
+        )
         from feathub_spark.feature_views.transforms.over_window_transform import (
             OverWindowTransform,
         )
+        from feathub_spark.streaming.stateful_asof_join import stateful_asof_join
         from feathub_spark.streaming.stateful_over import stateful_over_window
 
         source = view.get_resolved_source()
         df = self.get_stream_dataframe(source)
 
-        # reference phase order: leading per-row exprs → windows → rest
+        # reference phase order: leading per-row exprs → joins → windows → rest
+        join_groups: dict = {}
         window_groups: dict = {}
         late_features = []
         for feature in view.get_resolved_features():
             tr = feature.transform
             if isinstance(tr, ExpressionTransform):
-                if window_groups:
+                if window_groups or join_groups:
                     late_features.append(feature)
                 else:
                     df = df.withColumn(
@@ -135,15 +140,33 @@ class SparkStreamBuilder:
                             to_spark_type(feature.dtype)
                         ),
                     )
+            elif isinstance(tr, JoinTransform):
+                join_groups.setdefault(
+                    (tr.table_name, tuple(feature.keys or ())), []
+                ).append(feature)
             elif isinstance(tr, OverWindowTransform):
                 window_groups.setdefault(tuple(tr.group_by_keys), []).append(
                     feature
                 )
             else:
                 raise PlanError(
-                    f"Streaming DerivedFeatureView supports per-row expressions "
-                    f"and over-windows; {type(tr).__name__} needs the batch path."
+                    f"Streaming DerivedFeatureView supports per-row expressions, "
+                    f"as-of joins and over-windows; {type(tr).__name__} needs "
+                    "the batch path."
                 )
+
+        for (table_name, jkeys), group in join_groups.items():
+            right_desc = self._registry.get_features(table_name)
+            right_df = self.get_stream_dataframe(right_desc)
+            right_fields = {
+                f.transform.feature_name: f.name for f in group
+            }
+            df = stateful_asof_join(df, right_df, list(jkeys), right_fields)
+            for f_ in group:
+                if f_.transform.map_key is not None:
+                    df = df.withColumn(
+                        f_.name, F.col(f_.name)[F.lit(f_.transform.map_key)]
+                    )
 
         for _, group in window_groups.items():
             df = stateful_over_window(df, group)

@@ -277,6 +277,96 @@ def test_streaming_over_window_matches_batch(client, tmp_path):
     assert stream_rows == batch_rows
 
 
+def test_streaming_asof_join_matches_batch(client, tmp_path):
+    """Streaming point-in-time join (stateful union operator) must equal the
+    batch as-of join for every left row the watermark has passed."""
+    from tests.fixtures import F2_ROWS
+
+    left_dir = _write_stream_dir(tmp_path)
+    with open(os.path.join(left_dir, "part_sentinel.csv"), "w") as f:
+        f.write("name,cost,distance,time\n")
+        f.write("Zed,1,1,2022-01-20 00:00:00\n")
+    right_dir = os.path.join(str(tmp_path), "right_in")
+    os.makedirs(right_dir)
+    with open(os.path.join(right_dir, "r.csv"), "w") as f:
+        # the right-table time format contains a comma → quote the field
+        f.write("name,avg_cost,time\n")
+        for name, avg_cost, time_s in F2_ROWS:
+            f.write(f'{name},{avg_cost},"{time_s}"\n')
+        f.write('Zed,9.0,"2022-01-20,00:00:01"\n')
+
+    schema_l = (
+        Schema.new_builder()
+        .column("name", String)
+        .column("cost", Int64)
+        .column("distance", Int64)
+        .column("time", String)
+        .build()
+    )
+    from feathub_spark import Float64
+
+    schema_r = (
+        Schema.new_builder()
+        .column("name", String)
+        .column("avg_cost", Float64)
+        .column("time", String)
+        .build()
+    )
+    left_src = FileSystemSource(
+        name="sj_left",
+        path=left_dir,
+        data_format="csv",
+        schema=schema_l,
+        keys=["name"],
+        timestamp_field="time",
+        timestamp_format="%Y-%m-%d %H:%M:%S",
+    )
+    right_src = FileSystemSource(
+        name="sj_right",
+        path=right_dir,
+        data_format="csv",
+        schema=schema_r,
+        keys=["name"],
+        timestamp_field="time",
+        timestamp_format="%Y-%m-%d,%H:%M:%S",
+    )
+
+    def make_view(name):
+        return DerivedFeatureView(
+            name=name,
+            source=left_src,
+            features=["sj_right.avg_cost"],
+            keep_source_fields=True,
+        )
+
+    client.build_features([right_src])
+    stream_view = make_view("stream_join_view")
+    client.build_features([left_src, stream_view])
+    out = _run_to_memory(client.spark, client.processor, stream_view, "stream_join_out")
+
+    def _norm(v):
+        import math as _m
+
+        return None if v is None or (isinstance(v, float) and _m.isnan(v)) else v
+
+    stream_rows = {
+        (r["name"], r["time"]): _norm(r.avg_cost)
+        for r in out.collect()
+        if r["name"] != "Zed"
+    }
+
+    batch_view = make_view("batch_join_view")
+    client.build_features([batch_view])
+    batch = client.get_features(batch_view).to_pandas()
+    batch_rows = {
+        (r["name"], r["time"]): _norm(r["avg_cost"])
+        for _, r in batch.iterrows()
+        if r["name"] != "Zed"
+    }
+    assert len(stream_rows) == 6
+    assert stream_rows == batch_rows
+
+
 def test_stateful_sliding_late_data_within_watermark(client, tmp_path):
     """A row arriving in a later micro-batch but within the watermark bound
     must be incorporated before its windows close (the reference re-merges
