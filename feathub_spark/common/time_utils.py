@@ -72,6 +72,20 @@ def to_java_date_format(python_format: str) -> str:
     return "".join(out)
 
 
+# Formats Spark's native timestamp cast parses directly — used for patterns
+# with fractional seconds, where Java's strict S-count cannot accept the
+# 1-6 variable digits strftime %f allows.
+_NATIVE_PARSEABLE = {
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S.%f",
+}
+
+
+def sql_string_literal(value: str) -> str:
+    """Escape a string for embedding in a single-quoted Spark SQL literal."""
+    return value.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def event_time_sql(timestamp_field: str, timestamp_format: str) -> str:
     """Spark SQL expression producing the TIMESTAMP event time for a row."""
     col = f"`{timestamp_field}`"
@@ -81,7 +95,11 @@ def event_time_sql(timestamp_field: str, timestamp_format: str) -> str:
         return f"timestamp_seconds(CAST({col} AS BIGINT))"
     if timestamp_format == EPOCH_MILLIS:
         return f"timestamp_millis(CAST({col} AS BIGINT))"
-    java_fmt = to_java_date_format(timestamp_format)
+    if timestamp_format in _NATIVE_PARSEABLE:
+        # ISO-shaped with fractional seconds: the native parser accepts any
+        # fraction length, unlike a fixed SSS/SSSSSS Java pattern.
+        return f"to_timestamp(CAST({col} AS STRING))"
+    java_fmt = sql_string_literal(to_java_date_format(timestamp_format))
     return f"to_timestamp(CAST({col} AS STRING), '{java_fmt}')"
 
 

@@ -22,6 +22,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from feathub_spark.common.exceptions import FeathubError
+
 _MERSENNE_P = (1 << 61) - 1
 
 
@@ -293,6 +295,11 @@ def simhash_pairs(
     into ``bands`` chunks: any pair within distance < bands shares at least
     one identical chunk (pigeonhole), so the bucket join finds all of them
     without an n^2 scan."""
+    if max_hamming >= bands:
+        raise FeathubError(
+            f"simhash banding guarantees recall only for hamming < bands; "
+            f"got max_hamming={max_hamming}, bands={bands} — raise bands."
+        )
     width = 64 // bands
     sh = simhash(df, text_col, id_col).select(
         F.col(id_col).alias("__id__"), "__simhash__"

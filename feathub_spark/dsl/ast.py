@@ -360,7 +360,9 @@ class FuncCallOp(ExprAST):
                         "UNIX_TIMESTAMP format must be a string literal."
                     )
                 fmt = to_java_date_format(inner.value)
-            return f"TO_UNIX_TIMESTAMP({args_sql[0]}, '{fmt}')"
+            from feathub_spark.common.time_utils import sql_string_literal
+
+            return f"TO_UNIX_TIMESTAMP({args_sql[0]}, '{sql_string_literal(fmt)}')"
         if f == "JSON_STRING":
             # to_json only accepts struct/map/array: wrap in a 1-element array
             # and strip the surrounding brackets, preserving NULL→NULL.

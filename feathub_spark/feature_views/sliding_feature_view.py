@@ -70,6 +70,8 @@ class SlidingFeatureView(FeatureView):
     def _window_time_dtype(self) -> t.DType:
         if self.timestamp_format in ("epoch", "epoch_millis"):
             return t.Int64
+        if self.timestamp_format == "timestamp":
+            return t.Timestamp
         return t.String
 
     def sliding_features(self) -> List[Feature]:
@@ -198,11 +200,13 @@ class SlidingFeatureView(FeatureView):
             raise FeathubError("SlidingFeatureView source needs a timestamp_field.")
         # Post-sliding features may only depend on window_time, sliding
         # features, and group keys (reference sliding_feature_view.py:490-523).
+        # Pre-sliding per-row features are window INPUTS (per-row grain) and
+        # do not survive aggregation, so post-sliding expressions cannot
+        # reference them.
         allowed = (
             {f.name for f in sliding}
             | set(self.group_by_keys)
             | {self.timestamp_field}
-            | {f.name for f in self.pre_sliding_features()}
         )
         for f in self.post_sliding_features():
             if isinstance(f.transform, ExpressionTransform):
@@ -217,8 +221,11 @@ class SlidingFeatureView(FeatureView):
     def get_output_fields(self) -> List[str]:
         fields = list(self.group_by_keys)
         fields.append(self.timestamp_field)
+        # pre-sliding per-row features are inputs to the window aggregation,
+        # not outputs: the view's grain is one row per (keys, window)
+        pre_names = {f.name for f in self.pre_sliding_features()}
         for f in self.get_resolved_features():
-            if f.name not in fields:
+            if f.name not in fields and f.name not in pre_names:
                 fields.append(f.name)
         return fields
 

@@ -194,10 +194,17 @@ class SparkDataFrameBuilder:
                     "is not supported."
                 )
             right_df = self._get_df(right_desc)
+            # keyed by OUTPUT name: two features may read the same right
+            # column (e.g. map-entry joins under different keys)
             right_fields: Dict[str, str] = {}
             map_entries: Dict[str, object] = {}
             for f_ in features:
-                right_fields[f_.transform.feature_name] = f_.name
+                if f_.name in right_fields:
+                    raise PlanError(
+                        f"Two join features produce the column {f_.name!r}; "
+                        "give them distinct names."
+                    )
+                right_fields[f_.name] = f_.transform.feature_name
                 if f_.transform.map_key is not None:
                     map_entries[f_.name] = f_.transform.map_key
             valid_time_ms, defaults = _expiry_of(right_desc, features)
@@ -325,8 +332,10 @@ def _window_time_col(timestamp_format: str):
         return ms
     if timestamp_format == "epoch":
         return F.floor(ms / 1000).cast("bigint")
-    from feathub_spark.common.time_utils import to_java_date_format
+    from feathub_spark.common.time_utils import NATIVE, to_java_date_format
 
+    if timestamp_format == NATIVE:
+        return F.timestamp_millis(ms)
     return F.date_format(
         F.timestamp_millis(ms), to_java_date_format(timestamp_format)
     )

@@ -49,8 +49,10 @@ def temporal_join(
     valid_time_ms: Optional[int] = None,
     defaults: Optional[Dict[str, object]] = None,
 ) -> DataFrame:
-    """As-of join ``right_fields`` (right column -> output column) onto left.
+    """As-of join ``right_fields`` (output column -> right column) onto left.
 
+    Keyed by OUTPUT name so two features reading the same right column
+    (e.g. one map feature under different entry keys) don't collide.
     Both inputs must carry the EVENT_TIME_COL metadata column.
     """
     keys = list(keys)
@@ -58,7 +60,7 @@ def temporal_join(
 
     payload = F.struct(
         F.unix_millis(F.col(EVENT_TIME_COL)).alias(_RIGHT_TS),
-        *[F.col(rc).alias(out) for rc, out in right_fields.items()],
+        *[F.col(rc).alias(out) for out, rc in right_fields.items()],
     )
     # Right rows with a NULL key can never match (SQL equality join).
     right_clean = right
@@ -86,7 +88,7 @@ def temporal_join(
     result = filled.filter(F.col(_SIDE_COL) == 1)
 
     out_cols: Dict[str, Column] = {}
-    for rc, out in right_fields.items():
+    for out in right_fields:
         col = F.col(f"{_PAYLOAD_COL}.{out}")
         if valid_time_ms is not None:
             expired = (

@@ -62,6 +62,10 @@ class SlidingAggField(NamedTuple):
     window_ms: int
     filter_sql: Optional[str]
     limit: Optional[int]
+    # original (un-lowered) exprs, needed when delegating to the over-window
+    # evaluator which lowers filter_expr itself
+    expr_raw: str = None
+    filter_raw: Optional[str] = None
 
     @staticmethod
     def from_feature(feature: Feature) -> "SlidingAggField":
@@ -74,6 +78,8 @@ class SlidingAggField(NamedTuple):
             tr.window_size_ms,
             to_spark_sql(tr.filter_expr) if tr.filter_expr else None,
             tr.limit,
+            tr.expr,
+            tr.filter_expr,
         )
 
     @property
@@ -296,10 +302,11 @@ def _evaluate_infinite_window(
 
     out = df.withColumn("__ms0__", F.unix_millis(F.col(EVENT_TIME_COL)))
     for f_ in fields:
-        # filter_sql is already lowered Spark SQL here, so it is embedded in
-        # the value expression rather than passed through the descriptor.
-        desc = OverWindowDescriptor(None, tuple(keys), None, f_.limit)
-        af = AggField(f_.name, f_.value_sql(), f_.agg_func, f_.dtype)
+        # The descriptor carries the ORIGINAL filter expression so that
+        # filter+limit takes the collect path with row-slot semantics
+        # (a filtered-out row must not occupy a limit slot).
+        desc = OverWindowDescriptor(None, tuple(keys), f_.filter_raw, f_.limit)
+        af = AggField(f_.name, f_.expr_sql, f_.agg_func, f_.dtype)
         out = evaluate_over_window(out, desc, [af])
     out = out.withColumn(WINDOW_TIME_MS_COL, F.col("__ms0__")).drop("__ms0__")
     return out.select(

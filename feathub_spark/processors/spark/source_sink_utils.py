@@ -255,9 +255,11 @@ def _write_prometheus(df: DataFrame, sink) -> None:
         ) from e
     registry = CollectorRegistry()
     rows = df.collect()
+    gauges = {}
     for row in rows:
         for col, val in row.asDict().items():
             if isinstance(val, (int, float)):
-                g = Gauge(col, col, registry=registry)
-                g.set(val)
+                if col not in gauges:
+                    gauges[col] = Gauge(col, col, registry=registry)
+                gauges[col].set(val)  # last row wins per metric
     push_to_gateway(sink.host_url, job=sink.job_name, registry=registry)

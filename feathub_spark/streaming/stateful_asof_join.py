@@ -47,14 +47,14 @@ def stateful_asof_join(
     keys: List[str],
     right_fields: dict,
 ) -> DataFrame:
-    """right_fields: right column -> output column.  Both inputs are
+    """right_fields: output column -> right column.  Both inputs are
     streaming DataFrames carrying a watermarked EVENT_TIME_COL."""
     left_cols = [c for c in left.columns if c != EVENT_TIME_COL]
     left_struct = T.StructType([left.schema[c] for c in left_cols])
     right_struct = T.StructType(
         [
             T.StructField(out, right.schema[rc].dataType)
-            for rc, out in right_fields.items()
+            for out, rc in right_fields.items()
         ]
     )
 
@@ -76,7 +76,7 @@ def stateful_asof_join(
         F.unix_millis(F.col(EVENT_TIME_COL)).alias("__ms__"),
         F.lit(0).alias("__side__"),
         F.to_json(
-            F.struct(*[F.col(rc).alias(out) for rc, out in right_fields.items()])
+            F.struct(*[F.col(rc).alias(out) for out, rc in right_fields.items()])
         ).alias("__payload__"),
         F.col(EVENT_TIME_COL),
     )
@@ -153,7 +153,7 @@ def stateful_asof_join(
     restored = joined.withColumn(
         "__l__", F.from_json(F.col("__left_json__"), left_struct)
     ).withColumn("__r__", F.from_json(F.col("__right_json__"), right_struct))
-    out_names = list(right_fields.values())
+    out_names = list(right_fields.keys())
     passthrough = [c for c in left_cols if c not in out_names]
     return restored.select(
         *[F.col(f"__l__.{c}").alias(c) for c in passthrough],

@@ -54,7 +54,12 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
     assert all(list(tr.group_by_keys) == keys for tr in transforms)
 
     windows_ms = [tr.window_size_ms for tr in transforms]
-    max_window = max([w for w in windows_ms if w is not None], default=None)
+    # Any unbounded field forbids pruning: history must be kept whole.
+    max_window = (
+        None
+        if any(w is None for w in windows_ms)
+        else max(windows_ms)
+    )
     aggs = [tr.agg_func for tr in transforms]
     limits = [tr.limit for tr in transforms]
     n_fields = len(features)

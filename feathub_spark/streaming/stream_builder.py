@@ -159,7 +159,7 @@ class SparkStreamBuilder:
             right_desc = self._registry.get_features(table_name)
             right_df = self.get_stream_dataframe(right_desc)
             right_fields = {
-                f.transform.feature_name: f.name for f in group
+                f.name: f.transform.feature_name for f in group
             }
             df = stateful_asof_join(df, right_df, list(jkeys), right_fields)
             for f_ in group:
@@ -201,6 +201,43 @@ class SparkStreamBuilder:
         sliding = view.sliding_features()
         step_ms = view.step_size_ms
         window_sizes = {f.transform.window_size_ms for f in sliding}
+
+        if any(f.transform.is_infinite for f in sliding):
+            # window_size == step_size == 0: infinite window, one emission
+            # per input row → the stateful over-window operator with
+            # unbounded frames (same mapping as the batch planner).
+            from feathub_spark.feature_views.transforms.over_window_transform import (
+                OverWindowTransform,
+            )
+            from feathub_spark.streaming.stateful_over import stateful_over_window
+
+            over_features = []
+            for f_ in sliding:
+                tr = f_.transform
+                of = Feature(
+                    f_.name,
+                    transform=OverWindowTransform(
+                        tr.expr,
+                        tr.agg_func,
+                        group_by_keys=tr.group_by_keys,
+                        filter_expr=tr.filter_expr,
+                        limit=tr.limit,
+                    ),
+                    dtype=f_.dtype,
+                )
+                over_features.append(of)
+            from feathub_spark.processors.spark.dataframe_builder import (
+                _window_time_col,
+            )
+
+            result = stateful_over_window(df, over_features)
+            result = result.withColumn(
+                WINDOW_TIME_MS_COL, F.unix_millis(F.col(EVENT_TIME_COL))
+            ).withColumn(
+                view.timestamp_field, _window_time_col(view.timestamp_format)
+            )
+            return result.select(*view.get_output_fields())
+
         needs_stateful = (
             view.enable_empty_window_output
             or view.skip_same_window_output

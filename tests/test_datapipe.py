@@ -82,7 +82,7 @@ def test_dedup_clusters(spark):
 def test_simhash_pairs(docs):
     from feathub_spark.datapipe.dedup import simhash_pairs
 
-    pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=6, bands=4).collect()
+    pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=6, bands=8).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (0, 1) in found
     zero = [r for r in pairs if (r.id_a, r.id_b) == (0, 1)][0]
