@@ -57,18 +57,30 @@ class FileSystemSource(FeatureTable):
 
     def get_output_schema(self) -> Schema:
         if self.schema is None and self.data_format == "parquet":
-            self.schema = _infer_parquet_schema(self.path)
+            self.schema = _infer_parquet_schema(
+                self.path, self.data_format_props.get("pathGlobFilter")
+            )
         return super().get_output_schema()
 
 
-def _infer_parquet_schema(path: str) -> Schema:
+def _infer_parquet_schema(path: str, glob_filter: str = None) -> Schema:
     """Read the parquet footer (pyarrow, no Spark needed) so descriptor
-    resolution can derive feature dtypes before a session exists."""
+    resolution can derive feature dtypes before a session exists.  Honors
+    Spark's pathGlobFilter option when the path is a directory of mixed
+    files."""
+    import glob as globmod
+    import os
+
     import pyarrow.dataset as ds
 
     from feathub_spark.common import types as t
 
-    arrow_schema = ds.dataset(path, format="parquet").schema
+    target = path
+    if glob_filter and os.path.isdir(path):
+        matches = sorted(globmod.glob(os.path.join(path, glob_filter)))
+        if matches:
+            target = matches
+    arrow_schema = ds.dataset(target, format="parquet").schema
     names, dtypes = [], []
     for field in arrow_schema:
         names.append(field.name)
@@ -95,7 +107,11 @@ def _arrow_to_dtype(at):
         return t.Float32
     if pa.types.is_float64(at):
         return t.Float64
-    if pa.types.is_timestamp(at) or pa.types.is_date(at):
+    if pa.types.is_timestamp(at):
+        # TIMESTAMP(NANOS) is unreadable by Spark natively; the session sets
+        # nanosAsLong, so declare bigint (append_event_time converts).
+        return t.Int64 if at.unit == "ns" else t.Timestamp
+    if pa.types.is_date(at):
         return t.Timestamp
     if pa.types.is_list(at) or pa.types.is_large_list(at):
         return t.VectorType(_arrow_to_dtype(at.value_type))
