@@ -305,27 +305,35 @@ def evaluate_over_window(
         # column, so the aggregation expression references it instead of
         # re-inlining (and re-sorting) the collected array several times.
         for f_ in collect_fields:
-            # The filter gates whether a ROW enters the window (and occupies
-            # a limit slot); a NULL value on a passing row still takes a
-            # slot (reference local_processor.py:592-600 slices rows, not
-            # values).
-            base_pair = f"struct({_ORDER_MS} AS t, {f_.expr_sql} AS v)"
-            pair = (
-                f"CASE WHEN {filter_sql} THEN {base_pair} END"
-                if filter_sql is not None
-                else base_pair
-            )
-            collected = F.expr(f"collect_list({pair})").over(spec)
-            tmp = f"__collect_{f_.name}__"
-            df = df.withColumn(tmp, collected)
-            sorted_vals = f"transform(array_sort(`{tmp}`), s -> s.v)"
-            if desc.limit is not None:
-                sorted_vals = (
-                    f"slice({sorted_vals}, "
-                    f"greatest(1, size(`{tmp}`) + 1 - {desc.limit}), {desc.limit})"
-                )
             vals_col = f"__vals_{f_.name}__"
-            df = df.withColumn(vals_col, F.expr(sorted_vals))
+            if f_.agg_func == AggFunc.VALUE_COUNTS and desc.limit is None:
+                # multiset semantics: no time ordering needed — collect the
+                # (filtered) values directly, skipping struct build + sort
+                value_sql = _filtered_value_sql(f_.expr_sql, filter_sql)
+                df = df.withColumn(
+                    vals_col, F.expr(f"collect_list({value_sql})").over(spec)
+                )
+            else:
+                # The filter gates whether a ROW enters the window (and
+                # occupies a limit slot); a NULL value on a passing row
+                # still takes a slot (reference local_processor.py:592-600
+                # slices rows, not values).
+                base_pair = f"struct({_ORDER_MS} AS t, {f_.expr_sql} AS v)"
+                pair = (
+                    f"CASE WHEN {filter_sql} THEN {base_pair} END"
+                    if filter_sql is not None
+                    else base_pair
+                )
+                collected = F.expr(f"collect_list({pair})").over(spec)
+                tmp = f"__collect_{f_.name}__"
+                df = df.withColumn(tmp, collected)
+                sorted_vals = f"transform(array_sort(`{tmp}`), s -> s.v)"
+                if desc.limit is not None:
+                    sorted_vals = (
+                        f"slice({sorted_vals}, "
+                        f"greatest(1, size(`{tmp}`) + 1 - {desc.limit}), {desc.limit})"
+                    )
+                df = df.withColumn(vals_col, F.expr(sorted_vals))
             agg_sql = _array_agg_sql(f"`{vals_col}`", f_.agg_func, f_.dtype)
             out_cols[f_.name] = F.expr(agg_sql).cast(t.to_spark_type(f_.dtype))
 
