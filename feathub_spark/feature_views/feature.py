@@ -28,6 +28,7 @@ class Feature:
         dtype: Optional[DType] = None,
         keys: Optional[Sequence[str]] = None,
         description: str = "",
+        metrics: Optional[Sequence] = None,
     ) -> None:
         self.name = name
         self.transform: Transformation = (
@@ -40,6 +41,9 @@ class Feature:
             keys = self.transform.group_by_keys or None
         self.keys: Optional[List[str]] = list(keys) if keys is not None else None
         self.description = description
+        # feature-monitoring metrics, compiled to sliding windows and
+        # piggybacked on materialization (reference feature.py metrics param)
+        self.metrics: List = list(metrics) if metrics else []
 
     def copy(self) -> "Feature":
         f = Feature.__new__(Feature)
@@ -48,6 +52,7 @@ class Feature:
         f.dtype = self.dtype
         f.keys = list(self.keys) if self.keys is not None else None
         f.description = self.description
+        f.metrics = list(self.metrics)
         return f
 
     def __repr__(self) -> str:

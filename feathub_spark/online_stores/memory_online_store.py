@@ -46,8 +46,18 @@ class MemoryOnlineStore:
             data = data.toPandas()
         if key_fields is None:
             key_fields = self._keys.get(table_name)
-        if key_fields is None:
-            raise ValueError(f"No key fields known for table {table_name!r}.")
+        if not key_fields:
+            # keyless table (e.g. global metric emissions): append-only store
+            existing = self._tables.get(table_name)
+            combined = (
+                pd.concat([existing, data], ignore_index=True)
+                if existing is not None
+                else data.copy()
+            )
+            self._tables[table_name] = combined.reset_index(drop=True)
+            self._keys[table_name] = []
+            self._ts_fields[table_name] = timestamp_field
+            return
         key_fields = list(key_fields)
         if timestamp_field is None:
             timestamp_field = self._ts_fields.get(table_name)

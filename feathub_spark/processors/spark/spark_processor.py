@@ -154,10 +154,13 @@ class FeathubClient:
     """Small façade mirroring the reference client entry points
     (feathub_client.py:54-155)."""
 
-    def __init__(self, spark: Optional[SparkSession] = None) -> None:
+    def __init__(
+        self, spark: Optional[SparkSession] = None, metric_store=None
+    ) -> None:
         self.spark = spark or default_spark_session()
         self.registry = LocalRegistry()
         self.processor = SparkProcessor(self.spark, self.registry)
+        self.metric_store = metric_store
 
     def build_features(self, descriptors) -> list:
         return self.registry.build_features(descriptors)
@@ -173,3 +176,21 @@ class FeathubClient:
 
     def materialize_features(self, features: TableDescriptor, sink) -> None:
         self.processor.materialize_features(features, sink)
+        # metric piggybacking (reference metric_store.py:89-140): features
+        # declaring metrics get a sliding metric view written to the metric
+        # store's sink as part of the same materialization call
+        if self.metric_store is not None:
+            resolved = (
+                features
+                if features.is_resolved()
+                else self.registry.get_features(features.name)
+            )
+            metrics_by_feature = {
+                f.name: f.metrics
+                for f in getattr(resolved, "get_resolved_features", list)()
+                if getattr(f, "metrics", None)
+            }
+            if metrics_by_feature:
+                self.metric_store.materialize(
+                    self.processor, features, metrics_by_feature
+                )

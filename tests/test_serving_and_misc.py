@@ -184,3 +184,42 @@ def test_metrics_compile(client, tmp_path):
         (200 + 650 + 500 + 450 + 1000 + 1400) / 6
     )
     assert row["total_ratio"] == pytest.approx(1 / 6)  # only 1400 > 1000
+
+
+def test_metric_piggyback_on_materialize(spark, tmp_path):
+    """Feature(metrics=[...]) + FeathubClient(metric_store=...): the metric
+    view is written to the metric sink in the same materialize call."""
+    from datetime import timedelta
+
+    from feathub_spark import FeathubClient, MemoryStoreSink
+    from feathub_spark.metric_stores.metric import Average, Count
+    from feathub_spark.metric_stores.metric_store import MetricStore
+
+    client = FeathubClient(
+        spark, metric_store=MetricStore(sink=MemoryStoreSink("metrics_out"))
+    )
+    source = write_f1_source(tmp_path, name="metric_pig_src")
+    view = DerivedFeatureView(
+        name="metric_pig_view",
+        source=source,
+        features=[
+            Feature(
+                "total",
+                transform="cost + distance",
+                metrics=[
+                    Count("> 400", window_size=timedelta(days=10)),
+                    Average(window_size=timedelta(days=10)),
+                ],
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    client.materialize_features(view, MemoryStoreSink("features_out"))
+
+    store = MemoryOnlineStore.get_instance()
+    assert "features_out" in store.all_tables()
+    assert "metrics_out" in store.all_tables()
+    metrics = store._tables["metrics_out"]
+    assert metrics.iloc[0]["total_count"] == 5
+    assert metrics.iloc[0]["total_average"] == pytest.approx(4200 / 6)
