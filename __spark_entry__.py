@@ -1019,30 +1019,50 @@ GROUP BY user_id, (epoch_ms(ts) // {MS_DAY})
 
 
 def _q_over_collect_list(spark, sf_dir):
+    """COLLECT_LIST over-window (reference local_processor.py:592-600).
+
+    The driver's canonicalizer can't factorize list columns, so the final
+    select projects the array to a canonical comma-joined string; the
+    oracle does the same with array_to_string.  Collecting the int64
+    event_id keeps element formatting identical across engines.
+    """
     from feathub_spark import Feature
     from feathub_spark.feature_views.transforms import OverWindowTransform
 
-    return _events_over_view(
+    df = _events_over_view(
         spark,
         sf_dir,
         [
             Feature(
-                "recent_values",
+                "recent_ids",
                 transform=OverWindowTransform(
-                    "value", "COLLECT_LIST", group_by_keys=["user_id"], limit=3
+                    "event_id", "COLLECT_LIST", group_by_keys=["user_id"], limit=3
                 ),
             ),
         ],
         "over_cl_view",
-    ).select("event_id", "user_id", "recent_values")
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        F.array_join(F.col("recent_ids").cast("array<string>"), ",").alias(
+            "recent_ids"
+        ),
+        F.size("recent_ids").cast("int").alias("n_recent"),
+    )
 
 
 _ORACLE_OVER_COLLECT_LIST = """
 SELECT event_id, user_id,
-       list(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
-                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-         AS recent_values
-FROM events
+       array_to_string(recent_ids_arr, ',') AS recent_ids,
+       CAST(len(recent_ids_arr) AS INTEGER) AS n_recent
+FROM (
+  SELECT event_id, user_id,
+         list(event_id) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS recent_ids_arr
+  FROM events
+)
 """
 
 
