@@ -73,13 +73,23 @@ def minhash_signatures(
         f"`{shingles_col}`" if shingles_col else _shingles_sql(text_col, shingle_k)
     )
     base = f"transform({shingle_expr}, s -> abs(xxhash64(s)) % {_MERSENNE_P})"
-    sigs = ", ".join(
-        f"array_min(transform(__mh_base__, h -> ({a}L * h + {b}L) % {_MERSENNE_P}))"
-        for a, b in params
+    # Single traversal of the shingle hashes: fold a running-minimum vector of
+    # all num_hashes rehash chains at once (one aggregate with a zip_with
+    # step), instead of num_hashes independent array_min(transform(...))
+    # passes that each rescan the hash array.  The (a,b) parameter array is a
+    # literal, so Catalyst constant-folds it out of the per-element lambda.
+    params_arr = "array(" + ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in params
+    ) + ")"
+    sig = (
+        f"aggregate(__mh_base__, "
+        f"array_repeat({_MERSENNE_P}L, {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, {params_arr}, "
+        f"(m, pr) -> least(m, (pr.a * h + pr.b) % {_MERSENNE_P})))"
     )
     return (
         df.withColumn("__mh_base__", F.expr(base))
-        .withColumn("__minhash__", F.expr(f"array({sigs})"))
+        .withColumn("__minhash__", F.expr(sig))
         .drop("__mh_base__")
     )
 
@@ -170,7 +180,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: Optional[int] = None,
+    max_doc_freq="auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via inverted-index join —
     fully SQL-expressible (oracle-checkable), no hashing involved.
@@ -180,7 +190,14 @@ def ngram_jaccard_pairs(
     generation), bounding the worst-case join fan-out of corpus-wide
     stop-grams; Jaccard is still computed over the full gram sets, so a
     found pair's score is exact — only pairs connected exclusively through
-    stop-grams can be missed (approximate recall, exact precision)."""
+    stop-grams can be missed (approximate recall, exact precision).
+
+    The default ``"auto"`` cuts grams whose document frequency exceeds
+    max(64, 0.1% of the corpus row count) — without it, one corpus-wide
+    stop-gram ("the") makes the inverted-index self-join quadratic in the
+    corpus size.  The cutoff is computed in-plan (broadcast one-row count),
+    no driver-side action.  Pass an int for an absolute cutoff or ``None``
+    to disable the cut entirely (exact recall; only safe on small corpora)."""
     # grams are scanned 4x in this plan (inverted index, two verify joins,
     # sizes) — tokenize once and persist the narrow projection.
     grams = df.select(
@@ -192,12 +209,25 @@ def ngram_jaccard_pairs(
         "__id__", F.explode("__grams__").alias("__gram__")
     )
     if max_doc_freq is not None:
-        from pyspark.sql import Window as _W
-
         df_count = inverted.groupBy("__gram__").agg(
             F.count(F.lit(1)).alias("__df__")
         )
-        rare = df_count.filter(F.col("__df__") <= max_doc_freq).select("__gram__")
+        if max_doc_freq == "auto":
+            cut_row = df.select(
+                F.greatest(
+                    F.lit(64).cast("long"),
+                    (F.count(F.lit(1)) / 1000).cast("long"),
+                ).alias("__cut__")
+            )
+            rare = (
+                df_count.join(F.broadcast(cut_row))
+                .filter(F.col("__df__") <= F.col("__cut__"))
+                .select("__gram__")
+            )
+        else:
+            rare = df_count.filter(F.col("__df__") <= max_doc_freq).select(
+                "__gram__"
+            )
         inverted = inverted.join(rare, "__gram__")
     co = (
         inverted.alias("a")
@@ -402,9 +432,17 @@ def embedding_neardup_pairs(
     id_col: str,
     threshold: float = 0.95,
     block_col: Optional[str] = None,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
     """Cosine near-duplicate pairs.  With ``block_col`` the pairwise compare
-    runs within blocks only (LSH-bucket style), avoiding the full n^2."""
+    runs within user-supplied blocks only (exact within blocks).  Without
+    one, candidates are generated by banded sign-random-projection buckets
+    (``planes``/``bands``/``seed``) — exact precision (every reported
+    pair's cosine is computed and filtered against the threshold),
+    approximate recall — so the operator NEVER falls back to an n² cross
+    join at corpus scale."""
     # Norms are computed ONCE per row before the pairwise join; the join
     # then evaluates a single dot product per pair.
     norm = (
@@ -417,22 +455,53 @@ def embedding_neardup_pairs(
         F.expr(norm).alias("__norm__"),
     ]
     if block_col:
-        cols.append(F.col(block_col).alias("__blk__"))
-    base = df.select(*cols)
-    join_cond = [F.col("l.__id__") < F.col("r.__id__")]
-    if block_col:
-        join_cond.insert(0, F.col("l.__blk__") == F.col("r.__blk__"))
-    pairs = (
-        base.alias("l")
-        .join(base.alias("r"), on=join_cond)
-        .select(
-            F.col("l.__id__").alias("id_a"),
-            F.col("r.__id__").alias("id_b"),
-            F.col("l.__v__").alias("v_a"),
-            F.col("r.__v__").alias("v_b"),
-            (F.col("l.__norm__") * F.col("r.__norm__")).alias("__nn__"),
+        base = df.select(*cols, F.col(block_col).alias("__blk__"))
+        pairs = base.alias("l").join(
+            base.alias("r"),
+            on=[
+                F.col("l.__blk__") == F.col("r.__blk__"),
+                F.col("l.__id__") < F.col("r.__id__"),
+            ],
         )
+    else:
+        from feathub_spark.datapipe.similarity import _srp_signature
+
+        width = planes // bands
+        banded = df.select(
+            *cols,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), "
+                    f"b -> struct(b AS band, xxhash64(array_join(slice("
+                    f"{_srp_signature(vec_col, planes, None, seed)}, "
+                    f"b * {width} + 1, {width}), '')) AS bucket))"
+                )
+            ).alias("bb"),
+        ).select(
+            "__id__",
+            "__v__",
+            "__norm__",
+            F.col("bb.band").alias("__band__"),
+            F.col("bb.bucket").alias("__bkt__"),
+        )
+        pairs = banded.alias("l").join(
+            banded.alias("r"),
+            on=[
+                F.col("l.__band__") == F.col("r.__band__"),
+                F.col("l.__bkt__") == F.col("r.__bkt__"),
+                F.col("l.__id__") < F.col("r.__id__"),
+            ],
+        )
+    pairs = pairs.select(
+        F.col("l.__id__").alias("id_a"),
+        F.col("r.__id__").alias("id_b"),
+        F.col("l.__v__").alias("v_a"),
+        F.col("r.__v__").alias("v_b"),
+        (F.col("l.__norm__") * F.col("r.__norm__")).alias("__nn__"),
     )
+    if not block_col:
+        # the same pair can collide in several bands
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     dot = (
         "aggregate(zip_with(v_a, v_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0 AS DOUBLE), (a, x) -> a + x)"

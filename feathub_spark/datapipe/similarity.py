@@ -71,12 +71,19 @@ def brute_force_topk(
     )
 
 
-def _srp_signature(vec_col: str, planes: int, dims: int, seed: int) -> str:
+def _srp_signature(vec_col: str, planes: int, dims, seed: int) -> str:
     """Sign-random-projection signature: bit p = sign(sum_d w[p,d]*v[d]) with
-    w[p,d] = xxhash64(seed, p, d) scaled to [-1,1] deterministically."""
+    w[p,d] = xxhash64(seed, p, d) scaled to [-1,1] deterministically.
+
+    ``dims=None`` derives the dimension range from the vector's own size
+    (per-row), so callers need not know the embedding width up front."""
     scale = float(1 << 62)
+    dim_seq = (
+        f"sequence(0, size(`{vec_col}`) - 1)" if dims is None
+        else f"sequence(0, {dims - 1})"
+    )
     proj = (
-        f"aggregate(zip_with(`{vec_col}`, sequence(0, {dims - 1}), "
+        f"aggregate(zip_with(`{vec_col}`, {dim_seq}, "
         f"(x, d) -> CAST(x AS DOUBLE) * "
         f"(CAST(xxhash64({seed}, {{p}}, d) AS DOUBLE) / {scale})), "
         f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"

@@ -165,3 +165,74 @@ def test_multimodal_plumbing(spark):
     n = frames.count()
     assert n >= 2  # at least one frame per media row
     assert frames.select("frame_offset_ms").distinct().count() > 1
+
+
+def test_ngram_jaccard_auto_cut_matches_exact_on_small_corpus(docs):
+    """auto cut = max(64, 0.1% of corpus) — a no-op below 64 docs, so the
+    default must reproduce the exact (max_doc_freq=None) result."""
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=2, threshold=0.3, max_doc_freq=None
+        ).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.3).collect()
+    }
+    assert auto == exact
+
+
+def test_ngram_jaccard_auto_cut_bounds_stop_gram_fanout(spark):
+    """70 identical docs: every gram is corpus-wide, so the auto doc-freq cut
+    (64 < 70) removes them all from the inverted index — no candidates, no
+    quadratic fan-out.  Exact mode still sees all 70*69/2 pairs."""
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    rows = [(i, "same same same same") for i in range(70)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.5).count() == 0
+    assert (
+        ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.5, max_doc_freq=None
+        ).count()
+        == 70 * 69 // 2
+    )
+
+
+def test_embedding_neardup_unblocked_uses_srp_buckets(spark):
+    """block_col=None must NOT be an n² cross join: candidates come from
+    banded SRP buckets (no CartesianProduct/BroadcastNestedLoopJoin in the
+    plan), precision stays exact, and true near-duplicates are found."""
+    import math
+    import random
+
+    from feathub_spark.datapipe.dedup import embedding_neardup_pairs
+
+    rnd = random.Random(1)
+    dims = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = unit([rnd.gauss(0, 1) for _ in range(dims)])
+    rows = (
+        [(0, base)]
+        + [(i, unit([x + rnd.gauss(0, 0.02) for x in base])) for i in range(1, 4)]
+        + [(i, unit([rnd.gauss(0, 1) for _ in range(dims)])) for i in range(4, 30)]
+    )
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in rows])
+
+    out = embedding_neardup_pairs(df, "embedding", "vec_id", threshold=0.95)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    pairs = out.collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # the clones of vector 0 are ~cos 0.999 of each other — SRP buckets catch them
+    assert (0, 1) in found and (0, 2) in found
+    assert all(r.cosine >= 0.95 for r in pairs)
