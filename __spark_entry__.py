@@ -727,10 +727,16 @@ def _q_minhash_dedup(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    """Simhash near-dup pairs, oracle-checked end to end: the portable
+    polynomial token hash makes the fingerprint reproducible in DuckDB, and
+    banding with max_hamming < bands has FULL recall (pigeonhole), so the
+    output is exactly 'all pairs with Hamming <= 3'."""
     from feathub_spark.datapipe.dedup import simhash_pairs
 
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return simhash_pairs(df, "text", "doc_id", max_hamming=3, bands=4)
+    return simhash_pairs(
+        df, "text", "doc_id", max_hamming=3, bands=4, bits=62, hash_fn="poly"
+    )
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -756,6 +762,117 @@ scored AS (
 SELECT query_id, neighbor_id, rank, cosine FROM (
     SELECT query_id, neighbor_id, cosine,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+# minhash_lsh_pairs reports only pairs whose EXACT shingle Jaccard clears the
+# threshold (LSH is candidate generation; scores are re-verified against the
+# full shingle sets), so the oracle is the exact all-pairs Jaccard: at 64
+# hashes x 16 bands the chance of missing a >=0.5 pair is < 1e-3 per pair and
+# the seeded pipeline is deterministic, so a green run stays green.
+_ORACLE_MINHASH_DEDUP = """
+WITH grams AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 3 THEN
+             list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])
+           ELSE [array_to_string(tk, ' ')] END AS gs
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+          FROM documents)
+), inv AS (
+    SELECT doc_id, unnest(gs) AS gram FROM grams
+), co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT co.id_a, co.id_b,
+       round(CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common), 6) AS jaccard
+FROM co
+JOIN grams ga ON ga.doc_id = co.id_a
+JOIN grams gb ON gb.doc_id = co.id_b
+WHERE CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common) >= 0.5
+"""
+
+
+# Replicates the full simhash pipeline: 62-bit dual polynomial token hashes
+# (two 31-bit multiplicative rolling hashes concatenated), bit-majority
+# fingerprint, all pairs with Hamming <= 3 (the Spark side's banding is
+# exact for max_hamming < bands, so sets match exactly).
+_ORACLE_SIMHASH_PAIRS = """
+WITH toks AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     t -> t <> '')) AS tk
+    FROM documents
+), hashes AS (
+    SELECT doc_id,
+           list_transform(tk, t ->
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, length(t) + 1),
+                                i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+               (h, c) -> (h * 1103515245 + c) % 2147483647) * 2147483648
+             + list_reduce(
+               list_prepend(CAST(13 AS BIGINT),
+                 list_transform(range(1, length(t) + 1),
+                                i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+               (h, c) -> (h * 69069 + c) % 2147483647)) AS hs
+    FROM toks
+), fp AS (
+    SELECT doc_id,
+           list_aggregate(list_transform(range(0, 62),
+               b -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+                         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END),
+             'sum') AS sh
+    FROM hashes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+# Replicates the full SRP-LSH ANN pipeline: LCG hyperplane weights,
+# sign bits, 4-bit band buckets, bucket-candidate join, cosine, top-5.
+_ORACLE_LSH_ANN = """
+WITH base AS (
+    SELECT vec_id, embedding,
+           list_transform(range(0, 16), p ->
+             CASE WHEN list_aggregate(
+                 list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) *
+                        (CAST((1103515245 * (p * 4096 + (i - 1) + 7) + 12345)
+                              % 2147483648 AS DOUBLE) / 1073741824.0 - 1.0)),
+                 'sum') > 0 THEN 1 ELSE 0 END) AS bits
+    FROM embeddings
+), banded AS (
+    SELECT vec_id, bd.band,
+           array_to_string(bits[bd.band * 4 + 1 : bd.band * 4 + 4], '') AS bucket
+    FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bd
+), cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+), scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           round(
+             list_aggregate(list_transform(range(1, len(qe.embedding) + 1),
+                 i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+           6) AS cosine
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
     FROM scored
 ) WHERE rank <= 5
 """
@@ -1091,11 +1208,17 @@ FROM documents
 
 
 def _q_lsh_ann(spark, sf_dir):
+    """SRP-bucketed ANN, oracle-checked end to end: LCG hyperplane weights
+    are reproducible in DuckDB, so the oracle replicates the ENTIRE
+    pipeline (signatures -> band buckets -> candidate join -> cosine ->
+    rank) rather than trusting the bucketing."""
     from feathub_spark.datapipe.similarity import lsh_topk
 
     df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = df.filter(F.col("vec_id") < 20)
-    return lsh_topk(df, queries_df, "embedding", "vec_id", k=5)
+    return lsh_topk(
+        df, queries_df, "embedding", "vec_id", k=5, dims=None, weight_fn="lcg"
+    )
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -1238,7 +1361,9 @@ def oracle_sql() -> dict[str, str]:
         "over_collect_list": _ORACLE_OVER_COLLECT_LIST,
         "token_metrics": _ORACLE_TOKEN_METRICS,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
-        # lsh_ann: approximate by design → rows-only check.
-        # minhash_dedup / simhash_pairs / multimodal_meta: hash- or stub-based,
-        # not expressible in DuckDB → rows-only checks.
+        "minhash_dedup": _ORACLE_MINHASH_DEDUP,
+        "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
+        "lsh_ann": _ORACLE_LSH_ANN,
+        # multimodal_meta: decoder is honestly stubbed (no image libs in the
+        # sandbox) → rows-only check.
     }

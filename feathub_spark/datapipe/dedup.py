@@ -284,15 +284,48 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Append __simhash__ bigint: per-token 64-bit hash, bitwise majority.
 
     Single pass over the token hashes: fold into a 64-wide counter array
     (zip_with accumulate), then collapse sign bits.  Intermediates are
     materialized as columns so nothing is recomputed per bit.
+
+    ``hash_fn="poly"`` swaps xxhash64 for two 31-bit multiplicative
+    rolling hashes of the token characters (mod 2^31-1, different
+    multipliers/inits) concatenated to a 62-bit token hash — slower than
+    xxhash64 but exactly reproducible in any ANSI SQL engine (no int64
+    overflow anywhere), which makes the whole fingerprint pipeline
+    oracle-checkable.  Use bits=62 with it.  The large multipliers keep
+    even single-character tokens well-dispersed across all bits.
     """
     toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
-    hashes = f"transform(array_distinct({toks}), t -> xxhash64(t))"
+    if hash_fn == "xxhash64":
+        tok_hash = "xxhash64(t)"
+    elif hash_fn == "poly":
+        chars = (
+            f"transform(sequence(1, length(t)), "
+            f"i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))"
+        )
+        fold = (
+            "aggregate({chars}, CAST({init} AS BIGINT), "
+            "(h, c) -> (h * {mult} + c) % {m})"
+        )
+        h1 = fold.format(chars=chars, init=7, mult=1103515245, m=_MERSENNE_31)
+        h2 = fold.format(chars=chars, init=13, mult=69069, m=_MERSENNE_31)
+        tok_hash = f"({h1}) * 2147483648L + ({h2})"
+    else:
+        raise FeathubError(f"unknown simhash hash_fn: {hash_fn!r}")
+    hashes = f"transform(array_distinct({toks}), t -> {tok_hash})"
     df = df.withColumn("__tok_hashes__", F.expr(hashes))
     bit_counts = (
         f"aggregate(`__tok_hashes__`, "
@@ -320,18 +353,22 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with simhash Hamming distance <= max_hamming.  Band the 64 bits
     into ``bands`` chunks: any pair within distance < bands shares at least
     one identical chunk (pigeonhole), so the bucket join finds all of them
-    without an n^2 scan."""
+    without an n^2 scan.  The banding is EXACT (full recall) for
+    max_hamming < bands, so the output is a deterministic function of the
+    input — with ``hash_fn="poly"`` it is reproducible in plain SQL."""
     if max_hamming >= bands:
         raise FeathubError(
             f"simhash banding guarantees recall only for hamming < bands; "
             f"got max_hamming={max_hamming}, bands={bands} — raise bands."
         )
     width = 64 // bands
-    sh = simhash(df, text_col, id_col).select(
+    sh = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn).select(
         F.col(id_col).alias("__id__"), "__simhash__"
     )
     banded = sh.select(

@@ -71,21 +71,39 @@ def brute_force_topk(
     )
 
 
-def _srp_signature(vec_col: str, planes: int, dims, seed: int) -> str:
+def _srp_signature(
+    vec_col: str, planes: int, dims, seed: int, weight_fn: str = "xxhash64"
+) -> str:
     """Sign-random-projection signature: bit p = sign(sum_d w[p,d]*v[d]) with
     w[p,d] = xxhash64(seed, p, d) scaled to [-1,1] deterministically.
 
     ``dims=None`` derives the dimension range from the vector's own size
-    (per-row), so callers need not know the embedding width up front."""
+    (per-row), so callers need not know the embedding width up front.
+
+    ``weight_fn="lcg"`` swaps xxhash64 for a plain 31-bit linear
+    congruential generator seeded by (p, d) — worse dispersion than
+    xxhash64, but exactly reproducible in any ANSI SQL engine (no int64
+    overflow anywhere), which makes the whole bucketing pipeline
+    oracle-checkable."""
     scale = float(1 << 62)
     dim_seq = (
         f"sequence(0, size(`{vec_col}`) - 1)" if dims is None
         else f"sequence(0, {dims - 1})"
     )
+    if weight_fn == "xxhash64":
+        weight = f"(CAST(xxhash64({seed}, {{p}}, d) AS DOUBLE) / {scale})"
+    elif weight_fn == "lcg":
+        # 4096L forces bigint arithmetic — int32 lambda vars would wrap
+        weight = (
+            f"(CAST((1103515245L * ({{p}} * 4096L + d + {seed}) + 12345L) "
+            f"% 2147483648L AS DOUBLE) / 1073741824.0 - 1.0)"
+        )
+    else:
+        raise ValueError(f"unknown srp weight_fn: {weight_fn!r}")
     proj = (
         f"aggregate(zip_with(`{vec_col}`, {dim_seq}, "
         f"(x, d) -> CAST(x AS DOUBLE) * "
-        f"(CAST(xxhash64({seed}, {{p}}, d) AS DOUBLE) / {scale})), "
+        f"{weight}), "
         f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     bits = (
@@ -106,6 +124,7 @@ def lsh_topk(
     dims: int = 64,
     seed: int = 7,
     query_id_col: str = None,
+    weight_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing an LSH band bucket with the
     query are scored.  Recall < 1.0 by design; at 100 TB this replaces the
@@ -114,7 +133,7 @@ def lsh_topk(
     width = planes // bands
 
     def with_buckets(df: DataFrame, ident: str, out_id: str) -> DataFrame:
-        sig = _srp_signature(vec_col, planes, dims, seed)
+        sig = _srp_signature(vec_col, planes, dims, seed, weight_fn)
         return (
             df.select(
                 F.col(ident).alias(out_id),

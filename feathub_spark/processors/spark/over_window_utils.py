@@ -260,6 +260,98 @@ def evaluate_salted_over_window(
     return joined.drop(*drop)
 
 
+def _unbounded_value_counts(
+    df: DataFrame,
+    desc: OverWindowDescriptor,
+    field: AggField,
+    filter_sql: Optional[str],
+) -> DataFrame:
+    """Scale-safe unbounded VALUE_COUNTS: running per-(key,value) counts +
+    map assembly, instead of collecting the whole history into a per-row
+    array (which gives row i an i-element array — O(n²) cells on a
+    long-lived key).
+
+    Plan (all Catalyst, every intermediate bounded by the OUTPUT size):
+      1. occurrence events: one row per (keys, value, ts) with the
+         cumulative count of that value — window over (keys, value), O(1)
+         state, hot keys parallelize across their values;
+      2. query timestamps: distinct (keys, ts) — rows tied on ts share one
+         identical map (range-frame tie semantics);
+      3. (query, value) pairs for every value first seen at or before the
+         query ts — the irreducible set of output map entries;
+      4. as-of lookup of the cumulative count per pair via the union +
+         last_value trick (one shuffle on (keys, value));
+      5. map_from_entries per (keys, ts), left-joined back to the rows.
+    """
+    keys = list(desc.group_by_keys)
+    base = df.withColumn("__vc_ms__", F.expr(_ORDER_MS))
+
+    occ_rows = base if filter_sql is None else base.filter(F.expr(filter_sql))
+    occ_rows = occ_rows.withColumn("__vc_v__", F.expr(field.expr_sql)).filter(
+        F.col("__vc_v__").isNotNull()
+    )
+    occ = occ_rows.groupBy(*keys, "__vc_v__", "__vc_ms__").agg(
+        F.count(F.lit(1)).alias("__vc_c__")
+    )
+    wkv = (
+        Window.partitionBy(*keys, "__vc_v__")
+        .orderBy("__vc_ms__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    events = occ.withColumn("__vc_cum__", F.sum("__vc_c__").over(wkv))
+
+    firsts = events.groupBy(*keys, "__vc_v__").agg(
+        F.min("__vc_ms__").alias("__vc_first__")
+    )
+    queries = base.select(*keys, "__vc_ms__").distinct().alias("q")
+    fr = firsts.alias("f")
+    pair_cond = [queries[k].eqNullSafe(fr[k]) for k in keys]
+    pair_cond.append(F.col("f.__vc_first__") <= F.col("q.__vc_ms__"))
+    pairs = queries.join(fr, on=pair_cond).select(
+        *[queries[k] for k in keys], F.col("q.__vc_ms__").alias("__vc_ms__"),
+        F.col("f.__vc_v__").alias("__vc_v__"),
+    )
+
+    ev = events.select(
+        *keys, "__vc_v__", "__vc_ms__", "__vc_cum__",
+        F.lit(0).alias("__vc_q__"),
+    )
+    qr = pairs.select(
+        *keys, "__vc_v__", "__vc_ms__",
+        F.lit(None).cast("bigint").alias("__vc_cum__"),
+        F.lit(1).alias("__vc_q__"),
+    )
+    wlast = (
+        Window.partitionBy(*keys, "__vc_v__")
+        .orderBy("__vc_ms__", "__vc_q__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    entries = (
+        ev.unionByName(qr)
+        .withColumn("__vc_cum2__", F.last("__vc_cum__", ignorenulls=True).over(wlast))
+        .filter(F.col("__vc_q__") == 1)
+    )
+    maps = entries.groupBy(*keys, "__vc_ms__").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("__vc_v__").alias("k"),
+                    F.col("__vc_cum2__").cast("bigint").alias("v"),
+                )
+            )
+        ).alias("__vc_map__")
+    ).alias("m")
+
+    b = base.alias("b")
+    join_cond = [b[k].eqNullSafe(maps[k]) for k in keys]
+    join_cond.append(F.col("b.__vc_ms__") == F.col("m.__vc_ms__"))
+    out = b.join(maps, on=join_cond, how="left").select(
+        *[F.col(f"b.`{c}`") for c in base.columns],
+        F.col("m.__vc_map__").cast(t.to_spark_type(field.dtype)).alias(field.name),
+    )
+    return out.drop("__vc_ms__")
+
+
 def evaluate_over_window(
     df: DataFrame,
     desc: OverWindowDescriptor,
@@ -270,7 +362,19 @@ def evaluate_over_window(
     filter_sql = to_spark_sql(desc.filter_expr) if desc.filter_expr else None
     out_cols = {}
 
-    collect_fields = [f for f in fields if _needs_collect(desc, f.agg_func)]
+    # Unbounded VALUE_COUNTS gets the distributive running-count plan — the
+    # collect path would give row i an i-element array (O(n²) cells on a
+    # long-lived key).
+    vc_unbounded = [
+        f for f in fields
+        if f.agg_func == AggFunc.VALUE_COUNTS
+        and desc.window_size_ms is None
+        and desc.limit is None
+    ]
+    collect_fields = [
+        f for f in fields
+        if _needs_collect(desc, f.agg_func) and f not in vc_unbounded
+    ]
     direct_fields = [f for f in fields if not _needs_collect(desc, f.agg_func)]
 
     for f_ in direct_fields:
@@ -338,10 +442,13 @@ def evaluate_over_window(
             out_cols[f_.name] = F.expr(agg_sql).cast(t.to_spark_type(f_.dtype))
 
     df = df.withColumns(out_cols)
-    return df.drop(
+    df = df.drop(
         *[
             c
             for c in df.columns
             if c.startswith("__collect_") or c.startswith("__vals_")
         ]
     )
+    for f_ in vc_unbounded:
+        df = _unbounded_value_counts(df, desc, f_, filter_sql)
+    return df

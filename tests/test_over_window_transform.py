@@ -164,3 +164,73 @@ def test_first_last_value(client, tmp_path):
     df = _by_time(client, view)
     assert df["first_cost"].tolist() == [100, 400, 100, 400, 500, 100]
     assert df["last_cost"].tolist() == [100, 400, 300, 200, 500, 600]
+
+
+def test_unbounded_value_counts_long_single_key(client, tmp_path):
+    """Hot-key stress for the distributive unbounded-VALUE_COUNTS plan: one
+    key, 30k rows.  The old collect-path materializes ~450M array cells here
+    (row i carries an i-element array); the running-count plan's
+    intermediates are bounded by the output size, so this completes in
+    seconds.  Correctness is spot-checked against directly computed counts
+    at several offsets, including NULL-value and epoch-tie rows."""
+    import os
+
+    import pandas as pd
+
+    from feathub_spark import FileSystemSource, Int64, Schema, String
+
+    n = 30_000
+    values = [f"v{i % 7}" if i % 11 else None for i in range(n)]
+    # every third timestamp duplicated → exercises range-frame tie semantics
+    ts = [1_640_000_000 + (i - (i % 3 == 2)) for i in range(n)]
+    pdf = pd.DataFrame({"k": "hot", "val": values, "ts": ts, "i": range(n)})
+    path = os.path.join(str(tmp_path), "hotkey.parquet")
+    pdf.to_parquet(path)
+
+    schema = (
+        Schema.new_builder()
+        .column("k", String)
+        .column("val", String)
+        .column("ts", Int64)
+        .column("i", Int64)
+        .build()
+    )
+    source = FileSystemSource(
+        name="hotkey",
+        path=path,
+        data_format="parquet",
+        schema=schema,
+        keys=["k"],
+        timestamp_field="ts",
+        timestamp_format="epoch",
+    )
+    view = DerivedFeatureView(
+        name="hotkey_vc",
+        source=source,
+        features=[
+            Feature(
+                "vc",
+                transform=OverWindowTransform(
+                    "val", "VALUE_COUNTS", group_by_keys=["k"]
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = (
+        client.get_features(view)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert len(df) == n
+    for probe in (0, 1, 500, n - 1):
+        t_probe = ts[probe]
+        expected = {}
+        for v, t in zip(values, ts):
+            if t <= t_probe and v is not None:
+                expected[v] = expected.get(v, 0) + 1
+        got = df["vc"][probe]
+        got = dict(got) if got is not None else None
+        assert got == (expected or None), f"row {probe}"
