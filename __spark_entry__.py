@@ -1184,9 +1184,12 @@ FROM (
 
 
 def _q_token_metrics(spark, sf_dir):
+    from feathub_spark.common.parallelism import ensure_parallelism
     from feathub_spark.datapipe.text import bpe_like_token_count, rolling_fingerprint
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = ensure_parallelism(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
     return df.select(
         "doc_id",
         bpe_like_token_count("text").alias("bpe_tokens"),

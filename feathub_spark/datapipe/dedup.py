@@ -23,6 +23,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from feathub_spark.common.exceptions import FeathubError
+from feathub_spark.common.parallelism import ensure_parallelism
 
 _MERSENNE_P = (1 << 61) - 1
 
@@ -112,7 +113,7 @@ def minhash_lsh_pairs(
     # tokenize ONCE into a column, derive signatures from it, and persist
     # the narrow (id, shingles, signature) projection (spills to disk at
     # scale).
-    with_shingles = df.select(
+    with_shingles = ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"),
         F.expr(_shingles_sql(text_col, shingle_k)).alias("__sh__"),
     )
@@ -200,7 +201,7 @@ def ngram_jaccard_pairs(
     to disable the cut entirely (exact recall; only safe on small corpora)."""
     # grams are scanned 4x in this plan (inverted index, two verify joins,
     # sizes) — tokenize once and persist the narrow projection.
-    grams = df.select(
+    grams = ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"),
         F.expr(_shingles_sql(text_col, n)).alias("__grams__"),
     ).persist()
@@ -308,6 +309,7 @@ def simhash(
     oracle-checkable.  Use bits=62 with it.  The large multipliers keep
     even single-character tokens well-dispersed across all bits.
     """
+    df = ensure_parallelism(df)
     toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
     if hash_fn == "xxhash64":
         tok_hash = "xxhash64(t)"
@@ -316,13 +318,15 @@ def simhash(
             f"transform(sequence(1, length(t)), "
             f"i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))"
         )
-        fold = (
-            "aggregate({chars}, CAST({init} AS BIGINT), "
-            "(h, c) -> (h * {mult} + c) % {m})"
+        # both folds in ONE char pass (struct accumulator + finish lambda)
+        tok_hash = (
+            f"aggregate({chars}, "
+            f"named_struct('a', CAST(7 AS BIGINT), 'b', CAST(13 AS BIGINT)), "
+            f"(acc, c) -> named_struct("
+            f"'a', (acc.a * 1103515245 + c) % {_MERSENNE_31}, "
+            f"'b', (acc.b * 69069 + c) % {_MERSENNE_31}), "
+            f"acc -> acc.a * 2147483648L + acc.b)"
         )
-        h1 = fold.format(chars=chars, init=7, mult=1103515245, m=_MERSENNE_31)
-        h2 = fold.format(chars=chars, init=13, mult=69069, m=_MERSENNE_31)
-        tok_hash = f"({h1}) * 2147483648L + ({h2})"
     else:
         raise FeathubError(f"unknown simhash hash_fn: {hash_fn!r}")
     hashes = f"transform(array_distinct({toks}), t -> {tok_hash})"
@@ -486,6 +490,7 @@ def embedding_neardup_pairs(
         f"sqrt(aggregate(transform(`{vec_col}`, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "CAST(0 AS DOUBLE), (a, x) -> a + x))"
     )
+    df = ensure_parallelism(df)
     cols = [
         F.col(id_col).alias("__id__"),
         F.col(vec_col).alias("__v__"),

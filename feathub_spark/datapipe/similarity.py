@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from feathub_spark.common.parallelism import ensure_parallelism
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -47,7 +49,7 @@ def brute_force_topk(
         F.col(vec_col).alias("__qv__"),
         F.expr(norm).alias("__qn__"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
         F.expr(norm).alias("__cn__"),
@@ -155,7 +157,7 @@ def lsh_topk(
         )
 
     qb = with_buckets(queries, query_id_col, "query_id")
-    cb = with_buckets(corpus, id_col, "neighbor_id")
+    cb = with_buckets(ensure_parallelism(corpus), id_col, "neighbor_id")
     cand = (
         cb.join(F.broadcast(qb), on=["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from feathub_spark.common.parallelism import ensure_parallelism
+
 # Minimal stopword inventories for the n-gram/stopword language heuristic.
 _LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
@@ -127,7 +129,7 @@ def rolling_fingerprint(text_col: str, base: int = 31, mod: int = 1_000_000_007)
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumns(
+    return ensure_parallelism(df).withColumns(
         {
             "n_tokens": token_count(text_col),
             "n_distinct_tokens": distinct_token_count(text_col),
