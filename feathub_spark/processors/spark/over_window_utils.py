@@ -88,6 +88,11 @@ def _window_spec(desc: OverWindowDescriptor) -> WindowSpec:
 def _needs_collect(desc: OverWindowDescriptor, agg: AggFunc) -> bool:
     if agg in (AggFunc.VALUE_COUNTS, AggFunc.COLLECT_LIST):
         return True
+    if agg in (AggFunc.FIRST_VALUE, AggFunc.LAST_VALUE) and desc.filter_expr:
+        # positional first/last INCLUDING null values (reference l[0]/l[-1]):
+        # with a filter, "row filtered out" and "row passing with NULL value"
+        # are indistinguishable to first()/last(), so collect the rows.
+        return True
     return desc.limit is not None and (
         desc.window_size_ms is not None or desc.filter_expr is not None
     )
@@ -101,10 +106,14 @@ def _filtered_value_sql(value_sql: str, filter_sql: Optional[str]) -> str:
 
 def _array_agg_sql(vals: str, agg: AggFunc, dtype: t.DType) -> str:
     """Aggregate a time-sorted value array with higher-order functions.
-    ``vals`` is a SQL expression of type array<V>; null ELEMENTS are rows
-    that occupied a limit slot but hold no value — they are skipped by every
-    aggregation (matching null-skipping agg semantics)."""
-    vals = f"filter({vals}, x -> x IS NOT NULL)"
+    ``vals`` is a SQL expression of type array<V> holding one element per
+    WINDOW ROW (after filter and limit); null elements are rows whose value
+    expression is NULL.  Reference semantics (local aggregation_utils.py):
+    COUNT/ROW_NUMBER = len(l) and FIRST/LAST = l[0]/l[-1] INCLUDING null
+    values; COLLECT_LIST keeps null elements (NULL only for zero rows);
+    SUM/AVG/MIN/MAX/VALUE_COUNTS skip null values."""
+    raw = vals
+    vals = f"filter({raw}, x -> x IS NOT NULL)"
     if agg == AggFunc.SUM:
         acc_t = to_spark_sql_type_name(dtype)
         return (
@@ -123,13 +132,13 @@ def _array_agg_sql(vals: str, agg: AggFunc, dtype: t.DType) -> str:
     if agg == AggFunc.MIN:
         return f"array_min({vals})"
     if agg == AggFunc.FIRST_VALUE:
-        return f"element_at({vals}, 1)"
+        return f"element_at({raw}, 1)"
     if agg == AggFunc.LAST_VALUE:
-        return f"element_at({vals}, -1)"
+        return f"element_at({raw}, -1)"
     if agg in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
-        return f"size({vals})"
+        return f"size({raw})"
     if agg == AggFunc.COLLECT_LIST:
-        return f"CASE WHEN size({vals}) > 0 THEN {vals} END"
+        return f"CASE WHEN size({raw}) > 0 THEN {raw} END"
     if agg == AggFunc.VALUE_COUNTS:
         # map value → occurrence count; empty → NULL.
         entries = (
@@ -179,7 +188,9 @@ def evaluate_salted_over_window(
         if a in (AggFunc.SUM, AggFunc.AVG):
             partial_aggs.append(F.expr(f"sum({v})").alias(p + "sum"))
         if a in (AggFunc.AVG, AggFunc.COUNT, AggFunc.ROW_NUMBER):
-            cnt_v = v if a != AggFunc.ROW_NUMBER else _filtered_value_sql("1", filter_sql)
+            # AVG divides by the non-null VALUE count; COUNT/ROW_NUMBER
+            # count filter-passing ROWS incl null values (reference len(l))
+            cnt_v = v if a == AggFunc.AVG else _filtered_value_sql("1", filter_sql)
             partial_aggs.append(F.expr(f"count({cnt_v})").alias(p + "cnt"))
         if a == AggFunc.MAX:
             partial_aggs.append(F.expr(f"max({v})").alias(p + "max"))
@@ -233,7 +244,7 @@ def evaluate_salted_over_window(
                 F.col(p + "psum"), F.lit(0)
             )
         elif a in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
-            cnt_v = v if a != AggFunc.ROW_NUMBER else _filtered_value_sql("1", filter_sql)
+            cnt_v = _filtered_value_sql("1", filter_sql)
             col = F.expr(f"count({cnt_v})").over(wchunk) + F.coalesce(
                 F.col(p + "pcnt"), F.lit(0)
             )
@@ -389,11 +400,17 @@ def evaluate_over_window(
         elif agg == AggFunc.MIN:
             col = F.expr(f"min({value_sql})").over(spec)
         elif agg == AggFunc.FIRST_VALUE:
-            col = F.expr(f"first({value_sql}, true)").over(spec)
+            # filter_sql is None here (_needs_collect) → positional first
+            # including null values (reference l[0])
+            col = F.expr(f"first({value_sql}, false)").over(spec)
         elif agg == AggFunc.LAST_VALUE:
-            col = F.expr(f"last({value_sql}, true)").over(spec)
+            col = F.expr(f"last({value_sql}, false)").over(spec)
         elif agg == AggFunc.COUNT:
-            col = F.expr(f"count({value_sql})").over(spec)
+            # rows in window (after filter) INCLUDING null values —
+            # reference len(l), aggregation_utils.py
+            col = F.expr(
+                f"count({_filtered_value_sql('1', filter_sql)})"
+            ).over(spec)
         elif agg == AggFunc.ROW_NUMBER:
             # Count of window rows up to the current one (ties included),
             # per the local golden len(window) semantics.

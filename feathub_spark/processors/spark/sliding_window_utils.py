@@ -94,6 +94,14 @@ class SlidingAggField(NamedTuple):
             return self.expr_sql
         return f"CASE WHEN {self.filter_sql} THEN {self.expr_sql} END"
 
+    def row_gate_sql(self) -> str:
+        """Non-null exactly for rows that enter the window (filter-passing),
+        regardless of the value expression — COUNT/ROW_NUMBER count these
+        rows including null values (reference len(l))."""
+        if self.filter_sql is None:
+            return "1"
+        return f"CASE WHEN {self.filter_sql} THEN 1 END"
+
 
 def _default_col(field: SlidingAggField, col: Column) -> Column:
     if field.agg_func in (AggFunc.SUM, AggFunc.COUNT):
@@ -149,22 +157,28 @@ def evaluate_sliding_window(
         elif a == AggFunc.SUM:
             partial_aggs.append(F.expr(f"sum({v})").alias(p + "sum"))
         elif a in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
-            partial_aggs.append(F.expr(f"count({v})").alias(p + "cnt"))
+            # filter-passing ROWS incl null values (reference len(l))
+            partial_aggs.append(
+                F.expr(f"count({f_.row_gate_sql()})").alias(p + "cnt")
+            )
         elif a == AggFunc.MAX:
             partial_aggs.append(F.expr(f"max({v})").alias(p + "max"))
         elif a == AggFunc.MIN:
             partial_aggs.append(F.expr(f"min({v})").alias(p + "min"))
         elif a == AggFunc.FIRST_VALUE:
-            # min(struct(ms, value)) — deterministic earliest-row pick.
+            # min(struct(ms, value)) — deterministic earliest-ROW pick,
+            # including rows whose value is NULL (reference l[0])
             partial_aggs.append(
                 F.expr(
-                    f"min(CASE WHEN {v} IS NOT NULL THEN struct(`{_MS}` AS t, {v} AS v) END)"
+                    f"min(CASE WHEN {f_.row_gate_sql()} IS NOT NULL "
+                    f"THEN struct(`{_MS}` AS t, {f_.expr_sql} AS v) END)"
                 ).alias(p + "first")
             )
         elif a == AggFunc.LAST_VALUE:
             partial_aggs.append(
                 F.expr(
-                    f"max(CASE WHEN {v} IS NOT NULL THEN struct(`{_MS}` AS t, {v} AS v) END)"
+                    f"max(CASE WHEN {f_.row_gate_sql()} IS NOT NULL "
+                    f"THEN struct(`{_MS}` AS t, {f_.expr_sql} AS v) END)"
                 ).alias(p + "last")
             )
         else:
@@ -269,8 +283,16 @@ def evaluate_sliding_window(
 
     # ---- skip-same-window output ---------------------------------------
     if skip_same_window_output:
-        names = [f_.name for f_ in fields]
-        cur = F.struct(*[F.col(n) for n in names])
+        # struct equality (<=>) needs an orderable type: MAP columns
+        # (VALUE_COUNTS) are compared as key-sorted entry arrays — also the
+        # canonical form the streaming operator uses, so suppression agrees
+        # across both paths regardless of map entry order.
+        def _cmp_col(f_: SlidingAggField) -> Column:
+            if isinstance(f_.dtype, t.MapType):
+                return F.array_sort(F.map_entries(F.col(f_.name)))
+            return F.col(f_.name)
+
+        cur = F.struct(*[_cmp_col(f_) for f_ in fields])
         w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(_WEND))
         result = (
             result.withColumn("__prev__", F.lag(cur).over(w))

@@ -151,8 +151,14 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
             horizon = wm - max_window
             history = [r for r in history if r[0] >= horizon]
 
-        state.update((json.dumps(history), json.dumps(pending)))
-        state.setTimeoutTimestamp(max(wm + 1, 1))
+        if not history and not pending and max_window is not None:
+            # fully drained (bounded windows, nothing buffered): drop the
+            # state entry instead of keeping an empty record + timer alive
+            # forever on long-running high-cardinality streams
+            state.remove()
+        else:
+            state.update((json.dumps(history), json.dumps(pending)))
+            state.setTimeoutTimestamp(max(wm + 1, 1))
 
         if emissions:
             yield pd.DataFrame(

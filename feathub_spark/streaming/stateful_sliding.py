@@ -51,11 +51,16 @@ _STATE_SCHEMA = T.StructType(
 
 
 def _agg_pandas(agg: AggFunc, values: List[Any]) -> Any:
+    """``values`` has one element per filter-passing WINDOW ROW (None for
+    rows whose value expression is null).  Reference semantics (local
+    aggregation_utils.py): COUNT/ROW_NUMBER = len(l), FIRST/LAST =
+    l[0]/l[-1], COLLECT_LIST = list(l) — all INCLUDING null values;
+    SUM/AVG/MIN/MAX/VALUE_COUNTS skip null values."""
     vals = [v for v in values if v is not None and not (isinstance(v, float) and math.isnan(v))]
     if agg == AggFunc.SUM:
         return sum(vals) if vals else 0
     if agg == AggFunc.COUNT or agg == AggFunc.ROW_NUMBER:
-        return len(vals)
+        return len(values)
     if agg == AggFunc.AVG:
         return (sum(vals) / len(vals)) if vals else None
     if agg == AggFunc.MAX:
@@ -63,11 +68,11 @@ def _agg_pandas(agg: AggFunc, values: List[Any]) -> Any:
     if agg == AggFunc.MIN:
         return min(vals) if vals else None
     if agg == AggFunc.FIRST_VALUE:
-        return vals[0] if vals else None
+        return values[0] if values else None
     if agg == AggFunc.LAST_VALUE:
-        return vals[-1] if vals else None
+        return values[-1] if values else None
     if agg == AggFunc.COLLECT_LIST:
-        return vals if vals else None
+        return list(values) if values else None
     if agg == AggFunc.VALUE_COUNTS:
         if not vals:
             return None
@@ -136,15 +141,20 @@ def stateful_sliding_window(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            history_json, last_wend, last_values_json, drain_wend = state.get
+            history_json, last_wend, last_values_enc, drain_wend = state.get
             history = json.loads(history_json)
-            last_values = json.loads(last_values_json)
+            # last_values is kept as its canonical JSON encoding (sort_keys +
+            # default=str) and compared encoding-to-encoding: a parsed round
+            # trip would stringify VALUE_COUNTS' non-string map keys and
+            # defeat skip_same_window_output across micro-batches.
+            if last_values_enc == "null":
+                last_values_enc = None
             if last_wend is not None and last_wend < 0:
                 last_wend = None
             if drain_wend is not None and drain_wend < 0:
                 drain_wend = None
         else:
-            history, last_wend, last_values, drain_wend = [], None, None, None
+            history, last_wend, last_values_enc, drain_wend = [], None, None, None
 
         for pdf in pdf_iter:
             for row in pdf.itertuples(index=False):
@@ -194,16 +204,20 @@ def stateful_sliding_window(
                     if v is None and defaults[i] is not None:
                         v = defaults[i]
                     values.append(v)
-                empty = all(
-                    v == d or (v is None and d is None)
-                    for v, d in zip(values, defaults)
+                # "empty" = no source ROW in the largest window — matching
+                # the batch evaluator, which emits every window end that
+                # received contributions (even all-default ones, e.g. a
+                # populated window whose SUM is 0).
+                any_rows = any(
+                    wend - max_window <= r[0] < wend for r in history
                 )
-                should_emit = enable_empty or not empty
-                if skip_same and last_values is not None and values == last_values:
+                should_emit = enable_empty or any_rows
+                enc = json.dumps(values, sort_keys=True, default=str)
+                if skip_same and last_values_enc is not None and enc == last_values_enc:
                     should_emit = False
                 if should_emit:
                     emissions.append(list(key) + [wend - 1] + values)
-                    last_values = values
+                    last_values_enc = enc
                 last_wend = wend
                 wend += step_ms
 
@@ -224,7 +238,7 @@ def stateful_sliding_window(
                 (
                     json.dumps(history),
                     -1 if last_wend is None else last_wend,
-                    json.dumps(last_values),
+                    "null" if last_values_enc is None else last_values_enc,
                     -1 if drain_wend is None else drain_wend,
                 )
             )

@@ -82,18 +82,51 @@ class SparkStreamBuilder:
             )
             df = _parse_kafka_value(raw, source)
         elif isinstance(source, DataGenSource):
+            from feathub_spark.common import types as _t
+            from feathub_spark.feature_tables.sources.datagen_source import (
+                RandomField,
+                SequenceField,
+            )
+
             rate = (
                 self._spark.readStream.format("rate")
                 .option("rowsPerSecond", str(source.rows_per_second))
                 .load()
             )
             df = rate.select(F.col("value").alias("id"))
-            # project schema columns from the monotonically increasing id
+            if source.number_of_rows is not None:
+                df = df.filter(F.col("id") < source.number_of_rows)
+            # Same field semantics as the batch DataGenSource.to_dataframe:
+            # sequences offset from start (wrapping over their span),
+            # random fields uniform in [minv, maxv) / prefixed strings.
+            # rand(seed) is nondeterministic per micro-batch, so randomness
+            # derives from xxhash64(id, seed+i) — deterministic per row id.
             cols = []
-            for fname, ftype in zip(
-                source.schema.field_names, source.schema.field_types
+            for i, (fname, ftype) in enumerate(
+                zip(source.schema.field_names, source.schema.field_types)
             ):
-                cols.append((F.col("id") % 1000).cast(to_spark_type(ftype)).alias(fname))
+                fc = source.field_configs.get(fname, RandomField())
+                spark_t = to_spark_type(ftype)
+                if isinstance(fc, SequenceField):
+                    span = fc.end - fc.start + 1
+                    col = (
+                        F.lit(fc.start) + F.pmod(F.col("id"), F.lit(span))
+                    ).cast(spark_t)
+                else:
+                    u = (
+                        F.abs(F.xxhash64(F.col("id"), F.lit(source.seed + i)))
+                        % F.lit(1_000_000)
+                    ) / F.lit(1_000_000.0)
+                    if ftype == _t.String:
+                        col = F.concat(
+                            F.lit(f"{fname}_"),
+                            (u * F.lit(10 ** fc.length)).cast("bigint"),
+                        ).cast(spark_t)
+                    else:
+                        col = (
+                            F.lit(fc.minv) + u * (F.lit(fc.maxv) - F.lit(fc.minv))
+                        ).cast(spark_t)
+                cols.append(col.alias(fname))
             df = df.select(*cols)
         else:
             raise PlanError(

@@ -234,3 +234,64 @@ def test_unbounded_value_counts_long_single_key(client, tmp_path):
         got = df["vc"][probe]
         got = dict(got) if got is not None else None
         assert got == (expected or None), f"row {probe}"
+
+
+def test_null_value_semantics_under_filter_and_limit(client, tmp_path):
+    """Reference null semantics (local aggregation_utils.py): COUNT/
+    ROW_NUMBER = len(l) and FIRST/LAST = l[0]/l[-1] INCLUDING null values;
+    COLLECT_LIST keeps null elements; SUM skips them.  Exercised across the
+    direct path (no limit) and the collect path (filter+limit)."""
+    import math
+    import os
+
+    from feathub_spark import FileSystemSource, Int64, Schema, String
+
+    path = os.path.join(str(tmp_path), "nulls.csv")
+    with open(path, "w") as f:
+        f.write("k,v,t\n")
+        f.write("a,10,1\n")
+        f.write("a,,2\n")     # null v — filter passes, occupies a slot
+        f.write("a,30,3\n")
+        f.write("a,,4\n")     # null v
+        f.write("b,5,1\n")
+    schema = (
+        Schema.new_builder()
+        .column("k", String).column("v", Int64).column("t", Int64).build()
+    )
+    source = FileSystemSource(
+        name="nulls_src", path=path, data_format="csv", schema=schema,
+        keys=["k"], timestamp_field="t", timestamp_format="epoch",
+    )
+    passing = dict(group_by_keys=["k"], filter_expr="t > 0")
+    view = DerivedFeatureView(
+        name="nulls_view",
+        source=source,
+        features=[
+            # direct path: unbounded + filter
+            Feature("cnt_direct", transform=OverWindowTransform("v", "COUNT", **passing)),
+            # collect path: filter + limit 3
+            Feature("cnt_lim", transform=OverWindowTransform("v", "COUNT", limit=3, **passing)),
+            Feature("sum_lim", transform=OverWindowTransform("v", "SUM", limit=3, **passing)),
+            Feature("first_f", transform=OverWindowTransform("v", "FIRST_VALUE", **passing)),
+            Feature("last_f", transform=OverWindowTransform("v", "LAST_VALUE", **passing)),
+            Feature("cl", transform=OverWindowTransform("v", "COLLECT_LIST", group_by_keys=["k"])),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = client.get_features(view).to_pandas()
+    a = df[df["k"] == "a"].sort_values("t").reset_index(drop=True)
+
+    def ival(x):
+        return None if x is None or (isinstance(x, float) and math.isnan(x)) else int(x)
+
+    # COUNT counts rows incl null values
+    assert a["cnt_direct"].tolist() == [1, 2, 3, 4]
+    assert a["cnt_lim"].tolist() == [1, 2, 3, 3]
+    # SUM skips null values (last-3 window at t=4 holds [None,30,None])
+    assert a["sum_lim"].tolist() == [10, 10, 40, 30]
+    # FIRST/LAST are positional incl nulls
+    assert [ival(x) for x in a["first_f"]] == [10, 10, 10, 10]
+    assert [ival(x) for x in a["last_f"]] == [10, None, 30, None]
+    # COLLECT_LIST keeps null elements
+    assert [ival(x) for x in a["cl"][3]] == [10, None, 30, None]

@@ -67,13 +67,14 @@ def _brute_over(rows, window_s, limit, filter_pos):
         if filter_pos:
             in_win = [r for r in in_win if r[1] is not None and r[1] > 0]
         in_win.sort(key=lambda r: r[2])
-        # limit slices ROWS (null-valued rows occupy slots); aggregation
-        # then skips null values
+        # limit slices ROWS (null-valued rows occupy slots); SUM/MAX then
+        # skip null values while COUNT counts rows incl nulls (reference
+        # aggregation_utils.py len(l))
         if limit is not None:
             in_win = in_win[-limit:]
         vals = [r[1] for r in in_win if r[1] is not None]
         s = sum(vals) if vals else 0
-        c = len(vals)
+        c = len(in_win)
         mx = max(vals) if vals else None
         out.append((k, t, s, c, mx))
     return out
@@ -118,17 +119,13 @@ def test_over_window_random(client, tmp_path, seed, window_s, limit, filter_pos)
     def norm(v):
         return None if v is None or (isinstance(v, float) and math.isnan(v)) else int(v)
 
-    got_set = sorted(
+    from collections import Counter
+
+    got_set = Counter(
         (r["k"], int(r["t"]), norm(r["s"]), norm(r["c"]), norm(r["m"]))
         for _, r in got.iterrows()
     )
-    exp_map = {}
-    for k, t, s, c, mx in expected:
-        exp_map.setdefault((k, t), []).append((s, c, mx))
-    exp_set = sorted(
-        (k, t // 1000 if False else t, s, c, mx) for (k, v, t), (kk, tt, s, c, mx) in zip(rows, expected)
-    )
-    exp_set = sorted((kk, tt, s, c, mx) for (kk, tt, s, c, mx) in expected)
+    exp_set = Counter((kk, tt, s, c, mx) for (kk, tt, s, c, mx) in expected)
     assert got_set == exp_set
 
 
@@ -141,8 +138,9 @@ def _brute_sliding(rows, window_s, step_s):
             out.setdefault((k, wend), []).append(v)
     result = {}
     for (k, wend), vals in out.items():
-        vals = [v for v in vals if v is not None]
-        result[(k, wend * 1000 - 1)] = (sum(vals) if vals else 0, len(vals))
+        nn = [v for v in vals if v is not None]
+        # COUNT = rows incl null values; SUM skips nulls
+        result[(k, wend * 1000 - 1)] = (sum(nn) if nn else 0, len(vals))
     return result
 
 
@@ -200,8 +198,9 @@ def _brute_sliding_full(rows, window_s, step_s):
         prev = None
         wend = first_wend
         while wend <= last_wend:
-            vals = [v for (t, v) in kv if wend - window_s <= t < wend and v is not None]
-            cur = (sum(vals) if vals else 0, len(vals))
+            rows_in = [v for (t, v) in kv if wend - window_s <= t < wend]
+            nn = [v for v in rows_in if v is not None]
+            cur = (sum(nn) if nn else 0, len(rows_in))
             if prev is None or cur != prev:
                 out[(k, wend * 1000 - 1)] = cur
                 prev = cur
@@ -258,12 +257,15 @@ def _brute_collect(rows, limit):
         )
         if limit is not None:
             in_win = in_win[-limit:]
-        vals = [vv for _, vv in in_win if vv is not None]
+        # COLLECT_LIST and FIRST/LAST are positional INCLUDING null values
+        # (reference list(l), l[0], l[-1]); VALUE_COUNTS skips nulls
+        vals = [vv for _, vv in in_win]
         counts = {}
         for vv in vals:
-            counts[vv] = counts.get(vv, 0) + 1
-        first = vals[0] if vals else None
-        last = vals[-1] if vals else None
+            if vv is not None:
+                counts[vv] = counts.get(vv, 0) + 1
+        first = vals[0] if in_win else None
+        last = vals[-1] if in_win else None
         out.append((k, t, tuple(vals), tuple(sorted(counts.items())), first, last))
     return out
 
@@ -296,12 +298,17 @@ def test_over_collect_paths_random(client, tmp_path, seed, limit):
     def _tup(x):
         if x is None or (isinstance(x, float) and math.isnan(x)):
             return ()
-        return tuple(int(i) for i in x)
+        return tuple(
+            None if i is None or (isinstance(i, float) and math.isnan(i)) else int(i)
+            for i in x
+        )
 
     def _ival(x):
         return None if x is None or (isinstance(x, float) and math.isnan(x)) else int(x)
 
-    got_set = sorted(
+    from collections import Counter
+
+    got_set = Counter(
         (
             r["k"], int(r["t"]), _tup(r["cl"]),
             tuple(sorted((int(kk), int(vv)) for kk, vv in (r["vc"] or {}).items()))
@@ -310,7 +317,7 @@ def test_over_collect_paths_random(client, tmp_path, seed, limit):
         )
         for _, r in got.iterrows()
     )
-    exp_set = sorted(
+    exp_set = Counter(
         (k, t, vals, counts, first, last)
         for (k, t, vals, counts, first, last) in _brute_collect(rows, limit)
     )
