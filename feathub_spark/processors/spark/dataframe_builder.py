@@ -73,13 +73,16 @@ class SparkDataFrameBuilder:
         spark: SparkSession,
         registry,
         over_window_salt_chunk_ms: int = None,
+        asof_salt_chunk_ms: int = None,
     ) -> None:
         self._spark = spark
         self._registry = registry
         self._built: Dict[str, DataFrame] = {}
         # Opt-in hot-key mitigation: unbounded decomposable over-windows use
-        # the two-phase chunked plan (evaluate_salted_over_window).
+        # the two-phase chunked plan (evaluate_salted_over_window); as-of
+        # joins use the analogous time-chunked fill (_chunked_asof_fill).
         self._salt_chunk_ms = over_window_salt_chunk_ms
+        self._asof_salt_chunk_ms = asof_salt_chunk_ms
 
     # -- public ----------------------------------------------------------
     def build(self, descriptor: TableDescriptor) -> DataFrame:
@@ -215,6 +218,7 @@ class SparkDataFrameBuilder:
                 right_fields,
                 valid_time_ms=valid_time_ms,
                 defaults=defaults,
+                salt_chunk_ms=self._asof_salt_chunk_ms,
             )
             for out_name, key in map_entries.items():
                 df = df.withColumn(out_name, F.col(out_name)[F.lit(key)])

@@ -14,9 +14,17 @@ left-join followed by a row_number window filter
 keys, catastrophic at 100 TB.  Instead we tag and union both sides, sort each
 key partition once by (ts, side), and carry the latest right-side payload
 forward with ``last(ignorenulls)`` over an unbounded-preceding rows frame.
-One shuffle, linear state, no row explosion, and AQE handles skew.  Right
-rows sort before left rows at the same timestamp so ``right_ts == left_ts``
-matches (inclusive as-of).
+One shuffle, linear state, no row explosion.  Right rows sort before left
+rows at the same timestamp so ``right_ts == left_ts`` matches (inclusive
+as-of).
+
+Hot-key caveat: AQE's skew mitigation applies to joins, not window
+operators — the plain union plan still serializes each key into one task.
+``salt_chunk_ms`` opts into the time-chunked two-phase variant (the as-of
+analog of evaluate_salted_over_window): per-(keys, chunk) last right
+payload, exclusive prefix over the tiny chunk table, within-chunk running
+last partitioned by (keys, chunk) — a hot key then parallelizes across its
+time chunks at the cost of two extra (small) shuffles.
 
 All joined features from one (right_table, keys) pair are fetched in a single
 pass (join fusion, reference flink_table_builder.py:322-328): the right
@@ -39,6 +47,70 @@ from feathub_spark.processors.spark.constants import EVENT_TIME_COL
 _SIDE_COL = "__asof_side__"      # 0 = right, 1 = left: right first on ties
 _PAYLOAD_COL = "__asof_payload__"
 _RIGHT_TS = "__right_ts_ms__"
+_CHUNK_COL = "__asof_chunk__"
+_MS_COL = "__asof_ms__"
+_PREFIX_COL = "__asof_prefix__"
+
+
+def _chunked_asof_fill(
+    unioned: DataFrame, keys: Sequence[str], chunk_ms: int
+) -> DataFrame:
+    """Hot-key-safe payload fill: split each key's timeline into chunks of
+    ``chunk_ms`` so the running-last parallelizes across (keys, chunk)
+    partitions instead of serializing the whole key into one task.
+
+      1. per-(keys, chunk) last right payload — map-side combinable
+         (max_by over right rows only; ties on right ts resolved
+         arbitrarily, same as the reference);
+      2. exclusive running last over the tiny per-key chunk grid;
+      3. within-chunk running last + coalesce with the chunk prefix.
+    """
+    keys = list(keys)
+    ms = F.unix_millis(F.col(EVENT_TIME_COL))
+    base = unioned.withColumn(_MS_COL, ms).withColumn(
+        _CHUNK_COL, F.floor(F.col(_MS_COL) / F.lit(chunk_ms))
+    )
+
+    chunk_last = (
+        base.filter(F.col(_SIDE_COL) == 0)
+        .groupBy(*keys, _CHUNK_COL)
+        .agg(
+            F.expr(
+                f"max_by({_PAYLOAD_COL}, struct({_MS_COL}))"
+            ).alias("__chunk_payload__")
+        )
+    )
+    grid = base.select(*keys, _CHUNK_COL).distinct()
+    wprev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_CHUNK_COL))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = (
+        grid.join(chunk_last, on=keys + [_CHUNK_COL], how="left")
+        .withColumn(
+            _PREFIX_COL,
+            F.last(F.col("__chunk_payload__"), ignorenulls=True).over(wprev),
+        )
+        .select(*keys, _CHUNK_COL, _PREFIX_COL)
+    )
+
+    joined = base.join(prefix, on=keys + [_CHUNK_COL], how="left")
+    wchunk = (
+        Window.partitionBy(*keys, F.col(_CHUNK_COL))
+        .orderBy(F.col(_MS_COL).asc(), F.col(_SIDE_COL).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(
+            _PAYLOAD_COL,
+            F.coalesce(
+                F.last(F.col(_PAYLOAD_COL), ignorenulls=True).over(wchunk),
+                F.col(_PREFIX_COL),
+            ),
+        )
+        .drop(_CHUNK_COL, _MS_COL, _PREFIX_COL)
+    )
 
 
 def temporal_join(
@@ -48,12 +120,16 @@ def temporal_join(
     right_fields: Dict[str, str],
     valid_time_ms: Optional[int] = None,
     defaults: Optional[Dict[str, object]] = None,
+    salt_chunk_ms: Optional[int] = None,
 ) -> DataFrame:
     """As-of join ``right_fields`` (output column -> right column) onto left.
 
     Keyed by OUTPUT name so two features reading the same right column
     (e.g. one map feature under different entry keys) don't collide.
     Both inputs must carry the EVENT_TIME_COL metadata column.
+
+    ``salt_chunk_ms`` opts into the hot-key-safe time-chunked plan (module
+    docstring); results are identical up to right-timestamp ties.
     """
     keys = list(keys)
     left_cols = left.columns
@@ -77,14 +153,17 @@ def temporal_join(
     )
 
     unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(EVENT_TIME_COL).asc(), F.col(_SIDE_COL).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.withColumn(
-        _PAYLOAD_COL, F.last(F.col(_PAYLOAD_COL), ignorenulls=True).over(w)
-    )
+    if salt_chunk_ms is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(EVENT_TIME_COL).asc(), F.col(_SIDE_COL).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unioned.withColumn(
+            _PAYLOAD_COL, F.last(F.col(_PAYLOAD_COL), ignorenulls=True).over(w)
+        )
+    else:
+        filled = _chunked_asof_fill(unioned, keys, salt_chunk_ms)
     result = filled.filter(F.col(_SIDE_COL) == 1)
 
     out_cols: Dict[str, Column] = {}

@@ -55,11 +55,14 @@ class SparkProcessor:
         spark: SparkSession,
         registry: Optional[LocalRegistry] = None,
         over_window_salt_chunk_ms: Optional[int] = None,
+        asof_salt_chunk_ms: Optional[int] = None,
     ) -> None:
         self.spark = spark
         self.registry = registry or LocalRegistry()
-        # hot-key mitigation for unbounded over-windows (docs/SCALE.md)
+        # hot-key mitigation for unbounded over-windows and as-of joins
+        # (docs/SCALE.md)
         self.over_window_salt_chunk_ms = over_window_salt_chunk_ms
+        self.asof_salt_chunk_ms = asof_salt_chunk_ms
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         try:
             spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -76,7 +79,8 @@ class SparkProcessor:
         if not descriptor.is_resolved():
             descriptor = self.registry.build_features(descriptor)[0]
         builder = SparkDataFrameBuilder(
-            self.spark, self.registry, self.over_window_salt_chunk_ms
+            self.spark, self.registry, self.over_window_salt_chunk_ms,
+            self.asof_salt_chunk_ms,
         )
         df = builder.build_with_event_time(descriptor)
 

@@ -62,3 +62,63 @@ def test_salted_equals_standard(spark, tmp_path, seed, filter_pos):
     exp_sorted = expected[cols].sort_values(cols).reset_index(drop=True)
     got_sorted = got[cols].sort_values(cols).reset_index(drop=True)
     assert got_sorted.equals(exp_sorted)
+
+
+def _asof_rows(seed, unique_right_ts=False):
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(250):
+        k = "hot" if rnd.random() < 0.7 else rnd.choice(["a", "b", "c"])
+        t = rnd.randrange(0, 500)
+        if unique_right_ts:
+            t = t * 300 + i  # unique → no right-tie ambiguity
+        v = rnd.randrange(-20, 100)
+        rows.append((k, v, t))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_salted_asof_equals_standard(spark, tmp_path, seed):
+    """The time-chunked as-of fill must match the single-partition-per-key
+    plan exactly (right timestamps made unique so ties don't introduce
+    reference-undefined ambiguity), on data with a dominant hot key."""
+    left_rows = _asof_rows(seed)
+    right_rows = _asof_rows(seed + 1000, unique_right_ts=True)
+    right_rows = [(k, v, t % 700) for (k, v, t) in right_rows]
+    lsrc = _write_source(tmp_path, f"sa_l_{seed}", left_rows)
+    rsrc = _write_source(tmp_path, f"sa_r_{seed}", right_rows)
+
+    def build(processor):
+        rview = DerivedFeatureView(
+            name=f"sa_rv_{seed}_{id(processor) % 97}",
+            source=rsrc,
+            features=[Feature("rv", transform="v", keys=["k"])],
+            keep_source_fields=True,
+        )
+        lview = DerivedFeatureView(
+            name=f"sa_lv_{seed}_{id(processor) % 97}",
+            source=lsrc,
+            features=[f"{rview.name}.rv"],
+            keep_source_fields=True,
+        )
+        processor.registry.build_features([rsrc, rview])
+        processor.registry.build_features([lsrc, lview])
+        built = processor.registry.build_features([lview])[0]
+        return processor.get_table(built).to_pandas()
+
+    import math
+
+    def norm(df):
+        return sorted(
+            (
+                r["k"], int(r["t"]), int(r["v"]),
+                None if r["rv"] is None or (isinstance(r["rv"], float) and math.isnan(r["rv"])) else int(r["rv"]),
+            )
+            for _, r in df.iterrows()
+        )
+
+    expected = norm(build(SparkProcessor(spark)))
+    # chunk = 100s → the hot key splits into ~5 parallel chunks
+    got = norm(build(SparkProcessor(spark, asof_salt_chunk_ms=100_000)))
+    assert got == expected
+    assert len(got) == len(left_rows)
