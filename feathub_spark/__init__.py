@@ -65,8 +65,13 @@ from feathub_spark.feature_tables.sinks.connector_sinks import (
     RedisSink,
 )
 from feathub_spark.online_stores.memory_online_store import MemoryOnlineStore
+from feathub_spark.online_stores.sql_online_store import (
+    MySQLOnlineStore,
+    SqlOnlineStore,
+)
 from feathub_spark.feature_service.local_feature_service import LocalFeatureService
-from feathub_spark.registries.registry import LocalRegistry
+from feathub_spark.registries.registry import FileRegistry, LocalRegistry
+from feathub_spark.registries.sql_registry import MySQLRegistry, SqlRegistry
 from feathub_spark.processors.spark.spark_processor import (
     FeathubClient,
     SparkProcessor,
@@ -91,4 +96,6 @@ __all__ = [
     "MySQLSource", "RedisSource",
     "HiveSink", "JdbcSink", "KafkaSink", "MySQLSink", "PrometheusSink",
     "RedisSink", "MemoryOnlineStore", "LocalFeatureService",
+    "FileRegistry", "SqlRegistry", "MySQLRegistry",
+    "SqlOnlineStore", "MySQLOnlineStore",
 ]

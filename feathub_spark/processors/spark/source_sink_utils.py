@@ -228,18 +228,21 @@ def _write_redis(df: DataFrame, sink, descriptor) -> None:
     columns = df.columns
 
     def write_partition(rows):
-        import json
-
         import redis as redis_mod
+
+        from feathub_spark.online_stores.redis_client import (
+            build_redis_key,
+            encode_field,
+        )
 
         client = redis_mod.Redis(host=host, port=port, db=db_num)
         pipe = client.pipeline()
         for row in rows:
             d = row.asDict()
-            key = namespace + ":" + ":".join(str(d[k]) for k in keys)
+            key = build_redis_key(namespace, [d[k] for k in keys])
             pipe.hset(
                 key,
-                mapping={c: json.dumps(d[c], default=str) for c in columns},
+                mapping={c: encode_field(d[c]) for c in columns},
             )
         pipe.execute()
 
