@@ -1267,6 +1267,9 @@ SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
 
 
 def _q_multimodal_meta(spark, sf_dir):
+    """The Arrow mapInPandas plumbing runs for real; the deterministic fake
+    decoder derives metadata from the md5 content digest, which DuckDB can
+    recompute — so even the stubbed pipeline is hash-checked end to end."""
     from feathub_spark.datapipe.multimodal import decode_image_metadata
 
     df = (
@@ -1279,7 +1282,24 @@ def _q_multimodal_meta(spark, sf_dir):
         F.col("image_meta.width").alias("width"),
         F.col("image_meta.height").alias("height"),
         F.col("image_meta.channels").alias("channels"),
+        F.col("image_meta.content_md5").alias("content_md5"),
     )
+
+
+# hex pair (1-based positions p, p+1 of the md5 hex string) -> byte value
+def _hex_byte(p: int) -> str:
+    h = "strpos('0123456789abcdef', substr(d, {i}, 1)) - 1"
+    return f"(16 * ({h.format(i=p)}) + ({h.format(i=p + 1)}))"
+
+
+_ORACLE_MULTIMODAL_META = f"""
+SELECT doc_id,
+       CAST(16 + {_hex_byte(1)} % 64 AS INTEGER) AS width,
+       CAST(16 + {_hex_byte(3)} % 64 AS INTEGER) AS height,
+       CAST(1 + {_hex_byte(5)} % 3 AS INTEGER) AS channels,
+       d AS content_md5
+FROM (SELECT doc_id, md5(text) AS d FROM documents)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1367,6 +1387,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _ORACLE_MINHASH_DEDUP,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
         "lsh_ann": _ORACLE_LSH_ANN,
-        # multimodal_meta: decoder is honestly stubbed (no image libs in the
-        # sandbox) → rows-only check.
+        "multimodal_meta": _ORACLE_MULTIMODAL_META,
     }

@@ -25,18 +25,20 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
         T.StructField("format", T.StringType()),
-        T.StructField("content_sha1", T.StringType()),
+        T.StructField("content_md5", T.StringType()),
     ]
 )
 
 
 def _fake_decode(payload: bytes):
-    """Deterministic fake: metadata derived from a content digest."""
-    digest = hashlib.sha1(payload or b"").digest()
+    """Deterministic fake: metadata derived from the md5 content digest —
+    md5 (unlike sha1) exists in every SQL engine, so the whole fake
+    pipeline is oracle-checkable end to end."""
+    digest = hashlib.md5(payload or b"").digest()
     width = 16 + digest[0] % 64
     height = 16 + digest[1] % 64
     channels = 1 + digest[2] % 3
-    return width, height, channels, "fake", hashlib.sha1(payload or b"").hexdigest()
+    return width, height, channels, "fake", hashlib.md5(payload or b"").hexdigest()
 
 
 def decode_image_metadata(
@@ -71,7 +73,7 @@ def decode_image_metadata(
                         "height": h,
                         "channels": c,
                         "format": fmt,
-                        "content_sha1": sha,
+                        "content_md5": sha,
                     }
                 )
             batch = batch.copy()
