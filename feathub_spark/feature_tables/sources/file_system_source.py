@@ -31,6 +31,15 @@ class FileSystemSource(FeatureTable):
         max_out_of_orderness: timedelta = timedelta(0),
         data_format_props: Optional[Dict[str, str]] = None,
     ) -> None:
+        if data_format == "protobuf":
+            # reference format_config.py:23 — needs the spark-protobuf
+            # external module (+ compiled descriptor set), which is not
+            # bundled with this Spark distribution
+            raise FeathubError(
+                "protobuf sources need the spark-protobuf module jar on the "
+                "session classpath; it is not available in this deployment. "
+                f"Supported formats: {sorted(_SUPPORTED_FORMATS)}."
+            )
         if data_format not in _SUPPORTED_FORMATS:
             raise FeathubError(
                 f"Unsupported data_format {data_format!r}; "

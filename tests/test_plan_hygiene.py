@@ -70,3 +70,80 @@ def test_over_window_fusion_single_window_exec(client, tmp_path):
         and ") Window" in line
     )
     assert n_windows == 1, f"expected 1 WindowExec, plan has {n_windows}:\n{plan}"
+
+
+def test_unbounded_value_counts_plan_is_join_safe(client, tmp_path):
+    """The distributive VALUE_COUNTS plan joins pair/prefix tables on equi
+    keys: no CartesianProduct / BroadcastNestedLoopJoin may appear, and the
+    whole plan must stay window+hash-join shaped."""
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+    from tests.fixtures import write_f1_source
+
+    source = write_f1_source(tmp_path, "vc_plan_src")
+    view = DerivedFeatureView(
+        name="vc_plan_view",
+        source=source,
+        features=[
+            Feature(
+                "vc",
+                transform=OverWindowTransform(
+                    "cost", "VALUE_COUNTS", group_by_keys=["name"]
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = client.processor.get_table(view).to_dataframe()
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_field_with_reserved_keyword_name(client, tmp_path):
+    """Reference test_join_transform.py:429: right-table feature named with
+    a DSL reserved word ('end') must survive the as-of join via backticks."""
+    import os
+
+    from feathub_spark import FileSystemSource, Float64, Int64, Schema, String
+
+    p = os.path.join(str(tmp_path), "rk_r.csv")
+    with open(p, "w") as f:
+        f.write("name,end,time\n")
+        f.write("Alex,1.5,1\n")
+        f.write("Alex,2.5,3\n")
+    schema_r = (
+        Schema.new_builder()
+        .column("name", String).column("end", Float64).column("time", Int64).build()
+    )
+    rsrc = FileSystemSource(
+        name="rk_right", path=p, data_format="csv", schema=schema_r,
+        keys=["name"], timestamp_field="time", timestamp_format="epoch",
+    )
+    lp = os.path.join(str(tmp_path), "rk_l.csv")
+    with open(lp, "w") as f:
+        f.write("name,v,time\n")
+        f.write("Alex,10,2\n")
+        f.write("Alex,20,4\n")
+    schema_l = (
+        Schema.new_builder()
+        .column("name", String).column("v", Int64).column("time", Int64).build()
+    )
+    lsrc = FileSystemSource(
+        name="rk_left", path=lp, data_format="csv", schema=schema_l,
+        keys=["name"], timestamp_field="time", timestamp_format="epoch",
+    )
+    rview = DerivedFeatureView(
+        name="rk_rv", source=rsrc,
+        features=[Feature("end", transform="`end`", keys=["name"])],
+        keep_source_fields=True,
+    )
+    lview = DerivedFeatureView(
+        name="rk_lv", source=lsrc,
+        features=["rk_rv.end"],
+        keep_source_fields=True,
+    )
+    client.build_features([rsrc, rview])
+    client.build_features([lsrc, lview])
+    out = client.get_features(lview).to_pandas().sort_values("time")
+    assert out["end"].tolist() == [1.5, 2.5]
