@@ -1,0 +1,133 @@
+"""Deterministic sampling, sharding and sequence packing for training-data
+pipelines.
+
+Everything is driven by a *portable* uniform hash (md5 of the id, first 8
+hex digits as a 32-bit integer) so results are reproducible run-to-run,
+engine-to-engine, and at any parallelism: no rand(), no partition-dependent
+state.  All computation is Catalyst expressions inside whole-stage codegen.
+
+- ``sample_by_hash``: keep a deterministic fraction of rows.
+- ``stratified_sample``: per-group fractions (corpus mixing: "keep 100% of
+  'de', 30% of 'en'"), one scan, no shuffle.
+- ``assign_shards``: stable shard id + position for sharded dataset writes;
+  the (hash, id) sort key inside each shard is a deterministic global
+  shuffle (the usual pre-training "document shuffle").
+- ``pack_sequences``: GPT-style sequence packing — documents are
+  concatenated in deterministic-shuffle order within each shard and the
+  token stream is chunked into fixed-size context windows; each document is
+  assigned its (pack_id, pack_offset) via a running token cumsum.  One
+  window function per shard partition, no Python.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from feathub_spark.common.parallelism import ensure_parallelism
+
+HASH_SPACE = float(1 << 32)
+
+
+def hash32(id_col: str, seed: int = 0) -> Column:
+    """First 32 bits of md5(id || ':' || seed) as a bigint in [0, 2^32).
+
+    md5-based rather than xxhash64 so any engine (DuckDB, Trino, ...) can
+    reproduce the exact sample/shard/pack assignment for audit."""
+    return F.expr(
+        f"CAST(conv(substr(md5(concat(CAST(`{id_col}` AS STRING), ':{seed}')), "
+        f"1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def hash_fraction(id_col: str, seed: int = 0) -> Column:
+    """Deterministic uniform fraction in [0, 1)."""
+    return hash32(id_col, seed) / F.lit(HASH_SPACE)
+
+
+def sample_by_hash(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep rows whose hash fraction < ``fraction`` (exact expectation,
+    deterministic membership)."""
+    return df.filter(hash_fraction(id_col, seed) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    fractions: Dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group sampling rates in one scan (training-corpus mixing).
+
+    Unknown groups get ``default_fraction``.  Membership depends only on
+    (id, seed), so raising a group's rate strictly grows its sample
+    (nested samples — handy for data-scaling ablations)."""
+    rate = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        rate = F.when(F.col(group_col) == value, F.lit(float(frac))).otherwise(rate)
+    return df.filter(hash_fraction(id_col, seed) < rate)
+
+
+def assign_shards(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Add ``shard`` (hash mod n_shards) and ``shard_pos`` (0-based rank by
+    the deterministic shuffle key inside the shard).
+
+    The shard is the unit of output parallelism at scale: repartition by
+    ``shard`` and every writer task emits one contiguous, globally-shuffled
+    shard — no driver-side ordering."""
+    h = hash32(id_col, seed)
+    w = Window.partitionBy("shard").orderBy(F.col("__h__"), F.col(id_col))
+    return (
+        df.withColumn("__h__", h)
+        .withColumn("shard", (F.col("__h__") % n_shards).cast("int"))
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__h__")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_tokens: int,
+    n_shards: int = 1,
+    seed: int = 0,
+    eos_tokens: int = 0,
+) -> DataFrame:
+    """GPT-style packing: concatenate documents in deterministic-shuffle
+    order per shard, then chunk the token stream into ``max_tokens``-sized
+    context windows.  Documents may span pack boundaries (standard
+    concat-and-chunk pre-training semantics; ``eos_tokens`` reserves
+    separator tokens after each document).
+
+    Output adds: shard, start offset in the shard's token stream,
+    pack_id (context-window index of the document's first token) and
+    pack_offset (position within that window).  The heavy op is one
+    running-sum window per shard — shards bound partition size, so the
+    plan scales by raising ``n_shards``, and AQE handles residual skew."""
+    h = hash32(id_col, seed)
+    doc_tokens = (F.col(token_col) + F.lit(int(eos_tokens))).cast("bigint")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__h__"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        ensure_parallelism(df)
+        .withColumn("__h__", h)
+        .withColumn("shard", (F.col("__h__") % n_shards).cast("int"))
+        .withColumn("start_offset", (F.sum(doc_tokens).over(w) - doc_tokens))
+        .withColumn("pack_id", (F.col("start_offset") / max_tokens).cast("bigint"))
+        .withColumn(
+            "pack_offset", (F.col("start_offset") % max_tokens).cast("bigint")
+        )
+        .drop("__h__")
+    )
+    return out

@@ -15,7 +15,7 @@ from feathub_spark.common.exceptions import FeathubError
 from feathub_spark.table.schema import Schema
 from feathub_spark.feature_tables.feature_table import FeatureTable
 
-_SUPPORTED_FORMATS = {"csv", "json", "parquet"}
+_SUPPORTED_FORMATS = {"csv", "json", "parquet", "protobuf"}
 
 
 class FileSystemSource(FeatureTable):
@@ -31,15 +31,10 @@ class FileSystemSource(FeatureTable):
         max_out_of_orderness: timedelta = timedelta(0),
         data_format_props: Optional[Dict[str, str]] = None,
     ) -> None:
-        if data_format == "protobuf":
-            # reference format_config.py:23 — needs the spark-protobuf
-            # external module (+ compiled descriptor set), which is not
-            # bundled with this Spark distribution
-            raise FeathubError(
-                "protobuf sources need the spark-protobuf module jar on the "
-                "session classpath; it is not available in this deployment. "
-                f"Supported formats: {sorted(_SUPPORTED_FORMATS)}."
-            )
+        # protobuf (reference format_config.py:23) is handled by the
+        # pure-Python wire codec (common/protowire.py) over length-delimited
+        # message files; the schema is the descriptor, with field numbers
+        # from data_format_props["protobuf.field_numbers"] (default 1..N).
         if data_format not in _SUPPORTED_FORMATS:
             raise FeathubError(
                 f"Unsupported data_format {data_format!r}; "

@@ -45,6 +45,12 @@ def append_event_time(df: DataFrame, descriptor: TableDescriptor) -> DataFrame:
 
 def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFrame:
     if isinstance(source, FileSystemSource):
+        if source.data_format == "protobuf":
+            from feathub_spark.processors.spark.protobuf_io import (
+                read_protobuf_files,
+            )
+
+            return append_event_time(read_protobuf_files(spark, source), source)
         reader = spark.read.format(source.data_format)
         if source.schema is not None and getattr(source, "schema_declared", True):
             reader = reader.schema(source.schema.to_spark_struct())
@@ -136,11 +142,28 @@ def _parse_kafka_value(raw: DataFrame, source) -> DataFrame:
         return raw.select(
             F.from_csv(F.col("value").cast("string"), struct.simpleString()).alias("v")
         ).select("v.*")
+    if source.value_format == "protobuf":
+        from feathub_spark.processors.spark.protobuf_io import (
+            decode_protobuf_column,
+        )
+
+        return decode_protobuf_column(
+            raw, "value", source.schema, getattr(source, "data_format_props", None)
+        )
     raise PlanError(f"Unsupported Kafka value_format {source.value_format!r}.")
 
 
 def insert_into_sink(df: DataFrame, sink, descriptor: TableDescriptor = None) -> None:
     if isinstance(sink, FileSystemSink):
+        if sink.data_format == "protobuf":
+            from feathub_spark.processors.spark.protobuf_io import (
+                write_protobuf_files,
+            )
+
+            write_protobuf_files(
+                df, sink.path, getattr(sink, "data_format_props", None)
+            )
+            return
         df.write.format(sink.data_format).mode("overwrite").save(sink.path)
         return
     if isinstance(sink, PrintSink):
