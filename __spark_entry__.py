@@ -1302,6 +1302,219 @@ FROM (SELECT doc_id, md5(text) AS d FROM documents)
 """
 
 
+def _q_ivf_ann(spark, sf_dir):
+    """IVF-style ANN with a deterministic stride codebook; the oracle
+    replicates the full pipeline (assignment -> probes -> cell join ->
+    rank), so bucketing correctness is hash-checked, not trusted."""
+    from feathub_spark.datapipe.similarity import ivf_topk
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = df.filter(F.col("vec_id") < 20)
+    return ivf_topk(
+        df, queries_df, "embedding", "vec_id", k=5, centroid_stride=25, nprobe=4
+    )
+
+
+_ORACLE_IVF_ANN = """
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0
+), cos AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           round(
+             list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+           6) AS acos
+    FROM embeddings e CROSS JOIN cents c
+), ranked AS (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid ASC) AS arank
+    FROM cos
+), members AS (
+    SELECT vec_id AS neighbor_id, embedding AS nvec, cid AS cell
+    FROM ranked WHERE arank = 1
+), probes AS (
+    SELECT vec_id AS query_id, embedding AS qvec, cid AS cell
+    FROM ranked WHERE vec_id < 20 AND arank <= 4
+), scored AS (
+    SELECT p.query_id, m.neighbor_id,
+           round(
+             list_aggregate(list_transform(range(1, len(p.qvec) + 1),
+                 i -> CAST(p.qvec[i] AS DOUBLE) * CAST(m.nvec[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(p.qvec, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(m.nvec, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+           6) AS cosine
+    FROM members m JOIN probes p ON m.cell = p.cell
+    WHERE m.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+# md5-based 32-bit hash (sampling.hash32): portable across engines
+_H32 = (
+    "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR) || ':{seed}'), 1, 8)) "
+    "AS BIGINT)"
+)
+
+
+def _q_sample_shard(spark, sf_dir):
+    """Stratified corpus mixing (per-lang rates) + deterministic global
+    shuffle into shards (reproducible membership, stable positions)."""
+    from feathub_spark.datapipe.sampling import assign_shards, stratified_sample
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sampled = stratified_sample(
+        df,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.8},
+        default_fraction=0.25,
+        seed=9,
+    )
+    return assign_shards(sampled, "doc_id", n_shards=8, seed=9).select(
+        "doc_id", "lang", "shard", "shard_pos"
+    )
+
+
+_ORACLE_SAMPLE_SHARD = f"""
+WITH hashed AS (
+    SELECT doc_id, lang, {_H32.format(col='doc_id', seed=9)} AS h
+    FROM documents
+), sampled AS (
+    SELECT doc_id, lang, h FROM hashed
+    WHERE h / 4294967296.0 <
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                    WHEN 'fr' THEN 0.8 ELSE 0.25 END
+)
+SELECT doc_id, lang,
+       CAST(h % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS shard_pos
+FROM sampled
+"""
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing over the deterministic
+    per-shard document shuffle (context window = 1024 tokens, 1 EOS)."""
+    from feathub_spark.datapipe.sampling import pack_sequences
+    from feathub_spark.datapipe.text import token_count
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("n_tok", token_count("text"))
+    )
+    return pack_sequences(
+        df, "doc_id", "n_tok", max_tokens=1024, n_shards=4, seed=5, eos_tokens=1
+    ).select("doc_id", "shard", "start_offset", "pack_id", "pack_offset")
+
+
+_ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) + 1 AS cost,
+           {_H32.format(col='doc_id', seed=5)} AS h
+    FROM documents
+), packed AS (
+    SELECT doc_id,
+           CAST(h % 4 AS INTEGER) AS shard,
+           CAST(SUM(cost) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - cost AS BIGINT) AS start_offset
+    FROM toks
+)
+SELECT doc_id, shard, start_offset,
+       CAST(start_offset // 1024 AS BIGINT) AS pack_id,
+       CAST(start_offset % 1024 AS BIGINT) AS pack_offset
+FROM packed
+"""
+
+
+# Synthetic PII suffix appended to every document so the redaction machinery
+# is exercised on known positives (the corpus itself has none).
+_PII_SUFFIX_SPARK = (
+    "concat(' Contact user', CAST(doc_id AS STRING), '@example.com or ', "
+    "'https://site', CAST(doc_id % 7 AS STRING), '.io/p?q=1 or ', "
+    "'+1 555 000 ', CAST(1000 + doc_id % 9000 AS STRING), ' at ', "
+    "'10.0.', CAST(doc_id % 256 AS STRING), '.1 ok')"
+)
+_PII_SUFFIX_DUCK = (
+    "' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or ' || "
+    "'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.io/p?q=1 or ' || "
+    "'+1 555 000 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' at ' || "
+    "'10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ok'"
+)
+
+
+def _q_pii_redact(spark, sf_dir):
+    from feathub_spark.datapipe.text import pii_scrub
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("text", F.expr(f"concat(text, {_PII_SUFFIX_SPARK})"))
+    )
+    return pii_scrub(df).select(
+        "doc_id", "clean_text", "n_url", "n_email", "n_ipv4", "n_phone"
+    )
+
+
+_ORACLE_PII_REDACT = f"""
+WITH aug AS (
+    SELECT doc_id, text || {_PII_SUFFIX_DUCK} AS text FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IPV4>', 'g'),
+         '\\+[0-9][0-9 ()-]{{6,}}[0-9]', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\\+[0-9][0-9 ()-]{{6,}}[0-9]')) AS BIGINT) AS n_phone
+FROM aug
+"""
+
+
+def _q_ngram_topk(spark, sf_dir):
+    from feathub_spark.datapipe.text import ngram_topk
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ngram_topk(df, "text", n=2, k=5, group_col="lang")
+
+
+_ORACLE_NGRAM_TOPK = """
+WITH grams AS (
+    SELECT lang,
+           CASE WHEN len(tk) >= 2 THEN
+             [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]
+           ELSE [array_to_string(tk, ' ')] END AS gs
+    FROM (SELECT lang,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM documents)
+), counts AS (
+    SELECT lang, unnest(gs) AS gram FROM grams
+)
+SELECT lang, rank, gram, n_occurrences FROM (
+    SELECT lang, gram, count(*) AS n_occurrences,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY count(*) DESC, gram ASC) AS BIGINT) AS rank
+    FROM counts GROUP BY lang, gram
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1353,6 +1566,11 @@ _RAW_QUERIES = {
         "token_metrics": _q_token_metrics,
         "lsh_ann": _q_lsh_ann,
         "dedup_clusters": _q_dedup_clusters,
+        "ivf_ann": _q_ivf_ann,
+        "sample_shard": _q_sample_shard,
+        "pack_sequences": _q_pack_sequences,
+        "pii_redact": _q_pii_redact,
+        "ngram_topk": _q_ngram_topk,
     }
 
 
@@ -1388,4 +1606,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
         "lsh_ann": _ORACLE_LSH_ANN,
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
+        "ivf_ann": _ORACLE_IVF_ANN,
+        "sample_shard": _ORACLE_SAMPLE_SHARD,
+        "pack_sequences": _ORACLE_PACK_SEQUENCES,
+        "pii_redact": _ORACLE_PII_REDACT,
+        "ngram_topk": _ORACLE_NGRAM_TOPK,
     }

@@ -73,6 +73,74 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    centroid_stride: int = 25,
+    nprobe: int = 4,
+    query_id_col: str = None,
+) -> DataFrame:
+    """IVF-style ANN: a deterministic codebook (every ``centroid_stride``-th
+    id) partitions the corpus into cells by nearest centroid; each query
+    probes its ``nprobe`` nearest cells and scores only those members.
+
+    This is the inverted-file index re-expressed relationally: the
+    "index build" is one broadcast-join assignment pass (corpus x C
+    centroids, C = n/stride), the "search" is a cell-equi-join — so the
+    100 TB cost is O(n·C) narrow work plus one shuffle on cell id instead
+    of a corpus-wide scan per query.  Fully deterministic (no sampled
+    k-means seed), hence oracle-reproducible; swap the codebook for
+    trained centroids without touching the plan.
+
+    Returns (query_id, neighbor_id, rank, cosine)."""
+    query_id_col = query_id_col or id_col
+    cents = (
+        corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        .select(
+            F.col(id_col).alias("__cid__"), F.col(vec_col).alias("__cvec__")
+        )
+    )
+
+    def assign(df: DataFrame, ident: str, out_id: str, top_n: int) -> DataFrame:
+        scored = (
+            df.select(F.col(ident).alias(out_id), F.col(vec_col).alias(f"__{out_id}_v__"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "__acos__",
+                F.round(F.expr(cosine_expr(f"__{out_id}_v__", "__cvec__")), 6),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__acos__").desc(), F.col("__cid__").asc()
+        )
+        return (
+            scored.withColumn("__arank__", F.row_number().over(w))
+            .filter(F.col("__arank__") <= top_n)
+            .select(out_id, f"__{out_id}_v__", F.col("__cid__").alias("cell"))
+        )
+
+    members = assign(ensure_parallelism(corpus), id_col, "neighbor_id", 1)
+    probes = assign(queries, query_id_col, "query_id", nprobe)
+    cand = members.join(F.broadcast(probes), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(F.expr(cosine_expr("__query_id_v__", "__neighbor_id_v__")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def _srp_signature(
     vec_col: str, planes: int, dims, seed: int, weight_fn: str = "xxhash64"
 ) -> str:

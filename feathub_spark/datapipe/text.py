@@ -9,7 +9,7 @@ feature set.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from feathub_spark.common.parallelism import ensure_parallelism
 
@@ -125,6 +125,89 @@ def rolling_fingerprint(text_col: str, base: int = 31, mod: int = 1_000_000_007)
         f"aggregate(transform(sequence(1, length(`{text_col}`)), "
         f"i -> ascii(substr(`{text_col}`, i, 1))), "
         f"CAST(7 AS BIGINT), (h, c) -> (h * {base} + c) % {mod})"
+    )
+
+
+# PII patterns: shared Java-regex/RE2 subset (no lookarounds, no backrefs)
+# so Spark and any RE2-based engine (DuckDB, Go) match identically.
+PII_PATTERNS = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 ()-]{6,}[0-9]",
+}
+# Redaction order matters (a URL may embed an email-shaped userinfo part;
+# an IP could be re-matched by the phone pattern) — apply in this order.
+PII_ORDER = ["url", "email", "ipv4", "phone"]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str = "clean_text") -> DataFrame:
+    """Redact URLs, emails, IPv4 addresses and international-format phone
+    numbers, replacing each with <KIND>; adds one match-count column per
+    kind (n_url, n_email, ...) for filtering/stats.
+
+    Pure regexp_replace/regexp_extract_all Catalyst expressions — linear
+    per-row work, no shuffle, whole-stage codegen."""
+    counts = {
+        f"n_{kind}": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("bigint")
+        for kind, pat in PII_PATTERNS.items()
+    }
+    redacted = F.col(text_col)
+    for kind in PII_ORDER:
+        redacted = F.regexp_replace(
+            redacted, F.lit(PII_PATTERNS[kind]), F.lit(f"<{kind.upper()}>")
+        )
+    return df.withColumns({**counts, out_col: redacted})
+
+
+def ngrams(text_col: str, n: int = 2) -> Column:
+    """All (overlapping, order-preserving) word n-grams of the lowercased
+    token stream; documents shorter than n yield their single full-token
+    join (mirrors the shingle construction in datapipe.dedup)."""
+    toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+        f"ELSE array(array_join({toks}, ' ')) END"
+    )
+
+
+def ngram_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 10,
+    group_col: str = None,
+) -> DataFrame:
+    """Corpus-level most-frequent n-grams (optionally per group, e.g. per
+    language): explode -> count -> per-group top-k.
+
+    The count aggregation is map-side combinable (partial counts per
+    partition before the single shuffle on the gram key), and only the
+    per-group top-k window touches the distinct-gram space — the standard
+    scalable corpus-stats plan.  Ties rank lexicographically for
+    determinism."""
+    from feathub_spark.common.parallelism import ensure_parallelism as _ep
+
+    group = [group_col] if group_col else []
+    exploded = (
+        _ep(df)
+        .select(*group, F.explode(ngrams(text_col, n)).alias("gram"))
+    )
+    counts = exploded.groupBy(*group, "gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy(*group).orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(*group, "rank", "gram", "n_occurrences")
     )
 
 

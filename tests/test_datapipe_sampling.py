@@ -1,0 +1,169 @@
+"""Deterministic sampling/sharding/packing + IVF ANN + PII scrub +
+n-gram top-k (beyond-reference training-data operators)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feathub_spark.datapipe.sampling import (
+    assign_shards,
+    hash_fraction,
+    pack_sequences,
+    sample_by_hash,
+    stratified_sample,
+)
+from feathub_spark.datapipe.similarity import brute_force_topk, ivf_topk
+from feathub_spark.datapipe.text import ngram_topk, pii_scrub
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_fraction_uniform_and_deterministic(spark, ids_df):
+    fr = ids_df.select(hash_fraction("doc_id", seed=1).alias("f"))
+    stats = fr.agg(
+        F.min("f").alias("lo"), F.max("f").alias("hi"), F.avg("f").alias("mean")
+    ).collect()[0]
+    assert 0.0 <= stats["lo"] and stats["hi"] < 1.0
+    assert abs(stats["mean"] - 0.5) < 0.05
+    again = ids_df.select(hash_fraction("doc_id", seed=1).alias("f"))
+    assert fr.collect() == again.collect()
+
+
+def test_sample_by_hash_nested(spark, ids_df):
+    small = {r["doc_id"] for r in sample_by_hash(ids_df, "doc_id", 0.2, seed=3).collect()}
+    large = {r["doc_id"] for r in sample_by_hash(ids_df, "doc_id", 0.5, seed=3).collect()}
+    assert small <= large  # nested samples: raising the rate only adds rows
+    assert abs(len(small) / 2000 - 0.2) < 0.04
+    assert abs(len(large) / 2000 - 0.5) < 0.04
+
+
+def test_stratified_sample_rates(spark, ids_df):
+    df = ids_df.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    out = stratified_sample(
+        df, "doc_id", "lang", {"en": 0.3, "de": 1.0}, default_fraction=0.0
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 1000  # rate 1.0 keeps everything
+    assert abs(counts["en"] / 1000 - 0.3) < 0.06
+
+
+def test_assign_shards_contiguous_positions(spark, ids_df):
+    out = assign_shards(ids_df, "doc_id", n_shards=8, seed=0)
+    pdf = out.toPandas()
+    assert set(pdf["shard"].unique()) == set(range(8))
+    for shard, grp in pdf.groupby("shard"):
+        assert sorted(grp["shard_pos"]) == list(range(len(grp)))
+
+
+def test_pack_sequences_matches_pandas_model(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 300 + 1).cast("bigint").alias("n_tok"),
+    )
+    out = pack_sequences(
+        df, "doc_id", "n_tok", max_tokens=2048, n_shards=4, seed=5, eos_tokens=1
+    ).toPandas()
+
+    from feathub_spark.datapipe.sampling import HASH_SPACE  # noqa: F401
+    import hashlib
+
+    def h32(v, seed):
+        return int(hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:8], 16)
+
+    model = pd.DataFrame(
+        {"doc_id": range(500), "n_tok": [(i % 300) + 1 for i in range(500)]}
+    )
+    model["h"] = [h32(i, 5) for i in model["doc_id"]]
+    model["shard"] = model["h"] % 4
+    rows = []
+    for shard, grp in model.sort_values(["h", "doc_id"]).groupby("shard"):
+        offset = 0
+        for _, r in grp.iterrows():
+            rows.append((r["doc_id"], shard, offset, offset // 2048, offset % 2048))
+            offset += r["n_tok"] + 1
+    expect = pd.DataFrame(
+        rows, columns=["doc_id", "shard", "start_offset", "pack_id", "pack_offset"]
+    ).sort_values("doc_id").reset_index(drop=True)
+    got = out[["doc_id", "shard", "start_offset", "pack_id", "pack_offset"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got, expect.astype("int64"))
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 5)
+    # probing every cell makes IVF exhaustive -> must equal brute force
+    ivf = ivf_topk(df, q, "embedding", "vec_id", k=4, centroid_stride=30, nprobe=100)
+    bf = brute_force_topk(df, q, "embedding", "vec_id", k=4)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, ivf.collect()), key=lambda x: (x[0], x[2])) == sorted(
+        map(tuple, bf.collect()), key=lambda x: (x[0], x[2])
+    )
+
+
+def test_ivf_probe_subset_recall(spark):
+    import random
+
+    rng = random.Random(3)
+    # clustered data: 4 well-separated centers
+    centers = [[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0], [0, 0, 0, 10]]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4)
+    ivf = ivf_topk(df, q, "embedding", "vec_id", k=3, centroid_stride=10, nprobe=3)
+    bf = brute_force_topk(df, q, "embedding", "vec_id", k=3)
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    recall = len(ivf_pairs & bf_pairs) / len(bf_pairs)
+    assert recall >= 0.9  # same-cluster neighbors live in probed cells
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@example.co.uk today"),
+            (2, "server 10.0.255.3 and http://x.io/p?q=1 ok"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "clean text only"),
+        ],
+        "id bigint, text string",
+    )
+    out = {r["id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert out[1]["clean_text"] == "mail me at <EMAIL> today"
+    assert out[1]["n_email"] == 1
+    assert out[2]["clean_text"] == "server <IPV4> and <URL> ok"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_url"] == 1
+    assert out[3]["clean_text"] == "call <PHONE> now"
+    assert out[3]["n_phone"] == 1
+    assert out[4]["clean_text"] == "clean text only"
+    assert all(out[4][f"n_{k}"] == 0 for k in ["url", "email", "ipv4", "phone"])
+
+
+def test_ngram_topk(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat sat on the cat mat"),
+            ("en", "the cat sat down"),
+            ("de", "der hund der hund"),
+        ],
+        "lang string, text string",
+    )
+    out = ngram_topk(df, "text", n=2, k=2, group_col="lang").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["lang"], []).append((r["rank"], r["gram"], r["n_occurrences"]))
+    assert sorted(by_group["en"]) == [(1, "the cat", 3), (2, "cat sat", 2)]
+    assert sorted(by_group["de"]) == [(1, "der hund", 2), (2, "hund der", 1)]
