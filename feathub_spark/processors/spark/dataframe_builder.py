@@ -233,22 +233,27 @@ class SparkDataFrameBuilder:
             fields = [AggField.from_feature(f_) for f_ in features]
             from feathub_spark.feature_views.transforms.agg_func import AggFunc
             from feathub_spark.processors.spark.over_window_utils import (
+                evaluate_salted_bounded_over_window,
                 evaluate_salted_over_window,
             )
 
+            decomposable = all(
+                f_.agg_func
+                in (AggFunc.SUM, AggFunc.COUNT, AggFunc.AVG, AggFunc.MIN,
+                    AggFunc.MAX, AggFunc.ROW_NUMBER)
+                for f_ in fields
+            )
             saltable = (
                 self._salt_chunk_ms is not None
-                and desc.window_size_ms is None
                 and desc.limit is None
-                and all(
-                    f_.agg_func
-                    in (AggFunc.SUM, AggFunc.COUNT, AggFunc.AVG, AggFunc.MIN,
-                        AggFunc.MAX, AggFunc.ROW_NUMBER)
-                    for f_ in fields
-                )
+                and decomposable
             )
-            if saltable:
+            if saltable and desc.window_size_ms is None:
                 df = evaluate_salted_over_window(
+                    df, desc, fields, self._salt_chunk_ms
+                )
+            elif saltable and desc.window_size_ms <= self._salt_chunk_ms:
+                df = evaluate_salted_bounded_over_window(
                     df, desc, fields, self._salt_chunk_ms
                 )
             else:

@@ -271,6 +271,181 @@ def evaluate_salted_over_window(
     return joined.drop(*drop)
 
 
+def evaluate_salted_bounded_over_window(
+    df: DataFrame,
+    desc: OverWindowDescriptor,
+    fields: Sequence[AggField],
+    chunk_ms: int,
+) -> DataFrame:
+    """Hot-key-safe BOUNDED over-window ([t-W, t] range frames) for
+    decomposable aggregations — closes the bounded half of the salted plan
+    (the unbounded half is evaluate_salted_over_window).
+
+    With ``chunk_ms >= window_ms``, a row's window spans at most its own
+    time chunk and the previous one, so the per-key serial window becomes:
+
+      1. within-chunk contribution: RANGE [-W, 0] window partitioned by
+         (keys, chunk) — the hot key parallelizes across its chunks;
+      2. previous-chunk contribution: per-event suffix aggregates
+         (RANGE [ms, chunk_end] via a descending-order running frame), then
+         an as-of lookup of the suffix at the window boundary b = t - W
+         using the union + forward first_value trick — one shuffle on
+         (keys, chunk).  Windows that don't reach back into the previous
+         chunk find no event at ms >= b there and combine with NULL/0;
+      3. combine (sum/least/greatest per agg kind) + join back on
+         (keys, ms) — results depend only on (keys, ms), so rows tied on
+         the timestamp share one computed result.
+
+    Supports SUM / COUNT / ROW_NUMBER / AVG / MIN / MAX with filter_expr;
+    limit and collect-path aggs fall back to the standard plan.
+    """
+    assert desc.window_size_ms is not None and desc.limit is None
+    window_ms = desc.window_size_ms
+    if chunk_ms < window_ms:
+        raise PlanError(
+            f"salt chunk_ms ({chunk_ms}) must be >= window_size_ms "
+            f"({window_ms}) so a window spans at most two chunks."
+        )
+    filter_sql = to_spark_sql(desc.filter_expr) if desc.filter_expr else None
+    keys = list(desc.group_by_keys)
+
+    base = df.withColumn("__ob_ms__", F.expr(_ORDER_MS)).withColumn(
+        "__ob_chunk__", F.floor(F.col("__ob_ms__") / F.lit(chunk_ms))
+    )
+
+    # -- 1. within-chunk running contribution ------------------------------
+    wchunk = (
+        Window.partitionBy(*[F.col(k) for k in keys], F.col("__ob_chunk__"))
+        .orderBy(F.col("__ob_ms__"))
+        .rangeBetween(-window_ms, Window.currentRow)
+    )
+    cur_cols = {}
+    suffix_specs = []  # (suffix col name, event-side Column)
+    wsuf = (
+        Window.partitionBy(*[F.col(k) for k in keys], F.col("__ob_chunk__"))
+        .orderBy(F.col("__ob_ms__").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for i, f_ in enumerate(fields):
+        v = _filtered_value_sql(f_.expr_sql, filter_sql)
+        ind = _filtered_value_sql("1", filter_sql)
+        p = f"__ob{i}_"
+        a = f_.agg_func
+        if a in (AggFunc.SUM, AggFunc.AVG):
+            cur_cols[p + "csum"] = F.expr(f"sum({v})").over(wchunk)
+            suffix_specs.append((p + "ssum", F.expr(f"sum({v})").over(wsuf)))
+        if a == AggFunc.AVG:
+            cur_cols[p + "cvcnt"] = F.expr(f"count({v})").over(wchunk)
+            suffix_specs.append((p + "svcnt", F.expr(f"count({v})").over(wsuf)))
+        if a in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
+            cur_cols[p + "crcnt"] = F.expr(f"count({ind})").over(wchunk)
+            suffix_specs.append((p + "srcnt", F.expr(f"count({ind})").over(wsuf)))
+        if a == AggFunc.MAX:
+            cur_cols[p + "cmax"] = F.expr(f"max({v})").over(wchunk)
+            suffix_specs.append((p + "smax", F.expr(f"max({v})").over(wsuf)))
+        if a == AggFunc.MIN:
+            cur_cols[p + "cmin"] = F.expr(f"min({v})").over(wchunk)
+            suffix_specs.append((p + "smin", F.expr(f"min({v})").over(wsuf)))
+        if a not in (AggFunc.SUM, AggFunc.AVG, AggFunc.COUNT, AggFunc.ROW_NUMBER,
+                     AggFunc.MAX, AggFunc.MIN):
+            raise PlanError(f"Salted bounded over-window does not support {a}.")
+
+    base = base.withColumns(cur_cols)
+
+    # -- 2. suffix series + boundary as-of lookup --------------------------
+    suffix_names = [name for name, _ in suffix_specs]
+    events = base.withColumns(dict(suffix_specs)).select(
+        *keys, "__ob_chunk__", "__ob_ms__",
+        F.lit(1).alias("__ob_tag__"),
+        F.lit(None).cast("bigint").alias("__ob_orig_ms__"),
+        *suffix_names,
+    )
+    queries = (
+        base.select(*keys, "__ob_ms__").distinct()
+        .select(
+            *keys,
+            F.floor((F.col("__ob_ms__") - window_ms) / F.lit(chunk_ms))
+            .alias("__ob_chunk__"),
+            (F.col("__ob_ms__") - window_ms).alias("__ob_ms__"),
+            F.lit(0).alias("__ob_tag__"),
+            F.col("__ob_ms__").alias("__ob_orig_ms__"),
+        )
+        # only boundaries that actually reach into an earlier chunk need a
+        # lookup; same-chunk boundaries are fully covered by the RANGE frame
+        .filter(
+            F.col("__ob_chunk__")
+            < F.floor(F.col("__ob_orig_ms__") / F.lit(chunk_ms))
+        )
+        .withColumns(
+            {name: F.lit(None).cast(events.schema[name].dataType)
+             for name in suffix_names}
+        )
+        .select(*events.columns)
+    )
+    wfwd = (
+        Window.partitionBy(*[F.col(k) for k in keys], F.col("__ob_chunk__"))
+        .orderBy(F.col("__ob_ms__").asc(), F.col("__ob_tag__").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    looked = (
+        events.unionByName(queries)
+        .withColumns(
+            {
+                f"__p_{name}": F.first(F.col(name), ignorenulls=True).over(wfwd)
+                for name in suffix_names
+            }
+        )
+        .filter(F.col("__ob_tag__") == 0)
+    )
+    prev = looked.select(
+        *keys,
+        F.col("__ob_orig_ms__").alias("__ob_ms__"),
+        *[F.col(f"__p_{name}").alias(f"__p_{name}") for name in suffix_names],
+    ).alias("p")
+
+    # -- 3. combine + join back on (keys, ms) ------------------------------
+    b = base.alias("b")
+    cond = [b[k].eqNullSafe(prev[k]) for k in keys]
+    cond.append(F.col("b.__ob_ms__") == F.col("p.__ob_ms__"))
+    joined = b.join(prev, on=cond, how="left").select(
+        *[F.col(f"b.`{c}`") for c in base.columns],
+        *[F.col(f"p.`__p_{name}`") for name in suffix_names],
+    )
+
+    out_cols = {}
+    for i, f_ in enumerate(fields):
+        p = f"__ob{i}_"
+        a = f_.agg_func
+        if a == AggFunc.SUM:
+            col = F.coalesce(F.col(p + "csum"), F.lit(0)) + F.coalesce(
+                F.col(f"__p_{p}ssum"), F.lit(0)
+            )
+        elif a in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
+            col = F.coalesce(F.col(p + "crcnt"), F.lit(0)) + F.coalesce(
+                F.col(f"__p_{p}srcnt"), F.lit(0)
+            )
+        elif a == AggFunc.AVG:
+            total = F.coalesce(F.col(p + "csum"), F.lit(0)) + F.coalesce(
+                F.col(f"__p_{p}ssum"), F.lit(0)
+            )
+            n = F.coalesce(F.col(p + "cvcnt"), F.lit(0)) + F.coalesce(
+                F.col(f"__p_{p}svcnt"), F.lit(0)
+            )
+            col = F.when(n > 0, total / n)
+        elif a == AggFunc.MAX:
+            col = F.greatest(F.col(p + "cmax"), F.col(f"__p_{p}smax"))
+        else:  # MIN
+            col = F.least(F.col(p + "cmin"), F.col(f"__p_{p}smin"))
+        out_cols[f_.name] = col.cast(t.to_spark_type(f_.dtype))
+
+    joined = joined.withColumns(out_cols)
+    drop = ["__ob_ms__", "__ob_chunk__"] + [
+        c for c in joined.columns if c.startswith("__ob") and c != "__ob_ms__"
+        or c.startswith("__p___ob")
+    ]
+    return joined.drop("__ob_ms__", "__ob_chunk__", *drop)
+
+
 def _unbounded_value_counts(
     df: DataFrame,
     desc: OverWindowDescriptor,

@@ -164,6 +164,19 @@ def insert_into_sink(df: DataFrame, sink, descriptor: TableDescriptor = None) ->
                 df, sink.path, getattr(sink, "data_format_props", None)
             )
             return
+        if sink.bucket_by:
+            # External bucketed table: the catalog records the hash layout,
+            # so scans report HashPartitioning(bucket_by) and keyed
+            # joins/aggs/windows downstream skip their Exchange.
+            writer = (
+                df.write.format(sink.data_format)
+                .option("path", sink.path)
+                .bucketBy(sink.n_buckets, *sink.bucket_by)
+            )
+            if sink.sort_by:
+                writer = writer.sortBy(*sink.sort_by)
+            writer.mode("overwrite").saveAsTable(sink.table_name)
+            return
         df.write.format(sink.data_format).mode("overwrite").save(sink.path)
         return
     if isinstance(sink, PrintSink):

@@ -64,6 +64,52 @@ def test_salted_equals_standard(spark, tmp_path, seed, filter_pos):
     assert got_sorted.equals(exp_sorted)
 
 
+@pytest.mark.parametrize("seed", [31, 32])
+@pytest.mark.parametrize("filter_pos", [False, True])
+@pytest.mark.parametrize("window_s", [80, 100])
+def test_salted_bounded_equals_standard(spark, tmp_path, seed, filter_pos, window_s):
+    """Bounded ([t-W, t]) salted plan vs the standard RANGE-frame plan:
+    identical on random data with ties, NULLs and a hot key, for W < chunk
+    and W == chunk."""
+    from datetime import timedelta
+
+    rows = _rows(seed)
+    name = f"saltb_{seed}_{filter_pos}_{window_s}"
+    source = _write_source(tmp_path, name, rows)
+
+    kwargs = dict(group_by_keys=["k"], window_size=timedelta(seconds=window_s))
+    if filter_pos:
+        kwargs["filter_expr"] = "v > 0"
+    view = DerivedFeatureView(
+        name=f"v_{name}",
+        source=source,
+        features=[
+            Feature("s", transform=OverWindowTransform("v", "SUM", **kwargs)),
+            Feature("c", transform=OverWindowTransform("v", "COUNT", **kwargs)),
+            Feature("a", transform=OverWindowTransform("v", "AVG", **kwargs)),
+            Feature("mx", transform=OverWindowTransform("v", "MAX", **kwargs)),
+            Feature("mn", transform=OverWindowTransform("v", "MIN", **kwargs)),
+            Feature("rn", transform=OverWindowTransform("v", "ROW_NUMBER", **kwargs)),
+        ],
+        keep_source_fields=True,
+    )
+
+    standard = SparkProcessor(spark)
+    standard.registry.build_features([source])
+    built_std = standard.registry.build_features([view])[0]
+    expected = standard.get_table(built_std).to_pandas()
+
+    salted = SparkProcessor(spark, over_window_salt_chunk_ms=100_000)
+    salted.registry.build_features([source])
+    built_salt = salted.registry.build_features([view])[0]
+    got = salted.get_table(built_salt).to_pandas()
+
+    cols = sorted(expected.columns)
+    exp_sorted = expected[cols].sort_values(cols).reset_index(drop=True)
+    got_sorted = got[cols].sort_values(cols).reset_index(drop=True)
+    assert got_sorted.equals(exp_sorted)
+
+
 def _asof_rows(seed, unique_right_ts=False):
     rnd = random.Random(seed)
     rows = []
