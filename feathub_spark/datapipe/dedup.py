@@ -467,6 +467,42 @@ def dedup_clusters(
     return labels
 
 
+def select_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Keep/drop decision per row from near-duplicate pairs: cluster the
+    pairs (connected components, see :func:`dedup_clusters`), attach every
+    row to its cluster (unpaired rows form singleton clusters), and keep
+    exactly one representative per cluster — the row with the largest
+    ``order_col``, ties broken by smallest id.
+
+    Scale posture: the window runs per cluster_id; cluster sizes are
+    bounded by near-duplicate group sizes (small by construction), so no
+    hot-key partition forms.  Output: (id, cluster_id, keep ∈ {0,1})."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(pairs, id_a, id_b, max_iterations)
+    labeled = (
+        df.select(F.col(id_col), F.col(order_col))
+        .join(clusters.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    from pyspark.sql.functions import row_number
+
+    return labeled.withColumn(
+        "keep", (row_number().over(w) == 1).cast("int")
+    ).select(id_col, "cluster_id", "keep")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

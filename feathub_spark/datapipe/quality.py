@@ -1,0 +1,155 @@
+"""Corpus-quality operators for training-data pipelines: repetition
+signals (Gopher-style) and benchmark-contamination detection.
+
+Repetition signals are pure per-row Catalyst expressions — a sort + single
+fold over the document's own n-gram array (O(k log k) per doc, no shuffle,
+whole-stage codegen), so they scale linearly with executors regardless of
+corpus size.  Contamination is a broadcast semi-join of each document's
+distinct n-grams against the (small) benchmark gram set followed by one
+map-side-combinable count aggregation — the standard decontamination plan
+(cf. GPT-3/Gopher appendix methodology; reference has no equivalent, this
+is part of the beyond-reference training-data surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from feathub_spark.common.parallelism import ensure_parallelism
+from feathub_spark.datapipe.text import ngrams, ngrams_sql
+
+
+def _gram_stats_sql(grams_sql: str) -> str:
+    """Struct(top_n, top_g, dup, total) over one n-gram array:
+
+    - ``top_n`` / ``top_g``: occurrence count and value of the most frequent
+      gram (ties resolve to the lexicographically smallest gram — the fold
+      walks the sorted array and only a strictly larger run replaces the
+      champion).
+    - ``dup``: total characters across all occurrences of grams that occur
+      more than once.
+    - ``total``: total characters across all gram occurrences.
+
+    Computed by sorting the array and folding run-lengths in a single
+    ``aggregate`` pass with a finish lambda to close the last run."""
+    acc0 = (
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
+        "'top_n', 0L, 'top_g', CAST(NULL AS STRING), 'dup', 0L, 'total', 0L)"
+    )
+    # close the current run: fold it into top/dup
+    close_top_n = "CASE WHEN acc.run > acc.top_n THEN acc.run ELSE acc.top_n END"
+    close_top_g = "CASE WHEN acc.run > acc.top_n THEN acc.prev ELSE acc.top_g END"
+    close_dup = (
+        "acc.dup + CASE WHEN acc.run > 1 "
+        "THEN acc.run * CAST(length(acc.prev) AS BIGINT) ELSE 0L END"
+    )
+    merge = (
+        "(acc, g) -> CASE WHEN acc.prev IS NOT NULL AND g = acc.prev THEN "
+        "named_struct('prev', g, 'run', acc.run + 1L, 'top_n', acc.top_n, "
+        "'top_g', acc.top_g, 'dup', acc.dup, "
+        "'total', acc.total + CAST(length(g) AS BIGINT)) "
+        f"ELSE named_struct('prev', g, 'run', 1L, 'top_n', {close_top_n}, "
+        f"'top_g', {close_top_g}, 'dup', {close_dup}, "
+        "'total', acc.total + CAST(length(g) AS BIGINT)) END"
+    )
+    finish = (
+        f"acc -> named_struct('top_n', {close_top_n}, 'top_g', {close_top_g}, "
+        f"'dup', {close_dup}, 'total', acc.total)"
+    )
+    return f"aggregate(array_sort({grams_sql}), {acc0}, {merge}, {finish})"
+
+
+def top_ngram_char_frac(text_col: str, n: int) -> Column:
+    """Fraction of n-gram characters covered by the single most frequent
+    word n-gram (Gopher "top n-gram fraction" repetition signal)."""
+    stats = _gram_stats_sql(ngrams_sql(text_col, n))
+    return F.expr(
+        f"CASE WHEN ({stats}).total > 0 THEN "
+        f"round(CAST(({stats}).top_n * length(({stats}).top_g) AS DOUBLE) "
+        f"/ ({stats}).total, 6) ELSE CAST(0 AS DOUBLE) END"
+    )
+
+
+def dup_ngram_char_frac(text_col: str, n: int) -> Column:
+    """Fraction of n-gram characters inside word n-grams that occur more
+    than once in the document (Gopher "duplicate n-gram fraction")."""
+    stats = _gram_stats_sql(ngrams_sql(text_col, n))
+    return F.expr(
+        f"CASE WHEN ({stats}).total > 0 THEN "
+        f"round(CAST(({stats}).dup AS DOUBLE) / ({stats}).total, 6) "
+        f"ELSE CAST(0 AS DOUBLE) END"
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard per-document repetition feature set: top-2/3-gram character
+    fractions and the duplicate-5-gram character fraction.  High values on
+    any of them are the usual low-quality/degenerate-text cut.
+
+    Each n's fold is materialized into one intermediate struct column so
+    the O(k log k) pass runs once per n (the ratio projections reference
+    the struct, not the fold)."""
+    df = ensure_parallelism(df)
+    stats_cols = {
+        f"__st{n}__": F.expr(_gram_stats_sql(ngrams_sql(text_col, n)))
+        for n in (2, 3, 5)
+    }
+    top = (
+        "CASE WHEN __st{n}__.total > 0 THEN "
+        "round(CAST(__st{n}__.top_n * length(__st{n}__.top_g) AS DOUBLE) "
+        "/ __st{n}__.total, 6) ELSE CAST(0 AS DOUBLE) END"
+    )
+    dup = (
+        "CASE WHEN __st{n}__.total > 0 THEN "
+        "round(CAST(__st{n}__.dup AS DOUBLE) / __st{n}__.total, 6) "
+        "ELSE CAST(0 AS DOUBLE) END"
+    )
+    return (
+        df.withColumns(stats_cols)
+        .withColumns(
+            {
+                "top2_frac": F.expr(top.format(n=2)),
+                "top3_frac": F.expr(top.format(n=3)),
+                "dup5_frac": F.expr(dup.format(n=5)),
+            }
+        )
+        .drop(*stats_cols)
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of the document's
+    DISTINCT word n-grams that also appear anywhere in ``benchmark_df``.
+
+    Plan shape (scale posture): the benchmark gram set is collapsed to
+    distinct grams and broadcast — corpus rows never shuffle for the probe;
+    the only shuffle is the per-document count aggregation, which is
+    map-side combinable.  Returns (id, n_grams, n_hits, contamination)."""
+    bench_grams = (
+        ensure_parallelism(benchmark_df)
+        .select(F.explode(F.array_distinct(ngrams(text_col, n))).alias("__gram__"))
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    doc_grams = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams(text_col, n))).alias("__gram__"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "__gram__", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit__").alias("n_hits"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6),
+        )
+    )

@@ -163,17 +163,23 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     return df.withColumns({**counts, out_col: redacted})
 
 
-def ngrams(text_col: str, n: int = 2) -> Column:
-    """All (overlapping, order-preserving) word n-grams of the lowercased
-    token stream; documents shorter than n yield their single full-token
-    join (mirrors the shingle construction in datapipe.dedup)."""
+def ngrams_sql(text_col: str, n: int = 2) -> str:
+    """SQL expression string for :func:`ngrams` (composable into larger
+    Catalyst expressions without a Column round-trip)."""
     toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
-    return F.expr(
+    return (
         f"CASE WHEN size({toks}) >= {n} THEN "
         f"transform(sequence(1, size({toks}) - {n - 1}), "
         f"i -> array_join(slice({toks}, i, {n}), ' ')) "
         f"ELSE array(array_join({toks}, ' ')) END"
     )
+
+
+def ngrams(text_col: str, n: int = 2) -> Column:
+    """All (overlapping, order-preserving) word n-grams of the lowercased
+    token stream; documents shorter than n yield their single full-token
+    join (mirrors the shingle construction in datapipe.dedup)."""
+    return F.expr(ngrams_sql(text_col, n))
 
 
 def ngram_topk(
