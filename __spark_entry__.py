@@ -1515,6 +1515,156 @@ SELECT lang, rank, gram, n_occurrences FROM (
 """
 
 
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition cuts (top-2/3-gram and duplicate-5-gram
+    character fractions) — single-pass sorted-fold per document, verified
+    here against an explode/group/window re-derivation in DuckDB."""
+    from feathub_spark.datapipe.quality import repetition_signals
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return repetition_signals(df.select("doc_id", "text"), "text").select(
+        "doc_id", "top2_frac", "top3_frac", "dup5_frac"
+    )
+
+
+def _gram_cte(n: int) -> str:
+    """DuckDB n-gram list expression over the token list `tk` (mirrors
+    feathub_spark.datapipe.text.ngrams_sql, incl. the short-doc case)."""
+    if n == 2:
+        idx = "range(1, len(tk))"
+    else:
+        idx = f"range(1, len(tk) - {n - 2})"
+    return (
+        f"CASE WHEN len(tk) >= {n} THEN "
+        f"[array_to_string(tk[i:i+{n - 1}], ' ') FOR i IN {idx}] "
+        "ELSE [array_to_string(tk, ' ')] END"
+    )
+
+
+def _stats_cte(n: int) -> str:
+    """Per-doc (total, dup, top_chars) for word n-grams: re-derives the
+    Spark-side sorted-array fold with an explicit count + window."""
+    return f"""
+g{n} AS (SELECT doc_id, {_gram_cte(n)} AS gs FROM toks),
+c{n} AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS lg
+         FROM (SELECT doc_id, unnest(gs) AS gram FROM g{n})
+         GROUP BY doc_id, gram),
+s{n} AS (SELECT doc_id, total, dup, top_chars FROM (
+           SELECT doc_id,
+                  sum(c * lg) OVER (PARTITION BY doc_id) AS total,
+                  sum(CASE WHEN c > 1 THEN c * lg ELSE 0 END)
+                      OVER (PARTITION BY doc_id) AS dup,
+                  c * lg AS top_chars,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, gram ASC) AS rn
+           FROM c{n}) WHERE rn = 1)"""
+
+
+_ORACLE_REPETITION_SIGNALS = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> '') AS tk
+    FROM documents
+),{_stats_cte(2)},{_stats_cte(3)},{_stats_cte(5)}
+SELECT t.doc_id,
+       CASE WHEN s2.total > 0
+            THEN round(s2.top_chars / s2.total, 6) ELSE 0.0 END AS top2_frac,
+       CASE WHEN s3.total > 0
+            THEN round(s3.top_chars / s3.total, 6) ELSE 0.0 END AS top3_frac,
+       CASE WHEN s5.total > 0
+            THEN round(s5.dup / s5.total, 6) ELSE 0.0 END AS dup5_frac
+FROM toks t
+JOIN s2 USING (doc_id) JOIN s3 USING (doc_id) JOIN s5 USING (doc_id)
+"""
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark-contamination fractions with every 20th document playing
+    the benchmark set (broadcast distinct-gram semi-probe)."""
+    from feathub_spark.datapipe.quality import contamination_check
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = df.filter(F.col("doc_id") % 20 == 0)
+    return contamination_check(df, bench, "text", "doc_id", n=5)
+
+
+_ORACLE_CONTAMINATION = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> '') AS tk
+    FROM documents
+), g5 AS (
+    SELECT doc_id, list_distinct({_gram_cte(5)}) AS gs FROM toks
+), dg AS (
+    SELECT doc_id, unnest(gs) AS gram FROM g5
+), bench AS (
+    SELECT DISTINCT gram FROM dg WHERE doc_id % 20 = 0
+)
+SELECT d.doc_id,
+       count(*) AS n_grams,
+       count(b.gram) AS n_hits,
+       round(count(b.gram) / count(*), 6) AS contamination
+FROM dg d LEFT JOIN bench b ON d.gram = b.gram
+GROUP BY d.doc_id
+"""
+
+
+def _q_select_survivors(spark, sf_dir):
+    """Keep/drop decision per document from near-duplicate pairs: cluster
+    via connected components, keep the largest doc per cluster (ties ->
+    smallest id); unpaired docs are singleton survivors."""
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs, select_survivors
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.2)
+    return select_survivors(df, pairs, "doc_id", "n_chars")
+
+
+_ORACLE_SELECT_SURVIVORS = """
+WITH RECURSIVE
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 3 THEN
+             list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])
+           ELSE [array_to_string(tk, ' ')] END AS gs
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+          FROM documents)
+), inv AS (
+    SELECT doc_id, unnest(gs) AS gram FROM grams
+), co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT co.id_a, co.id_b
+    FROM co
+    JOIN grams ga ON ga.doc_id = co.id_a
+    JOIN grams gb ON gb.doc_id = co.id_b
+    WHERE CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common) >= 0.2
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+    SELECT DISTINCT s, s FROM edges
+    UNION
+    SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), clusters AS (
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), labeled AS (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY n_chars DESC, doc_id ASC) = 1
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM labeled
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1571,6 +1721,9 @@ _RAW_QUERIES = {
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
         "ngram_topk": _q_ngram_topk,
+        "repetition_signals": _q_repetition_signals,
+        "contamination": _q_contamination,
+        "select_survivors": _q_select_survivors,
     }
 
 
@@ -1611,4 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,
         "ngram_topk": _ORACLE_NGRAM_TOPK,
+        "repetition_signals": _ORACLE_REPETITION_SIGNALS,
+        "contamination": _ORACLE_CONTAMINATION,
+        "select_survivors": _ORACLE_SELECT_SURVIVORS,
     }

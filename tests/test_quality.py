@@ -1,0 +1,189 @@
+"""Golden tests for datapipe.quality (Gopher-style repetition signals,
+benchmark contamination) and dedup.select_survivors.
+
+The repetition expectations are computed by an independent pure-Python
+reference implementation so the intricate single-pass SQL fold in
+``_gram_stats_sql`` (run closing, tie-breaking, finish lambda) is checked
+against first-principles counts, not against itself.
+"""
+
+import re
+from collections import Counter
+
+import pytest
+
+from feathub_spark.datapipe.dedup import select_survivors
+from feathub_spark.datapipe.quality import (
+    contamination_check,
+    dup_ngram_char_frac,
+    repetition_signals,
+    top_ngram_char_frac,
+)
+
+
+def _ref_grams(text, n):
+    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+    if len(toks) >= n:
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return [" ".join(toks)]
+
+
+def _ref_stats(text, n):
+    c = Counter(_ref_grams(text, n))
+    total = sum(cnt * len(g) for g, cnt in c.items())
+    dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+    top_n = max(c.values())
+    top_g = min(g for g, cnt in c.items() if cnt == top_n)
+    top_chars = top_n * len(top_g)
+    if total == 0:
+        return 0.0, 0.0
+    return round(top_chars / total, 6), round(dup / total, 6)
+
+
+DOCS = [
+    (0, "a a a a"),
+    (1, "x y x y z"),
+    (2, "a b c d"),
+    (3, ""),
+    (4, "   "),
+    (5, "single"),
+    (6, "the cat sat on the mat and the cat ran"),
+    (7, "one two three one two three one two three"),
+    (8, "Mixed CASE    spacing\tand   tabs here"),
+]
+
+
+def test_top_and_dup_ngram_frac_match_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    for n in (2, 3, 5):
+        out = {
+            r["doc_id"]: (r["top"], r["dup"])
+            for r in df.select(
+                "doc_id",
+                top_ngram_char_frac("text", n).alias("top"),
+                dup_ngram_char_frac("text", n).alias("dup"),
+            ).collect()
+        }
+        for doc_id, text in DOCS:
+            exp_top, exp_dup = _ref_stats(text, n)
+            got_top, got_dup = out[doc_id]
+            assert got_top == pytest.approx(exp_top, abs=1e-9), (n, doc_id)
+            assert got_dup == pytest.approx(exp_dup, abs=1e-9), (n, doc_id)
+
+
+def test_repetition_signals_columns(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df, "text").collect()}
+    assert set(out[0].asDict()) == {
+        "doc_id",
+        "text",
+        "top2_frac",
+        "top3_frac",
+        "dup5_frac",
+    }
+    for doc_id, text in DOCS:
+        exp_top2, _ = _ref_stats(text, 2)
+        exp_top3, _ = _ref_stats(text, 3)
+        _, exp_dup5 = _ref_stats(text, 5)
+        r = out[doc_id]
+        assert r["top2_frac"] == pytest.approx(exp_top2, abs=1e-9), doc_id
+        assert r["top3_frac"] == pytest.approx(exp_top3, abs=1e-9), doc_id
+        assert r["dup5_frac"] == pytest.approx(exp_dup5, abs=1e-9), doc_id
+
+
+def test_gram_stats_tie_prefers_lexicographically_smallest(spark):
+    # all bigrams occur exactly once -> champion is the smallest gram
+    df = spark.createDataFrame([(0, "b a c a")], "doc_id long, text string")
+    row = df.select(top_ngram_char_frac("text", 2).alias("f")).collect()[0]
+    # grams: "b a", "a c", "c a" each len 3, once -> top = "a c", 3/9
+    assert row["f"] == pytest.approx(round(3 / 9, 6))
+
+
+def test_gram_stats_closes_last_run(spark):
+    # the most frequent gram is the LAST run of the sorted array ("z z");
+    # without the finish lambda the fold would miss it
+    df = spark.createDataFrame([(0, "z z z a b")], "doc_id long, text string")
+    row = df.select(top_ngram_char_frac("text", 2).alias("f")).collect()[0]
+    # bigrams: "z z" x2, "z a", "a b"; sorted puts "z z" last.
+    # total = 2*3 + 3 + 3 = 12, top = 6
+    assert row["f"] == pytest.approx(0.5)
+
+
+def test_contamination_check(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "totally different words here"),
+            (4, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta zeta")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_check(docs, bench, "text", "doc_id", n=3).collect()
+    }
+    # bench 3-grams: {alpha beta gamma, beta gamma delta, gamma delta zeta}
+    # doc 1 grams: {alpha beta gamma, beta gamma delta} -> 2/2 hits
+    assert (out[1]["n_grams"], out[1]["n_hits"]) == (2, 2)
+    assert out[1]["contamination"] == pytest.approx(1.0)
+    # doc 2 grams: {alpha beta gamma, beta gamma epsilon} -> 1/2
+    assert (out[2]["n_grams"], out[2]["n_hits"]) == (2, 1)
+    assert out[2]["contamination"] == pytest.approx(0.5)
+    # doc 3: no overlap
+    assert (out[3]["n_grams"], out[3]["n_hits"]) == (2, 0)
+    assert out[3]["contamination"] == pytest.approx(0.0)
+    # doc 4: shorter than n -> single full-join gram, no hit
+    assert (out[4]["n_grams"], out[4]["n_hits"]) == (1, 0)
+
+
+def test_contamination_counts_distinct_grams_once(spark):
+    # the same contaminated gram repeated in a doc counts once (distinct)
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    row = contamination_check(docs, bench, "text", "doc_id", n=3).collect()[0]
+    # distinct 3-grams of doc 1: {a b c, b c a, c a b} -> 1 hit of 3
+    assert (row["n_grams"], row["n_hits"]) == (3, 1)
+    assert row["contamination"] == pytest.approx(round(1 / 3, 6))
+
+
+def test_select_survivors(spark):
+    rows = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 5), (5, 5), (6, 99)],
+        "id long, sz long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r
+        for r in select_survivors(rows, pairs, "id", "sz").collect()
+    }
+    assert len(out) == 6
+    # cluster {1,2,3}: 2 has the largest sz
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [0, 1, 0]
+    assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    # cluster {4,5}: tie on sz -> smallest id survives
+    assert (out[4]["keep"], out[5]["keep"]) == (1, 0)
+    # unpaired row is its own singleton cluster and survives
+    assert (out[6]["cluster_id"], out[6]["keep"]) == (6, 1)
+
+
+def test_select_survivors_keeps_exactly_one_per_cluster(spark):
+    rows = spark.createDataFrame(
+        [(i, i % 3) for i in range(20)], "id long, sz long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 18, 2)], "id_a long, id_b long"
+    )
+    out = select_survivors(rows, pairs, "id", "sz")
+    per_cluster = {}
+    for r in out.collect():
+        per_cluster.setdefault(r["cluster_id"], []).append(r["keep"])
+    for cid, keeps in per_cluster.items():
+        assert sum(keeps) == 1, cid
