@@ -715,7 +715,7 @@ SELECT co.id_a, co.id_b,
 FROM co
 JOIN grams ga ON ga.doc_id = co.id_a
 JOIN grams gb ON gb.doc_id = co.id_b
-WHERE CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common) >= 0.2
+WHERE round(CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common), 6) >= 0.2
 """
 
 
@@ -1228,7 +1228,12 @@ def _q_dedup_clusters(spark, sf_dir):
     from feathub_spark.datapipe.dedup import dedup_clusters, ngram_jaccard_pairs
 
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.2)
+    # max_doc_freq=None: exact recall so the comparison with the oracle's
+    # exhaustive inverted index is deterministic for ANY fixture (the default
+    # "auto" doc-frequency cut approximates recall above the cutoff).
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
+    )
     return dedup_clusters(pairs)
 
 
@@ -1253,7 +1258,7 @@ grams AS (
     FROM co
     JOIN grams ga ON ga.doc_id = co.id_a
     JOIN grams gb ON gb.doc_id = co.id_b
-    WHERE CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common) >= 0.2
+    WHERE round(CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common), 6) >= 0.2
 ), edges AS (
     SELECT id_a AS s, id_b AS d FROM pairs
     UNION SELECT id_b, id_a FROM pairs
@@ -1618,7 +1623,11 @@ def _q_select_survivors(spark, sf_dir):
     from feathub_spark.datapipe.dedup import ngram_jaccard_pairs, select_survivors
 
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.2)
+    # max_doc_freq=None: exact recall, mirroring the oracle's exhaustive
+    # inverted index (see _q_dedup_clusters).
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
+    )
     return select_survivors(df, pairs, "doc_id", "n_chars")
 
 
@@ -1643,7 +1652,7 @@ grams AS (
     FROM co
     JOIN grams ga ON ga.doc_id = co.id_a
     JOIN grams gb ON gb.doc_id = co.id_b
-    WHERE CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common) >= 0.2
+    WHERE round(CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common), 6) >= 0.2
 ), edges AS (
     SELECT id_a AS s, id_b AS d FROM pairs
     UNION SELECT id_b, id_a FROM pairs

@@ -425,7 +425,10 @@ def dedup_clusters(
     round every node adopts the minimum label among itself and its
     neighbors; converges in O(component diameter) rounds.  Each round is one
     shuffle; intermediate results are localCheckpointed so the plan does not
-    grow unboundedly."""
+    grow unboundedly.  Raises ``RuntimeError`` if a component's diameter
+    exceeds ``max_iterations`` (unconverged labels would silently split one
+    component into several) — raise the limit for pathologically long
+    duplicate chains."""
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -437,6 +440,7 @@ def dedup_clusters(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["d"] == labels["id"])
@@ -462,8 +466,15 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} "
+            "iterations (a connected component's diameter exceeds the "
+            "limit); raise max_iterations"
+        )
     return labels
 
 

@@ -79,6 +79,25 @@ def test_dedup_clusters(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_raises_when_unconverged(spark):
+    # a 10-node path propagates the min label one hop per round, so
+    # max_iterations=2 cannot converge — must raise, never return
+    # silently-split components
+    import pytest
+
+    from feathub_spark.datapipe.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iterations=2)
+    labels = {
+        r.id: r.cluster_id for r in dedup_clusters(chain, max_iterations=15).collect()
+    }
+    assert set(labels.values()) == {0}
+
+
 def test_simhash_pairs(docs):
     from feathub_spark.datapipe.dedup import simhash_pairs
 

@@ -22,7 +22,10 @@ from feathub_spark.datapipe.quality import (
 
 
 def _ref_grams(text, n):
-    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+    # ASCII whitespace class (not \s): Python's \s is Unicode-aware (NBSP,
+    # U+2028, ...) while Spark's split and DuckDB's string_split_regex treat
+    # \s as ASCII — keep the reference aligned with the engines under test.
+    toks = [t for t in re.split(r"[ \t\n\r\f\v]+", text.strip().lower()) if t]
     if len(toks) >= n:
         return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
     return [" ".join(toks)]
