@@ -1291,6 +1291,13 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+# md5-based 32-bit hash (sampling.hash32): portable across engines
+_H32 = (
+    "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR) || ':{seed}'), 1, 8)) "
+    "AS BIGINT)"
+)
+
+
 # hex pair (1-based positions p, p+1 of the md5 hex string) -> byte value
 def _hex_byte(p: int) -> str:
     h = "strpos('0123456789abcdef', substr(d, {i}, 1)) - 1"
@@ -1308,21 +1315,28 @@ FROM (SELECT doc_id, md5(text) AS d FROM documents)
 
 
 def _q_ivf_ann(spark, sf_dir):
-    """IVF-style ANN with a deterministic stride codebook; the oracle
-    replicates the full pipeline (assignment -> probes -> cell join ->
-    rank), so bucketing correctness is hash-checked, not trusted."""
+    """IVF-style ANN with a deterministic hash-rank-sampled codebook of
+    ABSOLUTE size (corpus-independent broadcast — the 100 TB property); the
+    oracle replicates the full pipeline (codebook -> assignment -> probes ->
+    cell join -> rank), so bucketing correctness is hash-checked, not
+    trusted."""
     from feathub_spark.datapipe.similarity import ivf_topk
 
     df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = df.filter(F.col("vec_id") < 20)
     return ivf_topk(
-        df, queries_df, "embedding", "vec_id", k=5, centroid_stride=25, nprobe=4
+        df, queries_df, "embedding", "vec_id", k=5, n_centroids=32, nprobe=4,
+        seed=9,
     )
 
 
-_ORACLE_IVF_ANN = """
+_ORACLE_IVF_ANN = f"""
 WITH cents AS (
-    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0
+    SELECT cid, cvec FROM (
+        SELECT vec_id AS cid, embedding AS cvec,
+               {_H32.format(col='vec_id', seed=9)} AS h
+        FROM embeddings
+    ) ORDER BY h, cid LIMIT 32
 ), cos AS (
     SELECT e.vec_id, e.embedding, c.cid,
            round(
@@ -1360,13 +1374,6 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
     FROM scored
 ) WHERE rank <= 5
 """
-
-
-# md5-based 32-bit hash (sampling.hash32): portable across engines
-_H32 = (
-    "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR) || ':{seed}'), 1, 8)) "
-    "AS BIGINT)"
-)
 
 
 def _q_sample_shard(spark, sf_dir):

@@ -73,36 +73,67 @@ def brute_force_topk(
     )
 
 
+def ivf_codebook(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic hash-rank-sampled codebook: the ``n_centroids`` corpus
+    rows with the smallest (hash32(id, seed), id) rank.
+
+    The absolute size is the 100 TB property: the codebook is
+    corpus-size-INDEPENDENT (always exactly min(n_centroids, |corpus|)
+    rows), so broadcasting it never grows with the data — unlike a stride
+    scheme where C = n/stride scales linearly and eventually OOMs every
+    executor.  orderBy+limit compiles to TakeOrderedAndProject (parallel
+    per-partition top-k, no full sort), and the md5-based hash32 makes the
+    selection reproducible in any SQL engine for oracle checks.
+
+    Returns (__cid__, __cvec__)."""
+    from feathub_spark.datapipe.sampling import hash32
+
+    return (
+        corpus.select(
+            F.col(id_col).alias("__cid__"),
+            F.col(vec_col).alias("__cvec__"),
+            hash32(id_col, seed).alias("__h__"),
+        )
+        .orderBy(F.col("__h__").asc(), F.col("__cid__").asc())
+        .limit(n_centroids)
+        .drop("__h__")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 10,
-    centroid_stride: int = 25,
+    n_centroids: int = 256,
     nprobe: int = 4,
+    seed: int = 0,
     query_id_col: str = None,
 ) -> DataFrame:
-    """IVF-style ANN: a deterministic codebook (every ``centroid_stride``-th
-    id) partitions the corpus into cells by nearest centroid; each query
-    probes its ``nprobe`` nearest cells and scores only those members.
+    """IVF-style ANN: a deterministic hash-rank-sampled codebook of exactly
+    ``n_centroids`` rows (see :func:`ivf_codebook`) partitions the corpus
+    into cells by nearest centroid; each query probes its ``nprobe``
+    nearest cells and scores only those members.
 
-    This is the inverted-file index re-expressed relationally: the
-    "index build" is one broadcast-join assignment pass (corpus x C
-    centroids, C = n/stride), the "search" is a cell-equi-join — so the
-    100 TB cost is O(n·C) narrow work plus one shuffle on cell id instead
-    of a corpus-wide scan per query.  Fully deterministic (no sampled
-    k-means seed), hence oracle-reproducible; swap the codebook for
-    trained centroids without touching the plan.
+    This is the inverted-file index re-expressed relationally: the "index
+    build" is one broadcast-join assignment pass (corpus x n_centroids —
+    the broadcast side is corpus-size-independent by construction), the
+    "search" is a cell-equi-join — so the 100 TB cost is O(n·n_centroids)
+    narrow work plus one shuffle on cell id instead of a corpus-wide scan
+    per query.  Fully deterministic (no sampled k-means seed), hence
+    oracle-reproducible; swap the codebook for trained centroids without
+    touching the plan.
 
     Returns (query_id, neighbor_id, rank, cosine)."""
     query_id_col = query_id_col or id_col
-    cents = (
-        corpus.filter((F.col(id_col) % centroid_stride) == 0)
-        .select(
-            F.col(id_col).alias("__cid__"), F.col(vec_col).alias("__cvec__")
-        )
-    )
+    cents = ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
 
     def assign(df: DataFrame, ident: str, out_id: str, top_n: int) -> DataFrame:
         scored = (

@@ -103,7 +103,7 @@ def test_ivf_full_probe_equals_brute_force(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     q = df.filter(F.col("vec_id") < 5)
     # probing every cell makes IVF exhaustive -> must equal brute force
-    ivf = ivf_topk(df, q, "embedding", "vec_id", k=4, centroid_stride=30, nprobe=100)
+    ivf = ivf_topk(df, q, "embedding", "vec_id", k=4, n_centroids=4, nprobe=100)
     bf = brute_force_topk(df, q, "embedding", "vec_id", k=4)
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(map(tuple, ivf.collect()), key=lambda x: (x[0], x[2])) == sorted(
@@ -123,12 +123,36 @@ def test_ivf_probe_subset_recall(spark):
         rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     q = df.filter(F.col("vec_id") < 4)
-    ivf = ivf_topk(df, q, "embedding", "vec_id", k=3, centroid_stride=10, nprobe=3)
+    ivf = ivf_topk(df, q, "embedding", "vec_id", k=3, n_centroids=8, nprobe=3)
     bf = brute_force_topk(df, q, "embedding", "vec_id", k=3)
     ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
     bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
     recall = len(ivf_pairs & bf_pairs) / len(bf_pairs)
     assert recall >= 0.9  # same-cluster neighbors live in probed cells
+
+
+def test_ivf_codebook_size_is_corpus_independent(spark):
+    # the 100 TB property: broadcast codebook size depends ONLY on
+    # n_centroids, never on corpus row count — and selection is a parallel
+    # partial top-k (TakeOrderedAndProject), not a global sort
+    import random
+
+    from feathub_spark.datapipe.similarity import ivf_codebook
+
+    rng = random.Random(5)
+
+    def corpus(n):
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    small = ivf_codebook(corpus(200), "embedding", "vec_id", n_centroids=16, seed=3)
+    big = ivf_codebook(corpus(2000), "embedding", "vec_id", n_centroids=16, seed=3)
+    assert small.count() == 16
+    assert big.count() == 16
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # undersized corpus: codebook = whole corpus, no padding
+    assert ivf_codebook(corpus(7), "embedding", "vec_id", n_centroids=16).count() == 7
 
 
 def test_pii_scrub(spark):
