@@ -1527,6 +1527,36 @@ SELECT lang, rank, gram, n_occurrences FROM (
 """
 
 
+def _q_ngram_topk_global(spark, sf_dir):
+    """Corpus-wide (ungrouped) top-k n-grams: the Spark plan must be
+    TakeOrderedAndProject (parallel partial top-k), never a single-task
+    empty-partitionBy window over every distinct gram (plan-asserted in
+    tests/test_datapipe_sampling.py)."""
+    from feathub_spark.datapipe.text import ngram_topk
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ngram_topk(df, "text", n=3, k=20)
+
+
+_ORACLE_NGRAM_TOPK_GLOBAL = """
+WITH grams AS (
+    SELECT CASE WHEN len(tk) >= 3 THEN
+             [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+           ELSE [array_to_string(tk, ' ')] END AS gs
+    FROM (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM documents)
+), counts AS (
+    SELECT unnest(gs) AS gram FROM grams
+)
+SELECT rank, gram, n_occurrences FROM (
+    SELECT gram, count(*) AS n_occurrences,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, gram ASC) AS BIGINT) AS rank
+    FROM counts GROUP BY gram
+) WHERE rank <= 20
+"""
+
+
 def _q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition cuts (top-2/3-gram and duplicate-5-gram
     character fractions) — single-pass sorted-fold per document, verified
@@ -1737,6 +1767,7 @@ _RAW_QUERIES = {
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
         "ngram_topk": _q_ngram_topk,
+        "ngram_topk_global": _q_ngram_topk_global,
         "repetition_signals": _q_repetition_signals,
         "contamination": _q_contamination,
         "select_survivors": _q_select_survivors,
@@ -1780,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,
         "ngram_topk": _ORACLE_NGRAM_TOPK,
+        "ngram_topk_global": _ORACLE_NGRAM_TOPK_GLOBAL,
         "repetition_signals": _ORACLE_REPETITION_SIGNALS,
         "contamination": _ORACLE_CONTAMINATION,
         "select_survivors": _ORACLE_SELECT_SURVIVORS,

@@ -196,7 +196,14 @@ def ngram_topk(
     partition before the single shuffle on the gram key), and only the
     per-group top-k window touches the distinct-gram space — the standard
     scalable corpus-stats plan.  Ties rank lexicographically for
-    determinism."""
+    determinism.
+
+    Without ``group_col`` the per-group window would have an EMPTY
+    partitionBy — every distinct gram in the corpus funneled through one
+    task — so the global case instead uses orderBy+limit, which compiles
+    to TakeOrderedAndProject (parallel per-partition partial top-k, no
+    global sort, no Window); ranks are then derived from the k surviving
+    rows by a window-free sort_array/posexplode fold."""
     from feathub_spark.common.parallelism import ensure_parallelism as _ep
 
     group = [group_col] if group_col else []
@@ -207,13 +214,34 @@ def ngram_topk(
     counts = exploded.groupBy(*group, "gram").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
-    w = Window.partitionBy(*group).orderBy(
+    if group_col:
+        w = Window.partitionBy(*group).orderBy(
+            F.col("n_occurrences").desc(), F.col("gram").asc()
+        )
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select(*group, "rank", "gram", "n_occurrences")
+        )
+    topk = counts.orderBy(
         F.col("n_occurrences").desc(), F.col("gram").asc()
-    )
+    ).limit(k)
+    # rank the k survivors without a global Window: struct sort ascending on
+    # (-count, gram) == (count desc, gram asc), then positional explode
+    packed = topk.select(
+        F.struct(
+            (-F.col("n_occurrences")).alias("neg"),
+            F.col("gram").alias("gram"),
+            F.col("n_occurrences").alias("n_occurrences"),
+        ).alias("s")
+    ).agg(F.sort_array(F.collect_list("s")).alias("xs"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select(*group, "rank", "gram", "n_occurrences")
+        packed.select(F.posexplode("xs").alias("pos", "s"))
+        .select(
+            (F.col("pos") + 1).cast("bigint").alias("rank"),
+            F.col("s.gram").alias("gram"),
+            F.col("s.n_occurrences").alias("n_occurrences"),
+        )
     )
 
 

@@ -191,3 +191,24 @@ def test_ngram_topk(spark):
         by_group.setdefault(r["lang"], []).append((r["rank"], r["gram"], r["n_occurrences"]))
     assert sorted(by_group["en"]) == [(1, "the cat", 3), (2, "cat sat", 2)]
     assert sorted(by_group["de"]) == [(1, "der hund", 2), (2, "hund der", 1)]
+
+
+def test_ngram_topk_global(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat sat on the cat mat"),
+            ("en", "the cat sat down"),
+            ("de", "der hund der hund"),
+        ],
+        "lang string, text string",
+    )
+    out = sorted(
+        (r["rank"], r["gram"], r["n_occurrences"])
+        for r in ngram_topk(df, "text", n=2, k=3).collect()
+    )
+    assert out == [(1, "the cat", 3), (2, "cat sat", 2), (3, "der hund", 2)]
+    # the global path must not funnel all distinct grams through one
+    # empty-partitionBy window task: TakeOrderedAndProject, no Window
+    plan = ngram_topk(df, "text", n=2, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
