@@ -1314,6 +1314,56 @@ FROM (SELECT doc_id, md5(text) AS d FROM documents)
 """
 
 
+def _q_multimodal_real(spark, sf_dir):
+    """REAL header decode (fake=False): PNG IHDR / JPEG SOF0 byte layouts
+    are assembled in-plan per row (even doc_id -> PNG RGBA, odd -> JPEG
+    3-component, dimensions derived from doc_id), then parsed back by the
+    pure-Python header parser inside Arrow-batched mapInPandas.  The oracle
+    recomputes the expected dimensions arithmetically, so the byte-level
+    encode/decode round trip is hash-checked."""
+    from feathub_spark.datapipe.multimodal import decode_image_metadata
+
+    w = "(16 + doc_id % 100)"
+    h = "(16 + (doc_id * 7) % 100)"
+    png = (
+        "concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), unhex('49484452'), "
+        f"unhex(lpad(hex({w}), 8, '0')), unhex(lpad(hex({h}), 8, '0')), "
+        "unhex('0806000000'))"
+    )
+    jpeg = (
+        "concat(unhex('FFD8'), unhex('FFE00004ABCD'), unhex('FFC0001108'), "
+        f"unhex(lpad(hex({h}), 4, '0')), unhex(lpad(hex({w}), 4, '0')), "
+        "unhex('03011100021101031101'), unhex('FFD9'))"
+    )
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN doc_id % 2 = 0 THEN {png} ELSE {jpeg} END"
+            ).alias("payload"),
+        )
+    )
+    meta = decode_image_metadata(df, "payload", fake=False)
+    return meta.select(
+        "doc_id",
+        F.col("image_meta.format").alias("format"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.channels").alias("channels"),
+    )
+
+
+_ORACLE_MULTIMODAL_REAL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(16 + doc_id % 100 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 7) % 100 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels
+FROM documents
+"""
+
+
 def _q_ivf_ann(spark, sf_dir):
     """IVF-style ANN with a deterministic hash-rank-sampled codebook of
     ABSOLUTE size (corpus-independent broadcast — the 100 TB property); the
@@ -1755,6 +1805,7 @@ _RAW_QUERIES = {
         "value_counts": _q_value_counts,
         "key_time_filter": _q_key_time_filter,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_real": _q_multimodal_real,
         "dsl_functions": _q_dsl_functions,
         "over_on_joined": _q_over_on_joined,
         "sliding_first_last": _q_sliding_first_last,
@@ -1806,6 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
         "lsh_ann": _ORACLE_LSH_ANN,
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
+        "multimodal_real": _ORACLE_MULTIMODAL_REAL,
         "ivf_ann": _ORACLE_IVF_ANN,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,

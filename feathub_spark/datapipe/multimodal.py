@@ -2,11 +2,14 @@
 with typed metadata.
 
 The Spark-side machinery — schema, Arrow-batched mapInPandas, partition
-sizing, UDF signatures — is real and tested.  The actual media decoding is
-STUBBED: the container has no image/audio libraries, so ``decode_image``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder derives metadata from the bytes (stable across
-runs, usable in tests and oracles).
+sizing, UDF signatures — is real and tested.  Header-level image metadata
+(width / height / channels / format) is decoded for REAL from the container
+formats' public byte layouts — PNG IHDR, JPEG SOFn markers, GIF logical
+screen descriptor — in pure Python (no image library needed).  Full pixel
+decoding would need a codec library the container lacks, so payloads in an
+unrecognized format raise NotImplementedError unless ``fake=True``, which
+swaps in a deterministic md5-derived stub (stable across runs, usable in
+tests and oracles).
 """
 
 from __future__ import annotations
@@ -30,6 +33,75 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (spec §11.2.2: 0 gray, 2 truecolor, 3 palette
+# (1 index channel), 4 gray+alpha, 6 truecolor+alpha)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG markers that carry frame dimensions: SOF0-SOF15 except DHT (0xC4),
+# JPG (0xC8) and DAC (0xCC)
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+# standalone markers with no length field (RST0-7, SOI, EOI, TEM)
+_JPEG_STANDALONE = set(range(0xD0, 0xDA)) | {0x01}
+
+
+def parse_image_header(payload: bytes):
+    """(width, height, channels, format) from the header bytes of a PNG,
+    JPEG or GIF payload — pure Python over the formats' public byte
+    layouts, no image library.  Raises ValueError for anything else.
+
+    PNG: 8-byte magic, then the IHDR chunk (4-byte big-endian width at
+    offset 16, height at 20, color type at 25).  JPEG: scan the marker
+    stream for the first SOFn segment (big-endian height/width at offsets
+    +5/+7 inside it, component count at +9).  GIF: little-endian
+    width/height at offsets 6/8 of the logical screen descriptor."""
+    if payload.startswith(_PNG_MAGIC):
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("truncated PNG: no IHDR chunk")
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        color_type = payload[25]
+        if color_type not in _PNG_CHANNELS:
+            raise ValueError(f"invalid PNG color type {color_type}")
+        return width, height, _PNG_CHANNELS[color_type], "png"
+    if payload.startswith(b"\xff\xd8"):
+        pos = 2
+        while pos + 1 < len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError(f"invalid JPEG marker stream at byte {pos}")
+            # fill bytes: any number of 0xFF may pad a marker
+            while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
+            marker = payload[pos + 1]
+            if marker in _JPEG_STANDALONE:
+                pos += 2
+                continue
+            if pos + 4 > len(payload):
+                break
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            if marker in _JPEG_SOF:
+                if pos + 10 > len(payload):
+                    raise ValueError("truncated JPEG SOF segment")
+                height = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+                width = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+                channels = payload[pos + 9]
+                return width, height, channels, "jpeg"
+            if marker == 0xDA:  # SOS: entropy-coded data follows, no SOF seen
+                break
+            pos += 2 + seg_len
+        raise ValueError("JPEG without SOF frame header")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF header")
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        # palette-indexed RGB
+        return width, height, 3, "gif"
+    raise ValueError("unrecognized image container format")
+
+
 def _fake_decode(payload: bytes):
     """Deterministic fake: metadata derived from the md5 content digest —
     md5 (unlike sha1) exists in every SQL engine, so the whole fake
@@ -46,10 +118,13 @@ def decode_image_metadata(
 ) -> DataFrame:
     """Decode image metadata for every row via Arrow-batched mapInPandas.
 
-    Real decoding requires an image library not present in this container —
-    pass fake=True for the deterministic stub, else NotImplementedError is
-    raised per batch.  The plumbing (schema propagation, batch iteration,
-    column passthrough) is identical either way.
+    PNG / JPEG / GIF headers are parsed for real (:func:`parse_image_header`
+    — pure Python, no image library).  Payloads in any other format raise
+    NotImplementedError (full pixel decoding needs a codec library this
+    container lacks) unless ``fake=True``, which decodes EVERY payload with
+    the deterministic md5-derived stub instead.  The plumbing (schema
+    propagation, batch iteration, column passthrough) is identical either
+    way.
     """
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, IMAGE_META_SCHEMA)]
@@ -59,21 +134,27 @@ def decode_image_metadata(
         for batch in batches:
             metas = []
             for payload in batch[binary_col]:
-                if not fake:
-                    raise NotImplementedError(
-                        "Image decoding requires an image library; "
-                        "re-run with fake=True for the deterministic stub."
-                    )
-                w, h, c, fmt, sha = _fake_decode(
-                    bytes(payload) if payload is not None else b""
-                )
+                raw = bytes(payload) if payload is not None else b""
+                if fake:
+                    w, h, c, fmt, digest = _fake_decode(raw)
+                else:
+                    try:
+                        w, h, c, fmt = parse_image_header(raw)
+                    except ValueError as e:
+                        raise NotImplementedError(
+                            f"cannot decode payload ({e}); only PNG/JPEG/GIF "
+                            "header metadata is supported without an image "
+                            "library — re-run with fake=True for the "
+                            "deterministic stub"
+                        ) from e
+                    digest = hashlib.md5(raw).hexdigest()
                 metas.append(
                     {
                         "width": w,
                         "height": h,
                         "channels": c,
                         "format": fmt,
-                        "content_md5": sha,
+                        "content_md5": digest,
                     }
                 )
             batch = batch.copy()

@@ -176,7 +176,7 @@ def test_multimodal_plumbing(spark):
     out2 = decode_image_metadata(df, "payload", fake=True).collect()
     assert {r.media_id: r.image_meta for r in out2} == metas
 
-    # real decode path raises cleanly (stub contract)
+    # non-image bytes on the real decode path raise cleanly
     with pytest.raises(Exception):
         decode_image_metadata(df, "payload", fake=False).collect()
 
@@ -184,6 +184,80 @@ def test_multimodal_plumbing(spark):
     n = frames.count()
     assert n >= 2  # at least one frame per media row
     assert frames.select("frame_offset_ms").distinct().count() > 1
+
+
+def _png_bytes(width, height, color_type=6):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _jpeg_bytes(width, height, channels=3, progressive=False):
+    import struct
+
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    comps = b"".join(struct.pack("3B", i + 1, 0x11, 0) for i in range(channels))
+    sof = struct.pack(">HB2HB", 8 + 3 * channels, 8, height, width, channels) + comps
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    return b"\xff\xd8" + app0 + sof_marker + sof + b"\xff\xd9"
+
+
+def _gif_bytes(width, height):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def test_parse_image_header_real_formats():
+    from feathub_spark.datapipe.multimodal import parse_image_header
+
+    assert parse_image_header(_png_bytes(640, 480)) == (640, 480, 4, "png")
+    assert parse_image_header(_png_bytes(31, 7, color_type=0)) == (31, 7, 1, "png")
+    # marker scan must skip APP0 and handle progressive SOF2
+    assert parse_image_header(_jpeg_bytes(800, 600)) == (800, 600, 3, "jpeg")
+    assert parse_image_header(_jpeg_bytes(12, 34, channels=1, progressive=True)) == (
+        12, 34, 1, "jpeg",
+    )
+    assert parse_image_header(_gif_bytes(300, 200)) == (300, 200, 3, "gif")
+    with pytest.raises(ValueError):
+        parse_image_header(b"not an image at all")
+    with pytest.raises(ValueError):
+        parse_image_header(b"\xff\xd8\xff\xd9")  # JPEG with no SOF
+
+
+def test_decode_image_metadata_real(spark):
+    import hashlib
+
+    from feathub_spark.datapipe.multimodal import decode_image_metadata
+
+    rows = [
+        (1, bytearray(_png_bytes(100, 50))),
+        (2, bytearray(_jpeg_bytes(64, 32))),
+        (3, bytearray(_gif_bytes(10, 20))),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    metas = {
+        r.media_id: r.image_meta
+        for r in decode_image_metadata(df, "payload", fake=False).collect()
+    }
+    assert (metas[1].width, metas[1].height, metas[1].channels, metas[1].format) == (
+        100, 50, 4, "png",
+    )
+    assert (metas[2].width, metas[2].height, metas[2].channels, metas[2].format) == (
+        64, 32, 3, "jpeg",
+    )
+    assert (metas[3].width, metas[3].height, metas[3].channels, metas[3].format) == (
+        10, 20, 3, "gif",
+    )
+    assert metas[1].content_md5 == hashlib.md5(_png_bytes(100, 50)).hexdigest()
 
 
 def test_ngram_jaccard_auto_cut_matches_exact_on_small_corpus(docs):
