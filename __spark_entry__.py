@@ -938,6 +938,50 @@ GROUP BY a.event_id, b.event_type
 """
 
 
+def _q_value_counts_2d(spark, sf_dir):
+    """BOUNDED-frame ([t-2d, t]) VALUE_COUNTS — exercises the distributive
+    chunked-interval-join plan (over_window_utils._bounded_value_counts)
+    instead of per-row in-window history arrays."""
+    from datetime import timedelta
+
+    from feathub_spark import DerivedFeatureView, Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    view = DerivedFeatureView(
+        name="vc2d_view",
+        source=events,
+        features=[
+            Feature(
+                "type_counts_2d",
+                transform=OverWindowTransform(
+                    "event_type", "VALUE_COUNTS",
+                    window_size=timedelta(days=2),
+                    group_by_keys=["user_id"],
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    proc.registry.build_features([events])
+    built = proc.registry.build_features([view])[0]
+    df = proc.get_table(built).to_dataframe()
+    return df.select(
+        "event_id", F.explode("type_counts_2d").alias("etype", "n")
+    )
+
+
+_ORACLE_VALUE_COUNTS_2D = """
+SELECT a.event_id, b.event_type AS etype, count(*) AS n
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_ms(b.ts) <= epoch_ms(a.ts)
+ AND epoch_ms(b.ts) >= epoch_ms(a.ts) - 172800000
+GROUP BY a.event_id, b.event_type
+"""
+
+
 def _q_key_time_filter(spark, sf_dir):
     from datetime import datetime
 
@@ -1803,6 +1847,7 @@ _RAW_QUERIES = {
         "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
         "value_counts": _q_value_counts,
+        "value_counts_2d": _q_value_counts_2d,
         "key_time_filter": _q_key_time_filter,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_real": _q_multimodal_real,
@@ -1846,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ORACLE_ANN_TOPK,
         "embedding_neardup": _ORACLE_EMBEDDING_NEARDUP,
         "value_counts": _ORACLE_VALUE_COUNTS,
+        "value_counts_2d": _ORACLE_VALUE_COUNTS_2D,
         "key_time_filter": _ORACLE_KEY_TIME_FILTER,
         "dsl_functions": _ORACLE_DSL_FUNCTIONS,
         "over_on_joined": _ORACLE_OVER_ON_JOINED,

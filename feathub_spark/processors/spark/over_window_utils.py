@@ -538,6 +538,88 @@ def _unbounded_value_counts(
     return out.drop("__vc_ms__")
 
 
+def _bounded_value_counts(
+    df: DataFrame,
+    desc: OverWindowDescriptor,
+    field: AggField,
+    filter_sql: Optional[str],
+) -> DataFrame:
+    """Scale-safe BOUNDED ([t-W, t]) VALUE_COUNTS — the distributive
+    counterpart of :func:`_unbounded_value_counts`.  The collect path would
+    materialize a per-row array of every in-window occurrence; on a hot key
+    with millions of events per window that is O(rows x window) cells in one
+    task.  This plan never builds per-row history:
+
+      1. occurrence events: one row per (keys, value, ts) with its
+         occurrence count — map-side combinable, hot keys parallelize
+         across values and timestamps;
+      2. chunked interval join with chunk size == W: an occurrence at ts
+         can only serve query timestamps in [ts, ts+W], i.e. its own time
+         chunk or the next one, so each event is expanded to exactly two
+         (keys, chunk) buckets and equi-joined to the distinct query
+         timestamps of that bucket (range predicate applied inside the
+         bucket) — fan-out is bounded by matched (event, query) pairs, and
+         the hot key parallelizes across its time chunks;
+      3. sum occurrence counts per (keys, query_ts, value) — the
+         irreducible output entry set — then map_from_entries per
+         (keys, query_ts), left-joined back to the rows (rows tied on ts
+         share one map, matching RANGE-frame tie semantics; windows with
+         no non-null values get NULL, matching the collect path).
+    """
+    keys = list(desc.group_by_keys)
+    window_ms = desc.window_size_ms
+    base = df.withColumn("__vb_ms__", F.expr(_ORDER_MS))
+
+    occ_rows = base if filter_sql is None else base.filter(F.expr(filter_sql))
+    occ_rows = occ_rows.withColumn("__vb_v__", F.expr(field.expr_sql)).filter(
+        F.col("__vb_v__").isNotNull()
+    )
+    occ = occ_rows.groupBy(*keys, "__vb_v__", "__vb_ms__").agg(
+        F.count(F.lit(1)).alias("__vb_c__")
+    )
+    chunk = F.floor(F.col("__vb_ms__") / F.lit(window_ms))
+    ev = occ.withColumn("__vb_chunk__", F.explode(F.array(chunk, chunk + 1)))
+    # query side renames every column so the self-join needs no lineage
+    # disambiguation (both sides descend from `base`)
+    qkeys = [f"__vb_qk{i}__" for i in range(len(keys))]
+    queries = (
+        base.select(
+            *[F.col(k).alias(qk) for k, qk in zip(keys, qkeys)],
+            F.col("__vb_ms__").alias("__vb_qms__"),
+        )
+        .distinct()
+        .withColumn("__vb_qchunk__", F.floor(F.col("__vb_qms__") / F.lit(window_ms)))
+    )
+    cond = [F.col(k).eqNullSafe(F.col(qk)) for k, qk in zip(keys, qkeys)]
+    cond.append(F.col("__vb_chunk__") == F.col("__vb_qchunk__"))
+    cond.append(F.col("__vb_ms__") >= F.col("__vb_qms__") - window_ms)
+    cond.append(F.col("__vb_ms__") <= F.col("__vb_qms__"))
+    counts = (
+        ev.join(queries, on=cond)
+        .groupBy(*qkeys, "__vb_qms__", "__vb_v__")
+        .agg(F.sum("__vb_c__").alias("__vb_n__"))
+    )
+    maps = counts.groupBy(*qkeys, "__vb_qms__").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("__vb_v__").alias("k"),
+                    F.col("__vb_n__").cast("bigint").alias("v"),
+                )
+            )
+        ).alias("__vb_map__")
+    )
+    join_cond = [
+        F.col(k).eqNullSafe(F.col(qk)) for k, qk in zip(keys, qkeys)
+    ]
+    join_cond.append(F.col("__vb_ms__") == F.col("__vb_qms__"))
+    out = base.join(maps, on=join_cond, how="left").select(
+        *base.columns,
+        F.col("__vb_map__").cast(t.to_spark_type(field.dtype)).alias(field.name),
+    )
+    return out.drop("__vb_ms__")
+
+
 def evaluate_over_window(
     df: DataFrame,
     desc: OverWindowDescriptor,
@@ -557,9 +639,20 @@ def evaluate_over_window(
         and desc.window_size_ms is None
         and desc.limit is None
     ]
+    # Bounded VALUE_COUNTS gets the distributive chunked-interval-join plan
+    # for the same reason (per-row in-window history arrays on a hot key).
+    vc_bounded = [
+        f for f in fields
+        if f.agg_func == AggFunc.VALUE_COUNTS
+        and desc.window_size_ms is not None
+        and desc.window_size_ms > 0
+        and desc.limit is None
+    ]
     collect_fields = [
         f for f in fields
-        if _needs_collect(desc, f.agg_func) and f not in vc_unbounded
+        if _needs_collect(desc, f.agg_func)
+        and f not in vc_unbounded
+        and f not in vc_bounded
     ]
     direct_fields = [f for f in fields if not _needs_collect(desc, f.agg_func)]
 
@@ -643,4 +736,6 @@ def evaluate_over_window(
     )
     for f_ in vc_unbounded:
         df = _unbounded_value_counts(df, desc, f_, filter_sql)
+    for f_ in vc_bounded:
+        df = _bounded_value_counts(df, desc, f_, filter_sql)
     return df

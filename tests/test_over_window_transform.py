@@ -236,6 +236,81 @@ def test_unbounded_value_counts_long_single_key(client, tmp_path):
         assert got == (expected or None), f"row {probe}"
 
 
+def test_bounded_value_counts_long_single_key(client, tmp_path):
+    """Hot-key stress for the distributive BOUNDED-frame VALUE_COUNTS plan
+    ([t-W, t] via chunked interval join): one key, 30k rows, 5000-second
+    window (≈5k rows per window).  The collect path would materialize
+    ~150M in-window array cells in one task; the distributive plan's
+    intermediates are bounded by the matched (event, query) pairs and the
+    hot key parallelizes across time chunks.  Spot-checked against directly
+    computed windowed counts, including NULL-value and epoch-tie rows."""
+    import os
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from feathub_spark import FileSystemSource, Int64, Schema, String
+
+    n = 30_000
+    window_s = 5_000
+    values = [f"v{i % 7}" if i % 11 else None for i in range(n)]
+    # every third timestamp duplicated → exercises range-frame tie semantics
+    ts = [1_640_000_000 + (i - (i % 3 == 2)) for i in range(n)]
+    pdf = pd.DataFrame({"k": "hot", "val": values, "ts": ts, "i": range(n)})
+    path = os.path.join(str(tmp_path), "hotkey_bounded.parquet")
+    pdf.to_parquet(path)
+
+    schema = (
+        Schema.new_builder()
+        .column("k", String)
+        .column("val", String)
+        .column("ts", Int64)
+        .column("i", Int64)
+        .build()
+    )
+    source = FileSystemSource(
+        name="hotkey_bounded",
+        path=path,
+        data_format="parquet",
+        schema=schema,
+        keys=["k"],
+        timestamp_field="ts",
+        timestamp_format="epoch",
+    )
+    view = DerivedFeatureView(
+        name="hotkey_bvc",
+        source=source,
+        features=[
+            Feature(
+                "vc",
+                transform=OverWindowTransform(
+                    "val", "VALUE_COUNTS",
+                    window_size=timedelta(seconds=window_s),
+                    group_by_keys=["k"],
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = (
+        client.get_features(view)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert len(df) == n
+    for probe in (0, 1, 500, 7_000, n - 1):
+        t_probe = ts[probe]
+        expected = {}
+        for v, tt in zip(values, ts):
+            if t_probe - window_s <= tt <= t_probe and v is not None:
+                expected[v] = expected.get(v, 0) + 1
+        got = df["vc"][probe]
+        got = dict(got) if got is not None else None
+        assert got == (expected or None), f"row {probe}"
+
+
 def test_null_value_semantics_under_filter_and_limit(client, tmp_path):
     """Reference null semantics (local aggregation_utils.py): COUNT/
     ROW_NUMBER = len(l) and FIRST/LAST = l[0]/l[-1] INCLUDING null values;

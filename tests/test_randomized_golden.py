@@ -248,6 +248,63 @@ def test_sliding_full_semantics_random(client, tmp_path, seed):
     assert got_map == _brute_sliding_full(rows, window_s, step_s)
 
 
+def _brute_bounded_vc(rows, window_s, filter_pos=False):
+    """Golden model for bounded-frame VALUE_COUNTS: counts of non-null
+    values among rows in [t - w, t] per key (ties at both ends included)."""
+    out = []
+    for k, v, t in rows:
+        counts = {}
+        for kk, vv, tt in rows:
+            if kk != k or tt > t or tt < t - window_s or vv is None:
+                continue
+            if filter_pos and not vv > 0:
+                continue
+            counts[vv] = counts.get(vv, 0) + 1
+        out.append((k, t, tuple(sorted(counts.items()))))
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.parametrize("filter_pos", [False, True])
+def test_over_bounded_value_counts_random(client, tmp_path, seed, filter_pos):
+    """The distributive chunked-interval-join plan for [t-W, t] VALUE_COUNTS
+    (over_window_utils._bounded_value_counts) vs brute force, with
+    timestamp ties, NULL values, and an optional filter."""
+    from collections import Counter
+    from datetime import timedelta
+
+    rnd = random.Random(seed * 31 + filter_pos)
+    rows = _gen_rows(rnd)
+    window_s = 10
+    name = f"rndbvc_{seed}_{filter_pos}"
+    source = _write_source(tmp_path, name, rows)
+    kwargs = dict(
+        group_by_keys=["k"], window_size=timedelta(seconds=window_s)
+    )
+    if filter_pos:
+        kwargs["filter_expr"] = "v > 0"
+    view = DerivedFeatureView(
+        name=f"v_{name}",
+        source=source,
+        features=[
+            Feature("vc", transform=OverWindowTransform("v", "VALUE_COUNTS", **kwargs)),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    got = client.get_features(view).to_pandas()
+    got_set = Counter(
+        (
+            r["k"], int(r["t"]),
+            tuple(sorted((int(kk), int(vv)) for kk, vv in (r["vc"] or {}).items()))
+            if r["vc"] is not None else (),
+        )
+        for _, r in got.iterrows()
+    )
+    want_set = Counter(_brute_bounded_vc(rows, window_s, filter_pos))
+    assert got_set == want_set
+
+
 def _brute_collect(rows, limit):
     out = []
     for k, v, t in rows:
