@@ -1408,6 +1408,68 @@ FROM documents
 """
 
 
+# little-endian 2- and 4-byte encodings of an int expression (Spark SQL)
+def _le2(x: str) -> str:
+    h = f"lpad(hex({x}), 4, '0')"
+    return f"concat(unhex(substr({h}, 3, 2)), unhex(substr({h}, 1, 2)))"
+
+
+def _le4(x: str) -> str:
+    h = f"lpad(hex({x}), 8, '0')"
+    return (
+        f"concat(unhex(substr({h}, 7, 2)), unhex(substr({h}, 5, 2)), "
+        f"unhex(substr({h}, 3, 2)), unhex(substr({h}, 1, 2)))"
+    )
+
+
+def _q_audio_meta(spark, sf_dir):
+    """REAL WAV header decode: RIFF/fmt/data chunk bytes are assembled
+    in-plan per row (channels/rate/length derived from doc_id, little-endian
+    fields byte-reversed in SQL), then parsed back by the pure-Python RIFF
+    walker inside Arrow-batched mapInPandas.  The oracle recomputes the
+    expected metadata arithmetically, hash-checking the byte-level round
+    trip (duration = data_size * 1000 / byte_rate)."""
+    from feathub_spark.datapipe.multimodal import decode_audio_metadata
+
+    ch = "(1 + doc_id % 2)"
+    sr = "(8000 + (doc_id % 5) * 4000)"
+    block = f"({ch} * 2)"          # 16-bit samples
+    byte_rate = f"({sr} * {block})"
+    data_size = f"((doc_id % 1000) * {block})"
+    fmt_chunk = (
+        f"concat(unhex('666D7420'), {_le4('16')}, {_le2('1')}, {_le2(ch)}, "
+        f"{_le4(sr)}, {_le4(byte_rate)}, {_le2(block)}, {_le2('16')})"
+    )
+    payload = (
+        f"concat(unhex('52494646'), {_le4(f'(28 + {data_size})')}, "
+        f"unhex('57415645'), {fmt_chunk}, "
+        f"unhex('64617461'), {_le4(data_size)})"
+    )
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.expr(payload).alias("payload"))
+    )
+    meta = decode_audio_metadata(df, "payload", fake=False)
+    return meta.select(
+        "doc_id",
+        F.col("audio_meta.n_channels").alias("n_channels"),
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.bits_per_sample").alias("bits_per_sample"),
+        F.col("audio_meta.duration_ms").alias("duration_ms"),
+    )
+
+
+_ORACLE_AUDIO_META = """
+SELECT doc_id,
+       CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+       CAST(8000 + (doc_id % 5) * 4000 AS INTEGER) AS sample_rate,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       CAST(((doc_id % 1000) * 1000) // (8000 + (doc_id % 5) * 4000)
+            AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 def _q_ivf_ann(spark, sf_dir):
     """IVF-style ANN with a deterministic hash-rank-sampled codebook of
     ABSOLUTE size (corpus-independent broadcast — the 100 TB property); the
@@ -1851,6 +1913,7 @@ _RAW_QUERIES = {
         "key_time_filter": _q_key_time_filter,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_real": _q_multimodal_real,
+        "audio_meta": _q_audio_meta,
         "dsl_functions": _q_dsl_functions,
         "over_on_joined": _q_over_on_joined,
         "sliding_first_last": _q_sliding_first_last,
@@ -1904,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _ORACLE_LSH_ANN,
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
         "multimodal_real": _ORACLE_MULTIMODAL_REAL,
+        "audio_meta": _ORACLE_AUDIO_META,
         "ivf_ann": _ORACLE_IVF_ANN,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,

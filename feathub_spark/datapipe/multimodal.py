@@ -164,6 +164,118 @@ def decode_image_metadata(
     return df.mapInPandas(decode_batches, schema=out_schema)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def parse_audio_header(payload: bytes):
+    """(n_channels, sample_rate, bits_per_sample, duration_ms, format) from
+    a WAV (RIFF) header — pure Python over the public byte layout, no audio
+    library.  Raises ValueError for anything else.
+
+    RIFF container: 'RIFF' + size + 'WAVE' at offset 0/8, then a chunk
+    stream of (fourcc, little-endian size, payload).  The 'fmt ' chunk
+    carries channels/rate/bits; the 'data' chunk size over the byte rate
+    gives the duration."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("unrecognized audio container format")
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if fourcc == b"fmt ":
+            if pos + 24 > len(payload):
+                raise ValueError("truncated WAV fmt chunk")
+            n_channels = int.from_bytes(payload[pos + 10 : pos + 12], "little")
+            sample_rate = int.from_bytes(payload[pos + 12 : pos + 16], "little")
+            byte_rate = int.from_bytes(payload[pos + 16 : pos + 20], "little")
+            bits = int.from_bytes(payload[pos + 22 : pos + 24], "little")
+            fmt = (n_channels, sample_rate, byte_rate, bits)
+        elif fourcc == b"data":
+            data_size = size
+        # chunk payloads are word-aligned (odd sizes padded by one byte)
+        pos += 8 + size + (size % 2)
+    if fmt is None:
+        raise ValueError("WAV without fmt chunk")
+    n_channels, sample_rate, byte_rate, bits = fmt
+    if byte_rate <= 0:
+        raise ValueError("invalid WAV byte rate")
+    duration_ms = (
+        (data_size * 1000) // byte_rate if data_size is not None else 0
+    )
+    return n_channels, sample_rate, bits, duration_ms, "wav"
+
+
+def _fake_audio_decode(payload: bytes):
+    """Deterministic md5-derived stub (mirrors _fake_decode for images)."""
+    digest = hashlib.md5(payload or b"").digest()
+    n_channels = 1 + digest[0] % 2
+    sample_rate = (8000, 16000, 44100, 48000)[digest[1] % 4]
+    bits = (8, 16, 24, 32)[digest[2] % 4]
+    duration_ms = 100 + digest[3] * 37
+    return (
+        n_channels, sample_rate, bits, duration_ms, "fake",
+        hashlib.md5(payload or b"").hexdigest(),
+    )
+
+
+def decode_audio_metadata(
+    df: DataFrame, binary_col: str, out_col: str = "audio_meta", fake: bool = False
+) -> DataFrame:
+    """Decode audio metadata for every row via Arrow-batched mapInPandas.
+
+    WAV (RIFF) headers are parsed for real (:func:`parse_audio_header`);
+    other formats raise NotImplementedError unless ``fake=True`` (the
+    deterministic md5-derived stub, applied to every payload)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, AUDIO_META_SCHEMA)]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = []
+            for payload in batch[binary_col]:
+                raw = bytes(payload) if payload is not None else b""
+                if fake:
+                    ch, sr, bits, dur, fmt, digest = _fake_audio_decode(raw)
+                else:
+                    try:
+                        ch, sr, bits, dur, fmt = parse_audio_header(raw)
+                    except ValueError as e:
+                        raise NotImplementedError(
+                            f"cannot decode payload ({e}); only WAV header "
+                            "metadata is supported without an audio library "
+                            "— re-run with fake=True for the deterministic "
+                            "stub"
+                        ) from e
+                    digest = hashlib.md5(raw).hexdigest()
+                metas.append(
+                    {
+                        "n_channels": ch,
+                        "sample_rate": sr,
+                        "bits_per_sample": bits,
+                        "duration_ms": dur,
+                        "format": fmt,
+                        "content_md5": digest,
+                    }
+                )
+            batch = batch.copy()
+            batch[out_col] = metas
+            yield batch
+
+    return df.mapInPandas(decode_batches, schema=out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame, binary_col: str, every_n_ms: int = 1000
 ) -> DataFrame:

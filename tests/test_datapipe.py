@@ -260,6 +260,59 @@ def test_decode_image_metadata_real(spark):
     assert metas[1].content_md5 == hashlib.md5(_png_bytes(100, 50)).hexdigest()
 
 
+def _wav_bytes(n_channels, sample_rate, bits, n_frames):
+    import struct
+
+    byte_rate = sample_rate * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    data_size = n_frames * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_audio_header_wav():
+    from feathub_spark.datapipe.multimodal import parse_audio_header
+
+    wav = _wav_bytes(2, 44100, 16, 44100)  # one second of stereo 16-bit
+    assert parse_audio_header(wav) == (2, 44100, 16, 1000, "wav")
+    mono = _wav_bytes(1, 8000, 8, 4000)  # half a second of mono 8-bit
+    assert parse_audio_header(mono) == (1, 8000, 8, 500, "wav")
+    with pytest.raises(ValueError):
+        parse_audio_header(b"ID3\x03mp3 data here")
+    with pytest.raises(ValueError):
+        parse_audio_header(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt chunk
+
+
+def test_decode_audio_metadata(spark):
+    from feathub_spark.datapipe.multimodal import decode_audio_metadata
+
+    rows = [
+        (1, bytearray(_wav_bytes(2, 16000, 16, 8000))),
+        (2, bytearray(_wav_bytes(1, 48000, 24, 12000))),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    metas = {
+        r.media_id: r.audio_meta
+        for r in decode_audio_metadata(df, "payload", fake=False).collect()
+    }
+    assert (
+        metas[1].n_channels, metas[1].sample_rate,
+        metas[1].bits_per_sample, metas[1].duration_ms, metas[1].format,
+    ) == (2, 16000, 16, 500, "wav")
+    assert metas[2].duration_ms == 250
+    # fake path is deterministic and accepts any bytes
+    df2 = spark.createDataFrame([(9, bytearray(b"mp3?"))], ["media_id", "payload"])
+    out = decode_audio_metadata(df2, "payload", fake=True).collect()[0].audio_meta
+    out2 = decode_audio_metadata(df2, "payload", fake=True).collect()[0].audio_meta
+    assert out == out2 and out.format == "fake"
+
+
 def test_ngram_jaccard_auto_cut_matches_exact_on_small_corpus(docs):
     """auto cut = max(64, 0.1% of corpus) — a no-op below 64 docs, so the
     default must reproduce the exact (max_doc_freq=None) result."""
