@@ -209,10 +209,18 @@ def ngram_jaccard_pairs(
     inverted = grams.select(
         "__id__", F.explode("__grams__").alias("__gram__")
     )
+    # One shuffle builds the posting list (sorted doc ids) per gram; pair
+    # candidates then expand IN-ARRAY from the posting list — map-side work
+    # after that single shuffle — instead of a self-join of the exploded
+    # index (which shuffles the full index twice more and sort-merges it).
+    # The doc-frequency cut becomes a free size() filter on the posting
+    # list.  With max_doc_freq=None a corpus-wide stop-gram materializes
+    # its full posting array (the same n² hazard the self-join had) — the
+    # cut is what makes this scale-safe.
+    postings = inverted.groupBy("__gram__").agg(
+        F.sort_array(F.collect_list("__id__")).alias("__ids__")
+    )
     if max_doc_freq is not None:
-        df_count = inverted.groupBy("__gram__").agg(
-            F.count(F.lit(1)).alias("__df__")
-        )
         if max_doc_freq == "auto":
             cut_row = df.select(
                 F.greatest(
@@ -220,28 +228,25 @@ def ngram_jaccard_pairs(
                     (F.count(F.lit(1)) / 1000).cast("long"),
                 ).alias("__cut__")
             )
-            rare = (
-                df_count.join(F.broadcast(cut_row))
-                .filter(F.col("__df__") <= F.col("__cut__"))
-                .select("__gram__")
+            postings = (
+                postings.join(F.broadcast(cut_row))
+                .filter(F.size("__ids__") <= F.col("__cut__"))
+                .drop("__cut__")
             )
         else:
-            rare = df_count.filter(F.col("__df__") <= max_doc_freq).select(
-                "__gram__"
-            )
-        inverted = inverted.join(rare, "__gram__")
+            postings = postings.filter(F.size("__ids__") <= max_doc_freq)
+    # ids are sorted and distinct, so the triangular expansion yields each
+    # (id_a < id_b) pair once per shared gram
+    pair_expr = (
+        "flatten(transform(sequence(1, size(__ids__) - 1), "
+        "i -> transform(slice(__ids__, i + 1, size(__ids__) - i), "
+        "b -> struct(element_at(__ids__, i) AS id_a, b AS id_b))))"
+    )
     co = (
-        inverted.alias("a")
-        .join(
-            inverted.alias("b"),
-            on=[
-                F.col("a.__gram__") == F.col("b.__gram__"),
-                F.col("a.__id__") < F.col("b.__id__"),
-            ],
-        )
-        .groupBy(
-            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
-        )
+        postings.filter(F.size("__ids__") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     if max_doc_freq is None:
@@ -258,10 +263,58 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    # with the doc-freq cut the index undercounts intersections: re-verify
-    # candidates against the FULL gram sets so reported scores stay exact
-    verified = (
+    # With the doc-freq cut the index undercounts intersections, so
+    # candidates must be re-verified against the FULL gram sets.  The
+    # array_intersect verify is the expensive step (candidates sharing one
+    # rare gram vastly outnumber true near-dups), so prune first with an
+    # exactness-preserving upper bound: the cut can hide at most
+    # min(stop_a, stop_b) shared grams, where stop_x = |X| - (grams of x
+    # surviving the cut), hence
+    #   true_jaccard <= (common + m) / (n_a + n_b - common - m),
+    # m = min(stop_a, stop_b).  Pairs whose bound cannot reach the
+    # threshold are dropped WITHOUT touching the gram arrays; survivors
+    # (roughly the true near-dups) get the exact array verify.
+    rare_counts = (
+        postings.select(F.explode("__ids__").alias("__id__"))
+        .groupBy("__id__")
+        .agg(F.count(F.lit(1)).alias("__rare__"))
+    )
+    stats = (
+        sizes.join(rare_counts, "__id__", "left")
+        .select(
+            "__id__",
+            F.col("__n__"),
+            (F.col("__n__") - F.coalesce(F.col("__rare__"), F.lit(0))).alias("__stop__"),
+        )
+    )
+    m = F.least(F.col("stop_a"), F.col("stop_b"))
+    ubound = (F.col("common") + m) / F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("common") - m, F.lit(1)
+    )
+    survivors = (
         co.join(
+            stats.select(
+                F.col("__id__").alias("id_a"),
+                F.col("__n__").alias("n_a"),
+                F.col("__stop__").alias("stop_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            stats.select(
+                F.col("__id__").alias("id_b"),
+                F.col("__n__").alias("n_b"),
+                F.col("__stop__").alias("stop_b"),
+            ),
+            "id_b",
+        )
+        # 1e-6 slack: the final filter rounds to 6 decimals, so a true
+        # jaccard as low as threshold - 5e-7 can still round in
+        .filter(ubound >= threshold - 1e-6)
+        .select("id_a", "id_b")
+    )
+    verified = (
+        survivors.join(
             grams.select(F.col("__id__").alias("id_a"), F.col("__grams__").alias("ga")),
             "id_a",
         )
