@@ -100,6 +100,66 @@ def test_unbounded_value_counts_plan_is_join_safe(client, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bounded_value_counts_plan_is_join_safe(client, tmp_path):
+    """The bounded-frame distributive VALUE_COUNTS plan (chunked interval
+    join) must stay equi-join shaped: the range predicate rides on the
+    (keys, chunk) hash join, never a CartesianProduct /
+    BroadcastNestedLoopJoin, and no Window over the raw rows appears."""
+    from datetime import timedelta
+
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+    from tests.fixtures import write_f1_source
+
+    source = write_f1_source(tmp_path, "bvc_plan_src")
+    view = DerivedFeatureView(
+        name="bvc_plan_view",
+        source=source,
+        features=[
+            Feature(
+                "vc",
+                transform=OverWindowTransform(
+                    "cost", "VALUE_COUNTS",
+                    window_size=timedelta(days=2),
+                    group_by_keys=["name"],
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    df = client.processor.get_table(view).to_dataframe()
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_windows = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(")
+        and ") Window" in line
+    )
+    assert n_windows == 0, f"bounded VALUE_COUNTS must be window-free:\n{plan}"
+
+
+def test_ngram_jaccard_plan_has_no_index_self_join(client):
+    """Candidate pairs expand in-array from posting lists: the plan must
+    not contain a sort-merge self-join of the exploded inverted index (no
+    nested-loop or cartesian shapes either)."""
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = client.spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w q")],
+        "doc_id long, text string",
+    )
+    plan = _formatted_plan(
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=2, max_doc_freq=16)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the "auto" cut attaches a broadcast ONE-ROW cutoff (shows up as a
+    # build-side-1 BroadcastNestedLoopJoin — constant work); everything
+    # else must still be equi-join shaped
+    auto_plan = _formatted_plan(ngram_jaccard_pairs(docs, "text", "doc_id", n=2))
+    assert "CartesianProduct" not in auto_plan
+
+
 def test_join_field_with_reserved_keyword_name(client, tmp_path):
     """Reference test_join_transform.py:429: right-table feature named with
     a DSL reserved word ('end') must survive the as-of join via backticks."""
