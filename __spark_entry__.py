@@ -1341,6 +1341,15 @@ _H32 = (
     "AS BIGINT)"
 )
 
+# DuckDB cosine between two DOUBLE list columns (mirrors similarity.cosine_expr)
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum') "
+        f"/ (sqrt(list_aggregate(list_transform({a}, x -> CAST(x AS DOUBLE) * x), 'sum')) "
+        f"* sqrt(list_aggregate(list_transform({b}, x -> CAST(x AS DOUBLE) * x), 'sum')))"
+    )
+
 
 # hex pair (1-based positions p, p+1 of the md5 hex string) -> byte value
 def _hex_byte(p: int) -> str:
@@ -1520,6 +1529,77 @@ WITH cents AS (
              / (sqrt(list_aggregate(list_transform(p.qvec, x -> CAST(x AS DOUBLE) * x), 'sum'))
                 * sqrt(list_aggregate(list_transform(m.nvec, x -> CAST(x AS DOUBLE) * x), 'sum'))),
            6) AS cosine
+    FROM members m JOIN probes p ON m.cell = p.cell
+    WHERE m.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _q_ivf_ann_trained(spark, sf_dir):
+    """IVF ANN over a LLOYD-TRAINED codebook (one deterministic k-means
+    iteration refining the hash-rank init, expressed as DataFrame ops);
+    the oracle replicates init + assignment + per-dimension centroid means
+    + search, so the whole training pipeline is hash-checked."""
+    from feathub_spark.datapipe.similarity import ivf_topk, train_ivf_codebook
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = df.filter(F.col("vec_id") < 20)
+    cb = train_ivf_codebook(
+        df, "embedding", "vec_id", n_centroids=16, iterations=1, seed=9
+    )
+    return ivf_topk(
+        df, queries_df, "embedding", "vec_id", k=5, nprobe=4, codebook=cb
+    )
+
+
+_ORACLE_IVF_ANN_TRAINED = f"""
+WITH cents0 AS (
+    SELECT cid, cvec FROM (
+        SELECT vec_id AS cid, embedding AS cvec,
+               {_H32.format(col='vec_id', seed=9)} AS h
+        FROM embeddings
+    ) ORDER BY h, cid LIMIT 16
+), a0 AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({_duck_cos('e.embedding', 'c.cvec')}, 6) DESC,
+                                           c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents0 c
+    ) WHERE rn = 1
+), dims AS (
+    SELECT cid,
+           unnest(list_transform(range(1, len(embedding) + 1),
+               i -> struct_pack(dim := i, x := CAST(embedding[i] AS DOUBLE)))) AS u
+    FROM a0
+), cents AS (
+    SELECT cid, list(mean ORDER BY dim) AS cvec FROM (
+        SELECT cid, u.dim AS dim, round(avg(u.x), 9) AS mean
+        FROM dims GROUP BY cid, u.dim
+    ) GROUP BY cid
+), cos AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           round({_duck_cos('e.embedding', 'c.cvec')}, 6) AS acos
+    FROM embeddings e CROSS JOIN cents c
+), ranked AS (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid ASC) AS arank
+    FROM cos
+), members AS (
+    SELECT vec_id AS neighbor_id, embedding AS nvec, cid AS cell
+    FROM ranked WHERE arank = 1
+), probes AS (
+    SELECT vec_id AS query_id, embedding AS qvec, cid AS cell
+    FROM ranked WHERE vec_id < 20 AND arank <= 4
+), scored AS (
+    SELECT p.query_id, m.neighbor_id,
+           round({_duck_cos('p.qvec', 'm.nvec')}, 6) AS cosine
     FROM members m JOIN probes p ON m.cell = p.cell
     WHERE m.neighbor_id <> p.query_id
 )
@@ -1922,6 +2002,7 @@ _RAW_QUERIES = {
         "lsh_ann": _q_lsh_ann,
         "dedup_clusters": _q_dedup_clusters,
         "ivf_ann": _q_ivf_ann,
+        "ivf_ann_trained": _q_ivf_ann_trained,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -1969,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_real": _ORACLE_MULTIMODAL_REAL,
         "audio_meta": _ORACLE_AUDIO_META,
         "ivf_ann": _ORACLE_IVF_ANN,
+        "ivf_ann_trained": _ORACLE_IVF_ANN_TRAINED,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

@@ -106,6 +106,68 @@ def ivf_codebook(
     )
 
 
+def train_ivf_codebook(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 256,
+    iterations: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """Lloyd-iteration (k-means) refinement of the hash-rank codebook,
+    expressed entirely as DataFrame ops — fully deterministic, hence
+    oracle-reproducible, unlike library k-means with sampled init.
+
+    Per iteration: (1) assign every corpus row to its nearest centroid by
+    cosine (one broadcast pass — the codebook is corpus-size-independent);
+    (2) recompute each centroid as the component-wise mean of its members
+    (posexplode -> per-(cell, dim) partial means -> rebuild the array
+    ordered by dim).  For cosine scoring the un-normalized mean is
+    equivalent to the spherical-k-means centroid (same direction).  Cells
+    that attract no members disappear (the codebook may shrink); centroid
+    ids stay the seed row's id for stable cell labels.
+
+    At 100 TB each iteration costs one broadcast assignment pass plus a
+    groupBy over (n_centroids x dims) cells — both corpus-shuffle-free
+    beyond the map-side partial aggregation.
+
+    Returns (__cid__, __cvec__), drop-in for :func:`ivf_topk`'s
+    ``codebook``."""
+    cents = ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
+    base = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("__mid__"), F.col(vec_col).alias("__mv__")
+    )
+    for _ in range(iterations):
+        scored = base.crossJoin(F.broadcast(cents)).withColumn(
+            "__acos__", F.round(F.expr(cosine_expr("__mv__", "__cvec__")), 6)
+        )
+        w = Window.partitionBy("__mid__").orderBy(
+            F.col("__acos__").desc(), F.col("__cid__").asc()
+        )
+        assigned = (
+            scored.withColumn("__arank__", F.row_number().over(w))
+            .filter(F.col("__arank__") == 1)
+            .select("__mid__", "__mv__", "__cid__")
+        )
+        cents = (
+            assigned.select(
+                "__cid__", F.posexplode("__mv__").alias("__dim__", "__x__")
+            )
+            .groupBy("__cid__", "__dim__")
+            # 9-dp rounding absorbs float-summation order differences so the
+            # trained codebook is bit-reproducible across engines (oracle)
+            .agg(F.round(F.avg(F.col("__x__").cast("double")), 9).alias("__mean__"))
+            .groupBy("__cid__")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(__dim__, __mean__))), "
+                    "s -> s.__mean__)"
+                ).alias("__cvec__")
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -116,6 +178,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 0,
     query_id_col: str = None,
+    codebook: DataFrame = None,
 ) -> DataFrame:
     """IVF-style ANN: a deterministic hash-rank-sampled codebook of exactly
     ``n_centroids`` rows (see :func:`ivf_codebook`) partitions the corpus
@@ -128,12 +191,17 @@ def ivf_topk(
     "search" is a cell-equi-join — so the 100 TB cost is O(n·n_centroids)
     narrow work plus one shuffle on cell id instead of a corpus-wide scan
     per query.  Fully deterministic (no sampled k-means seed), hence
-    oracle-reproducible; swap the codebook for trained centroids without
+    oracle-reproducible.  Pass ``codebook`` — e.g. from
+    :func:`train_ivf_codebook` — to swap in trained centroids without
     touching the plan.
 
     Returns (query_id, neighbor_id, rank, cosine)."""
     query_id_col = query_id_col or id_col
-    cents = ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
+    cents = (
+        codebook
+        if codebook is not None
+        else ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
+    )
 
     def assign(df: DataFrame, ident: str, out_id: str, top_n: int) -> DataFrame:
         scored = (

@@ -155,6 +155,48 @@ def test_ivf_codebook_size_is_corpus_independent(spark):
     assert ivf_codebook(corpus(7), "embedding", "vec_id", n_centroids=16).count() == 7
 
 
+def test_train_ivf_codebook(spark):
+    import random
+
+    from feathub_spark.datapipe.similarity import train_ivf_codebook
+
+    rng = random.Random(3)
+    centers = [[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0], [0, 0, 0, 10]]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    cb = train_ivf_codebook(
+        df, "embedding", "vec_id", n_centroids=8, iterations=2, seed=3
+    )
+    got = {r["__cid__"]: r["__cvec__"] for r in cb.collect()}
+    # cells may shrink (empty cells disappear) but never grow
+    assert 1 <= len(got) <= 8
+    # deterministic: identical re-run
+    got2 = {
+        r["__cid__"]: r["__cvec__"]
+        for r in train_ivf_codebook(
+            df, "embedding", "vec_id", n_centroids=8, iterations=2, seed=3
+        ).collect()
+    }
+    assert got == got2
+    # every trained centroid is dominated by one cluster axis (Lloyd pulls
+    # it to a cluster mean); the dominant component is ~10, others ~0
+    for vec in got.values():
+        top = max(vec)
+        assert top > 7 and sum(1 for x in vec if x > 2) == 1
+
+    # trained codebook slots into ivf_topk and keeps recall on clustered data
+    q = df.filter(F.col("vec_id") < 4)
+    ivf = ivf_topk(df, q, "embedding", "vec_id", k=3, nprobe=3, codebook=cb)
+    bf = brute_force_topk(df, q, "embedding", "vec_id", k=3)
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    assert len(ivf_pairs & bf_pairs) / len(bf_pairs) >= 0.9
+
+
 def test_pii_scrub(spark):
     df = spark.createDataFrame(
         [
