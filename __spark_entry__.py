@@ -476,6 +476,49 @@ GROUP BY user_id, wend
 """
 
 
+def _q_sliding_value_counts(spark, sf_dir):
+    """Sliding-window VALUE_COUNTS — exercises the distributive per-step
+    count-map plan (sliding_window_utils vc_distributive: partials bounded
+    by distinct values per step, never rows per step)."""
+    from feathub_spark import Feature, SlidingFeatureView
+    from feathub_spark.feature_views.transforms import SlidingWindowTransform
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    view = SlidingFeatureView(
+        name="sliding_vc_view",
+        source=events,
+        features=[
+            Feature(
+                "type_counts",
+                transform=SlidingWindowTransform(
+                    "event_type", "VALUE_COUNTS", window_size=timedelta(days=2),
+                    step_size=timedelta(days=1), group_by_keys=["user_id"],
+                ),
+            ),
+        ],
+        enable_empty_window_output=False,
+        skip_same_window_output=False,
+    )
+    proc.registry.build_features([events])
+    built = proc.registry.build_features([view])[0]
+    df = proc.get_table(built).to_dataframe()
+    return df.select(
+        "user_id", "window_time", F.explode("type_counts").alias("etype", "n")
+    )
+
+
+_ORACLE_SLIDING_VALUE_COUNTS = f"""
+SELECT user_id, wend - 1 AS window_time, event_type AS etype, count(*) AS n
+FROM (
+    SELECT user_id, event_type,
+           ((epoch_ms(ts) // {MS_DAY}) + 1 + k.k) * {MS_DAY} AS wend
+    FROM events, (VALUES (0), (1)) k(k)
+)
+GROUP BY user_id, wend, event_type
+"""
+
+
 def _q_sliding_tumbling_1d(spark, sf_dir):
     from feathub_spark import Feature, SlidingFeatureView
     from feathub_spark.feature_views.transforms import SlidingWindowTransform
@@ -1977,6 +2020,7 @@ _RAW_QUERIES = {
         "over_first_last": _q_over_first_last,
         "pit_join": _q_pit_join,
         "sliding_2d_1d": _q_sliding_2d_1d,
+        "sliding_value_counts": _q_sliding_value_counts,
         "sliding_tumbling_1d": _q_sliding_tumbling_1d,
         "sql_view_tpch_q1": _q_sql_view,
         "udf_token_count": _q_udf_token_count,
@@ -2025,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         "over_first_last": _ORACLE_OVER_FIRST_LAST,
         "pit_join": _ORACLE_PIT_JOIN,
         "sliding_2d_1d": _ORACLE_SLIDING_2D_1D,
+        "sliding_value_counts": _ORACLE_SLIDING_VALUE_COUNTS,
         "sliding_tumbling_1d": _ORACLE_SLIDING_TUMBLING_1D,
         "sql_view_tpch_q1": _TPCH_Q1_SQL,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,

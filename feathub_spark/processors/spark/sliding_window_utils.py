@@ -83,7 +83,16 @@ class SlidingAggField(NamedTuple):
         )
 
     @property
+    def vc_distributive(self) -> bool:
+        """VALUE_COUNTS without limit merges per-step count MAPS instead of
+        per-row arrays: partial size is bounded by distinct values per step,
+        not rows per step — the scale-safe shape for hot keys."""
+        return self.agg_func == AggFunc.VALUE_COUNTS and self.limit is None
+
+    @property
     def uses_array(self) -> bool:
+        if self.vc_distributive:
+            return False
         return self.limit is not None or self.agg_func in (
             AggFunc.VALUE_COUNTS,
             AggFunc.COLLECT_LIST,
@@ -135,6 +144,8 @@ def evaluate_sliding_window(
         v = f_.value_sql()
         p = f"__p{i}_"
         a = f_.agg_func
+        if f_.vc_distributive:
+            continue  # per-step count map, joined onto the partials below
         if f_.uses_array:
             # filter gates the ROW (slot); a null value on a passing row
             # still occupies a limit slot.
@@ -184,9 +195,39 @@ def evaluate_sliding_window(
         else:
             raise PlanError(f"Unsupported sliding agg {a}.")
 
+    if not partial_aggs:
+        # every field is distributive VALUE_COUNTS: keep one placeholder so
+        # the partials table still enumerates every (keys, step) with rows
+        partial_aggs.append(F.count(F.lit(1)).alias("__step_rows__"))
     partials = base.groupBy(*[F.col(k) for k in keys], F.col(_STEP_END)).agg(
         *partial_aggs
     )
+
+    # ---- distributive VALUE_COUNTS partials: one count MAP per step -----
+    # groupBy (keys, step, value) is map-side combinable and its partial is
+    # bounded by distinct values per step, never rows per step; the join
+    # back onto `partials` is co-partitioned on (keys, step_end).
+    for i, f_ in enumerate(fields):
+        if not f_.vc_distributive:
+            continue
+        p = f"__p{i}_"
+        vc_rows = base
+        if f_.filter_sql is not None:
+            vc_rows = vc_rows.filter(F.expr(f_.filter_sql))
+        vc_rows = vc_rows.withColumn("__vcv__", F.expr(f_.expr_sql)).filter(
+            F.col("__vcv__").isNotNull()
+        )
+        step_maps = (
+            vc_rows.groupBy(*[F.col(k) for k in keys], F.col(_STEP_END), F.col("__vcv__"))
+            .agg(F.count(F.lit(1)).alias("__vcc__"))
+            .groupBy(*[F.col(k) for k in keys], F.col(_STEP_END))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("__vcv__"), F.col("__vcc__")))
+                ).alias(p + "map")
+            )
+        )
+        partials = partials.join(step_maps, on=keys + [_STEP_END], how="left")
 
     # ---- stage 2: explode into contributing window ends and merge -------
     exploded = partials.withColumn(
@@ -203,7 +244,15 @@ def evaluate_sliding_window(
         def g(col_sql: str) -> str:
             return f"CASE WHEN {guard} THEN {col_sql} END"
 
-        if f_.uses_array:
+        if f_.vc_distributive:
+            # collect_list drops NULLs (guard-failing chunks and stepless
+            # maps), so entries = the window's per-step (value, count) pairs
+            merge_aggs.append(
+                F.expr(
+                    f"flatten(collect_list({g(f'map_entries(`{p}map`)')}))"
+                ).alias(p + "ent")
+            )
+        elif f_.uses_array:
             merge_aggs.append(
                 F.expr(f"flatten(collect_list({g('`' + p + 'arr`')})) ").alias(p + "arr")
             )
@@ -251,7 +300,18 @@ def evaluate_sliding_window(
     for i, f_ in enumerate(fields):
         p = f"__p{i}_"
         a = f_.agg_func
-        if f_.uses_array:
+        if f_.vc_distributive:
+            # sum counts per value across the window's per-step maps —
+            # O(d²) in DISTINCT values per window, row-count-independent
+            ent = f"`{p}ent`"
+            col = F.expr(
+                f"CASE WHEN size({ent}) > 0 THEN map_from_entries("
+                f"transform(array_distinct(transform({ent}, e -> e.key)), "
+                f"k -> struct(k AS key, aggregate("
+                f"filter({ent}, e -> e.key <=> k), CAST(0 AS BIGINT), "
+                f"(a, e) -> a + e.value) AS value))) END"
+            )
+        elif f_.uses_array:
             arr = f"array_sort(`{p}arr`)"
             if f_.limit is not None:
                 arr = (

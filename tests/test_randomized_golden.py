@@ -248,6 +248,68 @@ def test_sliding_full_semantics_random(client, tmp_path, seed):
     assert got_map == _brute_sliding_full(rows, window_s, step_s)
 
 
+def _brute_sliding_vc(rows, window_s, step_s, filter_pos=False):
+    """Golden model for sliding-window VALUE_COUNTS (no empty windows, no
+    skip-same): counts of non-null values among rows in [wend-W, wend)."""
+    by_key = {}
+    for k, v, t in rows:
+        by_key.setdefault(k, []).append((t, v))
+    out = {}
+    for k, kv in by_key.items():
+        wends = sorted({(t // step_s + 1) * step_s + j * step_s
+                        for t, _ in kv for j in range(window_s // step_s)})
+        for wend in wends:
+            counts = {}
+            for t, v in kv:
+                if wend - window_s <= t < wend and v is not None:
+                    if filter_pos and not v > 0:
+                        continue
+                    counts[v] = counts.get(v, 0) + 1
+            if any(wend - window_s <= t < wend for t, _ in kv):
+                out[(k, wend * 1000 - 1)] = tuple(sorted(counts.items()))
+    return out
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+@pytest.mark.parametrize("filter_pos", [False, True])
+def test_sliding_value_counts_random(client, tmp_path, seed, filter_pos):
+    """The distributive per-step count-map plan for sliding VALUE_COUNTS
+    (sliding_window_utils vc_distributive) vs brute force, with timestamp
+    ties, NULL values, and an optional filter."""
+    from datetime import timedelta
+
+    rnd = random.Random(seed * 17 + filter_pos)
+    rows = _gen_rows(rnd)
+    window_s, step_s = 30, 10
+    name = f"rndsvc_{seed}_{filter_pos}"
+    source = _write_source(tmp_path, name, rows)
+    kwargs = dict(
+        window_size=timedelta(seconds=window_s),
+        step_size=timedelta(seconds=step_s),
+        group_by_keys=["k"],
+    )
+    if filter_pos:
+        kwargs["filter_expr"] = "v > 0"
+    view = SlidingFeatureView(
+        name=f"v_{name}",
+        source=source,
+        features=[
+            Feature("vc", transform=SlidingWindowTransform("v", "VALUE_COUNTS", **kwargs)),
+        ],
+        enable_empty_window_output=False,
+        skip_same_window_output=False,
+    )
+    client.build_features([source, view])
+    got = client.get_features(view).to_pandas()
+    got_map = {
+        (r["k"], int(r["window_time"])):
+        tuple(sorted((int(kk), int(vv)) for kk, vv in (r["vc"] or {}).items()))
+        if r["vc"] is not None else ()
+        for _, r in got.iterrows()
+    }
+    assert got_map == _brute_sliding_vc(rows, window_s, step_s, filter_pos)
+
+
 def _brute_bounded_vc(rows, window_s, filter_pos=False):
     """Golden model for bounded-frame VALUE_COUNTS: counts of non-null
     values among rows in [t - w, t] per key (ties at both ends included)."""

@@ -177,3 +177,75 @@ def test_post_sliding_expression(client, tmp_path):
         .reset_index(drop=True)
     )
     assert df["double_cost"].tolist() == [1000, 2000, 3200, 2200, 0]
+
+
+def test_sliding_value_counts_long_single_key(client, tmp_path):
+    """Hot-key stress for the distributive sliding VALUE_COUNTS plan: one
+    key, 30k rows, 5000s window / 1000s step.  The array path would carry
+    every in-window row through the partial and merge stages; the
+    per-step count-map plan's partials are bounded by distinct values per
+    step.  Spot-checked against directly computed windowed counts."""
+    import os
+
+    import pandas as pd
+
+    from feathub_spark import FileSystemSource, Int64, Schema, String
+
+    n = 30_000
+    window_s, step_s = 5_000, 1_000
+    values = [f"v{i % 7}" if i % 11 else None for i in range(n)]
+    t0 = 1_640_000_000
+    ts = [t0 + i for i in range(n)]
+    pdf = pd.DataFrame({"k": "hot", "val": values, "ts": ts})
+    path = os.path.join(str(tmp_path), "hotkey_svc.parquet")
+    pdf.to_parquet(path)
+
+    schema = (
+        Schema.new_builder()
+        .column("k", String)
+        .column("val", String)
+        .column("ts", Int64)
+        .build()
+    )
+    source = FileSystemSource(
+        name="hotkey_svc",
+        path=path,
+        data_format="parquet",
+        schema=schema,
+        keys=["k"],
+        timestamp_field="ts",
+        timestamp_format="epoch",
+    )
+    view = SlidingFeatureView(
+        name="hotkey_svc_view",
+        source=source,
+        features=[
+            Feature(
+                "vc",
+                transform=SlidingWindowTransform(
+                    "val", "VALUE_COUNTS",
+                    window_size=timedelta(seconds=window_s),
+                    step_size=timedelta(seconds=step_s),
+                    group_by_keys=["k"],
+                ),
+            ),
+        ],
+        enable_empty_window_output=False,
+        skip_same_window_output=False,
+    )
+    client.build_features([source, view])
+    df = client.get_features(view).to_pandas()
+    by_wt = {int(r["window_time"]): r["vc"] for _, r in df.iterrows()}
+    # probe a few window ends: first, one mid-stream, one past the data end
+    for wend_s in (
+        (t0 // step_s + 1) * step_s,
+        (t0 // step_s + 1) * step_s + 10 * step_s,
+        (ts[-1] // step_s + 1) * step_s + 2 * step_s,
+    ):
+        expected = {}
+        for v, tt in zip(values, ts):
+            if wend_s - window_s <= tt < wend_s and v is not None:
+                expected[v] = expected.get(v, 0) + 1
+        got = by_wt.get(wend_s * 1000 - 1)
+        got = dict(got) if got is not None else None
+        assert got == (expected or None), f"window end {wend_s}"
