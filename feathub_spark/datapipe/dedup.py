@@ -38,6 +38,27 @@ def exact_dedup(
     )
 
 
+def streaming_exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    watermark_col: Optional[str] = None,
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming exact dedup over a Structured Streaming DataFrame.
+
+    ``dropDuplicatesWithinWatermark`` keeps dedup state only within the
+    watermark horizon, so state is bounded by (event rate x delay) — the
+    only shape that survives an unbounded 100 TB/day stream; plain
+    ``dropDuplicates`` on a stream accumulates state forever.  Duplicates
+    separated by more than ``delay`` of event time may both survive (the
+    usual watermark trade-off).  Pass ``watermark_col`` to set the
+    watermark here, or pre-watermark the input.  Batch callers use
+    :func:`exact_dedup` instead."""
+    if watermark_col is not None:
+        df = df.withWatermark(watermark_col, delay)
+    return df.dropDuplicatesWithinWatermark(list(content_cols))
+
+
 def _shingles_sql(text_col: str, k: int) -> str:
     """Word k-shingles (space-joined runs of k consecutive tokens)."""
     toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"

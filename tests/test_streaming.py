@@ -432,3 +432,57 @@ def test_stateful_sliding_late_data_within_watermark(client, tmp_path):
     assert alex.get(jan2 + ms_day - 1) == 7
     assert alex.get(jan2 + 2 * ms_day - 1) == 50
     assert alex.get(jan2 + 3 * ms_day - 1) == 0
+
+
+def test_streaming_exact_dedup(client, tmp_path):
+    """Watermark-bounded streaming dedup: duplicate contents across files
+    collapse to one surviving row; state never outgrows the watermark
+    horizon (dropDuplicatesWithinWatermark)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from feathub_spark.datapipe.dedup import streaming_exact_dedup
+
+    d = os.path.join(str(tmp_path), "dedup_stream_in")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        (1, "alpha", "2024-01-01 00:00:01"),
+        (2, "beta", "2024-01-01 00:00:02"),
+        (3, "alpha", "2024-01-01 00:00:03"),  # dup of 1
+        (4, "gamma", "2024-01-01 00:00:04"),
+        (5, "beta", "2024-01-01 00:00:05"),   # dup of 2
+        (6, "alpha", "2024-01-01 00:00:06"),  # dup of 1
+    ]
+    for i, chunk in enumerate([rows[:3], rows[3:]]):
+        with open(os.path.join(d, f"p{i}.csv"), "w") as f:
+            f.write("doc_id,content,ts\n")
+            for r in chunk:
+                f.write(",".join(str(x) for x in r) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    sdf = (
+        client.spark.readStream.schema(schema)
+        .option("header", "true")
+        .csv(d)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = streaming_exact_dedup(
+        sdf, ["content"], watermark_col="ts", delay="1 minute"
+    )
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    out = client.spark.sql("SELECT * FROM dedup_stream_out").collect()
+    contents = sorted(r["content"] for r in out)
+    assert contents == ["alpha", "beta", "gamma"]
