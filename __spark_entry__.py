@@ -1522,6 +1522,33 @@ FROM documents
 """
 
 
+def _q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: one row per sampled frame offset on a
+    deterministic per-payload duration grid (md5-derived — the decoder-based
+    duration is a drop-in once a codec library exists).  The oracle
+    recomputes the grid with generate_series."""
+    from feathub_spark.datapipe.multimodal import frame_sample_plan
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    return frame_sample_plan(df, "payload", every_n_ms=500).select(
+        "doc_id", F.col("frame_offset_ms").cast("bigint").alias("frame_offset_ms")
+    )
+
+
+_ORACLE_FRAME_SAMPLE = """
+SELECT doc_id,
+       CAST(unnest(generate_series(0, dur, 500)) AS BIGINT) AS frame_offset_ms
+FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 + 1000 AS dur
+    FROM documents
+)
+"""
+
+
 def _q_ivf_ann(spark, sf_dir):
     """IVF-style ANN with a deterministic hash-rank-sampled codebook of
     ABSOLUTE size (corpus-independent broadcast — the 100 TB property); the
@@ -2038,6 +2065,7 @@ _RAW_QUERIES = {
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_real": _q_multimodal_real,
         "audio_meta": _q_audio_meta,
+        "frame_sample": _q_frame_sample,
         "dsl_functions": _q_dsl_functions,
         "over_on_joined": _q_over_on_joined,
         "sliding_first_last": _q_sliding_first_last,
@@ -2094,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
         "multimodal_real": _ORACLE_MULTIMODAL_REAL,
         "audio_meta": _ORACLE_AUDIO_META,
+        "frame_sample": _ORACLE_FRAME_SAMPLE,
         "ivf_ann": _ORACLE_IVF_ANN,
         "ivf_ann_trained": _ORACLE_IVF_ANN_TRAINED,
         "sample_shard": _ORACLE_SAMPLE_SHARD,

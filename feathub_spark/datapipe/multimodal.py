@@ -281,10 +281,17 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Plan-only helper for video frame sampling: emits one row per sampled
     frame offset (duration read from metadata when a decoder is present;
-    here derived from payload length deterministically)."""
+    here derived deterministically from the payload's md5 — portable
+    across engines, so the whole frame-grid plan is oracle-checkable)."""
     from pyspark.sql import functions as F
 
-    duration_ms = F.pmod(F.xxhash64(F.col(binary_col)), F.lit(10_000)) + F.lit(1000)
+    duration_ms = (
+        F.expr(
+            f"CAST(conv(substr(md5(`{binary_col}`), 1, 8), 16, 10) AS BIGINT)"
+        )
+        % F.lit(10_000)
+        + F.lit(1000)
+    )
     return (
         df.withColumn("__duration_ms__", duration_ms)
         .withColumn(
