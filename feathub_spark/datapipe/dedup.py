@@ -521,24 +521,26 @@ def dedup_clusters(
             .groupBy(F.col("s").alias("id"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # min-labels only ever decrease, so "changed" is knowable inside the
+        # update projection — no extra new-vs-old join per iteration, and
+        # the convergence probe is a limit(1) scan of checkpointed data
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                ).alias("new_cluster_id"),
+                (
+                    F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("__changed__"),
             )
+            .withColumnRenamed("new_cluster_id", "cluster_id")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed__")).limit(1).count()
+        labels = new_labels.drop("__changed__")
         if changed == 0:
             converged = True
             break
