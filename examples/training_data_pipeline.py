@@ -1,0 +1,94 @@
+"""End-to-end LLM training-data pipeline over the datapipe operators:
+
+    raw corpus
+      -> PII scrub (regexp codegen, no shuffle)
+      -> quality + repetition signals (Catalyst expressions)
+      -> near-duplicate pairs (n-gram Jaccard, posting-list candidates)
+      -> connected-components clustering -> survivor selection
+      -> benchmark-contamination filter (broadcast gram probe)
+      -> stratified sampling -> deterministic sharding -> sequence packing
+
+Every stage is a DataFrame transformation — the whole pipeline is one lazy
+plan per output, scales by partitioning (no driver-side loops), and each
+operator is oracle-verified in __spark_entry__.py.
+
+Runs on the bundled test data:
+    python examples/training_data_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from feathub_spark import default_spark_session
+from feathub_spark.datapipe.dedup import ngram_jaccard_pairs, select_survivors
+from feathub_spark.datapipe.quality import contamination_check, repetition_signals
+from feathub_spark.datapipe.sampling import (
+    assign_shards,
+    pack_sequences,
+    stratified_sample,
+)
+from feathub_spark.datapipe.text import analyze_documents, pii_scrub, token_count
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = default_spark_session("training_data_pipeline", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    print(f"corpus: {docs.count()} documents")
+
+    # 1. PII scrub + per-document text features
+    clean = pii_scrub(docs).withColumn("text", F.col("clean_text")).drop("clean_text")
+    featured = analyze_documents(clean)
+
+    # 2. repetition signals; drop Gopher-style repetitive docs
+    signals = repetition_signals(featured, "text")
+    kept = signals.filter(
+        (F.col("top2_frac") < 0.2) & (F.col("dup5_frac") < 0.3) & (F.col("quality") > 0.3)
+    )
+    print(f"after quality/repetition cuts: {kept.count()}")
+
+    # 3. near-dup pairs -> clusters -> one survivor per cluster
+    pairs = ngram_jaccard_pairs(kept, "text", "doc_id", n=3, threshold=0.5)
+    survivors = select_survivors(kept, pairs, "doc_id", "n_chars")
+    deduped = kept.join(
+        survivors.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+    print(f"after near-dup removal: {deduped.count()}")
+
+    # 4. benchmark contamination: drop docs overlapping the held-out set
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    contam = contamination_check(deduped, benchmark, "text", "doc_id", n=5)
+    final_docs = deduped.join(
+        contam.filter(F.col("contamination") < 0.5).select("doc_id"), "doc_id"
+    )
+    print(f"after contamination filter: {final_docs.count()}")
+
+    # 5. stratified mix -> deterministic shards -> packed sequences
+    mixed = stratified_sample(
+        final_docs, "doc_id", "lang", {"en": 1.0}, default_fraction=0.5, seed=7
+    )
+    sharded = assign_shards(mixed, "doc_id", n_shards=4, seed=7)
+    packed = pack_sequences(
+        mixed.withColumn("n_tok", token_count("text")),
+        "doc_id", "n_tok", max_tokens=2048, n_shards=4, seed=7,
+    )
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.max("pack_id").alias("max_pack"),
+        F.sum("n_tok").alias("total_tokens"),
+    ).collect()[0]
+    print(
+        f"packed {stats['docs']} docs, {stats['total_tokens']} tokens, "
+        f"max pack id {stats['max_pack']}; shard sizes: "
+        f"{sorted((r['shard'], r['n']) for r in sharded.groupBy('shard').agg(F.count(F.lit(1)).alias('n')).collect())}"
+    )
+
+
+if __name__ == "__main__":
+    main()
