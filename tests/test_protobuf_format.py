@@ -210,3 +210,66 @@ def test_kafka_value_protobuf_decode(spark):
     assert sorted((r["k"], r["v"]) for r in out.collect()) == [
         (0, "m0"), (1, "m1"), (2, "m2"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# randomized round-trip fuzz (hypothesis)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_f32 = st.floats(width=32, allow_nan=True, allow_infinity=True)
+_f64 = st.floats(allow_nan=True, allow_infinity=True)
+_i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_text = st.text(max_size=20)
+_row_strategy = st.fixed_dictionaries(
+    {
+        "id": st.one_of(st.none(), _i64),
+        "name": st.one_of(st.none(), _text),
+        "score": st.one_of(st.none(), _f64),
+        "flag": st.one_of(st.none(), st.booleans()),
+        "ratio": st.one_of(st.none(), _f32),
+        "tags": st.one_of(st.none(), st.lists(_text, max_size=5)),
+        "weights": st.one_of(st.none(), st.lists(_f64, max_size=5)),
+        "attrs": st.one_of(
+            st.none(), st.dictionaries(_text, _i64, max_size=4)
+        ),
+        "ts": st.one_of(
+            st.none(),
+            st.datetimes(
+                min_value=dt.datetime(1970, 1, 2),
+                max_value=dt.datetime(2200, 1, 1),
+            ),
+        ),
+        "blob": st.one_of(st.none(), st.binary(max_size=32)),
+    }
+)
+
+
+def _fuzz_eq(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        return (_math.isnan(a) and _math.isnan(b)) or a == b
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_fuzz_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(row=_row_strategy)
+def test_message_round_trip_fuzz(row):
+    """Any schema-conformant value round-trips the wire codec exactly —
+    full-range int64 (zigzag varints), float32/64 incl. NaN/inf, unicode
+    strings, bytes, repeated and map fields, microsecond timestamps.
+    NULLs and empty containers are absent on the wire and decode as None
+    (proto3 presence semantics)."""
+    specs = build_field_specs(SCHEMA)
+    decoded = decode_message(encode_row(row, specs), specs)
+    for k, v in row.items():
+        got = decoded[k]
+        if v is None or (isinstance(v, (list, dict)) and not v):
+            assert got is None, k
+        else:
+            assert _fuzz_eq(got, v), (k, v, got)
