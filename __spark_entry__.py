@@ -519,6 +519,61 @@ GROUP BY user_id, wend, event_type
 """
 
 
+def _q_sliding_filtered(spark, sf_dir):
+    """Sliding windows with filter_expr — the filter gates which rows enter
+    the window while emission still follows ALL rows' step grid; SUM
+    defaults to 0 on windows where nothing passes."""
+    from feathub_spark import Feature, SlidingFeatureView
+    from feathub_spark.feature_views.transforms import SlidingWindowTransform
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    view = SlidingFeatureView(
+        name="sliding_filtered_view",
+        source=events,
+        features=[
+            Feature(
+                "sum_click",
+                transform=SlidingWindowTransform(
+                    "value", "SUM", window_size=timedelta(days=2),
+                    step_size=timedelta(days=1), group_by_keys=["user_id"],
+                    filter_expr="event_type = 'click'",
+                ),
+            ),
+            Feature(
+                "cnt_click",
+                transform=SlidingWindowTransform(
+                    "value", "COUNT", window_size=timedelta(days=2),
+                    step_size=timedelta(days=1), group_by_keys=["user_id"],
+                    filter_expr="event_type = 'click'",
+                ),
+            ),
+        ],
+        enable_empty_window_output=False,
+        skip_same_window_output=False,
+    )
+    proc.registry.build_features([events])
+    built = proc.registry.build_features([view])[0]
+    df = proc.get_table(built).to_dataframe()
+    return _round2(
+        df.select("user_id", "window_time", "sum_click", "cnt_click"), "sum_click"
+    )
+
+
+_ORACLE_SLIDING_FILTERED = f"""
+SELECT user_id, wend - 1 AS window_time,
+       round(coalesce(SUM(CASE WHEN event_type = 'click' THEN value END), 0), 2)
+           AS sum_click,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS cnt_click
+FROM (
+    SELECT user_id, event_type, value,
+           ((epoch_ms(ts) // {MS_DAY}) + 1 + k.k) * {MS_DAY} AS wend
+    FROM events, (VALUES (0), (1)) k(k)
+)
+GROUP BY user_id, wend
+"""
+
+
 def _q_sliding_tumbling_1d(spark, sf_dir):
     from feathub_spark import Feature, SlidingFeatureView
     from feathub_spark.feature_views.transforms import SlidingWindowTransform
@@ -2048,6 +2103,7 @@ _RAW_QUERIES = {
         "pit_join": _q_pit_join,
         "sliding_2d_1d": _q_sliding_2d_1d,
         "sliding_value_counts": _q_sliding_value_counts,
+        "sliding_filtered": _q_sliding_filtered,
         "sliding_tumbling_1d": _q_sliding_tumbling_1d,
         "sql_view_tpch_q1": _q_sql_view,
         "udf_token_count": _q_udf_token_count,
@@ -2098,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_join": _ORACLE_PIT_JOIN,
         "sliding_2d_1d": _ORACLE_SLIDING_2D_1D,
         "sliding_value_counts": _ORACLE_SLIDING_VALUE_COUNTS,
+        "sliding_filtered": _ORACLE_SLIDING_FILTERED,
         "sliding_tumbling_1d": _ORACLE_SLIDING_TUMBLING_1D,
         "sql_view_tpch_q1": _TPCH_Q1_SQL,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
