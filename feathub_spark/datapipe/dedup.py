@@ -116,6 +116,28 @@ def minhash_signatures(
     )
 
 
+def _bucket_pairs(df: DataFrame, bucket_cols, payload_struct_sql: str) -> DataFrame:
+    """Candidate pairs within each bucket via sorted posting-list
+    triangular expansion: ONE shuffle on the bucket key builds the member
+    list, pairs expand in-array map-side — no self-join of the banded
+    table (which would shuffle it twice more and sort-merge it).  The
+    payload struct must lead with the id so the sorted expansion yields
+    each (a.id < b.id) pair once.  Returns column ``p`` =
+    struct(a, b) of payload structs."""
+    posting = df.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_list(F.expr(payload_struct_sql))).alias("__mem__")
+    )
+    pair_expr = (
+        "flatten(transform(sequence(1, size(__mem__) - 1), "
+        "i -> transform(slice(__mem__, i + 1, size(__mem__) - i), "
+        "b -> struct(element_at(__mem__, i) AS a, b AS b))))"
+    )
+    return (
+        posting.filter(F.size("__mem__") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -156,18 +178,10 @@ def minhash_lsh_pairs(
     ).select("__id__", F.col("bb.band"), F.col("bb.bucket"))
 
     candidates = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col("l.__id__") < F.col("r.__id__"),
-            ],
-        )
+        _bucket_pairs(banded, ["band", "bucket"], "struct(__id__)")
         .select(
-            F.col("l.__id__").alias("id_a"),
-            F.col("r.__id__").alias("id_b"),
+            F.col("p.a.__id__").alias("id_a"),
+            F.col("p.b.__id__").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -461,20 +475,12 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("__id__", "__simhash__", F.col("bb.band"), F.col("bb.chunk"))
     cand = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.chunk") == F.col("r.chunk"),
-                F.col("l.__id__") < F.col("r.__id__"),
-            ],
-        )
+        _bucket_pairs(banded, ["band", "chunk"], "struct(__id__, __simhash__)")
         .select(
-            F.col("l.__id__").alias("id_a"),
-            F.col("r.__id__").alias("id_b"),
-            F.col("l.__simhash__").alias("sh_a"),
-            F.col("r.__simhash__").alias("sh_b"),
+            F.col("p.a.__id__").alias("id_a"),
+            F.col("p.b.__id__").alias("id_b"),
+            F.col("p.a.__simhash__").alias("sh_a"),
+            F.col("p.b.__simhash__").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -607,33 +613,34 @@ def embedding_neardup_pairs(
     pair's cosine is computed and filtered against the threshold),
     approximate recall — so the operator NEVER falls back to an n² cross
     join at corpus scale."""
-    # Norms are computed ONCE per row before the pairwise join; the join
-    # then evaluates a single dot product per pair.
+    # Norms are computed ONCE per row; candidate generation carries IDS
+    # ONLY (posting-list pair expansion), and vectors are re-attached to the
+    # deduplicated candidates afterward — the heavy embedding payload never
+    # fans out across bands or blocks.
     norm = (
         f"sqrt(aggregate(transform(`{vec_col}`, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "CAST(0 AS DOUBLE), (a, x) -> a + x))"
     )
     df = ensure_parallelism(df)
-    cols = [
+    base = df.select(
         F.col(id_col).alias("__id__"),
         F.col(vec_col).alias("__v__"),
         F.expr(norm).alias("__norm__"),
-    ]
+    )
     if block_col:
-        base = df.select(*cols, F.col(block_col).alias("__blk__"))
-        pairs = base.alias("l").join(
-            base.alias("r"),
-            on=[
-                F.col("l.__blk__") == F.col("r.__blk__"),
-                F.col("l.__id__") < F.col("r.__id__"),
-            ],
+        cand = _bucket_pairs(
+            df.select(F.col(block_col).alias("__blk__"), F.col(id_col).alias("__id__")),
+            ["__blk__"],
+            "struct(__id__)",
+        ).select(
+            F.col("p.a.__id__").alias("id_a"), F.col("p.b.__id__").alias("id_b")
         )
     else:
         from feathub_spark.datapipe.similarity import _srp_signature
 
         width = planes // bands
         banded = df.select(
-            *cols,
+            F.col(id_col).alias("__id__"),
             F.explode(
                 F.expr(
                     f"transform(sequence(0, {bands - 1}), "
@@ -642,31 +649,32 @@ def embedding_neardup_pairs(
                     f"b * {width} + 1, {width}), '')) AS bucket))"
                 )
             ).alias("bb"),
-        ).select(
-            "__id__",
-            "__v__",
-            "__norm__",
-            F.col("bb.band").alias("__band__"),
-            F.col("bb.bucket").alias("__bkt__"),
+        ).select("__id__", F.col("bb.band").alias("__band__"), F.col("bb.bucket").alias("__bkt__"))
+        cand = (
+            _bucket_pairs(banded, ["__band__", "__bkt__"], "struct(__id__)")
+            .select(
+                F.col("p.a.__id__").alias("id_a"), F.col("p.b.__id__").alias("id_b")
+            )
+            # the same pair can collide in several bands
+            .dropDuplicates(["id_a", "id_b"])
         )
-        pairs = banded.alias("l").join(
-            banded.alias("r"),
-            on=[
-                F.col("l.__band__") == F.col("r.__band__"),
-                F.col("l.__bkt__") == F.col("r.__bkt__"),
-                F.col("l.__id__") < F.col("r.__id__"),
-            ],
+    pairs = (
+        cand.join(
+            base.select(
+                F.col("__id__").alias("id_a"), F.col("__v__").alias("v_a"),
+                F.col("__norm__").alias("__na__"),
+            ),
+            "id_a",
         )
-    pairs = pairs.select(
-        F.col("l.__id__").alias("id_a"),
-        F.col("r.__id__").alias("id_b"),
-        F.col("l.__v__").alias("v_a"),
-        F.col("r.__v__").alias("v_b"),
-        (F.col("l.__norm__") * F.col("r.__norm__")).alias("__nn__"),
+        .join(
+            base.select(
+                F.col("__id__").alias("id_b"), F.col("__v__").alias("v_b"),
+                F.col("__norm__").alias("__nb__"),
+            ),
+            "id_b",
+        )
+        .withColumn("__nn__", F.col("__na__") * F.col("__nb__"))
     )
-    if not block_col:
-        # the same pair can collide in several bands
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     dot = (
         "aggregate(zip_with(v_a, v_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0 AS DOUBLE), (a, x) -> a + x)"
