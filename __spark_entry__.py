@@ -1859,6 +1859,43 @@ FROM aug
 """
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy + printable-ASCII ratio —
+    pure Catalyst higher-order expressions (no UDF), summed in sorted
+    character order so the float fold is deterministic across engines."""
+    from feathub_spark.datapipe.text import char_entropy, printable_ratio
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return df.select(
+        "doc_id",
+        char_entropy("text").alias("entropy"),
+        printable_ratio("text").alias("printable_frac"),
+    )
+
+
+_ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS ch
+    FROM documents WHERE length(text) > 0
+), agg AS (
+    SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+), tot AS (
+    SELECT doc_id, sum(c) AS n FROM agg GROUP BY doc_id
+), scored AS (
+    SELECT a.doc_id,
+           round(-sum((a.c / t.n) * log2(a.c / t.n)), 6) AS entropy,
+           round(sum(CASE WHEN ascii(a.ch) BETWEEN 32 AND 126
+                          THEN a.c ELSE 0 END) / t.n, 6) AS printable_frac
+    FROM agg a JOIN tot t USING (doc_id) GROUP BY a.doc_id, t.n
+)
+SELECT d.doc_id,
+       coalesce(s.entropy, 0.0) AS entropy,
+       coalesce(s.printable_frac, 0.0) AS printable_frac
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def _q_ngram_topk(spark, sf_dir):
     from feathub_spark.datapipe.text import ngram_topk
 
@@ -2134,6 +2171,7 @@ _RAW_QUERIES = {
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
+        "char_entropy": _q_char_entropy,
         "ngram_topk": _q_ngram_topk,
         "ngram_topk_global": _q_ngram_topk_global,
         "repetition_signals": _q_repetition_signals,
@@ -2185,6 +2223,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,
+        "char_entropy": _ORACLE_CHAR_ENTROPY,
         "ngram_topk": _ORACLE_NGRAM_TOPK,
         "ngram_topk_global": _ORACLE_NGRAM_TOPK_GLOBAL,
         "repetition_signals": _ORACLE_REPETITION_SIGNALS,

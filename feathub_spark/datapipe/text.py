@@ -105,6 +105,32 @@ def quality_score(text_col: str) -> Column:
     )
 
 
+def char_entropy(text_col: str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — a
+    standard gibberish/compression-quality signal.  Pure Catalyst: per-row
+    distinct-char histogram via higher-order functions, summed in sorted
+    character order so the fold is deterministic; empty strings score 0."""
+    chars = f"transform(sequence(1, length(`{text_col}`)), i -> substr(`{text_col}`, i, 1))"
+    return F.expr(
+        f"CASE WHEN length(`{text_col}`) > 0 THEN round(-aggregate("
+        f"transform(array_sort(array_distinct({chars})), "
+        f"c -> CAST(size(filter({chars}, x -> x = c)) AS DOUBLE) / length(`{text_col}`)), "
+        f"CAST(0 AS DOUBLE), (a, p) -> a + p * log2(p)), 6) "
+        f"ELSE CAST(0 AS DOUBLE) END"
+    )
+
+
+def printable_ratio(text_col: str) -> Column:
+    """Fraction of characters in the printable ASCII range [32, 126] —
+    a cheap binary-junk / encoding-corruption signal."""
+    chars = f"transform(sequence(1, length(`{text_col}`)), i -> ascii(substr(`{text_col}`, i, 1)))"
+    return F.expr(
+        f"CASE WHEN length(`{text_col}`) > 0 THEN "
+        f"round(CAST(size(filter({chars}, c -> c >= 32 AND c <= 126)) AS DOUBLE) "
+        f"/ length(`{text_col}`), 6) ELSE CAST(0 AS DOUBLE) END"
+    )
+
+
 BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 

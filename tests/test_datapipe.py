@@ -382,3 +382,31 @@ def test_embedding_neardup_unblocked_uses_srp_buckets(spark):
     # the clones of vector 0 are ~cos 0.999 of each other — SRP buckets catch them
     assert (0, 1) in found and (0, 2) in found
     assert all(r.cosine >= 0.95 for r in pairs)
+
+
+def test_char_entropy_and_printable_ratio(spark):
+    from feathub_spark.datapipe.text import char_entropy, printable_ratio
+
+    df = spark.createDataFrame(
+        [
+            (0, ""),               # empty -> 0 by convention
+            (1, "aaaa"),           # one symbol -> 0 bits
+            (2, "abab"),           # two equiprobable -> 1 bit
+            (3, "abcd"),           # four equiprobable -> 2 bits
+            (4, "ab\x01\x02"),     # half non-printable
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["e"], r["p"])
+        for r in df.select(
+            "doc_id",
+            char_entropy("text").alias("e"),
+            printable_ratio("text").alias("p"),
+        ).collect()
+    }
+    assert out[0] == (0.0, 0.0)
+    assert out[1] == (0.0, 1.0)
+    assert out[2] == (1.0, 1.0)
+    assert out[3] == (2.0, 1.0)
+    assert out[4] == (2.0, 0.5)  # 4 equiprobable chars, half printable
