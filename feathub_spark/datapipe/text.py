@@ -277,8 +277,11 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_tokens": token_count(text_col),
             "n_distinct_tokens": distinct_token_count(text_col),
             "n_chars_calc": char_count(text_col),
+            "n_bpe_tokens": bpe_like_token_count(text_col),
             "fingerprint": fingerprint_md5(text_col),
             "lang_guess": language_guess(text_col),
             "quality": quality_score(text_col),
+            "entropy": char_entropy(text_col),
+            "printable_frac": printable_ratio(text_col),
         }
     )

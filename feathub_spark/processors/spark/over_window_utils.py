@@ -546,25 +546,28 @@ def _bounded_value_counts(
 ) -> DataFrame:
     """Scale-safe BOUNDED ([t-W, t]) VALUE_COUNTS — the distributive
     counterpart of :func:`_unbounded_value_counts`.  The collect path would
-    materialize a per-row array of every in-window occurrence; on a hot key
-    with millions of events per window that is O(rows x window) cells in one
-    task.  This plan never builds per-row history:
+    materialize a per-row array of every in-window occurrence — O(rows x
+    window) cells on a hot key — and a naive occurrence-x-query interval
+    join re-creates exactly that many matched rows.  This plan's work is
+    O(occurrences + output entries) instead:
 
       1. occurrence events: one row per (keys, value, ts) with its
-         occurrence count — map-side combinable, hot keys parallelize
-         across values and timestamps;
-      2. chunked interval join with chunk size == W: an occurrence at ts
-         can only serve query timestamps in [ts, ts+W], i.e. its own time
-         chunk or the next one, so each event is expanded to exactly two
-         (keys, chunk) buckets and equi-joined to the distinct query
-         timestamps of that bucket (range predicate applied inside the
-         bucket) — fan-out is bounded by matched (event, query) pairs, and
-         the hot key parallelizes across its time chunks;
-      3. sum occurrence counts per (keys, query_ts, value) — the
-         irreducible output entry set — then map_from_entries per
-         (keys, query_ts), left-joined back to the rows (rows tied on ts
-         share one map, matching RANGE-frame tie semantics; windows with
-         no non-null values get NULL, matching the collect path).
+         occurrence count — map-side combinable;
+      2. candidate (query, value) pairs from the DISTINCT value list per
+         (keys, W-sized chunk): with chunk == W a window spans exactly the
+         query's chunk c and chunk c-1, so each per-chunk value row is
+         expanded to (chunk, chunk+1) and equi-joined to the distinct
+         query timestamps of the bucket — fan-out is the candidate-entry
+         set (~ the output size), never occurrences x window;
+      3. count per candidate = suffix-count of chunk c-1 at ms >= qt-W
+         plus prefix-count of chunk c at ms <= qt, each resolved with one
+         union + running-last as-of lookup partitioned by (keys, value,
+         chunk) — state bounded per chunk, hot keys parallelize across
+         values AND chunks; candidates whose two lookups sum to zero (the
+         value lives in the chunks but outside the window) are dropped;
+      4. map_from_entries per (keys, ts), left-joined back to the rows
+         (rows tied on ts share one map; windows with no qualifying
+         values get NULL, matching the collect path).
     """
     keys = list(desc.group_by_keys)
     window_ms = desc.window_size_ms
@@ -574,13 +577,13 @@ def _bounded_value_counts(
     occ_rows = occ_rows.withColumn("__vb_v__", F.expr(field.expr_sql)).filter(
         F.col("__vb_v__").isNotNull()
     )
-    occ = occ_rows.groupBy(*keys, "__vb_v__", "__vb_ms__").agg(
-        F.count(F.lit(1)).alias("__vb_c__")
+    occ = (
+        occ_rows.groupBy(*keys, "__vb_v__", "__vb_ms__")
+        .agg(F.count(F.lit(1)).alias("__vb_c__"))
+        .withColumn("__vb_chunk__", F.floor(F.col("__vb_ms__") / F.lit(window_ms)))
     )
-    chunk = F.floor(F.col("__vb_ms__") / F.lit(window_ms))
-    ev = occ.withColumn("__vb_chunk__", F.explode(F.array(chunk, chunk + 1)))
-    # query side renames every column so the self-join needs no lineage
-    # disambiguation (both sides descend from `base`)
+
+    # -- 2. candidate (query, value) pairs via per-chunk value lists ------
     qkeys = [f"__vb_qk{i}__" for i in range(len(keys))]
     queries = (
         base.select(
@@ -590,14 +593,99 @@ def _bounded_value_counts(
         .distinct()
         .withColumn("__vb_qchunk__", F.floor(F.col("__vb_qms__") / F.lit(window_ms)))
     )
-    cond = [F.col(k).eqNullSafe(F.col(qk)) for k, qk in zip(keys, qkeys)]
-    cond.append(F.col("__vb_chunk__") == F.col("__vb_qchunk__"))
-    cond.append(F.col("__vb_ms__") >= F.col("__vb_qms__") - window_ms)
-    cond.append(F.col("__vb_ms__") <= F.col("__vb_qms__"))
+    chunk_values = (
+        occ.select(*keys, "__vb_v__", "__vb_chunk__")
+        .distinct()
+        .withColumn(
+            "__vb_serves__",
+            F.explode(F.array(F.col("__vb_chunk__"), F.col("__vb_chunk__") + 1)),
+        )
+        .select(*keys, "__vb_v__", "__vb_serves__")
+        .distinct()
+    )
+    cand_cond = [F.col(k).eqNullSafe(F.col(qk)) for k, qk in zip(keys, qkeys)]
+    cand_cond.append(F.col("__vb_serves__") == F.col("__vb_qchunk__"))
+    cand = chunk_values.join(queries, on=cand_cond).select(
+        *qkeys, "__vb_v__", "__vb_qms__", "__vb_qchunk__"
+    )
+
+    # -- 3a. prefix lookup: chunk c occurrences with ms <= qt -------------
+    wpre = (
+        Window.partitionBy(*keys, "__vb_v__", "__vb_chunk__")
+        .orderBy(F.col("__vb_ms__").asc(), F.col("__vb_q__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre_events = occ.select(
+        *keys, "__vb_v__", "__vb_chunk__", "__vb_ms__", "__vb_c__",
+        F.lit(0).alias("__vb_q__"),
+        F.lit(None).cast("bigint").alias("__vb_qms0__"),
+    )
+    pre_queries = cand.select(
+        *[F.col(qk).alias(k) for k, qk in zip(keys, qkeys)],
+        "__vb_v__",
+        F.col("__vb_qchunk__").alias("__vb_chunk__"),
+        F.col("__vb_qms__").alias("__vb_ms__"),
+        F.lit(None).cast("bigint").alias("__vb_c__"),
+        F.lit(1).alias("__vb_q__"),
+        F.col("__vb_qms__").alias("__vb_qms0__"),
+    )
+    prefix = (
+        pre_events.unionByName(pre_queries)
+        .withColumn("__vb_cum__", F.sum("__vb_c__").over(wpre))
+        .filter(F.col("__vb_q__") == 1)
+        .select(
+            *keys, "__vb_v__",
+            F.col("__vb_qms0__").alias("__vb_qms__"),
+            F.coalesce(F.col("__vb_cum__"), F.lit(0)).alias("__vb_pre__"),
+        )
+    )
+
+    # -- 3b. suffix lookup: chunk c-1 occurrences with ms >= qt - W -------
+    wsuf = (
+        Window.partitionBy(*keys, "__vb_v__", "__vb_chunk__")
+        .orderBy(F.col("__vb_ms__").desc(), F.col("__vb_q__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    suf_queries = cand.select(
+        *[F.col(qk).alias(k) for k, qk in zip(keys, qkeys)],
+        "__vb_v__",
+        (F.col("__vb_qchunk__") - 1).alias("__vb_chunk__"),
+        (F.col("__vb_qms__") - window_ms).alias("__vb_ms__"),
+        F.lit(None).cast("bigint").alias("__vb_c__"),
+        F.lit(1).alias("__vb_q__"),
+        F.col("__vb_qms__").alias("__vb_qms0__"),
+    )
+    suffix = (
+        pre_events.unionByName(suf_queries)
+        .withColumn("__vb_cum__", F.sum("__vb_c__").over(wsuf))
+        .filter(F.col("__vb_q__") == 1)
+        .select(
+            *keys, "__vb_v__",
+            F.col("__vb_qms0__").alias("__vb_qms__"),
+            F.coalesce(F.col("__vb_cum__"), F.lit(0)).alias("__vb_suf__"),
+        )
+    )
+
+    # combine via union + groupBy (not a join): NULL group keys group
+    # together under GROUP BY, and one shuffle replaces a join's two
     counts = (
-        ev.join(queries, on=cond)
-        .groupBy(*qkeys, "__vb_qms__", "__vb_v__")
-        .agg(F.sum("__vb_c__").alias("__vb_n__"))
+        prefix.select(
+            *keys, "__vb_v__", "__vb_qms__",
+            F.col("__vb_pre__").alias("__vb_part__"),
+        )
+        .unionByName(
+            suffix.select(
+                *keys, "__vb_v__", "__vb_qms__",
+                F.col("__vb_suf__").alias("__vb_part__"),
+            )
+        )
+        .groupBy(*keys, "__vb_v__", "__vb_qms__")
+        .agg(F.sum("__vb_part__").alias("__vb_n__"))
+        .filter(F.col("__vb_n__") > 0)
+        .select(
+            *[F.col(k).alias(qk) for k, qk in zip(keys, qkeys)],
+            "__vb_qms__", "__vb_v__", "__vb_n__",
+        )
     )
     maps = counts.groupBy(*qkeys, "__vb_qms__").agg(
         F.map_from_entries(

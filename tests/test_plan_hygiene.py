@@ -101,10 +101,11 @@ def test_unbounded_value_counts_plan_is_join_safe(client, tmp_path):
 
 
 def test_bounded_value_counts_plan_is_join_safe(client, tmp_path):
-    """The bounded-frame distributive VALUE_COUNTS plan (chunked interval
-    join) must stay equi-join shaped: the range predicate rides on the
-    (keys, chunk) hash join, never a CartesianProduct /
-    BroadcastNestedLoopJoin, and no Window over the raw rows appears."""
+    """The bounded-frame distributive VALUE_COUNTS plan (per-chunk value
+    candidates + suffix/prefix as-of lookups) must stay equi-join shaped
+    (no CartesianProduct / BroadcastNestedLoopJoin), and every Window it
+    uses must be chunk-partitioned — a Window over whole keys would
+    serialize a hot key into one task."""
     from datetime import timedelta
 
     from feathub_spark.feature_views.transforms import OverWindowTransform
@@ -131,11 +132,14 @@ def test_bounded_value_counts_plan_is_join_safe(client, tmp_path):
     plan = _formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    n_windows = sum(
-        1 for line in plan.splitlines() if line.strip().startswith("(")
-        and ") Window" in line
-    )
-    assert n_windows == 0, f"bounded VALUE_COUNTS must be window-free:\n{plan}"
+    window_specs = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert window_specs, "expected the as-of lookup windows in the plan"
+    for spec in window_specs:
+        assert "__vb_chunk__" in spec, (
+            f"bounded VALUE_COUNTS window must be chunk-partitioned:\n{spec}"
+        )
 
 
 def test_ngram_jaccard_plan_has_no_index_self_join(client):
