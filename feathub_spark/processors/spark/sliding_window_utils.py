@@ -203,31 +203,28 @@ def evaluate_sliding_window(
         *partial_aggs
     )
 
-    # ---- distributive VALUE_COUNTS partials: one count MAP per step -----
+    # ---- distributive VALUE_COUNTS partials: per-step (value, count) ----
     # groupBy (keys, step, value) is map-side combinable and its partial is
-    # bounded by distinct values per step, never rows per step; the join
-    # back onto `partials` is co-partitioned on (keys, step_end).
+    # bounded by distinct values per step, never rows per step.  The rows
+    # stay RELATIONAL through the merge (explode steps into window ends,
+    # re-groupBy, assemble the map per window) — an in-array merge would
+    # cost O(d²) per window in the distinct-value count, pathological for
+    # high-cardinality value columns.
+    vc_step_counts = {}
     for i, f_ in enumerate(fields):
         if not f_.vc_distributive:
             continue
-        p = f"__p{i}_"
         vc_rows = base
         if f_.filter_sql is not None:
             vc_rows = vc_rows.filter(F.expr(f_.filter_sql))
         vc_rows = vc_rows.withColumn("__vcv__", F.expr(f_.expr_sql)).filter(
             F.col("__vcv__").isNotNull()
         )
-        step_maps = (
-            vc_rows.groupBy(*[F.col(k) for k in keys], F.col(_STEP_END), F.col("__vcv__"))
-            .agg(F.count(F.lit(1)).alias("__vcc__"))
-            .groupBy(*[F.col(k) for k in keys], F.col(_STEP_END))
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct(F.col("__vcv__"), F.col("__vcc__")))
-                ).alias(p + "map")
-            )
+        vc_step_counts[i] = (
+            vc_rows.groupBy(
+                *[F.col(k) for k in keys], F.col(_STEP_END), F.col("__vcv__")
+            ).agg(F.count(F.lit(1)).alias("__vcc__"))
         )
-        partials = partials.join(step_maps, on=keys + [_STEP_END], how="left")
 
     # ---- stage 2: explode into contributing window ends and merge -------
     exploded = partials.withColumn(
@@ -245,14 +242,8 @@ def evaluate_sliding_window(
             return f"CASE WHEN {guard} THEN {col_sql} END"
 
         if f_.vc_distributive:
-            # collect_list drops NULLs (guard-failing chunks and stepless
-            # maps), so entries = the window's per-step (value, count) pairs
-            merge_aggs.append(
-                F.expr(
-                    f"flatten(collect_list({g(f'map_entries(`{p}map`)')}))"
-                ).alias(p + "ent")
-            )
-        elif f_.uses_array:
+            continue  # merged relationally below, not through the agg
+        if f_.uses_array:
             merge_aggs.append(
                 F.expr(f"flatten(collect_list({g('`' + p + 'arr`')})) ").alias(p + "arr")
             )
@@ -272,6 +263,10 @@ def evaluate_sliding_window(
         elif a == AggFunc.LAST_VALUE:
             merge_aggs.append(F.expr(f"max({g('`' + p + 'last`')})").alias(p + "last"))
 
+    if not merge_aggs:
+        # every field is distributive VALUE_COUNTS: placeholder keeps the
+        # (keys, wend) emission grid enumerated
+        merge_aggs.append(F.count(F.lit(1)).alias("__win_steps__"))
     merged = exploded.groupBy(*[F.col(k) for k in keys], F.col(_WEND)).agg(*merge_aggs)
 
     # ---- step grid for empty-window emission ---------------------------
@@ -301,17 +296,8 @@ def evaluate_sliding_window(
         p = f"__p{i}_"
         a = f_.agg_func
         if f_.vc_distributive:
-            # sum counts per value across the window's per-step maps —
-            # O(d²) in DISTINCT values per window, row-count-independent
-            ent = f"`{p}ent`"
-            col = F.expr(
-                f"CASE WHEN size({ent}) > 0 THEN map_from_entries("
-                f"transform(array_distinct(transform({ent}, e -> e.key)), "
-                f"k -> struct(k AS key, aggregate("
-                f"filter({ent}, e -> e.key <=> k), CAST(0 AS BIGINT), "
-                f"(a, e) -> a + e.value) AS value))) END"
-            )
-        elif f_.uses_array:
+            continue  # joined in below as a ready-made map column
+        if f_.uses_array:
             arr = f"array_sort(`{p}arr`)"
             if f_.limit is not None:
                 arr = (
@@ -340,6 +326,33 @@ def evaluate_sliding_window(
         out_cols[f_.name] = col
 
     result = result.withColumns(out_cols)
+
+    # ---- distributive VALUE_COUNTS merge: explode steps -> window ends,
+    # re-groupBy (keys, wend, value), assemble the map, join back ---------
+    for i, f_ in enumerate(fields):
+        if not f_.vc_distributive:
+            continue
+        m_i = f_.window_ms // step_ms
+        exp = (
+            vc_step_counts[i]
+            .withColumn(_K, F.explode(F.sequence(F.lit(0), F.lit(m_i - 1))))
+            .withColumn(_WEND, F.col(_STEP_END) + F.col(_K) * F.lit(step_ms))
+        )
+        vmaps = (
+            exp.groupBy(*[F.col(k) for k in keys], F.col(_WEND), F.col("__vcv__"))
+            .agg(F.sum("__vcc__").alias("__vcn__"))
+            .groupBy(*[F.col(k) for k in keys], F.col(_WEND))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(F.col("__vcv__"), F.col("__vcn__").cast("bigint"))
+                    )
+                ).alias(f_.name)
+            )
+        )
+        result = result.join(vmaps, on=keys + [_WEND], how="left").withColumn(
+            f_.name, F.col(f_.name).cast(to_spark_type(f_.dtype))
+        )
 
     # ---- skip-same-window output ---------------------------------------
     if skip_same_window_output:
