@@ -212,19 +212,26 @@ def _q_over_cumulative(spark, sf_dir):
         ],
         "over_cum_view",
     ).select("event_id", "user_id", "avg_value", "n_seen", "rn")
-    # Averages of 2-decimal data land on exact half-way rounding boundaries;
-    # recover the cents-exact sum (round(avg*n, 2)) before dividing so both
-    # engines round identical doubles.
+    # Averages of 2-decimal data land on exact decimal half-way points at
+    # 6 dp (e.g. 2054.49/32 = 64.2028125), where Spark's round (decimal-
+    # string HALF_UP) and DuckDB's (binary-value) disagree.  Recover the
+    # exact integer cents sum, then do the half-up division IN INTEGERS —
+    # (cents*10^4*2 + n) div (2n) — so both engines produce identical
+    # bigints (values are positive; floor == truncation).
     return df.withColumn(
         "avg_value",
-        F.round(F.round(F.col("avg_value") * F.col("n_seen"), 2) / F.col("n_seen"), 6),
+        F.expr(
+            "CAST((CAST(round(avg_value * n_seen * 100) AS BIGINT) * 20000 "
+            "+ n_seen) DIV (2 * n_seen) AS DOUBLE) / 1000000"
+        ),
     )
 
 
 _ORACLE_OVER_CUMULATIVE = """
 SELECT event_id, user_id,
-       round(round(AVG(value) OVER w * COUNT(value) OVER w, 2)
-             / COUNT(value) OVER w, 6) AS avg_value,
+       CAST((CAST(round(AVG(value) OVER w * COUNT(value) OVER w * 100) AS BIGINT)
+             * 20000 + COUNT(value) OVER w)
+            // (2 * COUNT(value) OVER w) AS DOUBLE) / 1000000 AS avg_value,
        COUNT(value) OVER w AS n_seen,
        COUNT(*) OVER w AS rn
 FROM events
@@ -607,10 +614,12 @@ def _q_sliding_tumbling_1d(spark, sf_dir):
     df = proc.get_table(built).to_dataframe().select(
         "event_type", "window_time", "avg_daily", "cnt_daily"
     )
+    # integer-exact half-up division on the cents sum — see _q_over_cumulative
     return df.withColumn(
         "avg_daily",
-        F.round(
-            F.round(F.col("avg_daily") * F.col("cnt_daily"), 2) / F.col("cnt_daily"), 6
+        F.expr(
+            "CAST((CAST(round(avg_daily * cnt_daily * 100) AS BIGINT) * 20000 "
+            "+ cnt_daily) DIV (2 * cnt_daily) AS DOUBLE) / 1000000"
         ),
     )
 
@@ -618,7 +627,8 @@ def _q_sliding_tumbling_1d(spark, sf_dir):
 _ORACLE_SLIDING_TUMBLING_1D = f"""
 SELECT event_type,
        ((epoch_ms(ts) // {MS_DAY}) + 1) * {MS_DAY} - 1 AS window_time,
-       round(round(SUM(value), 2) / COUNT(value), 6) AS avg_daily,
+       CAST((CAST(round(SUM(value) * 100) AS BIGINT) * 20000 + COUNT(value))
+            // (2 * COUNT(value)) AS DOUBLE) / 1000000 AS avg_daily,
        COUNT(value) AS cnt_daily
 FROM events
 GROUP BY event_type, (epoch_ms(ts) // {MS_DAY})
