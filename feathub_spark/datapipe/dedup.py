@@ -229,11 +229,16 @@ def ngram_jaccard_pairs(
     stop-grams can be missed (approximate recall, exact precision).
 
     The default ``"auto"`` cuts grams whose document frequency exceeds
-    max(64, 0.1% of the corpus row count) — without it, one corpus-wide
-    stop-gram ("the") makes the inverted-index self-join quadratic in the
-    corpus size.  The cutoff is computed in-plan (broadcast one-row count),
-    no driver-side action.  Pass an int for an absolute cutoff or ``None``
-    to disable the cut entirely (exact recall; only safe on small corpora)."""
+    min(1024, max(64, 0.1% of the corpus row count)) — without a cut, one
+    corpus-wide stop-gram ("the") makes candidate generation quadratic in
+    the corpus size.  The 1024 CAP is what holds at 100 TB: a cutoff that
+    kept growing with the corpus (n/1000 at 10^10 docs = 10^7-doc posting
+    lists → ~10^13 candidate pairs from a single gram) bounds recall loss
+    but not cost; capping bounds worst-case pair fan-out per gram at ~500k
+    while near-duplicate evidence only ever needs RARE shared grams.  The
+    cutoff is computed in-plan (broadcast one-row count), no driver-side
+    action.  Pass an int for an absolute cutoff or ``None`` to disable the
+    cut entirely (exact recall; only safe on small corpora)."""
     # grams are scanned 4x in this plan (inverted index, two verify joins,
     # sizes) — tokenize once and persist the narrow projection.
     grams = ensure_parallelism(df).select(
@@ -258,9 +263,12 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         if max_doc_freq == "auto":
             cut_row = df.select(
-                F.greatest(
-                    F.lit(64).cast("long"),
-                    (F.count(F.lit(1)) / 1000).cast("long"),
+                F.least(
+                    F.lit(1024).cast("long"),
+                    F.greatest(
+                        F.lit(64).cast("long"),
+                        (F.count(F.lit(1)) / 1000).cast("long"),
+                    ),
                 ).alias("__cut__")
             )
             postings = (
