@@ -185,10 +185,13 @@ FROM orders
 """
 
 
-def _events_over_view(spark, sf_dir, features, name):
-    from feathub_spark import DerivedFeatureView
+def _events_over_view(spark, sf_dir, features, name, salt_chunk_ms=None):
+    from feathub_spark import DerivedFeatureView, LocalRegistry, SparkProcessor
 
-    proc = _processor(spark)
+    _ensure_session_confs(spark)
+    proc = SparkProcessor(
+        spark, LocalRegistry(), over_window_salt_chunk_ms=salt_chunk_ms
+    )
     events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
     view = DerivedFeatureView(
         name=name, source=events, features=features, keep_source_fields=True
@@ -281,6 +284,43 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
              RANGE BETWEEN {MS_HOUR} PRECEDING AND CURRENT ROW)
 """
+
+
+def _q_over_salted_1h(spark, sf_dir):
+    """The HOT-KEY-SAFE bounded over-window plan (time-chunked suffix/
+    prefix decomposition, evaluate_salted_bounded_over_window) driven
+    through the public processor knob — must be hash-identical to the
+    standard RANGE-frame plan, so it shares over_range_1h's oracle."""
+    from feathub_spark import Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    df = _events_over_view(
+        spark,
+        sf_dir,
+        [
+            Feature(
+                "sum_1h",
+                transform=OverWindowTransform(
+                    "value", "SUM", window_size=timedelta(hours=1), group_by_keys=["user_id"]
+                ),
+            ),
+            Feature(
+                "max_1h",
+                transform=OverWindowTransform(
+                    "value", "MAX", window_size=timedelta(hours=1), group_by_keys=["user_id"]
+                ),
+            ),
+            Feature(
+                "cnt_1h",
+                transform=OverWindowTransform(
+                    "value", "COUNT", window_size=timedelta(hours=1), group_by_keys=["user_id"]
+                ),
+            ),
+        ],
+        "over_salted_view",
+        salt_chunk_ms=3_600_000,
+    ).select("event_id", "user_id", "sum_1h", "max_1h", "cnt_1h")
+    return _round2(df, "sum_1h")
 
 
 def _q_over_rows_limit(spark, sf_dir):
@@ -2144,6 +2184,7 @@ _RAW_QUERIES = {
         "scalar_funcs": _q_scalar_funcs,
         "over_cumulative": _q_over_cumulative,
         "over_range_1h": _q_over_range_1h,
+        "over_salted_1h": _q_over_salted_1h,
         "over_rows_limit": _q_over_rows_limit,
         "over_filtered": _q_over_filtered,
         "over_first_last": _q_over_first_last,
@@ -2196,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_funcs": _ORACLE_SCALAR_FUNCS,
         "over_cumulative": _ORACLE_OVER_CUMULATIVE,
         "over_range_1h": _ORACLE_OVER_RANGE_1H,
+        "over_salted_1h": _ORACLE_OVER_RANGE_1H,
         "over_rows_limit": _ORACLE_OVER_ROWS_LIMIT,
         "over_filtered": _ORACLE_OVER_FILTERED,
         "over_first_last": _ORACLE_OVER_FIRST_LAST,

@@ -107,23 +107,33 @@ def quality_score(text_col: str) -> Column:
 
 def char_entropy(text_col: str) -> Column:
     """Shannon entropy (bits/char) of the character distribution — a
-    standard gibberish/compression-quality signal.  Pure Catalyst: per-row
-    distinct-char histogram via higher-order functions, summed in sorted
-    character order so the fold is deterministic; empty strings score 0."""
-    chars = f"transform(sequence(1, length(`{text_col}`)), i -> substr(`{text_col}`, i, 1))"
+    standard gibberish/compression-quality signal.  Pure Catalyst, one
+    pass: sort the characters, then a single run-closing fold accumulates
+    -p*log2(p) per run (the chars array is evaluated ONCE — a per-distinct
+    histogram lambda would re-derive it for every distinct char, O(d·n²)
+    per row).  Sorted order makes the float fold deterministic; empty
+    strings score 0."""
+    n = f"length(`{text_col}`)"
+    # split('') explodes the chars in ONE pass — a per-index substr loop
+    # re-seeks the UTF-8 string from the start each time, O(n²) bytes/row
+    chars = f"array_sort(transform(split(`{text_col}`, ''), c -> ascii(c)))"
+    term = f"(CAST(s.run AS DOUBLE) / {n}) * log2(CAST(s.run AS DOUBLE) / {n})"
     return F.expr(
-        f"CASE WHEN length(`{text_col}`) > 0 THEN round(-aggregate("
-        f"transform(array_sort(array_distinct({chars})), "
-        f"c -> CAST(size(filter({chars}, x -> x = c)) AS DOUBLE) / length(`{text_col}`)), "
-        f"CAST(0 AS DOUBLE), (a, p) -> a + p * log2(p)), 6) "
-        f"ELSE CAST(0 AS DOUBLE) END"
+        f"CASE WHEN {n} > 0 THEN round(-aggregate({chars}, "
+        f"named_struct('prev', CAST(NULL AS INT), "
+        f"'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS DOUBLE)), "
+        f"(s, c) -> CASE WHEN s.prev IS NULL OR c = s.prev "
+        f"THEN named_struct('prev', c, 'run', s.run + 1, 'acc', s.acc) "
+        f"ELSE named_struct('prev', c, 'run', CAST(1 AS BIGINT), "
+        f"'acc', s.acc + {term}) END, "
+        f"s -> s.acc + {term}), 6) ELSE CAST(0 AS DOUBLE) END"
     )
 
 
 def printable_ratio(text_col: str) -> Column:
     """Fraction of characters in the printable ASCII range [32, 126] —
     a cheap binary-junk / encoding-corruption signal."""
-    chars = f"transform(sequence(1, length(`{text_col}`)), i -> ascii(substr(`{text_col}`, i, 1)))"
+    chars = f"transform(split(`{text_col}`, ''), c -> ascii(c))"
     return F.expr(
         f"CASE WHEN length(`{text_col}`) > 0 THEN "
         f"round(CAST(size(filter({chars}, c -> c >= 32 AND c <= 126)) AS DOUBLE) "
@@ -147,9 +157,10 @@ def rolling_fingerprint(text_col: str, base: int = 31, mod: int = 1_000_000_007)
     """Polynomial rolling hash over the character stream: a positional
     fingerprint (unlike md5, nearby edits perturb it predictably), computed
     entirely in Catalyst expressions."""
+    # split('') explodes chars in one pass (per-index substr re-seeks the
+    # UTF-8 string from the start: O(n²) bytes per row)
     return F.expr(
-        f"aggregate(transform(sequence(1, length(`{text_col}`)), "
-        f"i -> ascii(substr(`{text_col}`, i, 1))), "
+        f"aggregate(transform(split(`{text_col}`, ''), c -> ascii(c)), "
         f"CAST(7 AS BIGINT), (h, c) -> (h * {base} + c) % {mod})"
     )
 
