@@ -482,13 +482,27 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("__id__", "__simhash__", F.col("bb.band"), F.col("bb.chunk"))
+    # simhash band buckets are COARSE (a 16-bit chunk; common text shapes
+    # collide heavily), so the pair expansion stays a self-join — Spark
+    # parallelizes a big bucket's quadratic output across tasks, while an
+    # in-array posting-list expansion would build it inside one row
+    # (measured 4x slower at sf0.1).  Posting lists win only for
+    # fine-grained buckets (minhash signature bands, doc-freq-cut grams).
     cand = (
-        _bucket_pairs(banded, ["band", "chunk"], "struct(__id__, __simhash__)")
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.__id__") < F.col("r.__id__"),
+            ],
+        )
         .select(
-            F.col("p.a.__id__").alias("id_a"),
-            F.col("p.b.__id__").alias("id_b"),
-            F.col("p.a.__simhash__").alias("sh_a"),
-            F.col("p.b.__simhash__").alias("sh_b"),
+            F.col("l.__id__").alias("id_a"),
+            F.col("r.__id__").alias("id_b"),
+            F.col("l.__simhash__").alias("sh_a"),
+            F.col("r.__simhash__").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -635,13 +649,26 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("__v__"),
         F.expr(norm).alias("__norm__"),
     )
+    # SRP band buckets (and user blocks) are COARSE — a few-bit hyperplane
+    # pattern collides heavily — so pair expansion stays a self-join of the
+    # ids-only banded table: a big bucket's quadratic output parallelizes
+    # across tasks instead of materializing inside one posting-list row.
     if block_col:
-        cand = _bucket_pairs(
-            df.select(F.col(block_col).alias("__blk__"), F.col(id_col).alias("__id__")),
-            ["__blk__"],
-            "struct(__id__)",
-        ).select(
-            F.col("p.a.__id__").alias("id_a"), F.col("p.b.__id__").alias("id_b")
+        blk = df.select(
+            F.col(block_col).alias("__blk__"), F.col(id_col).alias("__id__")
+        )
+        cand = (
+            blk.alias("l")
+            .join(
+                blk.alias("r"),
+                on=[
+                    F.col("l.__blk__").eqNullSafe(F.col("r.__blk__")),
+                    F.col("l.__id__") < F.col("r.__id__"),
+                ],
+            )
+            .select(
+                F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b")
+            )
         )
     else:
         from feathub_spark.datapipe.similarity import _srp_signature
@@ -659,9 +686,17 @@ def embedding_neardup_pairs(
             ).alias("bb"),
         ).select("__id__", F.col("bb.band").alias("__band__"), F.col("bb.bucket").alias("__bkt__"))
         cand = (
-            _bucket_pairs(banded, ["__band__", "__bkt__"], "struct(__id__)")
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                on=[
+                    F.col("l.__band__") == F.col("r.__band__"),
+                    F.col("l.__bkt__") == F.col("r.__bkt__"),
+                    F.col("l.__id__") < F.col("r.__id__"),
+                ],
+            )
             .select(
-                F.col("p.a.__id__").alias("id_a"), F.col("p.b.__id__").alias("id_b")
+                F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b")
             )
             # the same pair can collide in several bands
             .dropDuplicates(["id_a", "id_b"])
