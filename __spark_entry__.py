@@ -1515,15 +1515,9 @@ FROM (SELECT doc_id, md5(text) AS d FROM documents)
 """
 
 
-def _q_multimodal_real(spark, sf_dir):
-    """REAL header decode (fake=False): PNG IHDR / JPEG SOF0 byte layouts
-    are assembled in-plan per row (even doc_id -> PNG RGBA, odd -> JPEG
-    3-component, dimensions derived from doc_id), then parsed back by the
-    pure-Python header parser inside Arrow-batched mapInPandas.  The oracle
-    recomputes the expected dimensions arithmetically, so the byte-level
-    encode/decode round trip is hash-checked."""
-    from feathub_spark.datapipe.multimodal import decode_image_metadata
-
+def _image_payload_expr() -> str:
+    """SQL expr assembling a real PNG (even doc_id, RGBA) or JPEG (odd,
+    3-component) header per row, dimensions derived from doc_id."""
     w = "(16 + doc_id % 100)"
     h = "(16 + (doc_id * 7) % 100)"
     png = (
@@ -1536,14 +1530,21 @@ def _q_multimodal_real(spark, sf_dir):
         f"unhex(lpad(hex({h}), 4, '0')), unhex(lpad(hex({w}), 4, '0')), "
         "unhex('03011100021101031101'), unhex('FFD9'))"
     )
+    return f"CASE WHEN doc_id % 2 = 0 THEN {png} ELSE {jpeg} END"
+
+
+def _q_multimodal_real(spark, sf_dir):
+    """REAL header decode (fake=False): PNG IHDR / JPEG SOF0 byte layouts
+    are assembled in-plan per row (even doc_id -> PNG RGBA, odd -> JPEG
+    3-component, dimensions derived from doc_id), then parsed back by the
+    pure-Python header parser inside Arrow-batched mapInPandas.  The oracle
+    recomputes the expected dimensions arithmetically, so the byte-level
+    encode/decode round trip is hash-checked."""
+    from feathub_spark.datapipe.multimodal import decode_image_metadata
+
     df = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .select(
-            "doc_id",
-            F.expr(
-                f"CASE WHEN doc_id % 2 = 0 THEN {png} ELSE {jpeg} END"
-            ).alias("payload"),
-        )
+        .select("doc_id", F.expr(_image_payload_expr()).alias("payload"))
     )
     meta = decode_image_metadata(df, "payload", fake=False)
     return meta.select(
@@ -1562,6 +1563,46 @@ SELECT doc_id,
        CAST(16 + (doc_id * 7) % 100 AS INTEGER) AS height,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels
 FROM documents
+"""
+
+
+def _q_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize geometry over REAL parsed headers (fit into
+    64x64, never upscale) — the oracle recomputes the fit arithmetically
+    from the same doc_id-derived dimensions."""
+    from feathub_spark.datapipe.multimodal import resize_plan
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.expr(_image_payload_expr()).alias("payload"))
+    )
+    meta = resize_plan(df, "payload", max_width=64, max_height=64)
+    return meta.select(
+        "doc_id",
+        F.col("resize_meta.src_width").alias("src_width"),
+        F.col("resize_meta.src_height").alias("src_height"),
+        F.col("resize_meta.dst_width").alias("dst_width"),
+        F.col("resize_meta.dst_height").alias("dst_height"),
+        F.col("resize_meta.scale").alias("scale"),
+    )
+
+
+_ORACLE_RESIZE_PLAN = """
+SELECT doc_id,
+       CAST(w AS INTEGER) AS src_width,
+       CAST(h AS INTEGER) AS src_height,
+       CAST(floor(w * s + 0.5) AS INTEGER) AS dst_width,
+       CAST(floor(h * s + 0.5) AS INTEGER) AS dst_height,
+       round(s, 6) AS scale
+FROM (
+    SELECT doc_id, w, h, least(64.0 / w, 64.0 / h, 1.0) AS s
+    FROM (
+        SELECT doc_id,
+               16 + doc_id % 100 AS w,
+               16 + (doc_id * 7) % 100 AS h
+        FROM documents
+    )
+)
 """
 
 
@@ -2208,6 +2249,7 @@ _RAW_QUERIES = {
         "key_time_filter": _q_key_time_filter,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_real": _q_multimodal_real,
+        "resize_plan": _q_resize_plan,
         "audio_meta": _q_audio_meta,
         "frame_sample": _q_frame_sample,
         "dsl_functions": _q_dsl_functions,
@@ -2268,6 +2310,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _ORACLE_LSH_ANN,
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
         "multimodal_real": _ORACLE_MULTIMODAL_REAL,
+        "resize_plan": _ORACLE_RESIZE_PLAN,
         "audio_meta": _ORACLE_AUDIO_META,
         "frame_sample": _ORACLE_FRAME_SAMPLE,
         "ivf_ann": _ORACLE_IVF_ANN,

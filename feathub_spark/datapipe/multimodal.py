@@ -276,6 +276,73 @@ def decode_audio_metadata(
     return df.mapInPandas(decode_batches, schema=out_schema)
 
 
+RESIZE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("dst_width", T.IntegerType()),
+        T.StructField("dst_height", T.IntegerType()),
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def resize_plan(
+    df: DataFrame,
+    binary_col: str,
+    max_width: int,
+    max_height: int,
+    out_col: str = "resize_meta",
+    fake: bool = False,
+) -> DataFrame:
+    """Aspect-preserving resize geometry for every image payload: parse the
+    REAL header (PNG/JPEG/GIF, :func:`parse_image_header`), fit the source
+    box into (max_width, max_height) without upscaling, and emit
+    (src/dst dimensions, scale, format).  The geometry — the part a resize
+    JOB plans with (output sizing, storage estimates, batch shapes) — is
+    fully real; actual pixel resampling needs a codec library this
+    container lacks, so only the metadata is produced.  ``fake=True`` runs
+    the md5-derived stub decoder instead for undecodable payloads."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, RESIZE_META_SCHEMA)]
+    )
+
+    def plan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = []
+            for payload in batch[binary_col]:
+                raw = bytes(payload) if payload is not None else b""
+                if fake:
+                    w, h, _, fmt, _ = _fake_decode(raw)
+                else:
+                    try:
+                        w, h, _, fmt = parse_image_header(raw)
+                    except ValueError as e:
+                        raise NotImplementedError(
+                            f"cannot decode payload ({e}); re-run with "
+                            "fake=True for the deterministic stub"
+                        ) from e
+                # fit into the box, never upscale; round half up like the
+                # reference geometry every image tool uses
+                scale = min(max_width / w, max_height / h, 1.0) if w and h else 1.0
+                metas.append(
+                    {
+                        "src_width": w,
+                        "src_height": h,
+                        "dst_width": int(w * scale + 0.5),
+                        "dst_height": int(h * scale + 0.5),
+                        "scale": round(scale, 6),
+                        "format": fmt,
+                    }
+                )
+            batch = batch.copy()
+            batch[out_col] = metas
+            yield batch
+
+    return df.mapInPandas(plan_batches, schema=out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame, binary_col: str, every_n_ms: int = 1000
 ) -> DataFrame:

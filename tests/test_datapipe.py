@@ -410,3 +410,26 @@ def test_char_entropy_and_printable_ratio(spark):
     assert out[2] == (1.0, 1.0)
     assert out[3] == (2.0, 1.0)
     assert out[4] == (2.0, 0.5)  # 4 equiprobable chars, half printable
+
+
+def test_resize_plan(spark):
+    from feathub_spark.datapipe.multimodal import resize_plan
+
+    rows = [
+        (1, bytearray(_png_bytes(200, 100))),   # wide: scale 0.32 by width
+        (2, bytearray(_jpeg_bytes(50, 40))),    # fits: never upscale
+        (3, bytearray(_gif_bytes(64, 128))),    # tall: scale 0.5 by height
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    metas = {
+        r.media_id: r.resize_meta
+        for r in resize_plan(df, "payload", 64, 64).collect()
+    }
+    assert (metas[1].dst_width, metas[1].dst_height, metas[1].scale) == (64, 32, 0.32)
+    assert (metas[2].dst_width, metas[2].dst_height, metas[2].scale) == (50, 40, 1.0)
+    assert (metas[3].dst_width, metas[3].dst_height, metas[3].scale) == (32, 64, 0.5)
+    # non-image payloads raise on the real path, stub on fake
+    junk = spark.createDataFrame([(9, bytearray(b"nope"))], ["media_id", "payload"])
+    with pytest.raises(Exception):
+        resize_plan(junk, "payload", 64, 64).collect()
+    assert resize_plan(junk, "payload", 64, 64, fake=True).count() == 1
