@@ -433,3 +433,21 @@ def test_resize_plan(spark):
     with pytest.raises(Exception):
         resize_plan(junk, "payload", 64, 64).collect()
     assert resize_plan(junk, "payload", 64, 64, fake=True).count() == 1
+
+
+def test_parse_audio_header_odd_chunk_padding():
+    """RIFF chunks are word-aligned: an odd-sized chunk is padded by one
+    byte — the walker must skip the pad to find later chunks."""
+    import struct
+
+    from feathub_spark.datapipe.multimodal import parse_audio_header
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+    chunks = (
+        odd
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4000)
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert parse_audio_header(wav) == (1, 8000, 8, 500, "wav")

@@ -370,3 +370,56 @@ def test_null_value_semantics_under_filter_and_limit(client, tmp_path):
     assert [ival(x) for x in a["last_f"]] == [10, None, 30, None]
     # COLLECT_LIST keeps null elements
     assert [ival(x) for x in a["cl"][3]] == [10, None, 30, None]
+
+
+def test_bounded_value_counts_negative_timestamps(client, tmp_path):
+    """Pre-1970 event times give NEGATIVE epoch millis: the chunked
+    suffix/prefix plan's floor-division chunk assignment must stay
+    consistent across the zero boundary."""
+    import os
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from feathub_spark import FileSystemSource, Int64, Schema, String
+
+    # seconds straddling the epoch: -5..5
+    rows = [("k", f"v{abs(t) % 3}", t) for t in range(-5, 6)]
+    pdf = pd.DataFrame(rows, columns=["k", "val", "ts"])
+    path = os.path.join(str(tmp_path), "neg_ts.parquet")
+    pdf.to_parquet(path)
+    schema = (
+        Schema.new_builder()
+        .column("k", String).column("val", String).column("ts", Int64)
+        .build()
+    )
+    source = FileSystemSource(
+        name="neg_ts", path=path, data_format="parquet", schema=schema,
+        keys=["k"], timestamp_field="ts", timestamp_format="epoch",
+    )
+    view = DerivedFeatureView(
+        name="neg_ts_vc",
+        source=source,
+        features=[
+            Feature(
+                "vc",
+                transform=OverWindowTransform(
+                    "val", "VALUE_COUNTS",
+                    window_size=timedelta(seconds=3),
+                    group_by_keys=["k"],
+                ),
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, view])
+    got = {
+        r["ts"]: dict(r["vc"]) if r["vc"] is not None else None
+        for r in client.get_features(view).to_pandas().to_dict("records")
+    }
+    for _, v, t in rows:
+        expected = {}
+        for _, vv, tt in rows:
+            if t - 3 <= tt <= t:
+                expected[vv] = expected.get(vv, 0) + 1
+        assert got[t] == expected, f"ts {t}"
