@@ -1950,6 +1950,41 @@ FROM aug
 """
 
 
+def _q_token_quantiles(spark, sf_dir):
+    """Exact per-language token-count quantiles by COUNTING (histogram
+    cells + cumulative over distinct values — never a per-row sort), so
+    the result is deterministic and oracle-checkable unlike
+    percentile_approx."""
+    from feathub_spark.datapipe.text import token_count_quantiles
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return token_count_quantiles(df, "text", "lang", qs=(0.5, 0.9, 0.99))
+
+
+_ORACLE_TOKEN_QUANTILES = """
+WITH toks AS (
+    SELECT lang,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tok
+    FROM documents
+), cells AS (
+    SELECT lang, n_tok, count(*) AS c FROM toks GROUP BY lang, n_tok
+), ranked AS (
+    SELECT lang, n_tok, c,
+           sum(c) OVER (PARTITION BY lang ORDER BY n_tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY lang) AS tot
+    FROM cells
+)
+SELECT lang,
+       CAST(max(tot) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum >= 1 + floor((tot - 1) * 0.5) THEN n_tok END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= 1 + floor((tot - 1) * 0.9) THEN n_tok END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= 1 + floor((tot - 1) * 0.99) THEN n_tok END) AS BIGINT) AS p99
+FROM ranked GROUP BY lang
+"""
+
+
 def _q_char_entropy(spark, sf_dir):
     """Character-distribution Shannon entropy + printable-ASCII ratio —
     pure Catalyst higher-order expressions (no UDF), summed in sorted
@@ -2265,6 +2300,7 @@ _RAW_QUERIES = {
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
         "char_entropy": _q_char_entropy,
+        "token_quantiles": _q_token_quantiles,
         "ngram_topk": _q_ngram_topk,
         "ngram_topk_global": _q_ngram_topk_global,
         "repetition_signals": _q_repetition_signals,
@@ -2319,6 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,
         "char_entropy": _ORACLE_CHAR_ENTROPY,
+        "token_quantiles": _ORACLE_TOKEN_QUANTILES,
         "ngram_topk": _ORACLE_NGRAM_TOPK,
         "ngram_topk_global": _ORACLE_NGRAM_TOPK_GLOBAL,
         "repetition_signals": _ORACLE_REPETITION_SIGNALS,

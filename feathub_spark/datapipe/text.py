@@ -9,6 +9,8 @@ feature set.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from feathub_spark.common.parallelism import ensure_parallelism
@@ -280,6 +282,49 @@ def ngram_topk(
             F.col("s.n_occurrences").alias("n_occurrences"),
         )
     )
+
+
+def token_count_quantiles(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT token-count quantiles per group (discrete, lower-value
+    convention: the value at row position 1 + floor((n-1)·q) of the sorted
+    counts) — the standard corpus length-distribution report.
+
+    Scale posture: quantile-by-counting, not quantile-by-sorting — rows
+    collapse to (group, n_tok) histogram cells first (map-side combinable),
+    and the cumulative window runs over DISTINCT token counts per group
+    (bounded by the value range, never the row count), so a 10^9-document
+    language never serializes its rows into one task.  Exact and
+    deterministic, hence oracle-checkable — unlike percentile_approx."""
+    counts = (
+        ensure_parallelism(df)
+        .select(F.col(group_col), token_count(text_col).alias("__tok__"))
+        .groupBy(group_col, "__tok__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("__tok__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(group_col)
+    ranked = counts.withColumn("__cum__", F.sum("__c__").over(wcum)).withColumn(
+        "__tot__", F.sum("__c__").over(wtot)
+    )
+    aggs = [F.max("__tot__").cast("bigint").alias("n_docs")]
+    for q in qs:
+        target = 1 + F.floor((F.col("__tot__") - 1) * F.lit(float(q)))
+        name = "p" + str(int(q * 100))
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum__") >= target, F.col("__tok__"))
+            ).cast("bigint").alias(name)
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:

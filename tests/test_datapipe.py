@@ -451,3 +451,20 @@ def test_parse_audio_header_odd_chunk_padding():
     )
     wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     assert parse_audio_header(wav) == (1, 8000, 8, 500, "wav")
+
+
+def test_token_count_quantiles(spark):
+    from feathub_spark.datapipe.text import token_count_quantiles
+
+    # en: token counts 1..10 -> p50 = value at pos 1+floor(9*0.5)=5,
+    # p90 at pos 9, p99 at pos 9 (floor(9*0.99)=8)
+    rows = [("en", " ".join(["w"] * n)) for n in range(1, 11)]
+    rows += [("de", "a b"), ("de", "a b c d")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {
+        r["lang"]: (r["n_docs"], r["p50"], r["p90"], r["p99"])
+        for r in token_count_quantiles(df, "text", "lang").collect()
+    }
+    assert out["en"] == (10, 5, 9, 9)
+    # n=2: p99 position = 1 + floor(1 * 0.99) = 1 -> the LOWER value
+    assert out["de"] == (2, 2, 2, 2)
