@@ -177,7 +177,10 @@ def _timestamp_to_micros(value) -> int:
     if isinstance(value, dt.datetime):
         if value.tzinfo is None:
             value = value.replace(tzinfo=dt.timezone.utc)
-        return int(value.timestamp() * 1_000_000)
+        # integer arithmetic: float .timestamp() loses sub-µs precision for
+        # epochs beyond ~2^53 µs (observed: 2107-01-01 00:00:00.000129 -> 128)
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return (value - epoch) // dt.timedelta(microseconds=1)
     raise FeathubError(f"protobuf: cannot encode timestamp from {type(value)}")
 
 
@@ -293,11 +296,9 @@ def _decode_scalar(buf: bytes, pos: int, wire: int, dtype: t.DType):
         v, pos = read_varint(buf, pos)
         import datetime as dt
 
-        return (
-            dt.datetime.fromtimestamp(v / 1_000_000, tz=dt.timezone.utc).replace(
-                tzinfo=None
-            )
-        ), pos
+        # timedelta addition is exact integer µs — fromtimestamp(v / 1e6)
+        # would round for epochs beyond ~2^53 µs
+        return (dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=v)), pos
     raise FeathubError(f"protobuf: unsupported dtype {dtype}")
 
 
