@@ -2235,6 +2235,62 @@ FROM labeled
 """
 
 
+def _q_dup_passages(spark, sf_dir):
+    """Winnowing duplicate-passage stats (Schleimer et al. 2003): per-doc
+    fraction of content-defined fingerprints shared with another document —
+    any shared substring of >= window + gram_len - 1 = 17 chars is
+    guaranteed a shared fingerprint.  The dual-31-bit polynomial gram hash
+    keeps all arithmetic < 2^62, so DuckDB replicates it exactly."""
+    from feathub_spark.datapipe.passages import dup_passage_stats
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dup_passage_stats(
+        df, "text", "doc_id", gram_len=12, window=6, hash_fn="poly"
+    )
+
+
+_ORACLE_DUP_PASSAGES = """
+WITH hs AS (
+    SELECT doc_id,
+           CASE WHEN length(text) >= 12 THEN
+             [ list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(range(i, i + 12),
+                                  j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
+                 (h, c) -> (h * 1103515245 + c) % 2147483647) * 2147483648
+               + list_reduce(
+                 list_prepend(CAST(13 AS BIGINT),
+                   list_transform(range(i, i + 12),
+                                  j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
+                 (h, c) -> (h * 69069 + c) % 2147483647)
+               FOR i IN range(1, length(text) - 10) ]
+           ELSE CAST([] AS BIGINT[]) END AS gh
+    FROM documents
+), fp AS (
+    SELECT doc_id,
+           CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[]) ELSE
+             list_distinct([ list_aggregate(gh[w : w + least(6, len(gh)) - 1], 'min')
+                             FOR w IN range(1, len(gh) - least(6, len(gh)) + 2) ])
+           END AS fps
+    FROM hs
+), ex AS (
+    SELECT doc_id, unnest(fps) AS fpv FROM fp
+), cnt AS (
+    SELECT fpv, count(*) AS df FROM ex GROUP BY fpv
+), shared AS (
+    SELECT e.doc_id, count(*) FILTER (WHERE c.df >= 2) AS n_shared
+    FROM ex e JOIN cnt c USING (fpv) GROUP BY e.doc_id
+)
+SELECT f.doc_id,
+       CAST(len(f.fps) AS BIGINT) AS n_fingerprints,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN len(f.fps) > 0
+            THEN round(coalesce(s.n_shared, 0) / len(f.fps), 6)
+            ELSE 0.0 END AS dup_fraction
+FROM fp f LEFT JOIN shared s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2306,6 +2362,7 @@ _RAW_QUERIES = {
         "repetition_signals": _q_repetition_signals,
         "contamination": _q_contamination,
         "select_survivors": _q_select_survivors,
+        "dup_passages": _q_dup_passages,
     }
 
 
@@ -2361,4 +2418,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _ORACLE_REPETITION_SIGNALS,
         "contamination": _ORACLE_CONTAMINATION,
         "select_survivors": _ORACLE_SELECT_SURVIVORS,
+        "dup_passages": _ORACLE_DUP_PASSAGES,
     }

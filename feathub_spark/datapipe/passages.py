@@ -1,0 +1,213 @@
+"""Duplicate-passage detection via winnowing fingerprints.
+
+The scalable stand-in for suffix-array exact substring dedup (the technique
+popularized for LLM corpora by Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better"): suffix arrays need a global sort of every
+suffix, which has no good distributed expression, but the *winnowing*
+fingerprint scheme (Schleimer, Wilkerson, Aiken 2003 — the MOSS algorithm)
+gives a content-defined selection of character-gram hashes with a hard
+guarantee: any substring shared between two documents of length at least
+
+    t = window + gram_len - 1   characters
+
+produces at least one IDENTICAL selected fingerprint in both documents.  So
+"documents sharing a >= t-char passage" reduces to an equi-join on the
+fingerprint value — one map-side-combinable groupBy instead of an all-pairs
+scan.
+
+Plan shape (the 100 TB story):
+- Gram hashing and window-min selection are pure Catalyst higher-order
+  expressions inside whole-stage codegen: O(chars * gram_len) narrow
+  per-row compute, ZERO shuffle.  The dual 31-bit polynomial char hash
+  (same construction as :func:`feathub_spark.datapipe.dedup.simhash`'s
+  ``hash_fn="poly"``) keeps every intermediate < 2^62, so the exact
+  pipeline is reproducible in any ANSI SQL engine for oracle checks.
+- Winnowing emits ~2/(window+1) fingerprints per character (the paper's
+  density bound), i.e. the shuffled volume is a tunable fraction of corpus
+  size — raise ``window`` to trade recall granularity for shuffle volume.
+- The fingerprint -> doc-frequency aggregation is a map-side-combinable
+  groupBy on the 8-byte fingerprint; the join back to per-doc rows reuses
+  the same hash partitioning (no extra exchange on the counts side).
+
+No reference counterpart: feathub (e.g.
+/root/reference/python/feathub/feature_views/feature_view.py) has no text
+dedup surface; this module is beyond-reference capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from feathub_spark.common.parallelism import ensure_parallelism
+
+_M31 = (1 << 31) - 1
+
+
+def _gram_hashes_sql(text_col: str, gram_len: int, hash_fn: str = "poly") -> str:
+    """array<bigint> of hashes of every ``gram_len``-character gram (1 per
+    position), empty when the text is too short.
+
+    ``hash_fn="xxhash64"`` is the production path (one JVM hash per
+    position); ``"poly"`` is the dual-31-bit polynomial char fold — ~10x
+    more arithmetic but every intermediate stays < 2^62, so any ANSI SQL
+    engine reproduces it exactly for oracle checks (same construction as
+    :func:`feathub_spark.datapipe.dedup.simhash`)."""
+    if hash_fn == "xxhash64":
+        gram = f"xxhash64(substr(`{text_col}`, i, {gram_len}))"
+    elif hash_fn == "poly":
+        gram = (
+            f"aggregate(sequence(i, i + {gram_len - 1}), "
+            f"named_struct('a', CAST(7 AS BIGINT), 'b', CAST(13 AS BIGINT)), "
+            f"(acc, j) -> named_struct("
+            f"'a', (acc.a * 1103515245 + ascii(substr(`{text_col}`, j, 1))) % {_M31}, "
+            f"'b', (acc.b * 69069 + ascii(substr(`{text_col}`, j, 1))) % {_M31}), "
+            f"acc -> acc.a * 2147483648L + acc.b)"
+        )
+    else:
+        raise ValueError(f"unknown passages hash_fn: {hash_fn!r}")
+    return (
+        f"CASE WHEN length(`{text_col}`) >= {gram_len} THEN "
+        f"transform(sequence(1, length(`{text_col}`) - {gram_len} + 1), i -> {gram}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
+def _winnow_sql(hashes_col: str, window: int) -> str:
+    """Distinct window-min fingerprints over the gram-hash array.
+
+    Window w selects min(hashes[w .. w+W-1]) (W clamped to the array size
+    for short docs).  The selected VALUE depends only on the hash content
+    of the window, so two occurrences of the same >= window+gram_len-1
+    char substring select the same fingerprint — the winnowing guarantee.
+    """
+    w_eff = f"least({window}, size(`{hashes_col}`))"
+    return (
+        f"CASE WHEN size(`{hashes_col}`) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE array_distinct(transform("
+        f"sequence(1, size(`{hashes_col}`) - {w_eff} + 1), "
+        f"w -> array_min(slice(`{hashes_col}`, w, {w_eff})))) END"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Append ``__fps__``: array<bigint> of distinct winnowing fingerprints.
+
+    Any two documents sharing a substring of >= ``window + gram_len - 1``
+    characters share at least one fingerprint value.  Narrow per-row
+    compute only — no shuffle."""
+    df = ensure_parallelism(df).withColumn(
+        "__gh__", F.expr(_gram_hashes_sql(text_col, gram_len, hash_fn))
+    )
+    return df.withColumn("__fps__", F.expr(_winnow_sql("__gh__", window))).drop(
+        "__gh__"
+    )
+
+
+def dup_passage_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-passage signal.
+
+    Returns (id_col, n_fingerprints, n_shared, dup_fraction) where
+    ``n_shared`` counts this document's fingerprints that also occur in at
+    least one OTHER document and ``dup_fraction = n_shared /
+    n_fingerprints`` (0.0 for fingerprint-less short docs).  The standard
+    corpus-hygiene filter is ``dup_fraction > threshold``.
+
+    Shuffle budget: explode (narrow) -> groupBy fingerprint (map-side
+    combinable; counts reuse the exchange for the join) -> groupBy doc.
+    The exploded projection is persisted because it feeds both the
+    doc-frequency aggregate and the join back."""
+    base = winnow_fingerprints(
+        df, text_col, id_col, gram_len, window, hash_fn
+    ).select(F.col(id_col), F.size("__fps__").alias("__nfp__"), "__fps__")
+    fps = base.select(
+        id_col, "__nfp__", F.explode_outer("__fps__").alias("__fp__")
+    ).persist()
+    # docs contributing a fingerprint at most once (array_distinct upstream)
+    # => count(*) per fingerprint == number of docs containing it
+    counts = fps.filter(F.col("__fp__").isNotNull()).groupBy("__fp__").agg(
+        F.count(F.lit(1)).alias("__df__")
+    )
+    return (
+        fps.join(counts, on="__fp__", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.first("__nfp__").cast("bigint").alias("n_fingerprints"),
+            F.sum(
+                F.when(F.col("__df__") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_shared"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__df__") >= 2, F.lit(1.0)).otherwise(
+                            F.lit(0.0)
+                        )
+                    )
+                    / F.nullif(F.first("__nfp__").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def dup_passage_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+    min_shared: int = 1,
+    max_doc_freq: int = 1024,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    (i.e. candidate pairs sharing passages of >= window+gram_len-1 chars).
+
+    Pairs expand from per-fingerprint sorted posting lists (one shuffle —
+    see :func:`feathub_spark.datapipe.dedup._bucket_pairs`); fingerprints
+    occurring in more than ``max_doc_freq`` documents are dropped first
+    (boilerplate passages — license headers, navigation chrome — would
+    otherwise expand quadratically; the cap bounds per-fingerprint fan-out
+    exactly like the ngram_jaccard doc-frequency cut).  Pass
+    ``max_doc_freq=None`` for exact recall on small corpora.
+
+    Returns (id_a, id_b, n_shared_fingerprints)."""
+    fps = winnow_fingerprints(
+        df, text_col, id_col, gram_len, window, hash_fn
+    ).select(F.col(id_col).alias("__id__"), F.explode("__fps__").alias("__fp__"))
+    # one shuffle builds the sorted posting list per fingerprint; the
+    # doc-frequency cut is a free size() filter on it, and pairs expand
+    # in-array map-side (a < b once each, by the sorted order)
+    postings = fps.groupBy("__fp__").agg(
+        F.sort_array(F.collect_list("__id__")).alias("__ids__")
+    )
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("__ids__") <= max_doc_freq)
+    pair_expr = (
+        "flatten(transform(sequence(1, size(__ids__) - 1), "
+        "i -> transform(slice(__ids__, i + 1, size(__ids__) - i), "
+        "b -> struct(element_at(__ids__, i) AS a, b AS b))))"
+    )
+    return (
+        postings.filter(F.size("__ids__") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fingerprints"))
+        .filter(F.col("n_shared_fingerprints") >= min_shared)
+    )

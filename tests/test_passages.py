@@ -1,0 +1,185 @@
+"""Golden tests for datapipe.passages (winnowing duplicate-passage
+detection).
+
+Expectations come from an independent pure-Python winnowing implementation
+(gram hash, window-min selection, doc-frequency counting) so the Catalyst
+higher-order expression pipeline is checked against first principles, plus
+a property check of the winnowing guarantee itself: a planted shared
+substring of length >= window + gram_len - 1 always yields a shared
+fingerprint.
+"""
+
+import random
+
+import pytest
+
+from feathub_spark.datapipe.passages import (
+    dup_passage_pairs,
+    dup_passage_stats,
+    winnow_fingerprints,
+)
+
+M31 = (1 << 31) - 1
+
+
+def _ref_gram_hashes(text, gram_len):
+    if len(text) < gram_len:
+        return []
+    out = []
+    for i in range(len(text) - gram_len + 1):
+        a, b = 7, 13
+        for ch in text[i : i + gram_len]:
+            c = ord(ch)
+            a = (a * 1103515245 + c) % M31
+            b = (b * 69069 + c) % M31
+        out.append(a * 2147483648 + b)
+    return out
+
+
+def _ref_fingerprints(text, gram_len, window):
+    hs = _ref_gram_hashes(text, gram_len)
+    if not hs:
+        return set()
+    w_eff = min(window, len(hs))
+    return {min(hs[w : w + w_eff]) for w in range(len(hs) - w_eff + 1)}
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "a completely different text with no overlap whatsoever here now"),
+    (3, "zz the quick brown fox jumps over the lazy dog near the river bank yy"),
+    (4, "short"),
+    (5, ""),
+    (6, "a completely different text with no overlap whatsoever here now"),
+]
+L, W = 8, 4
+
+
+def _ref_corpus(docs=DOCS, gram_len=L, window=W):
+    fp_docs = {}
+    per_doc = {}
+    for i, t in docs:
+        fps = _ref_fingerprints(t, gram_len, window)
+        per_doc[i] = fps
+        for fp in fps:
+            fp_docs.setdefault(fp, set()).add(i)
+    return per_doc, fp_docs
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: set(r["__fps__"])
+        for r in winnow_fingerprints(df, "text", "doc_id", L, W, hash_fn="poly").collect()
+    }
+    per_doc, _ = _ref_corpus()
+    assert got == per_doc
+
+
+def test_dup_passage_stats_golden(spark):
+    per_doc, fp_docs = _ref_corpus()
+    exp = {}
+    for i, fps in per_doc.items():
+        shared = sum(1 for fp in fps if len(fp_docs[fp]) >= 2)
+        exp[i] = (
+            len(fps),
+            shared,
+            round(shared / len(fps), 6) if fps else 0.0,
+        )
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["n_shared"], r["dup_fraction"])
+        for r in dup_passage_stats(df, "text", "doc_id", L, W, hash_fn="poly").collect()
+    }
+    assert got == exp
+    # exact-duplicate docs (2, 6) are fully shared; short/empty docs are 0-safe
+    assert got[2][2] == 1.0 and got[6][2] == 1.0
+    assert got[4] == (0, 0, 0.0) and got[5] == (0, 0, 0.0)
+
+
+def test_dup_passage_pairs_golden(spark):
+    _, fp_docs = _ref_corpus()
+    exp = {}
+    for fp, ds in fp_docs.items():
+        ds = sorted(ds)
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                exp[(ds[x], ds[y])] = exp.get((ds[x], ds[y]), 0) + 1
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_fingerprints"]
+        for r in dup_passage_pairs(
+            df, "text", "doc_id", L, W, hash_fn="poly"
+        ).collect()
+    }
+    assert got == exp
+    assert (1, 3) in got and (2, 6) in got
+
+
+def test_winnowing_guarantee_on_planted_passages(spark):
+    """Random docs with a planted shared passage of exactly t = W + L - 1
+    chars must always pair; the same corpus WITHOUT the plant (almost
+    surely) must not."""
+    rnd = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    passage = "".join(rnd.choice(alpha) for _ in range(W + L - 1))
+    rows = []
+    for i in range(12):
+        filler = "".join(rnd.choice(alpha) for _ in range(120))
+        if i in (3, 9):
+            pos = rnd.randrange(0, len(filler) - 1)
+            filler = filler[:pos] + passage + filler[pos:]
+        rows.append((i, filler))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dup_passage_pairs(df, "text", "doc_id", L, W).collect()
+    }
+    assert (3, 9) in pairs
+
+
+def test_max_doc_freq_drops_boilerplate(spark):
+    boiler = "this exact license header appears in every single document"
+    rows = [(i, boiler + f" unique tail {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def ref_pairs(cap):
+        _, fp_docs = _ref_corpus(rows)
+        exp = {}
+        for fp, ds in fp_docs.items():
+            if cap is not None and len(ds) > cap:
+                continue  # the doc-frequency cut drops ubiquitous fingerprints
+            ds = sorted(ds)
+            for x in range(len(ds)):
+                for y in range(x + 1, len(ds)):
+                    exp[(ds[x], ds[y])] = exp.get((ds[x], ds[y]), 0) + 1
+        return exp
+
+    # exact-recall mode: every pair shares the boilerplate fingerprints
+    allp = {
+        (r["id_a"], r["id_b"]): r["n_shared_fingerprints"]
+        for r in dup_passage_pairs(
+            df, "text", "doc_id", L, W, max_doc_freq=None, hash_fn="poly"
+        ).collect()
+    }
+    assert allp == ref_pairs(None)
+    assert len(allp) == 45  # all C(10,2) pairs share the boilerplate
+    # with a doc-frequency cap the corpus-wide boilerplate fingerprints are
+    # dropped; only boundary-region fingerprints (boilerplate|tail windows
+    # that winnow differently per doc) can still pair a subset of docs
+    capped = {
+        (r["id_a"], r["id_b"]): r["n_shared_fingerprints"]
+        for r in dup_passage_pairs(
+            df, "text", "doc_id", L, W, max_doc_freq=5, hash_fn="poly"
+        ).collect()
+    }
+    assert capped == ref_pairs(5)
+    assert len(capped) < len(allp)
+
+
+def test_stats_plan_is_shuffle_only(spark):
+    """No cartesian/broadcast-nested-loop anywhere in the stats plan."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    plan = dup_passage_stats(df, "text", "doc_id", L, W)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
