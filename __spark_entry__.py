@@ -2291,6 +2291,39 @@ FROM fp f LEFT JOIN shared s USING (doc_id)
 """
 
 
+def _q_temperature_sample(spark, sf_dir):
+    """Temperature-based source mixing (n_s^0.7 multilingual up/down-
+    sampling): per-language keep rates derived in-plan, broadcast back,
+    deterministic md5-hash membership — the corpus is never shuffled."""
+    from feathub_spark.datapipe.sampling import temperature_sample
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return temperature_sample(
+        df.select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+        target_rows=200,
+        alpha=0.7,
+        seed=3,
+        keep_rate_col="keep_rate",
+    ).select("doc_id", "lang", "keep_rate")
+
+
+_ORACLE_TEMPERATURE_SAMPLE = f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), rates AS (
+    SELECT lang,
+           round(least(1.0, 200 * (pow(n, 0.7) / sum(pow(n, 0.7)) OVER ()) / n),
+                 12) AS keep_rate
+    FROM counts
+)
+SELECT d.doc_id, d.lang, r.keep_rate
+FROM documents d JOIN rates r USING (lang)
+WHERE {_H32.format(col='d.doc_id', seed=3)} / 4294967296.0 < r.keep_rate
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2363,6 +2396,7 @@ _RAW_QUERIES = {
         "contamination": _q_contamination,
         "select_survivors": _q_select_survivors,
         "dup_passages": _q_dup_passages,
+        "temperature_sample": _q_temperature_sample,
     }
 
 
@@ -2419,4 +2453,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _ORACLE_CONTAMINATION,
         "select_survivors": _ORACLE_SELECT_SURVIVORS,
         "dup_passages": _ORACLE_DUP_PASSAGES,
+        "temperature_sample": _ORACLE_TEMPERATURE_SAMPLE,
     }

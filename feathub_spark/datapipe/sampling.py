@@ -9,6 +9,9 @@ state.  All computation is Catalyst expressions inside whole-stage codegen.
 - ``sample_by_hash``: keep a deterministic fraction of rows.
 - ``stratified_sample``: per-group fractions (corpus mixing: "keep 100% of
   'de', 30% of 'en'"), one scan, no shuffle.
+- ``temperature_sample``: n_s^alpha source mixing (the multilingual
+  up/down-sampling rule) — per-group rates derived in-plan and broadcast
+  back, deterministic hash membership.
 - ``assign_shards``: stable shard id + position for sharded dataset writes;
   the (hash, id) sort key inside each shard is a deterministic global
   shuffle (the usual pre-training "document shuffle").
@@ -71,6 +74,61 @@ def stratified_sample(
     for value, frac in sorted(fractions.items()):
         rate = F.when(F.col(group_col) == value, F.lit(float(frac))).otherwise(rate)
     return df.filter(hash_fraction(id_col, seed) < rate)
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target_rows: int,
+    alpha: float = 0.7,
+    seed: int = 0,
+    keep_rate_col: Optional[str] = None,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual up/down-sampling
+    rule from multilingual-BERT / XLM-R / mT5): group s is sampled with
+    probability proportional to n_s^alpha, flattening the source
+    distribution for alpha < 1 so small sources are up-weighted relative
+    to their raw share.  Expected output size is ~``target_rows`` (exact
+    in expectation; per-group keep rates are capped at 1.0, so heavily
+    up-weighted small groups can contribute at most all their rows).
+
+    Realized as: per-group counts (one map-side-combinable aggregate on a
+    LOW-cardinality key — sources/languages, not documents), normalized
+    weights via a broadcast of the 1-row total, and a deterministic
+    hash-fraction keep per row — the group-rate table is broadcast back,
+    so the corpus itself is never shuffled.  Membership depends only on
+    (id, seed): raising ``target_rows`` strictly grows the sample (nested
+    samples), and any engine can replay the exact selection.
+
+    Rates are rounded to 12 dp before the comparison so the keep decision
+    is robust to last-ulp ``pow`` differences across engines.  Rows with
+    NULL ``group_col`` are dropped (no defined mixture weight).  Pass
+    ``keep_rate_col`` to keep the per-row applied rate for audit."""
+    n = F.col("__n__").cast("double")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n__"))
+    # empty-partitionBy window is fine HERE: it runs over the per-group
+    # count table whose cardinality is the number of sources/languages —
+    # bounded and tiny by definition, unlike per-row global windows
+    tot = F.sum(F.pow(n, F.lit(float(alpha)))).over(Window.partitionBy())
+    rates = counts.select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * (F.pow(n, F.lit(float(alpha))) / tot)
+                / n,
+            ),
+            12,
+        ).alias("__rate__"),
+    )
+    out = df.join(F.broadcast(rates), on=group_col).filter(
+        hash_fraction(id_col, seed) < F.col("__rate__")
+    )
+    if keep_rate_col:
+        return out.withColumnRenamed("__rate__", keep_rate_col)
+    return out.drop("__rate__")
 
 
 def assign_shards(

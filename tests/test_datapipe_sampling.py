@@ -254,3 +254,77 @@ def test_ngram_topk_global(spark):
     plan = ngram_topk(df, "text", n=2, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_temperature_sample_matches_python_model(spark):
+    from feathub_spark.datapipe.sampling import temperature_sample
+    import hashlib
+
+    # skewed corpus: 400 'en', 80 'de', 20 'fr'
+    rows = [(i, "en" if i < 400 else "de" if i < 480 else "fr") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def h32(v, seed):
+        return int(hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:8], 16)
+
+    def model(target, alpha, seed):
+        counts = {"en": 400, "de": 80, "fr": 20}
+        tot = sum(n ** alpha for n in counts.values())
+        rates = {
+            g: round(min(1.0, target * (n ** alpha / tot) / n), 12)
+            for g, n in counts.items()
+        }
+        return {
+            i for i, g in rows if h32(i, seed) / 4294967296.0 < rates[g]
+        }, rates
+
+    exp, rates = model(200, 0.7, 3)
+    got = {
+        r["doc_id"]
+        for r in temperature_sample(
+            df, "doc_id", "lang", target_rows=200, alpha=0.7, seed=3
+        ).collect()
+    }
+    assert got == exp
+    # alpha < 1 up-weights small groups: fr keep rate > en keep rate
+    assert rates["fr"] > rates["en"]
+
+    # nested property: raising target strictly grows the sample
+    bigger = {
+        r["doc_id"]
+        for r in temperature_sample(
+            df, "doc_id", "lang", target_rows=400, alpha=0.7, seed=3
+        ).collect()
+    }
+    assert got <= bigger
+
+    # alpha=1 degenerates to uniform sampling at rate target/total
+    exp1, rates1 = model(250, 1.0, 3)
+    got1 = {
+        r["doc_id"]
+        for r in temperature_sample(
+            df, "doc_id", "lang", target_rows=250, alpha=1.0, seed=3
+        ).collect()
+    }
+    assert got1 == exp1
+    assert len({round(r, 9) for r in rates1.values()}) == 1
+
+
+def test_temperature_sample_caps_and_nulls(spark):
+    from feathub_spark.datapipe.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(300)] + [(1000 + i, "tiny") for i in range(3)]
+    rows.append((9999, None))
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(
+        df, "doc_id", "lang", target_rows=150, alpha=0.3, seed=0,
+        keep_rate_col="rate",
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # strongly flattened mixture: the tiny group's rate caps at 1.0 -> all kept
+    assert len(by_lang.get("tiny", [])) == 3
+    assert all(r["rate"] == 1.0 for r in by_lang["tiny"])
+    # null-group rows have no mixture weight and are dropped
+    assert None not in by_lang
