@@ -2324,6 +2324,29 @@ WHERE {_H32.format(col='d.doc_id', seed=3)} / 4294967296.0 < r.keep_rate
 """
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Unicode NFC + casefold + whitespace-collapse normalization — the
+    one sanctioned Arrow-batched Python stage (Spark has no Unicode-
+    normalization builtin); whitespace collapse stays JVM-side.  The
+    fixture is ASCII, so DuckDB's nfc_normalize+lower replicates
+    Python's unicodedata+casefold exactly; full-Unicode behavior is
+    golden-tested in tests/test_datapipe_sampling.py."""
+    from feathub_spark.datapipe.text import normalize_text
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return normalize_text(df.select("doc_id", "text"), "text").select(
+        "doc_id", "norm_text"
+    )
+
+
+_ORACLE_NORMALIZE_TEXT = """
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+           AS norm_text
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2397,6 +2420,7 @@ _RAW_QUERIES = {
         "select_survivors": _q_select_survivors,
         "dup_passages": _q_dup_passages,
         "temperature_sample": _q_temperature_sample,
+        "normalize_text": _q_normalize_text,
     }
 
 
@@ -2454,4 +2478,5 @@ def oracle_sql() -> dict[str, str]:
         "select_survivors": _ORACLE_SELECT_SURVIVORS,
         "dup_passages": _ORACLE_DUP_PASSAGES,
         "temperature_sample": _ORACLE_TEMPERATURE_SAMPLE,
+        "normalize_text": _ORACLE_NORMALIZE_TEXT,
     }

@@ -327,6 +327,51 @@ def token_count_quantiles(
     return ranked.groupBy(group_col).agg(*aggs)
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+    casefold: bool = True,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Canonical text normalization for dedup/tokenizer pre-passes:
+    Unicode normalization (NFC/NFKC/NFD/NFKD) + optional casefold +
+    whitespace collapse.
+
+    Spark has no Unicode-normalization builtin, so the normalize+casefold
+    step is the one sanctioned Python stage: an Arrow-batched pandas UDF
+    (pandas ``str`` ops over the whole batch — no per-row Python call
+    overhead beyond the vectorized map).  The whitespace collapse stays
+    JVM-side as a Catalyst ``regexp_replace`` so the common cheap part of
+    the pipeline never leaves codegen.  Per-row narrow compute, no
+    shuffle — scales linearly with executors; the Arrow transfer is the
+    honest cost of correct Unicode handling (str.casefold's full case
+    folding — e.g. ss -> ss — is not expressible as a JVM builtin either).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown unicode normalization form: {form!r}")
+
+    def _norm_fn(s):
+        out = s.str.normalize(form)
+        if casefold:
+            out = out.str.casefold()
+        return out
+
+    # real annotation objects: the module-level `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf rejects
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+
+    col = _norm(F.col(text_col))
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return ensure_parallelism(df).withColumn(out_col, col)
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return ensure_parallelism(df).withColumns(
         {

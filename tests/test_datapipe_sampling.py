@@ -328,3 +328,54 @@ def test_temperature_sample_caps_and_nulls(spark):
     assert all(r["rate"] == 1.0 for r in by_lang["tiny"])
     # null-group rows have no mixture weight and are dropped
     assert None not in by_lang
+
+
+def test_normalize_text_matches_python_golden(spark):
+    import re
+    import unicodedata
+
+    from feathub_spark.datapipe.text import normalize_text
+
+    rows = [
+        (1, "Café du   Monde"),          # decomposed e + combining acute
+        (2, "Café du Monde"),              # precomposed -> same NFC output
+        (3, "STRAßE"),                     # casefold: ss -> ss
+        (4, "  leading and\ttrailing \n ws  "),
+        (5, ""),
+        (6, "already normal ascii text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def golden(s, form="NFC"):
+        out = unicodedata.normalize(form, s).casefold()
+        # ASCII whitespace class mirrors Java/RE2 \s (not Python's
+        # unicode-aware \s)
+        return re.sub(r"[ \t\n\r\f\v]+", " ", out).strip()
+
+    got = {
+        r["doc_id"]: r["norm_text"]
+        for r in normalize_text(df, "text").collect()
+    }
+    assert got == {i: golden(t) for i, t in rows}
+    # NFC unifies composed and decomposed forms
+    assert got[1] == got[2] == "café du monde"
+    assert got[3] == "straße".replace("ß", "ss")
+
+
+def test_normalize_text_nfkc_and_flags(spark):
+    import unicodedata
+
+    from feathub_spark.datapipe.text import normalize_text
+
+    rows = [(1, "ﬁle  WIDTHＤ")]  # fi ligature + fullwidth D
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = normalize_text(
+        df, "text", form="NFKC", casefold=False, collapse_whitespace=False
+    ).collect()[0]["norm_text"]
+    assert got == unicodedata.normalize("NFKC", rows[0][1])
+    assert got.startswith("file")  # ligature expanded, case preserved
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_text(df, "text", form="NFX")
