@@ -2347,6 +2347,94 @@ FROM documents
 """
 
 
+def _q_remove_dup_passages(spark, sf_dir):
+    """ExactSubstr-style duplicate-passage REMOVAL (Lee et al. 2022 via
+    winnowing): fingerprints occurring >= 2 times corpus-wide mark their
+    [pos, pos+11] char spans, overlapping/adjacent spans merge, and all
+    marked occurrences are cut from the text.  The oracle re-derives the
+    per-row Catalyst merge/cut folds with gaps-and-islands SQL."""
+    from feathub_spark.datapipe.passages import remove_duplicate_passages
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return remove_duplicate_passages(
+        df, "text", "doc_id", gram_len=12, window=6, hash_fn="poly"
+    )
+
+
+_ORACLE_REMOVE_DUP_PASSAGES = """
+WITH hs AS (
+    SELECT doc_id, text,
+           CASE WHEN length(text) >= 12 THEN
+             [ list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(range(i, i + 12),
+                                  j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
+                 (h, c) -> (h * 1103515245 + c) % 2147483647) * 2147483648
+               + list_reduce(
+                 list_prepend(CAST(13 AS BIGINT),
+                   list_transform(range(i, i + 12),
+                                  j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
+                 (h, c) -> (h * 69069 + c) % 2147483647)
+               FOR i IN range(1, length(text) - 10) ]
+           ELSE CAST([] AS BIGINT[]) END AS gh
+    FROM documents
+), fpp AS (
+    -- no list_distinct on struct lists (DuckDB lacks it); dedup happens
+    -- relationally in occ, matching Spark's array_distinct semantics
+    SELECT doc_id,
+           CASE WHEN len(gh) = 0 THEN CAST([] AS STRUCT(fp BIGINT, pos INTEGER)[])
+           ELSE [
+             {'fp': list_aggregate(gh[w : w + least(6, len(gh)) - 1], 'min'),
+              'pos': CAST(w - 1 + list_position(
+                        gh[w : w + least(6, len(gh)) - 1],
+                        list_aggregate(gh[w : w + least(6, len(gh)) - 1], 'min'))
+                     AS INTEGER)}
+             FOR w IN range(1, len(gh) - least(6, len(gh)) + 2) ]
+           END AS fpp
+    FROM hs
+), occ AS (
+    SELECT DISTINCT doc_id, u.fp AS fp, u.pos AS pos
+    FROM (SELECT doc_id, unnest(fpp) AS u FROM fpp)
+), dup AS (
+    SELECT fp FROM occ GROUP BY fp HAVING count(*) >= 2
+), dpos AS (
+    SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (fp)
+), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos <= coalesce(max(pos + 11) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -99) + 1
+                THEN 0 ELSE 1 END AS brk
+    FROM dpos
+), grp AS (
+    SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM isl
+), spans AS (
+    SELECT doc_id, g, min(pos) AS s, max(pos) + 11 AS e
+    FROM grp GROUP BY doc_id, g
+), segs AS (
+    SELECT doc_id, s, e,
+           coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+    FROM spans
+), agged AS (
+    SELECT sg.doc_id,
+           string_agg(substr(d.text, sg.prev_e + 1, sg.s - sg.prev_e - 1),
+                      '' ORDER BY sg.s) AS kept,
+           max(sg.e) AS last_e,
+           count(*) AS n_spans,
+           sum(sg.e - sg.s + 1) AS n_chars
+    FROM segs sg JOIN documents d USING (doc_id)
+    GROUP BY sg.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN a.doc_id IS NULL THEN d.text
+            ELSE a.kept || substr(d.text, a.last_e + 1) END AS clean_text,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_dup_chars
+FROM documents d LEFT JOIN agged a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2421,6 +2509,7 @@ _RAW_QUERIES = {
         "dup_passages": _q_dup_passages,
         "temperature_sample": _q_temperature_sample,
         "normalize_text": _q_normalize_text,
+        "remove_dup_passages": _q_remove_dup_passages,
     }
 
 
@@ -2479,4 +2568,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_passages": _ORACLE_DUP_PASSAGES,
         "temperature_sample": _ORACLE_TEMPERATURE_SAMPLE,
         "normalize_text": _ORACLE_NORMALIZE_TEXT,
+        "remove_dup_passages": _ORACLE_REMOVE_DUP_PASSAGES,
     }

@@ -72,7 +72,22 @@ def _gram_hashes_sql(text_col: str, gram_len: int, hash_fn: str = "poly") -> str
     )
 
 
-def _winnow_sql(hashes_col: str, window: int) -> str:
+def _let1(bound_expr: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``bound_expr`` ONCE and expose it as lambda
+    variable ``var`` inside ``body`` (a transform over a 1-element array).
+
+    This is load-bearing, not style: Catalyst's CollapseProject may inline
+    an intermediate Project column into every one of its references, and
+    higher-order functions evaluate interpreted — inlining the O(n·L)
+    gram-hash array into per-window slice/min/position references turned
+    the winnow selection O(n²·L) and a 500-doc corpus took CPU-hours
+    (observed via jstack before this binding existed).  Lambda variables
+    are bound once per evaluation, so the optimizer cannot duplicate the
+    bound computation."""
+    return f"element_at(transform(array({bound_expr}), {var} -> {body}), 1)"
+
+
+def _winnow_sql(gram_hashes_expr: str, window: int) -> str:
     """Distinct window-min fingerprints over the gram-hash array.
 
     Window w selects min(hashes[w .. w+W-1]) (W clamped to the array size
@@ -80,13 +95,14 @@ def _winnow_sql(hashes_col: str, window: int) -> str:
     of the window, so two occurrences of the same >= window+gram_len-1
     char substring select the same fingerprint — the winnowing guarantee.
     """
-    w_eff = f"least({window}, size(`{hashes_col}`))"
-    return (
-        f"CASE WHEN size(`{hashes_col}`) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+    w_eff = "least({w}, size(gh))".format(w=window)
+    body = (
+        f"CASE WHEN size(gh) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
         f"ELSE array_distinct(transform("
-        f"sequence(1, size(`{hashes_col}`) - {w_eff} + 1), "
-        f"w -> array_min(slice(`{hashes_col}`, w, {w_eff})))) END"
+        f"sequence(1, size(gh) - {w_eff} + 1), "
+        f"w -> array_min(slice(gh, w, {w_eff})))) END"
     )
+    return _let1(gram_hashes_expr, "gh", body)
 
 
 def winnow_fingerprints(
@@ -102,11 +118,116 @@ def winnow_fingerprints(
     Any two documents sharing a substring of >= ``window + gram_len - 1``
     characters share at least one fingerprint value.  Narrow per-row
     compute only — no shuffle."""
-    df = ensure_parallelism(df).withColumn(
-        "__gh__", F.expr(_gram_hashes_sql(text_col, gram_len, hash_fn))
+    sel = _winnow_sql(_gram_hashes_sql(text_col, gram_len, hash_fn), window)
+    return ensure_parallelism(df).withColumn("__fps__", F.expr(sel))
+
+
+def winnow_fingerprint_positions(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Append ``__fpp__``: array<struct<fp:bigint, pos:int>> of distinct
+    (fingerprint, 1-based gram position) selections — the position-carrying
+    variant of :func:`winnow_fingerprints` used for span removal.  Each
+    selection covers characters [pos, pos + gram_len - 1].  Within a
+    window, ties on the min hash resolve to the FIRST position
+    (deterministic)."""
+    w_eff = f"least({window}, size(gh))"
+    per_window = _let1(
+        f"slice(gh, w, {w_eff})",
+        "sl",
+        _let1(
+            "array_min(sl)",
+            "m",
+            "named_struct('fp', m, "
+            "'pos', CAST(w - 1 + array_position(sl, m) AS INT))",
+        ),
     )
-    return df.withColumn("__fps__", F.expr(_winnow_sql("__gh__", window))).drop(
-        "__gh__"
+    body = (
+        f"CASE WHEN size(gh) = 0 THEN "
+        f"CAST(array() AS ARRAY<STRUCT<fp: BIGINT, pos: INT>>) "
+        f"ELSE array_distinct(transform("
+        f"sequence(1, size(gh) - {w_eff} + 1), "
+        f"w -> {per_window})) END"
+    )
+    sel = _let1(_gram_hashes_sql(text_col, gram_len, hash_fn), "gh", body)
+    return ensure_parallelism(df).withColumn("__fpp__", F.expr(sel))
+
+
+def remove_duplicate_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+    min_occurrences: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cut corpus-duplicated passages out of the text (the ExactSubstr
+    dedup of Lee et al. 2022, re-expressed via winnowing): every selected
+    fingerprint occurring >= ``min_occurrences`` times corpus-wide (counting
+    within-document repeats, as the paper does) marks its [pos, pos +
+    gram_len - 1] character span; overlapping/adjacent spans merge; ALL
+    marked occurrences are removed from every document.
+
+    Returns (id_col, clean_text, n_dup_spans, n_dup_chars).
+
+    Plan: narrow fingerprint+position extraction (no shuffle) -> occurrence
+    explode -> map-side-combinable count per fingerprint -> semi-join of
+    duplicated fingerprints (co-partitioned with the count exchange) ->
+    per-doc sorted position list -> join back to the text.  Interval merge
+    and text rebuild are per-row Catalyst folds over the doc's own span
+    list (bounded by ~2·len/(window+1) winnowing selections), so the heavy
+    string work never leaves codegen."""
+    base = winnow_fingerprint_positions(
+        df, text_col, id_col, gram_len, window, hash_fn
+    ).select(F.col(id_col), F.col(text_col), "__fpp__")
+    occ = base.select(
+        id_col, F.explode("__fpp__").alias("__o__")
+    ).select(id_col, F.col("__o__.fp").alias("__fp__"), F.col("__o__.pos").alias("__pos__")).persist()
+    dup = (
+        occ.groupBy("__fp__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") >= min_occurrences)
+        .select("__fp__")
+    )
+    doc_pos = (
+        occ.join(dup, on="__fp__")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pos__")).alias("__dpos__"))
+    )
+    out = base.drop("__fpp__").join(doc_pos, on=id_col, how="left")
+    L = gram_len
+    merged = (
+        f"aggregate(coalesce(__dpos__, CAST(array() AS ARRAY<INT>)), "
+        f"CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>), "
+        f"(acc, p) -> CASE WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1 "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array(named_struct('s', element_at(acc, -1).s, "
+        f"'e', greatest(element_at(acc, -1).e, p + {L - 1})))) "
+        f"ELSE concat(acc, array(named_struct('s', p, 'e', p + {L - 1}))) END)"
+    )
+    out = out.withColumn("__spans__", F.expr(merged)).drop("__dpos__")
+    clean = (
+        f"aggregate(__spans__, "
+        f"named_struct('prev', 1, 'out', ''), "
+        f"(acc, iv) -> named_struct("
+        f"'prev', iv.e + 1, "
+        f"'out', concat(acc.out, substr(`{text_col}`, acc.prev, iv.s - acc.prev))), "
+        f"acc -> concat(acc.out, "
+        f"substr(`{text_col}`, acc.prev, length(`{text_col}`) - acc.prev + 1)))"
+    )
+    return out.select(
+        F.col(id_col),
+        F.expr(clean).alias("clean_text"),
+        F.size("__spans__").cast("bigint").alias("n_dup_spans"),
+        F.expr(
+            "aggregate(__spans__, 0L, (a, iv) -> a + CAST(iv.e - iv.s + 1 AS BIGINT))"
+        ).alias("n_dup_chars"),
     )
 
 

@@ -183,3 +183,83 @@ def test_stats_plan_is_shuffle_only(spark):
     plan = dup_passage_stats(df, "text", "doc_id", L, W)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _ref_remove(docs, gram_len, window, min_occ):
+    from collections import Counter
+
+    occ = []
+    for i, t in docs:
+        hs = _ref_gram_hashes(t, gram_len)
+        sels = set()
+        if hs:
+            w_eff = min(window, len(hs))
+            for w in range(len(hs) - w_eff + 1):
+                sl = hs[w : w + w_eff]
+                m = min(sl)
+                sels.add((m, w + sl.index(m) + 1))  # 1-based gram position
+        for fp, pos in sels:
+            occ.append((i, fp, pos))
+    cnt = Counter(fp for _, fp, _ in occ)
+    per_doc = {}
+    for i, fp, pos in occ:
+        if cnt[fp] >= min_occ:
+            per_doc.setdefault(i, []).append(pos)
+    out = {}
+    for i, t in docs:
+        spans = []
+        for p in sorted(per_doc.get(i, [])):
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + gram_len - 1))
+            else:
+                spans.append((p, p + gram_len - 1))
+        kept, prev = [], 1
+        for s, e in spans:
+            kept.append(t[prev - 1 : s - 1])
+            prev = e + 1
+        kept.append(t[prev - 1 :])
+        out[i] = ("".join(kept), len(spans), sum(e - s + 1 for s, e in spans))
+    return out
+
+
+def test_remove_duplicate_passages_golden(spark):
+    from feathub_spark.datapipe.passages import remove_duplicate_passages
+
+    docs = DOCS + [
+        # within-doc repetition: the same clause twice in one document
+        (7, "repeat me please repeat me please and then something else"),
+    ]
+    exp = _ref_remove(docs, L, W, 2)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_dup_spans"], r["n_dup_chars"])
+        for r in remove_duplicate_passages(
+            df, "text", "doc_id", L, W, hash_fn="poly"
+        ).collect()
+    }
+    assert got == exp
+    # exact duplicates (docs 2 and 6) are cut to (nearly) nothing
+    assert len(got[2][0]) < 10 and got[2] == got[6]
+    # the shared passage between docs 1 and 3 is removed from both, the
+    # unique zz/yy affixes of doc 3 survive
+    assert got[3][0].startswith("zz") and got[3][0].endswith("yy")
+    assert got[1][1] >= 1 and got[3][1] >= 1
+    # untouched docs come back verbatim with zero spans
+    assert got[4] == ("short", 0, 0) and got[5] == ("", 0, 0)
+    # the within-doc repeat is detected without any cross-doc copy
+    assert got[7][1] >= 1 and got[7][2] > 0
+
+
+def test_remove_duplicate_passages_threshold(spark):
+    from feathub_spark.datapipe.passages import remove_duplicate_passages
+
+    # passage appears in 3 docs; min_occurrences=4 leaves everything intact
+    rows = [(i, f"prefix {i} common shared sentence body tail {i}") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_passages(
+            df, "text", "doc_id", L, W, min_occurrences=4, hash_fn="poly"
+        ).collect()
+    }
+    assert got == {i: t for i, t in rows}
