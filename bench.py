@@ -56,6 +56,20 @@ def main() -> None:
         timings[name] = round(med, 3)
         total += med
 
+    # Round-over-round comparability: the query set GROWS every round, so
+    # the all-queries total is not comparable to earlier rounds' numbers.
+    # Report the round-5 23-query headline subset as its own subtotal.
+    r5_set = [
+        "expr_filter", "scalar_funcs", "over_cumulative", "over_range_1h",
+        "over_rows_limit", "over_filtered", "pit_join", "sliding_2d_1d",
+        "sliding_tumbling_1d", "sql_view_tpch_q1", "dedup_exact",
+        "text_stats", "minhash_dedup", "simhash_pairs", "ann_topk",
+        "embedding_neardup", "value_counts", "dsl_functions",
+        "over_on_joined", "sliding_first_last", "over_collect_list",
+        "token_metrics", "lsh_ann",
+    ]
+    r5_total = sum(timings[q] for q in r5_set if q in timings)
+
     print(
         json.dumps(
             {
@@ -64,6 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs_per_query": repeats,
+                "r5_subset_total": round(r5_total, 3),
                 "sf": sf,
             }
         )
