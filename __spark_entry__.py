@@ -2435,6 +2435,36 @@ FROM documents d LEFT JOIN agged a USING (doc_id)
 """
 
 
+def _q_token_surprisal(spark, sf_dir):
+    """KenLM-style unigram surprisal quality signal: per-doc average
+    -log2 p(token) under the corpus's own empirical unigram distribution.
+    Low = boilerplate/repetitive, high = garbled/OOD; pipelines cut both
+    tails."""
+    from feathub_spark.datapipe.quality import token_surprisal
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return token_surprisal(df, "text", "doc_id")
+
+
+_ORACLE_TOKEN_SURPRISAL = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(
+        string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS tok
+    FROM documents
+), counts AS (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), unigram AS (
+    SELECT tok, -log2(CAST(n AS DOUBLE) / sum(n) OVER ()) AS surp
+    FROM counts
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(u.surp), 6) AS avg_surprisal
+FROM toks t JOIN unigram u USING (tok)
+GROUP BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2510,6 +2540,7 @@ _RAW_QUERIES = {
         "temperature_sample": _q_temperature_sample,
         "normalize_text": _q_normalize_text,
         "remove_dup_passages": _q_remove_dup_passages,
+        "token_surprisal": _q_token_surprisal,
     }
 
 
@@ -2569,4 +2600,5 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample": _ORACLE_TEMPERATURE_SAMPLE,
         "normalize_text": _ORACLE_NORMALIZE_TEXT,
         "remove_dup_passages": _ORACLE_REMOVE_DUP_PASSAGES,
+        "token_surprisal": _ORACLE_TOKEN_SURPRISAL,
     }

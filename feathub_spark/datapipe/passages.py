@@ -54,20 +54,34 @@ def _gram_hashes_sql(text_col: str, gram_len: int, hash_fn: str = "poly") -> str
     :func:`feathub_spark.datapipe.dedup.simhash`)."""
     if hash_fn == "xxhash64":
         gram = f"xxhash64(substr(`{text_col}`, i, {gram_len}))"
+        body = (
+            f"transform(sequence(1, length(`{text_col}`) - {gram_len} + 1), "
+            f"i -> {gram})"
+        )
     elif hash_fn == "poly":
-        gram = (
-            f"aggregate(sequence(i, i + {gram_len - 1}), "
-            f"named_struct('a', CAST(7 AS BIGINT), 'b', CAST(13 AS BIGINT)), "
-            f"(acc, j) -> named_struct("
-            f"'a', (acc.a * 1103515245 + ascii(substr(`{text_col}`, j, 1))) % {_M31}, "
-            f"'b', (acc.b * 69069 + ascii(substr(`{text_col}`, j, 1))) % {_M31}), "
-            f"acc -> acc.a * 2147483648L + acc.b)"
+        # char codes extracted ONCE into an int array: substr(text, j, 1)
+        # is O(j) on UTF8String (variable-width scan), so per-gram char
+        # lookups via substr made the fold O(n * L * n) per doc — the
+        # jstack-confirmed hot spot.  element_at on the bound array is O(1).
+        fold_a = (
+            f"aggregate(sequence(i, i + {gram_len - 1}), CAST(7 AS BIGINT), "
+            f"(h, j) -> (h * 1103515245 + element_at(ch, j)) % {_M31})"
+        )
+        fold_b = (
+            f"aggregate(sequence(i, i + {gram_len - 1}), CAST(13 AS BIGINT), "
+            f"(h, j) -> (h * 69069 + element_at(ch, j)) % {_M31})"
+        )
+        body = _let1(
+            f"transform(sequence(1, length(`{text_col}`)), "
+            f"j -> CAST(ascii(substr(`{text_col}`, j, 1)) AS BIGINT))",
+            "ch",
+            f"transform(sequence(1, length(`{text_col}`) - {gram_len} + 1), "
+            f"i -> {fold_a} * 2147483648L + {fold_b})",
         )
     else:
         raise ValueError(f"unknown passages hash_fn: {hash_fn!r}")
     return (
-        f"CASE WHEN length(`{text_col}`) >= {gram_len} THEN "
-        f"transform(sequence(1, length(`{text_col}`) - {gram_len} + 1), i -> {gram}) "
+        f"CASE WHEN length(`{text_col}`) >= {gram_len} THEN {body} "
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
 

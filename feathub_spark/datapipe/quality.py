@@ -13,7 +13,7 @@ is part of the beyond-reference training-data surface).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from feathub_spark.common.parallelism import ensure_parallelism
 from feathub_spark.datapipe.text import ngrams, ngrams_sql
@@ -151,5 +151,56 @@ def contamination_check(
         .withColumn(
             "contamination",
             F.round(F.col("n_hits") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def token_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average unigram surprisal -log2 p(token) under the
+    corpus's OWN empirical unigram distribution — the cheap KenLM-style
+    quality signal: very low surprisal flags boilerplate/repetitive docs,
+    very high flags garbled or out-of-distribution text; quality pipelines
+    cut both tails.
+
+    Plan shape (scale posture): one map-side-combinable token count
+    aggregation builds the unigram table (vocab-sized, NOT corpus-sized);
+    the corpus total is a global-sum window over that vocab table — a
+    single task over |vocab| rows, which stays small relative to the
+    corpus at any scale (never a window over corpus rows); per-doc scoring
+    re-joins the exploded tokens against the unigram table on the token
+    key and one groupBy(doc) averages.  No collect.  Documents with zero
+    tokens drop out of the output (inner join).
+
+    Returns (id_col, n_tokens, avg_surprisal) with avg_surprisal rounded
+    to 6 dp (absorbs summation-order float noise across engines)."""
+    toks = (
+        f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    )
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("__tok__")
+    )
+    counts = exploded.groupBy("__tok__").agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    # corpus total via an empty-partitionBy window over the VOCAB-sized
+    # count table (not the corpus): single-task over |vocab| rows, which
+    # stays small relative to the corpus at any scale.  A broadcast-scalar
+    # self-join would avoid even that, but Spark's analyzer resolves names
+    # through the shared-lineage right subtree and rejects it as ambiguous.
+    tot = F.sum("__n__").over(Window.partitionBy())
+    unigram = counts.select(
+        "__tok__",
+        (-F.log2(F.col("__n__") / tot)).alias("__surp__"),
+    )
+    return (
+        exploded.join(unigram, on="__tok__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("__surp__"), 6).alias("avg_surprisal"),
         )
     )

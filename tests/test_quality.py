@@ -190,3 +190,38 @@ def test_select_survivors_keeps_exactly_one_per_cluster(spark):
         per_cluster.setdefault(r["cluster_id"], []).append(r["keep"])
     for cid, keeps in per_cluster.items():
         assert sum(keeps) == 1, cid
+
+
+def test_token_surprisal_matches_python_model(spark):
+    import math
+    from collections import Counter
+
+    from feathub_spark.datapipe.quality import token_surprisal
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the"),
+        (3, "zyzzyva qwerty"),
+        (4, "   "),
+    ]
+    toks = {
+        i: [t for t in re.split(r"[ \t\n\r\f\v]+", s.strip().lower()) if t]
+        for i, s in rows
+    }
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    N = sum(cnt.values())
+    exp = {}
+    for i, ts in toks.items():
+        if not ts:
+            continue  # token-less docs drop out (documented inner join)
+        surp = [-math.log2(cnt[t] / N) for t in ts]
+        exp[i] = (len(ts), round(sum(surp) / len(surp), 6))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_surprisal"])
+        for r in token_surprisal(df, "text", "doc_id").collect()
+    }
+    assert got == exp
+    # the all-common-token doc scores lower than the rare-token doc
+    assert got[2][1] < got[3][1]
+    assert 4 not in got
