@@ -71,9 +71,10 @@ def _gram_hashes_sql(text_col: str, gram_len: int, hash_fn: str = "poly") -> str
             f"aggregate(sequence(i, i + {gram_len - 1}), CAST(13 AS BIGINT), "
             f"(h, j) -> (h * 69069 + element_at(ch, j)) % {_M31})"
         )
+        # split('') explodes the chars in ONE O(n) pass (a per-index substr
+        # loop re-seeks the UTF-8 string from the start, O(n²) bytes/row)
         body = _let1(
-            f"transform(sequence(1, length(`{text_col}`)), "
-            f"j -> CAST(ascii(substr(`{text_col}`, j, 1)) AS BIGINT))",
+            f"transform(split(`{text_col}`, ''), c -> CAST(ascii(c) AS BIGINT))",
             "ch",
             f"transform(sequence(1, length(`{text_col}`) - {gram_len} + 1), "
             f"i -> {fold_a} * 2147483648L + {fold_b})",
