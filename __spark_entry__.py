@@ -2465,6 +2465,65 @@ GROUP BY t.doc_id
 """
 
 
+def _video_payload_expr() -> str:
+    """SQL expr assembling a real minimal MP4 (ISO BMFF) header per row:
+    ftyp(20) + moov(216) = mvhd(108) + trak(100 = tkhd 92), dimensions and
+    duration derived from doc_id, timescale 1000 (so duration == ms)."""
+    w = "(16 + doc_id % 320)"
+    h = "(16 + (doc_id * 3) % 240)"
+    dur = "(1000 + (doc_id * 13) % 60000)"
+    ftyp = "unhex('000000146674797069736F6D0000000069736F6D')"
+    mvhd = (
+        "concat(unhex('0000006C6D766864'), unhex(repeat('00', 12)), "
+        f"unhex('000003E8'), unhex(lpad(hex({dur}), 8, '0')), "
+        "unhex(repeat('00', 80)))"
+    )
+    tkhd = (
+        "concat(unhex('0000005C746B6864'), unhex(repeat('00', 76)), "
+        f"unhex(lpad(hex({w}), 4, '0')), unhex('0000'), "
+        f"unhex(lpad(hex({h}), 4, '0')), unhex('0000'))"
+    )
+    trak = f"concat(unhex('000000647472616B'), {tkhd})"
+    moov = f"concat(unhex('000000D86D6F6F76'), {mvhd}, {trak})"
+    return f"concat({ftyp}, {moov})"
+
+
+def _q_video_meta(spark, sf_dir):
+    """REAL MP4 header decode: ISO BMFF box layouts (ftyp/moov/mvhd/trak/
+    tkhd with 16.16 fixed-point dims) assembled in-plan per row, parsed
+    back by the pure-Python box walker inside Arrow-batched mapInPandas.
+    The oracle recomputes the expected values arithmetically, so the
+    byte-level encode/decode round trip is hash-checked."""
+    from feathub_spark.datapipe.multimodal import decode_video_metadata
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.expr(_video_payload_expr()).alias("payload"))
+    )
+    meta = decode_video_metadata(df, "payload", fake=False)
+    return meta.select(
+        "doc_id",
+        F.col("video_meta.format").alias("format"),
+        F.col("video_meta.width").alias("width"),
+        F.col("video_meta.height").alias("height"),
+        F.col("video_meta.duration_ms").alias("duration_ms"),
+        F.col("video_meta.timescale").alias("timescale"),
+        F.col("video_meta.n_tracks").alias("n_tracks"),
+    )
+
+
+_ORACLE_VIDEO_META = """
+SELECT doc_id,
+       'mp4' AS format,
+       CAST(16 + doc_id % 320 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 3) % 240 AS INTEGER) AS height,
+       CAST(1000 + (doc_id * 13) % 60000 AS BIGINT) AS duration_ms,
+       CAST(1000 AS INTEGER) AS timescale,
+       CAST(1 AS INTEGER) AS n_tracks
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2541,6 +2600,7 @@ _RAW_QUERIES = {
         "normalize_text": _q_normalize_text,
         "remove_dup_passages": _q_remove_dup_passages,
         "token_surprisal": _q_token_surprisal,
+        "video_meta": _q_video_meta,
     }
 
 
@@ -2601,4 +2661,5 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": _ORACLE_NORMALIZE_TEXT,
         "remove_dup_passages": _ORACLE_REMOVE_DUP_PASSAGES,
         "token_surprisal": _ORACLE_TOKEN_SURPRISAL,
+        "video_meta": _ORACLE_VIDEO_META,
     }

@@ -369,3 +369,146 @@ def frame_sample_plan(
         )
         .drop("__duration_ms__")
     )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each ISO BMFF box in
+    payload[start:end] (4-byte big-endian size incl. header + 4-byte type;
+    size 0 = to end of enclosing box; size 1 / 64-bit largesize
+    unsupported for header-level parsing)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        fourcc = payload[pos + 4 : pos + 8]
+        if size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"invalid MP4 box size {size} at byte {pos}")
+        yield fourcc, pos + 8, pos + size
+        pos += size
+
+
+def parse_video_header(payload: bytes):
+    """(width, height, duration_ms, timescale, n_tracks, format) from an
+    MP4 / ISO base-media (ISO/IEC 14496-12) header — pure Python over the
+    public box layout, no video library.  Raises ValueError otherwise.
+
+    Box walk: top-level 'ftyp' identifies the container; 'moov' holds
+    'mvhd' (movie timescale at body offset +12, duration at +16, version-0
+    32-bit fields) and one 'trak' per track whose 'tkhd' carries 16.16
+    fixed-point width/height at body offsets +76/+80.  The reported
+    width/height come from the first track with nonzero dimensions (the
+    video track; audio tracks store 0x0)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("unrecognized video container format")
+    width = height = 0
+    duration_ms = 0
+    timescale = 0
+    n_tracks = 0
+    saw_moov = False
+    for fourcc, b0, b1 in _walk_boxes(payload, 0, len(payload)):
+        if fourcc != b"moov":
+            continue
+        saw_moov = True
+        for inner, i0, i1 in _walk_boxes(payload, b0, b1):
+            if inner == b"mvhd":
+                version = payload[i0]
+                if version != 0:
+                    raise ValueError("only version-0 mvhd supported")
+                if i0 + 20 > i1:
+                    raise ValueError("truncated mvhd box")
+                timescale = int.from_bytes(payload[i0 + 12 : i0 + 16], "big")
+                duration = int.from_bytes(payload[i0 + 16 : i0 + 20], "big")
+                if timescale <= 0:
+                    raise ValueError("invalid mvhd timescale")
+                duration_ms = duration * 1000 // timescale
+            elif inner == b"trak":
+                n_tracks += 1
+                for tb, t0, t1 in _walk_boxes(payload, i0, i1):
+                    if tb != b"tkhd":
+                        continue
+                    if payload[t0] != 0:
+                        raise ValueError("only version-0 tkhd supported")
+                    if t0 + 84 > t1:
+                        raise ValueError("truncated tkhd box")
+                    # 16.16 fixed point; integer part only
+                    w = int.from_bytes(payload[t0 + 76 : t0 + 80], "big") >> 16
+                    h = int.from_bytes(payload[t0 + 80 : t0 + 84], "big") >> 16
+                    if width == 0 and w > 0 and h > 0:
+                        width, height = w, h
+    if not saw_moov:
+        raise ValueError("MP4 without moov box")
+    return width, height, duration_ms, timescale, n_tracks, "mp4"
+
+
+def _fake_video_decode(payload: bytes):
+    """Deterministic md5-derived stub (mirrors the image/audio fakes)."""
+    digest = hashlib.md5(payload or b"").digest()
+    width = 160 + digest[0] % 64
+    height = 90 + digest[1] % 64
+    duration_ms = 1000 + digest[2] * 73
+    timescale = (600, 1000, 90000)[digest[3] % 3]
+    return width, height, duration_ms, timescale, 1, "fake", hashlib.md5(
+        payload or b""
+    ).hexdigest()
+
+
+def decode_video_metadata(
+    df: DataFrame, binary_col: str, out_col: str = "video_meta", fake: bool = False
+) -> DataFrame:
+    """Decode video metadata for every row via Arrow-batched mapInPandas.
+
+    MP4 / ISO base-media headers are parsed for real
+    (:func:`parse_video_header`); other formats raise NotImplementedError
+    unless ``fake=True`` (deterministic md5-derived stub)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, VIDEO_META_SCHEMA)]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = []
+            for payload in batch[binary_col]:
+                raw = bytes(payload) if payload is not None else b""
+                if fake:
+                    w, h, dur, ts, nt, fmt, digest = _fake_video_decode(raw)
+                else:
+                    try:
+                        w, h, dur, ts, nt, fmt = parse_video_header(raw)
+                    except ValueError as e:
+                        raise NotImplementedError(
+                            f"cannot decode payload ({e}); only MP4/ISO-BMFF "
+                            "header metadata is supported without a video "
+                            "library — re-run with fake=True for the "
+                            "deterministic stub"
+                        ) from e
+                    digest = hashlib.md5(raw).hexdigest()
+                metas.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "duration_ms": dur,
+                        "timescale": ts,
+                        "n_tracks": nt,
+                        "format": fmt,
+                        "content_md5": digest,
+                    }
+                )
+            batch = batch.copy()
+            batch[out_col] = metas
+            yield batch
+
+    return df.mapInPandas(decode_batches, schema=out_schema)

@@ -468,3 +468,75 @@ def test_token_count_quantiles(spark):
     assert out["en"] == (10, 5, 9, 9)
     # n=2: p99 position = 1 + floor(1 * 0.99) = 1 -> the LOWER value
     assert out["de"] == (2, 2, 2, 2)
+
+
+def _mp4_box(fourcc, body):
+    return (len(body) + 8).to_bytes(4, "big") + fourcc + body
+
+
+def _mp4_bytes(w, h, duration, timescale, extra_audio_track=False):
+    """Handcrafted minimal ISO BMFF layout (independent of the parser):
+    ftyp + moov(mvhd + trak(tkhd) [+ audio trak with 0x0 dims])."""
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    mvhd = _mp4_box(
+        b"mvhd",
+        bytes(4)                      # version 0 + flags
+        + bytes(8)                    # creation + modification
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + bytes(80),                  # rate/volume/reserved/matrix/next id
+    )
+    def trak(tw, th):
+        tkhd = _mp4_box(
+            b"tkhd",
+            bytes(76) + (tw << 16).to_bytes(4, "big") + (th << 16).to_bytes(4, "big"),
+        )
+        return _mp4_box(b"trak", tkhd)
+    body = mvhd + trak(w, h)
+    if extra_audio_track:
+        body += trak(0, 0)
+    return ftyp + _mp4_box(b"moov", body)
+
+
+def test_parse_video_header_mp4():
+    from feathub_spark.datapipe.multimodal import parse_video_header
+
+    w, h, dur, ts, nt, fmt = parse_video_header(_mp4_bytes(640, 360, 90000, 600))
+    assert (w, h, fmt) == (640, 360, "mp4")
+    assert dur == 90000 * 1000 // 600 and ts == 600 and nt == 1
+
+    # audio tracks (0x0 dims) are counted but never override the video dims
+    w, h, dur, ts, nt, fmt = parse_video_header(
+        _mp4_bytes(1920, 1080, 1000, 1000, extra_audio_track=True)
+    )
+    assert (w, h, nt, dur) == (1920, 1080, 2, 1000)
+
+    with pytest.raises(ValueError):
+        parse_video_header(b"not a video at all")
+    with pytest.raises(ValueError):
+        parse_video_header(_mp4_box(b"ftyp", b"isom") )  # no moov
+
+
+def test_decode_video_metadata(spark):
+    from feathub_spark.datapipe.multimodal import decode_video_metadata
+
+    rows = [
+        (1, _mp4_bytes(320, 240, 5000, 1000)),
+        (2, _mp4_bytes(640, 480, 1200, 600, extra_audio_track=True)),
+    ]
+    df = spark.createDataFrame(rows, "vid long, payload binary")
+    got = {
+        r["vid"]: r["video_meta"].asDict()
+        for r in decode_video_metadata(df, "payload").collect()
+    }
+    assert got[1]["width"] == 320 and got[1]["height"] == 240
+    assert got[1]["duration_ms"] == 5000 and got[1]["n_tracks"] == 1
+    assert got[2]["width"] == 640 and got[2]["duration_ms"] == 2000
+    assert got[2]["n_tracks"] == 2 and got[2]["format"] == "mp4"
+
+    # non-MP4 payloads raise unless fake=True
+    bad = spark.createDataFrame([(3, b"junk")], "vid long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|cannot decode"):
+        decode_video_metadata(bad, "payload").collect()
+    fk = decode_video_metadata(bad, "payload", fake=True).collect()[0]["video_meta"]
+    assert fk["format"] == "fake" and fk["width"] >= 160
