@@ -2524,6 +2524,53 @@ FROM documents
 """
 
 
+def _q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling: nearest-codebook-cell
+    assignment (hash-rank codebook, broadcast pass) + deterministic
+    md5-rank cap of 5 rows per cell — flattens dense clusters for
+    pre-training corpus selection."""
+    from feathub_spark.datapipe.similarity import cluster_balanced_sample
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cluster_balanced_sample(
+        df, "embedding", "vec_id", per_cell=5, n_centroids=32, seed=9,
+        sample_seed=4,
+    )
+
+
+_ORACLE_CLUSTER_SAMPLE = f"""
+WITH cents AS (
+    SELECT cid, cvec FROM (
+        SELECT vec_id AS cid, embedding AS cvec,
+               {_H32.format(col='vec_id', seed=9)} AS h
+        FROM embeddings
+    ) ORDER BY h, cid LIMIT 32
+), cos AS (
+    SELECT e.vec_id, c.cid,
+           round(
+             list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+           6) AS acos
+    FROM embeddings e CROSS JOIN cents c
+), members AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid ASC) AS arank
+        FROM cos
+    ) WHERE arank = 1
+)
+SELECT vec_id, cell, cell_rank FROM (
+    SELECT vec_id, cell,
+           CAST(row_number() OVER (PARTITION BY cell
+               ORDER BY {_H32.format(col='vec_id', seed=4)} ASC, vec_id ASC)
+           AS BIGINT) AS cell_rank
+    FROM members
+) WHERE cell_rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2601,6 +2648,7 @@ _RAW_QUERIES = {
         "remove_dup_passages": _q_remove_dup_passages,
         "token_surprisal": _q_token_surprisal,
         "video_meta": _q_video_meta,
+        "cluster_sample": _q_cluster_sample,
     }
 
 
@@ -2662,4 +2710,5 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_passages": _ORACLE_REMOVE_DUP_PASSAGES,
         "token_surprisal": _ORACLE_TOKEN_SURPRISAL,
         "video_meta": _ORACLE_VIDEO_META,
+        "cluster_sample": _ORACLE_CLUSTER_SAMPLE,
     }

@@ -342,3 +342,63 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    per_cell: int = 10,
+    n_centroids: int = 256,
+    seed: int = 0,
+    sample_seed: int = 0,
+    codebook: DataFrame = None,
+) -> DataFrame:
+    """Diversity-preserving corpus sampling: assign every row to its
+    nearest codebook cell (cosine; the corpus-size-independent hash-rank
+    codebook of :func:`ivf_codebook`, or a Lloyd-trained one via
+    ``codebook``), then keep min(``per_cell``, |cell|) rows per cell by
+    deterministic md5-hash rank — the standard cluster-balanced sampling
+    for pre-training corpora (uniform sampling over-represents the dense
+    clusters; per-cell caps flatten them).
+
+    Scale: one broadcast assignment pass (the codebook never grows with
+    the corpus), one shuffle on the cell id for the per-cell rank window —
+    cells are bounded only by data skew, which the per-cell cap then
+    discards anyway.  Fully deterministic: membership depends only on
+    (vector, codebook) and (id, sample_seed).
+
+    Returns (id_col, cell, cell_rank) for the kept rows."""
+    from feathub_spark.datapipe.sampling import hash32
+
+    cents = (
+        codebook
+        if codebook is not None
+        else ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
+    )
+    scored = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), F.col(vec_col).alias("__v__"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__acos__", F.round(F.expr(cosine_expr("__v__", "__cvec__")), 6)
+        )
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("__acos__").desc(), F.col("__cid__").asc()
+    )
+    members = (
+        scored.withColumn("__arank__", F.row_number().over(w_assign))
+        .filter(F.col("__arank__") == 1)
+        .select(id_col, F.col("__cid__").alias("cell"))
+    )
+    w_cell = Window.partitionBy("cell").orderBy(
+        hash32(id_col, sample_seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        members.withColumn(
+            "cell_rank", F.row_number().over(w_cell).cast("bigint")
+        )
+        .filter(F.col("cell_rank") <= per_cell)
+        .select(id_col, "cell", "cell_rank")
+    )

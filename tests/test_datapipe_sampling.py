@@ -379,3 +379,59 @@ def test_normalize_text_nfkc_and_flags(spark):
 
     with _pytest.raises(ValueError):
         normalize_text(df, "text", form="NFX")
+
+
+def test_cluster_balanced_sample(spark):
+    import hashlib
+    import math
+    import random
+
+    from feathub_spark.datapipe.similarity import cluster_balanced_sample
+
+    rnd = random.Random(5)
+    # two tight clusters of very different sizes around orthogonal axes
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0, 0.0, 0.0] if i < 50 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [b + rnd.uniform(-0.05, 0.05) for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = cluster_balanced_sample(
+        df, "embedding", "vec_id", per_cell=5, n_centroids=4, seed=1,
+        sample_seed=2,
+    ).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    # the cap holds per cell and ranks are contiguous from 1
+    for cell, rs in by_cell.items():
+        assert len(rs) <= 5
+        assert sorted(x["cell_rank"] for x in rs) == list(range(1, len(rs) + 1))
+    # the dense cluster (50 rows) is capped to 5 -> flattened representation
+    sizes = sorted(len(rs) for rs in by_cell.values())
+    assert max(sizes) == 5 and len(out) <= 5 * len(by_cell)
+
+    # deterministic: same inputs, same sample
+    again = cluster_balanced_sample(
+        df, "embedding", "vec_id", per_cell=5, n_centroids=4, seed=1,
+        sample_seed=2,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # per-cell membership follows the md5 hash rank (independent model)
+    def h32(v, s):
+        return int(hashlib.md5(f"{v}:{s}".encode()).hexdigest()[:8], 16)
+
+    full = cluster_balanced_sample(
+        df, "embedding", "vec_id", per_cell=1000, n_centroids=4, seed=1,
+        sample_seed=2,
+    ).collect()
+    cells = {}
+    for r in full:
+        cells.setdefault(r["cell"], []).append(r["vec_id"])
+    for cell, ids in cells.items():
+        expect = sorted(ids, key=lambda i: (h32(i, 2), i))[:5]
+        got = sorted(
+            (r["vec_id"] for r in by_cell.get(cell, [])),
+        )
+        assert sorted(expect) == got

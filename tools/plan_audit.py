@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 _BOUNDED_BNLJ_OK = {
     "ngram_jaccard", "dedup_clusters", "select_survivors",
     "ann_topk", "ivf_ann", "ivf_ann_trained", "lsh_ann",
-    "embedding_neardup", "minhash_dedup",
+    "embedding_neardup", "minhash_dedup", "cluster_sample",
 }
 
 
