@@ -1,12 +1,15 @@
 """End-to-end LLM training-data pipeline over the datapipe operators:
 
     raw corpus
+      -> Unicode normalization (NFC + casefold, Arrow-batched)
       -> PII scrub (regexp codegen, no shuffle)
-      -> quality + repetition signals (Catalyst expressions)
+      -> quality + repetition + unigram-surprisal signals
+      -> duplicate-passage REMOVAL (winnowing span cuts)
       -> near-duplicate pairs (n-gram Jaccard, posting-list candidates)
       -> connected-components clustering -> survivor selection
       -> benchmark-contamination filter (broadcast gram probe)
-      -> stratified sampling -> deterministic sharding -> sequence packing
+      -> temperature source mixing -> deterministic sharding
+      -> sequence packing
 
 Every stage is a DataFrame transformation — the whole pipeline is one lazy
 plan per output, scales by partitioning (no driver-side loops), and each
@@ -25,13 +28,23 @@ from pyspark.sql import functions as F
 
 from feathub_spark import default_spark_session
 from feathub_spark.datapipe.dedup import ngram_jaccard_pairs, select_survivors
-from feathub_spark.datapipe.quality import contamination_check, repetition_signals
+from feathub_spark.datapipe.passages import remove_duplicate_passages
+from feathub_spark.datapipe.quality import (
+    contamination_check,
+    repetition_signals,
+    token_surprisal,
+)
 from feathub_spark.datapipe.sampling import (
     assign_shards,
     pack_sequences,
-    stratified_sample,
+    temperature_sample,
 )
-from feathub_spark.datapipe.text import analyze_documents, pii_scrub, token_count
+from feathub_spark.datapipe.text import (
+    analyze_documents,
+    normalize_text,
+    pii_scrub,
+    token_count,
+)
 
 
 def main() -> None:
@@ -42,16 +55,31 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     print(f"corpus: {docs.count()} documents")
 
-    # 1. PII scrub + per-document text features
-    clean = pii_scrub(docs).withColumn("text", F.col("clean_text")).drop("clean_text")
+    # 1. Unicode normalization, PII scrub, per-document text features
+    normed = normalize_text(docs, "text").withColumn(
+        "text", F.col("norm_text")
+    ).drop("norm_text")
+    clean = pii_scrub(normed).withColumn("text", F.col("clean_text")).drop("clean_text")
     featured = analyze_documents(clean)
 
-    # 2. repetition signals; drop Gopher-style repetitive docs
+    # 2. repetition + surprisal signals; drop repetitive/outlier docs
     signals = repetition_signals(featured, "text")
-    kept = signals.filter(
-        (F.col("top2_frac") < 0.2) & (F.col("dup5_frac") < 0.3) & (F.col("quality") > 0.3)
+    surp = token_surprisal(featured, "text", "doc_id")
+    kept = signals.join(
+        surp.select("doc_id", "avg_surprisal"), "doc_id"
+    ).filter(
+        (F.col("top2_frac") < 0.2) & (F.col("dup5_frac") < 0.3)
+        & (F.col("quality") > 0.3)
+        & (F.col("avg_surprisal") > 2.0)  # cut the boilerplate tail
     )
-    print(f"after quality/repetition cuts: {kept.count()}")
+    print(f"after quality/repetition/surprisal cuts: {kept.count()}")
+
+    # 2b. cut corpus-duplicated passages out of the surviving text
+    cuts = remove_duplicate_passages(kept, "text", "doc_id", gram_len=20, window=8)
+    kept = kept.drop("text").join(
+        cuts.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+    )
+    print("passage cuts:", cuts.agg(F.sum("n_dup_chars")).collect()[0][0], "chars removed")
 
     # 3. near-dup pairs -> clusters -> one survivor per cluster
     pairs = ngram_jaccard_pairs(kept, "text", "doc_id", n=3, threshold=0.5)
@@ -69,9 +97,9 @@ def main() -> None:
     )
     print(f"after contamination filter: {final_docs.count()}")
 
-    # 5. stratified mix -> deterministic shards -> packed sequences
-    mixed = stratified_sample(
-        final_docs, "doc_id", "lang", {"en": 1.0}, default_fraction=0.5, seed=7
+    # 5. temperature source mixing -> deterministic shards -> packing
+    mixed = temperature_sample(
+        final_docs, "doc_id", "lang", target_rows=300, alpha=0.7, seed=7
     )
     sharded = assign_shards(mixed, "doc_id", n_shards=4, seed=7)
     packed = pack_sequences(
