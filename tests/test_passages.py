@@ -263,3 +263,24 @@ def test_remove_duplicate_passages_threshold(spark):
         ).collect()
     }
     assert got == {i: t for i, t in rows}
+
+
+def test_winnow_unicode_text(spark):
+    """Non-ASCII chars: Spark's ascii() returns the full code point (like
+    Python ord), so the poly hash stays cross-engine-consistent beyond
+    ASCII; identical unicode docs still collide on every fingerprint."""
+    rows = [
+        (1, "héllo wörld héllo wörld répeat"),
+        (2, "héllo wörld héllo wörld répeat"),
+        (3, "nothing alike"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: set(r["__fps__"])
+        for r in winnow_fingerprints(
+            df, "text", "doc_id", L, W, hash_fn="poly"
+        ).collect()
+    }
+    per_doc, _ = _ref_corpus(rows)  # Python ord-based reference
+    assert got == per_doc
+    assert got[1] == got[2] and got[1] != got[3]
