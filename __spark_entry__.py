@@ -2571,6 +2571,58 @@ SELECT vec_id, cell, cell_rank FROM (
 """
 
 
+def _q_boilerplate_lines(spark, sf_dir):
+    """CCNet/C4-style boilerplate line removal: a shared header is planted
+    on every document and a footer on every third (fixture docs are
+    single-line), then lines appearing in >= 2 distinct documents are
+    dropped and the text rebuilt in line order.  Naturally duplicated
+    whole documents get their body line removed too — both engines agree
+    exactly."""
+    from feathub_spark.datapipe.passages import remove_boilerplate_lines
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.expr(
+                "concat('standard header line\\n', text, "
+                "CASE WHEN doc_id % 3 = 0 THEN '\\nshared footer' ELSE '' END)"
+            ).alias("text"),
+        )
+    )
+    return remove_boilerplate_lines(df, "text", "doc_id", min_docs=2)
+
+
+_ORACLE_BOILERPLATE_LINES = """
+WITH base AS (
+    SELECT doc_id,
+           'standard header line' || chr(10) || text ||
+           CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'shared footer' ELSE '' END AS t
+    FROM documents
+), lines AS (
+    SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+        SELECT doc_id,
+               unnest([{'pos': i, 'line': l[i]} FOR i IN range(1, len(l) + 1)]) AS u
+        FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM base))
+), keys AS (
+    SELECT doc_id, pos, line, md5(trim(lower(line))) AS k,
+           trim(line) = '' AS blank
+    FROM lines
+), boiler AS (
+    SELECT k FROM (SELECT DISTINCT k, doc_id FROM keys WHERE NOT blank)
+    GROUP BY k HAVING count(*) >= 2
+)
+SELECT kk.doc_id,
+       coalesce(string_agg(kk.line, chr(10) ORDER BY kk.pos)
+                FILTER (WHERE b.k IS NULL OR kk.blank), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE b.k IS NOT NULL AND NOT kk.blank) AS BIGINT)
+           AS n_removed
+FROM keys kk LEFT JOIN boiler b USING (k)
+GROUP BY kk.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2649,6 +2701,7 @@ _RAW_QUERIES = {
         "token_surprisal": _q_token_surprisal,
         "video_meta": _q_video_meta,
         "cluster_sample": _q_cluster_sample,
+        "boilerplate_lines": _q_boilerplate_lines,
     }
 
 
@@ -2711,4 +2764,5 @@ def oracle_sql() -> dict[str, str]:
         "token_surprisal": _ORACLE_TOKEN_SURPRISAL,
         "video_meta": _ORACLE_VIDEO_META,
         "cluster_sample": _ORACLE_CLUSTER_SAMPLE,
+        "boilerplate_lines": _ORACLE_BOILERPLATE_LINES,
     }

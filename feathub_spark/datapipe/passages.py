@@ -347,3 +347,62 @@ def dup_passage_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fingerprints"))
         .filter(F.col("n_shared_fingerprints") >= min_shared)
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """CCNet/C4-style line-level boilerplate removal: drop every line whose
+    normalized content appears in at least ``min_docs`` DISTINCT documents
+    (navigation chrome, license headers, cookie banners), preserving the
+    order of the surviving lines.  Blank/whitespace-only lines never count
+    as boilerplate and are always kept (paragraph structure survives).
+
+    ``normalize=True`` compares lines case-insensitively after trimming —
+    the CCNet paragraph-hash convention; the ORIGINAL line text is what
+    survives into the output.
+
+    Plan shape: posexplode (narrow) -> distinct (line-key, doc) pairs ->
+    map-side-combinable count per line key (the md5 key keeps the shuffle
+    rows fixed-width regardless of line length) -> join back on the key ->
+    one groupBy(doc) that sorts the surviving lines by position and
+    rebuilds the text.  Documents whose every line is boilerplate come
+    back with an empty string, not dropped.
+
+    Returns (id_col, clean_text, n_lines, n_removed)."""
+    norm = (
+        f"md5(trim(lower(__line__)))" if normalize else "md5(__line__)"
+    )
+    lines = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "__pos__", "__line__"
+        ),
+    ).withColumn("__k__", F.expr(norm)).withColumn(
+        "__blank__", F.trim("__line__") == ""
+    )
+    counts = (
+        lines.filter(~F.col("__blank__"))
+        .select("__k__", id_col)
+        .distinct()
+        .groupBy("__k__")
+        .agg(F.count(F.lit(1)).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__k__", F.lit(True).alias("__boiler__"))
+    )
+    flagged = lines.join(counts, on="__k__", how="left").withColumn(
+        "__removed__", F.coalesce("__boiler__", F.lit(False)) & ~F.col("__blank__")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(filter("
+            "array_sort(collect_list(struct(__pos__, __removed__, __line__))), "
+            "s -> NOT s.__removed__), s -> s.__line__), '\\n')"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("__removed__").cast("int")).cast("bigint").alias("n_removed"),
+    )

@@ -284,3 +284,66 @@ def test_winnow_unicode_text(spark):
     per_doc, _ = _ref_corpus(rows)  # Python ord-based reference
     assert got == per_doc
     assert got[1] == got[2] and got[1] != got[3]
+
+
+def test_remove_boilerplate_lines(spark):
+    from collections import defaultdict
+
+    from feathub_spark.datapipe.passages import remove_boilerplate_lines
+
+    header = "COPYRIGHT 2026 example corp"
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"{header}\nunique body one\n\n{footer}"),
+        (2, f"{header}\nunique body two\n{footer}"),
+        (3, f"{header.lower()}\nunique body three"),   # case-insensitive hit
+        (4, "totally independent document"),
+        (5, ""),
+        (6, f"repeat me\nrepeat me\nunique body six"),  # within-doc repeat only
+    ]
+
+    def ref(min_docs):
+        docs_per_key = defaultdict(set)
+        for i, t in rows:
+            for ln in t.split("\n"):
+                if ln.strip():
+                    docs_per_key[ln.strip().lower()].add(i)
+        out = {}
+        for i, t in rows:
+            lines = t.split("\n")
+            removed = [
+                bool(ln.strip()) and len(docs_per_key[ln.strip().lower()]) >= min_docs
+                for ln in lines
+            ]
+            out[i] = (
+                "\n".join(l for l, r in zip(lines, removed) if not r),
+                len(lines),
+                sum(removed),
+            )
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(df, "text", "doc_id").collect()
+    }
+    assert got == ref(2)
+    # headers/footers gone, bodies and blank lines kept
+    assert got[1][0] == "unique body one\n"
+    assert got[2][0] == "unique body two"
+    assert got[3][0] == "unique body three"
+    # untouched docs come back verbatim (incl. the empty doc)
+    assert got[4] == ("totally independent document", 1, 0)
+    assert got[5] == ("", 1, 0)
+    # a line repeated only WITHIN one doc is not boilerplate
+    assert got[6] == (rows[5][1], 3, 0)
+
+    # higher threshold: the footer (2 docs) survives, the header (3) dies
+    got3 = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=3
+        ).collect()
+    }
+    assert got3 == {i: c for i, (c, _, _) in ref(3).items()}
+    assert footer in got3[1] and header not in got3[1]
