@@ -2623,6 +2623,58 @@ GROUP BY kk.doc_id
 """
 
 
+def _q_domain_filter(spark, sf_dir):
+    """Crawl-hygiene domain blocklist filter: deterministic URLs are
+    planted per row (domain rotates over doc_id % 5, every third doc gets
+    a second www. link), registered domains extracted with the
+    public-suffix-lite rule and matched against a 2-entry blocklist."""
+    from feathub_spark.datapipe.text import domain_blocklist_filter, url_domains
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.expr(
+                "concat(text, ' https://www.dom', doc_id % 5, '.org/p/', doc_id, "
+                "CASE WHEN doc_id % 3 = 0 "
+                "THEN concat(' http://extra', doc_id % 2, '.net:8080/q') "
+                "ELSE '' END)"
+            ).alias("text"),
+        )
+    )
+    out = domain_blocklist_filter(df, "text", ["dom1.org", "extra0.net"])
+    return out.select(
+        "doc_id",
+        url_domains("text").alias("domains"),
+        F.col("blocked").cast("boolean").alias("blocked"),
+    )
+
+
+_ORACLE_DOMAIN_FILTER = """
+WITH base AS (
+    SELECT doc_id,
+           text || ' https://www.dom' || (doc_id % 5) || '.org/p/' || doc_id ||
+           CASE WHEN doc_id % 3 = 0
+                THEN ' http://extra' || (doc_id % 2) || '.net:8080/q'
+                ELSE '' END AS t
+    FROM documents
+), doms AS (
+    SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+             regexp_extract_all(t, 'https?://([^/\\s:?#]+)', 1),
+             h -> CASE WHEN len(string_split(regexp_replace(lower(h), '^www\\.', ''), '.')) >= 2
+                  THEN string_split(regexp_replace(lower(h), '^www\\.', ''), '.')[-2]
+                       || '.' ||
+                       string_split(regexp_replace(lower(h), '^www\\.', ''), '.')[-1]
+                  ELSE regexp_replace(lower(h), '^www\\.', '') END))) AS domains
+    FROM base
+)
+SELECT doc_id, domains,
+       len(list_intersect(domains, ['dom1.org', 'extra0.net'])) > 0 AS blocked
+FROM doms
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2702,6 +2754,7 @@ _RAW_QUERIES = {
         "video_meta": _q_video_meta,
         "cluster_sample": _q_cluster_sample,
         "boilerplate_lines": _q_boilerplate_lines,
+        "domain_filter": _q_domain_filter,
     }
 
 
@@ -2765,4 +2818,5 @@ def oracle_sql() -> dict[str, str]:
         "video_meta": _ORACLE_VIDEO_META,
         "cluster_sample": _ORACLE_CLUSTER_SAMPLE,
         "boilerplate_lines": _ORACLE_BOILERPLATE_LINES,
+        "domain_filter": _ORACLE_DOMAIN_FILTER,
     }

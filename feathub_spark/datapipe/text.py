@@ -386,3 +386,72 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             "printable_frac": printable_ratio(text_col),
         }
     )
+
+
+URL_PATTERN = r"https?://[^\s]+"
+# host = authority up to the first /, :, ?, # — shared Java-regex/RE2
+# subset so Spark and DuckDB extract identically
+# four backslashes: Python -> \\s in the SQL literal -> regex \s
+_HOST_PATTERN = r"https?://([^/\\s:?#]+)"
+
+
+def url_domains(text_col: str) -> Column:
+    """Sorted distinct registered domains referenced by the text's URLs.
+
+    Registered domain = last two dot-labels of the lowercased host with a
+    leading "www." stripped (public-suffix-LITE: correct for .com/.org/...
+    style TLDs, approximate for two-level public suffixes like .co.uk —
+    documented trade-off that keeps the extraction a pure Catalyst
+    expression with an exact cross-engine oracle).  Pure per-row compute,
+    no shuffle."""
+    hosts = (
+        f"transform(regexp_extract_all(`{text_col}`, '{_HOST_PATTERN}', 1), "
+        f"h -> regexp_replace(lower(h), '^www\\\\.', ''))"
+    )
+    dom = (
+        "transform({hosts}, h -> CASE WHEN size(split(h, '\\\\.')) >= 2 "
+        "THEN concat(element_at(split(h, '\\\\.'), -2), '.', "
+        "element_at(split(h, '\\\\.'), -1)) ELSE h END)"
+    ).format(hosts=hosts)
+    return F.expr(f"array_sort(array_distinct({dom}))")
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    text_col: str,
+    blocklist,
+    keep: bool = True,
+    flag_col: str = "blocked",
+) -> DataFrame:
+    """Annotate (and optionally drop) documents referencing blocklisted
+    registered domains — the standard crawl-hygiene filter.
+
+    ``blocklist`` is a Python sequence (compiled into the plan as a
+    literal array — the usual case, blocklists are small) or a 1-column
+    DataFrame joined via broadcast.  ``keep=True`` returns all rows with a
+    boolean ``flag_col``; ``keep=False`` drops flagged rows.  No shuffle
+    either way."""
+    doms = url_domains(text_col)
+    if isinstance(blocklist, DataFrame):
+        bcol = blocklist.columns[0]
+        bl = blocklist.select(
+            F.col(bcol).alias("__bdom__")
+        ).distinct().withColumn("__hit__", F.lit(True))
+        flagged = (
+            df.withColumn("__doms__", doms)
+            .withColumn("__d__", F.explode_outer("__doms__"))
+            .join(F.broadcast(bl), F.col("__d__") == F.col("__bdom__"), "left")
+            .groupBy(*[F.col(c) for c in df.columns])
+            .agg(F.max(F.coalesce("__hit__", F.lit(False))).alias(flag_col))
+        )
+    else:
+        arr = ", ".join("'" + str(d).replace("'", "''") + "'" for d in blocklist)
+        flagged = df.withColumn(
+            flag_col,
+            F.arrays_overlap(doms, F.expr(f"array({arr})"))
+            if blocklist
+            else F.lit(False),
+        )
+    if keep:
+        return flagged
+    return flagged.filter(~F.col(flag_col)).drop(flag_col)

@@ -435,3 +435,45 @@ def test_cluster_balanced_sample(spark):
             (r["vec_id"] for r in by_cell.get(cell, [])),
         )
         assert sorted(expect) == got
+
+
+def test_url_domains_and_blocklist(spark):
+    from feathub_spark.datapipe.text import domain_blocklist_filter, url_domains
+
+    rows = [
+        (1, "see https://www.spam-site.com/offers and http://ok.org/page"),
+        (2, "mirror at https://cdn.spam-site.com:8080/x plus text"),
+        (3, "no urls at all here"),
+        (4, "https://sub.deep.example.net/a?q=1 and https://example.net/b"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in df.select("doc_id", url_domains("text").alias("d")).collect()
+    }
+    assert doms[1] == ["ok.org", "spam-site.com"]
+    assert doms[2] == ["spam-site.com"]          # port + subdomain stripped
+    assert doms[3] == [] and doms[5] == []
+    assert doms[4] == ["example.net"]            # deep subdomain collapsed
+
+    out = {
+        r["doc_id"]: r["blocked"]
+        for r in domain_blocklist_filter(
+            df, "text", ["spam-site.com", "bad.io"]
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+    kept = domain_blocklist_filter(
+        df, "text", ["spam-site.com"], keep=False
+    ).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [3, 4, 5]
+
+    # DataFrame blocklist goes through the broadcast-join path
+    bl = spark.createDataFrame([("example.net",)], ["domain"])
+    out2 = {
+        r["doc_id"]: r["blocked"]
+        for r in domain_blocklist_filter(df, "text", bl).collect()
+    }
+    assert out2 == {1: False, 2: False, 3: False, 4: True, 5: False}
