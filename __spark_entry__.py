@@ -2675,6 +2675,90 @@ FROM doms
 """
 
 
+def _q_text_signals(spark, sf_dir):
+    """Script-ratio + document-structure signals (corpus routing): a
+    markdown-ish line is planted per doc_id % 4 over the prose fixture,
+    then latin-script fraction and the structure-line fractions are
+    computed in one Catalyst pass each; the oracle re-derives both with
+    DuckDB list/regex functions."""
+    from feathub_spark.datapipe.text import script_ratios, structure_signals
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.expr(
+                "concat(CASE doc_id % 4 WHEN 0 THEN '## planted heading\\n' "
+                "WHEN 1 THEN '- planted item\\n' "
+                "WHEN 2 THEN '```\\n' ELSE '    planted indent\\n' END, text)"
+            ).alias("text"),
+        )
+    )
+    return df.select(
+        "doc_id",
+        F.coalesce(
+            F.element_at(script_ratios("text"), "latin"), F.lit(0.0)
+        ).alias("latin_frac"),
+        structure_signals("text").alias("__s__"),
+    ).select(
+        "doc_id",
+        "latin_frac",
+        F.col("__s__.heading_frac").alias("heading_frac"),
+        F.col("__s__.fence_frac").alias("fence_frac"),
+        F.col("__s__.bullet_frac").alias("bullet_frac"),
+        F.col("__s__.indent_frac").alias("indent_frac"),
+        F.col("__s__.punct_density").alias("punct_density"),
+    )
+
+
+_ORACLE_TEXT_SIGNALS = """
+WITH base AS (
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN '## planted heading' || chr(10)
+                WHEN 1 THEN '- planted item' || chr(10)
+                WHEN 2 THEN '```' || chr(10)
+                ELSE '    planted indent' || chr(10) END || text AS t
+    FROM documents
+), chars AS (
+    SELECT doc_id, t,
+           [unicode(t[i]) FOR i IN range(1, length(t) + 1)] AS cs
+    FROM base
+), scr AS (
+    SELECT doc_id, t,
+           len(list_filter(cs, c ->
+             (c >= 65 AND c <= 90) OR (c >= 97 AND c <= 122)
+             OR (c >= 192 AND c <= 591))) AS n_latin,
+           len(list_filter(cs, c ->
+             (c >= 65 AND c <= 90) OR (c >= 97 AND c <= 122)
+             OR (c >= 192 AND c <= 591)
+             OR (c >= 1024 AND c <= 1279) OR (c >= 880 AND c <= 1023)
+             OR (c >= 1536 AND c <= 1791)
+             OR (c >= 19968 AND c <= 40959) OR (c >= 12352 AND c <= 12543)
+             OR (c >= 44032 AND c <= 55215))) AS n_script,
+           len(list_filter(cs, c -> c IN (59, 123, 125, 40, 41, 91, 93)))
+               AS n_punct,
+           length(t) AS n_chars
+    FROM chars
+), ls AS (
+    SELECT doc_id, string_split(t, chr(10)) AS lines FROM base
+)
+SELECT s.doc_id,
+       CASE WHEN s.n_script = 0 THEN 0.0
+            ELSE round(CAST(s.n_latin AS DOUBLE) / s.n_script, 6) END AS latin_frac,
+       round(CAST(len(list_filter(l.lines, x -> regexp_matches(x, '^#{1,6} ')))
+             AS DOUBLE) / len(l.lines), 6) AS heading_frac,
+       round(CAST(len(list_filter(l.lines, x -> regexp_matches(x, '^```')))
+             AS DOUBLE) / len(l.lines), 6) AS fence_frac,
+       round(CAST(len(list_filter(l.lines, x -> regexp_matches(x, '^\\s*([-*+]|[0-9]+\\.) ')))
+             AS DOUBLE) / len(l.lines), 6) AS bullet_frac,
+       round(CAST(len(list_filter(l.lines, x -> regexp_matches(x, '^(    |\\t)')))
+             AS DOUBLE) / len(l.lines), 6) AS indent_frac,
+       CASE WHEN s.n_chars = 0 THEN 0.0
+            ELSE round(CAST(s.n_punct AS DOUBLE) / s.n_chars, 6) END AS punct_density
+FROM scr s JOIN ls l USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2755,6 +2839,7 @@ _RAW_QUERIES = {
         "cluster_sample": _q_cluster_sample,
         "boilerplate_lines": _q_boilerplate_lines,
         "domain_filter": _q_domain_filter,
+        "text_signals": _q_text_signals,
     }
 
 
@@ -2819,4 +2904,5 @@ def oracle_sql() -> dict[str, str]:
         "cluster_sample": _ORACLE_CLUSTER_SAMPLE,
         "boilerplate_lines": _ORACLE_BOILERPLATE_LINES,
         "domain_filter": _ORACLE_DOMAIN_FILTER,
+        "text_signals": _ORACLE_TEXT_SIGNALS,
     }

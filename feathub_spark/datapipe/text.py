@@ -455,3 +455,82 @@ def domain_blocklist_filter(
     if keep:
         return flagged
     return flagged.filter(~F.col(flag_col)).drop(flag_col)
+
+
+# Unicode script ranges (code-point intervals, public Unicode block data):
+# enough resolution for corpus routing without a full script database.
+_SCRIPT_RANGES = {
+    "latin": [(0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F)],
+    "cyrillic": [(0x0400, 0x04FF)],
+    "greek": [(0x0370, 0x03FF)],
+    "arabic": [(0x0600, 0x06FF)],
+    "cjk": [(0x4E00, 0x9FFF), (0x3040, 0x30FF), (0xAC00, 0xD7AF)],
+}
+
+
+def script_ratios(text_col: str) -> Column:
+    """map<string,double> of per-script character fractions (letters only —
+    the denominator excludes digits/punct/whitespace so mixed-markup pages
+    still classify cleanly); empty/scriptless text yields an empty map.
+    One split('') pass, counts folded per range — pure Catalyst."""
+    chars = f"transform(split(`{text_col}`, ''), c -> ascii(c))"
+    counts = []
+    for name in sorted(_SCRIPT_RANGES):
+        cond = " OR ".join(
+            f"(c >= {lo} AND c <= {hi})" for lo, hi in _SCRIPT_RANGES[name]
+        )
+        counts.append(f"size(filter(cs, c -> {cond}))")
+    all_cond = " OR ".join(
+        f"(c >= {lo} AND c <= {hi})"
+        for rs in _SCRIPT_RANGES.values()
+        for lo, hi in rs
+    )
+    total = f"size(filter(cs, c -> {all_cond}))"
+    entries = ", ".join(
+        f"struct('{name}' AS k, round(CAST({cnt} AS DOUBLE) / tot, 6) AS v)"
+        for name, cnt in zip(sorted(_SCRIPT_RANGES), counts)
+    )
+    body = (
+        f"element_at(transform(array({total}), tot -> "
+        f"CASE WHEN tot = 0 THEN map() ELSE "
+        f"map_from_entries(filter(array({entries}), e -> e.v > 0)) END), 1)"
+    )
+    # bind the char array once (see passages._let1 for why this matters)
+    return F.expr(
+        f"element_at(transform(array({chars}), cs -> {body}), 1)"
+    )
+
+
+def structure_signals(text_col: str) -> Column:
+    """struct of cheap document-structure fractions used for code/markup
+    routing (StarCoder-style heuristics): fraction of lines that look like
+    markdown headings, fenced-code markers, list items or indented code,
+    plus bracket/semicolon character density.  Pure Catalyst, one
+    line-split pass."""
+    lines = f"split(`{text_col}`, '\\n', -1)"
+    nl = f"size({lines})"
+
+    def frac(cond):
+        return (
+            f"round(CAST(size(filter(ls, l -> {cond})) AS DOUBLE) "
+            f"/ size(ls), 6)"
+        )
+
+    heading = frac("l rlike '^#{1,6} '")
+    fence = frac("l rlike '^```'")
+    bullet = frac("l rlike '^\\\\s*([-*+]|[0-9]+\\\\.) '")
+    indented = frac("l rlike '^(    |\\\\t)'")
+    dens = (
+        f"CASE WHEN length(`{text_col}`) > 0 THEN "
+        f"round(CAST(size(filter(transform(split(`{text_col}`, ''), c -> ascii(c)), "
+        f"c -> c IN (59, 123, 125, 40, 41, 91, 93))) AS DOUBLE) "
+        f"/ length(`{text_col}`), 6) ELSE CAST(0 AS DOUBLE) END"
+    )
+    return F.expr(
+        f"element_at(transform(array({lines}), ls -> named_struct("
+        f"'heading_frac', {heading}, "
+        f"'fence_frac', {fence}, "
+        f"'bullet_frac', {bullet}, "
+        f"'indent_frac', {indented}, "
+        f"'punct_density', {dens})), 1)"
+    )

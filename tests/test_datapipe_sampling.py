@@ -477,3 +477,49 @@ def test_url_domains_and_blocklist(spark):
         for r in domain_blocklist_filter(df, "text", bl).collect()
     }
     assert out2 == {1: False, 2: False, 3: False, 4: True, 5: False}
+
+
+def test_script_ratios(spark):
+    from feathub_spark.datapipe.text import script_ratios
+
+    rows = [
+        (1, "hello world"),                      # pure latin
+        (2, "привет мир hello"),                 # cyrillic + latin
+        (3, "你好世界"),                          # cjk
+        (4, "12345 .,!?"),                        # no script letters
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: dict(r["r"])
+        for r in df.select("doc_id", script_ratios("text").alias("r")).collect()
+    }
+    assert got[1] == {"latin": 1.0}
+    assert set(got[2]) == {"cyrillic", "latin"}
+    assert abs(got[2]["cyrillic"] - 9 / 14) < 1e-6  # приветмир = 9 letters
+    assert got[3] == {"cjk": 1.0}
+    assert got[4] == {} and got[5] == {}
+
+
+def test_structure_signals(spark):
+    from feathub_spark.datapipe.text import structure_signals
+
+    code_doc = "# Title\n```python\nx = f(1)\n```\n- item one\n    indented"
+    prose = "just a plain sentence without structure"
+    df = spark.createDataFrame(
+        [(1, code_doc), (2, prose), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["s"].asDict()
+        for r in df.select("doc_id", structure_signals("text").alias("s")).collect()
+    }
+    s = got[1]
+    assert s["heading_frac"] == round(1 / 6, 6)
+    assert s["fence_frac"] == round(2 / 6, 6)
+    assert s["bullet_frac"] == round(1 / 6, 6)
+    assert s["indent_frac"] == round(1 / 6, 6)
+    assert s["punct_density"] > 0
+    p = got[2]
+    assert p["heading_frac"] == 0.0 and p["fence_frac"] == 0.0
+    assert p["punct_density"] == 0.0
+    assert got[3]["heading_frac"] == 0.0  # single empty line, no crash
