@@ -2759,6 +2759,84 @@ FROM scr s JOIN ls l USING (doc_id)
 """
 
 
+def _q_index_match(spark, sf_dir):
+    """Incremental ingest dedup: even-doc_id documents play the historical
+    corpus (fingerprint index), odd ones the new shard; per new doc, the
+    fraction of winnowing fingerprints already indexed.  Only the new
+    shard is fingerprinted at ingest time — the production pattern for
+    continuous corpus growth."""
+    from feathub_spark.datapipe.passages import match_against_index, winnow_index
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    index = winnow_index(
+        df.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
+        gram_len=12, window=6, hash_fn="poly",
+    )
+    return match_against_index(
+        df.filter(F.col("doc_id") % 2 == 1), index, "text", "doc_id",
+        gram_len=12, window=6, hash_fn="poly",
+    )
+
+
+_ORACLE_INDEX_MATCH = """
+WITH hs AS (
+    SELECT doc_id,
+           CASE WHEN length(text) >= 12 THEN
+             [ list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(range(i, i + 12),
+                                  j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
+                 (h, c) -> (h * 1103515245 + c) % 2147483647) * 2147483648
+               + list_reduce(
+                 list_prepend(CAST(13 AS BIGINT),
+                   list_transform(range(i, i + 12),
+                                  j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
+                 (h, c) -> (h * 69069 + c) % 2147483647)
+               FOR i IN range(1, length(text) - 10) ]
+           ELSE CAST([] AS BIGINT[]) END AS gh
+    FROM documents
+), fp AS (
+    SELECT doc_id,
+           CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[]) ELSE
+             list_distinct([ list_aggregate(gh[w : w + least(6, len(gh)) - 1], 'min')
+                             FOR w IN range(1, len(gh) - least(6, len(gh)) + 2) ])
+           END AS fps
+    FROM hs
+), idx AS (
+    SELECT DISTINCT unnest(fps) AS fpv FROM fp WHERE doc_id % 2 = 0
+), ex AS (
+    SELECT doc_id, len(fps) AS nfp, unnest(fps) AS fpv
+    FROM fp WHERE doc_id % 2 = 1
+), agg AS (
+    SELECT e.doc_id, any_value(e.nfp) AS nfp,
+           count(i.fpv) AS matched
+    FROM ex e LEFT JOIN idx i USING (fpv)
+    GROUP BY e.doc_id
+)
+SELECT f.doc_id,
+       CAST(len(f.fps) AS BIGINT) AS n_fingerprints,
+       CAST(coalesce(a.matched, 0) AS BIGINT) AS n_matched,
+       CASE WHEN len(f.fps) > 0
+            THEN round(coalesce(a.matched, 0) / len(f.fps), 6)
+            ELSE 0.0 END AS dup_fraction
+FROM fp f LEFT JOIN agg a USING (doc_id)
+WHERE f.doc_id % 2 = 1
+"""
+
+
+def _q_compression_ratio(spark, sf_dir):
+    """zlib compressed/raw size per document (Gopher/RefinedWeb
+    repetitiveness signal).  zlib is not expressible in SQL, so this entry
+    is rows-only for the driver; the value semantics are pinned by golden
+    tests against python zlib (tests/test_quality.py)."""
+    from feathub_spark.datapipe.quality import compression_ratio
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return compression_ratio(df.select("doc_id", "text"), "text", "doc_id").select(
+        "doc_id", "compression_ratio"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2840,6 +2918,8 @@ _RAW_QUERIES = {
         "boilerplate_lines": _q_boilerplate_lines,
         "domain_filter": _q_domain_filter,
         "text_signals": _q_text_signals,
+        "index_match": _q_index_match,
+        "compression_ratio": _q_compression_ratio,
     }
 
 
@@ -2905,4 +2985,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": _ORACLE_BOILERPLATE_LINES,
         "domain_filter": _ORACLE_DOMAIN_FILTER,
         "text_signals": _ORACLE_TEXT_SIGNALS,
+        "index_match": _ORACLE_INDEX_MATCH,
+        # compression_ratio: intentionally no oracle — zlib is not
+        # SQL-expressible; the driver records the rows-only check and the
+        # value semantics are golden-tested vs python zlib.
     }

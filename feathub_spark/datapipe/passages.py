@@ -406,3 +406,66 @@ def remove_boilerplate_lines(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum(F.col("__removed__").cast("int")).cast("bigint").alias("n_removed"),
     )
+
+
+def winnow_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Materializable fingerprint index (``fp``, ``doc_id``) for
+    incremental dedup: write it out partitioned/bucketed by ``fp`` once,
+    then check every NEW ingest shard against it with
+    :func:`match_against_index` — no need to re-fingerprint the historical
+    corpus per ingest."""
+    return winnow_fingerprints(df, text_col, id_col, gram_len, window, hash_fn).select(
+        F.explode("__fps__").alias("fp"), F.col(id_col).alias("doc_id")
+    )
+
+
+def match_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int = 20,
+    window: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental duplicate-passage check: per NEW document, the fraction
+    of its winnowing fingerprints already present in ``index`` (a
+    (fp, doc_id) table from :func:`winnow_index` — typically the
+    historical corpus, loaded from a bucketed table so the fp-key join
+    needs no index-side shuffle).
+
+    Same guarantee as :func:`dup_passage_stats`: a new doc sharing a
+    passage of >= window + gram_len - 1 chars with ANY indexed doc scores
+    n_matched >= 1.  Only the new shard is fingerprinted — the historical
+    corpus is touched as a semi-joined key set.
+
+    Returns (id_col, n_fingerprints, n_matched, dup_fraction)."""
+    fps = winnow_fingerprints(
+        new_df, text_col, id_col, gram_len, window, hash_fn
+    ).select(F.col(id_col), F.size("__fps__").alias("__nfp__"),
+             F.explode_outer("__fps__").alias("fp"))
+    hits = index.select("fp").distinct().withColumn("__hit__", F.lit(True))
+    return (
+        fps.join(hits, on="fp", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.first("__nfp__").cast("bigint").alias("n_fingerprints"),
+            F.sum(F.coalesce(F.col("__hit__").cast("int"), F.lit(0)))
+            .cast("bigint").alias("n_matched"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("__hit__").cast("double"), F.lit(0.0)))
+                    / F.nullif(F.first("__nfp__").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

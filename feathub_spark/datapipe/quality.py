@@ -204,3 +204,47 @@ def token_surprisal(
             F.round(F.avg("__surp__"), 6).alias("avg_surprisal"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compressed-size / raw-size per document — the classic
+    repetitiveness signal (Gopher / RefinedWeb): highly repetitive or
+    templated text compresses far below ~0.4, high-entropy gibberish sits
+    near 1.0; pipelines cut both tails.
+
+    zlib is not expressible in Catalyst or ANSI SQL, so this is a
+    sanctioned Arrow-batched Python stage (mapInPandas; DEFLATE at the
+    fixed ``level`` so results are deterministic); correctness is pinned
+    by golden tests against python zlib directly rather than a SQL
+    oracle.  Empty/NULL text scores 0.0.  Narrow per-row compute, no
+    shuffle."""
+    import zlib
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def score_batches(batches):
+        for batch in batches:
+            vals = []
+            for t in batch[text_col]:
+                if t is None or t == "":
+                    vals.append(0.0)
+                else:
+                    raw = t.encode("utf-8")
+                    vals.append(
+                        round(len(zlib.compress(raw, level)) / len(raw), 6)
+                    )
+            batch = batch.copy()
+            batch[out_col] = vals
+            yield batch
+
+    return ensure_parallelism(df).mapInPandas(score_batches, schema=out_schema)

@@ -347,3 +347,36 @@ def test_remove_boilerplate_lines(spark):
     }
     assert got3 == {i: c for i, (c, _, _) in ref(3).items()}
     assert footer in got3[1] and header not in got3[1]
+
+
+def test_match_against_index(spark):
+    from feathub_spark.datapipe.passages import match_against_index, winnow_index
+
+    hist = [(i, t) for i, t in DOCS if i in (1, 2)]
+    new = [
+        (10, DOCS[0][1]),                       # exact copy of indexed doc 1
+        (11, "zz " + DOCS[0][1][:30] + " tail"),  # shares a long prefix
+        (12, "entirely novel content nothing indexed matches here"),
+        (13, ""),
+    ]
+    hist_df = spark.createDataFrame(hist, ["doc_id", "text"])
+    new_df = spark.createDataFrame(new, ["doc_id", "text"])
+    index = winnow_index(hist_df, "text", "doc_id", L, W, hash_fn="poly")
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["n_matched"], r["dup_fraction"])
+        for r in match_against_index(
+            new_df, index, "text", "doc_id", L, W, hash_fn="poly"
+        ).collect()
+    }
+    # independent reference: fingerprint sets via the pure-Python model
+    hist_fps = set()
+    for _, t in hist:
+        hist_fps |= _ref_fingerprints(t, L, W)
+    for i, t in new:
+        fps = _ref_fingerprints(t, L, W)
+        matched = len(fps & hist_fps)
+        exp_frac = round(matched / len(fps), 6) if fps else 0.0
+        assert got[i] == (len(fps), matched, exp_frac), i
+    assert got[10][2] == 1.0           # exact copy fully matched
+    assert got[11][1] >= 1             # shared >= t-char passage detected
+    assert got[12][1] == 0 and got[13] == (0, 0, 0.0)

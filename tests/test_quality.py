@@ -225,3 +225,28 @@ def test_token_surprisal_matches_python_model(spark):
     # the all-common-token doc scores lower than the rare-token doc
     assert got[2][1] < got[3][1]
     assert 4 not in got
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from feathub_spark.datapipe.quality import compression_ratio
+
+    rows = [
+        (1, "abc " * 200),                       # highly repetitive
+        (2, "The quick brown fox jumps over the lazy dog; varied prose."),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df, "text", "doc_id").collect()
+    }
+    for i, t in rows:
+        if not t:
+            assert got[i] == 0.0
+        else:
+            raw = t.encode()
+            assert got[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert got[1] < 0.1 < got[2]
