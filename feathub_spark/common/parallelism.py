@@ -21,6 +21,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
     """Repartition ``df`` round-robin up to the session default parallelism
     (or ``min_partitions``) when the current plan has fewer partitions; a
     no-op otherwise."""
+    if df.isStreaming:
+        # probing .rdd on a stream raises; micro-batch partitioning is
+        # governed by the source options (maxFilesPerTrigger etc.), so the
+        # guard is a pass-through there
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
