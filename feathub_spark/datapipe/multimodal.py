@@ -419,12 +419,14 @@ def parse_video_header(payload: bytes):
     timescale = 0
     n_tracks = 0
     saw_moov = False
+    saw_mvhd = False
     for fourcc, b0, b1 in _walk_boxes(payload, 0, len(payload)):
         if fourcc != b"moov":
             continue
         saw_moov = True
         for inner, i0, i1 in _walk_boxes(payload, b0, b1):
             if inner == b"mvhd":
+                saw_mvhd = True
                 version = payload[i0]
                 if version != 0:
                     raise ValueError("only version-0 mvhd supported")
@@ -451,6 +453,10 @@ def parse_video_header(payload: bytes):
                         width, height = w, h
     if not saw_moov:
         raise ValueError("MP4 without moov box")
+    if not saw_mvhd:
+        # timescale 0 is illegal per ISO 14496-12; without mvhd the
+        # duration would silently report as 0 instead of erroring
+        raise ValueError("MP4 moov without mvhd box")
     return width, height, duration_ms, timescale, n_tracks, "mp4"
 
 

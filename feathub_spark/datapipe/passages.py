@@ -379,9 +379,11 @@ def remove_boilerplate_lines(
     )
     lines = ensure_parallelism(df).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
-            "__pos__", "__line__"
-        ),
+        # NULL text would posexplode to zero rows and silently DROP the
+        # document; coalesce keeps it as a single empty (always-kept) line
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("__pos__", "__line__"),
     ).withColumn("__k__", F.expr(norm)).withColumn(
         "__blank__", F.trim("__line__") == ""
     )

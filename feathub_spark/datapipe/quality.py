@@ -180,9 +180,11 @@ def token_surprisal(
     toks = (
         f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
     )
+    # the exploded projection feeds BOTH the vocab count and the join back
+    # — persist so the corpus tokenize+explode runs once per action
     exploded = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.expr(toks)).alias("__tok__")
-    )
+    ).persist()
     counts = exploded.groupBy("__tok__").agg(
         F.count(F.lit(1)).alias("__n__")
     )

@@ -106,7 +106,15 @@ def temperature_sample(
     NULL ``group_col`` are dropped (no defined mixture weight).  Pass
     ``keep_rate_col`` to keep the per-row applied rate for audit."""
     n = F.col("__n__").cast("double")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n__"))
+    # NULL-group rows are dropped from the OUTPUT (no defined mixture
+    # weight), so they must not inflate the normalization total either —
+    # otherwise every real group's rate shrinks and the realized sample
+    # undershoots target_rows
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
     # empty-partitionBy window is fine HERE: it runs over the per-group
     # count table whose cardinality is the number of sources/languages —
     # bounded and tiny by definition, unlike per-row global windows

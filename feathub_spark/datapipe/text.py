@@ -433,22 +433,25 @@ def domain_blocklist_filter(
     either way."""
     doms = url_domains(text_col)
     if isinstance(blocklist, DataFrame):
+        # collapse the blocklist to ONE array row and broadcast it — a
+        # bounded 1-row build side; an explode+groupBy(all columns)
+        # alternative would collapse duplicate input rows and cannot group
+        # map-typed columns
         bcol = blocklist.columns[0]
-        bl = blocklist.select(
-            F.col(bcol).alias("__bdom__")
-        ).distinct().withColumn("__hit__", F.lit(True))
+        bl_arr = blocklist.agg(
+            F.collect_set(F.col(bcol).cast("string")).alias("__bl__")
+        )
         flagged = (
-            df.withColumn("__doms__", doms)
-            .withColumn("__d__", F.explode_outer("__doms__"))
-            .join(F.broadcast(bl), F.col("__d__") == F.col("__bdom__"), "left")
-            .groupBy(*[F.col(c) for c in df.columns])
-            .agg(F.max(F.coalesce("__hit__", F.lit(False))).alias(flag_col))
+            df.crossJoin(F.broadcast(bl_arr))
+            .withColumn(flag_col, F.arrays_overlap(doms, F.col("__bl__")))
+            .drop("__bl__")
         )
     else:
-        arr = ", ".join("'" + str(d).replace("'", "''") + "'" for d in blocklist)
         flagged = df.withColumn(
             flag_col,
-            F.arrays_overlap(doms, F.expr(f"array({arr})"))
+            F.arrays_overlap(
+                doms, F.array(*[F.lit(str(d)) for d in blocklist])
+            )
             if blocklist
             else F.lit(False),
         )
@@ -508,7 +511,6 @@ def structure_signals(text_col: str) -> Column:
     plus bracket/semicolon character density.  Pure Catalyst, one
     line-split pass."""
     lines = f"split(`{text_col}`, '\\n', -1)"
-    nl = f"size({lines})"
 
     def frac(cond):
         return (

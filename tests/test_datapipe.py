@@ -540,3 +540,16 @@ def test_decode_video_metadata(spark):
         decode_video_metadata(bad, "payload").collect()
     fk = decode_video_metadata(bad, "payload", fake=True).collect()[0]["video_meta"]
     assert fk["format"] == "fake" and fk["width"] >= 160
+
+
+def test_parse_video_header_requires_mvhd():
+    from feathub_spark.datapipe.multimodal import parse_video_header
+
+    tkhd = _mp4_box(b"tkhd", bytes(76) + (320 << 16).to_bytes(4, "big")
+                    + (240 << 16).to_bytes(4, "big"))
+    no_mvhd = (
+        _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isom")
+        + _mp4_box(b"moov", _mp4_box(b"trak", tkhd))
+    )
+    with pytest.raises(ValueError, match="mvhd"):
+        parse_video_header(no_mvhd)

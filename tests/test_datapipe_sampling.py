@@ -523,3 +523,40 @@ def test_structure_signals(spark):
     assert p["heading_frac"] == 0.0 and p["fence_frac"] == 0.0
     assert p["punct_density"] == 0.0
     assert got[3]["heading_frac"] == 0.0  # single empty line, no crash
+
+
+def test_temperature_sample_null_groups_do_not_dilute(spark):
+    from feathub_spark.datapipe.sampling import temperature_sample
+
+    rows = [(i, "en") for i in range(100)] + [(1000 + i, None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(
+        df, "doc_id", "lang", target_rows=100, alpha=1.0, seed=0,
+        keep_rate_col="rate",
+    ).collect()
+    # the single real group must get rate 1.0 (NULL rows carry no weight);
+    # before the fix the NULL group halved the denominator -> rate 0.5
+    assert len(out) == 100
+    assert all(r["rate"] == 1.0 for r in out)
+
+
+def test_domain_blocklist_df_path_keeps_duplicates_and_maps(spark):
+    from feathub_spark.datapipe.text import domain_blocklist_filter, script_ratios
+
+    rows = [
+        (1, "https://bad.com/x"),
+        (1, "https://bad.com/x"),     # duplicate row must survive
+        (2, "https://fine.org/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "scripts", script_ratios("text")  # map column: ungroupable
+    )
+    bl = spark.createDataFrame([("bad.com",)], ["domain"])
+    out = domain_blocklist_filter(df, "text", bl).collect()
+    assert len(out) == 3
+    assert sorted((r["doc_id"], r["blocked"]) for r in out) == [
+        (1, True), (1, True), (2, False),
+    ]
+    # literal entries containing quotes must not break the expression
+    q = domain_blocklist_filter(df, "text", ["o'brien.com"]).collect()
+    assert all(not r["blocked"] for r in q)

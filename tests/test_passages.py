@@ -380,3 +380,17 @@ def test_match_against_index(spark):
     assert got[10][2] == 1.0           # exact copy fully matched
     assert got[11][1] >= 1             # shared >= t-char passage detected
     assert got[12][1] == 0 and got[13] == (0, 0, 0.0)
+
+
+def test_remove_boilerplate_lines_null_text(spark):
+    from feathub_spark.datapipe.passages import remove_boilerplate_lines
+
+    rows = [(1, "shared\nbody a"), (2, "shared\nbody b"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(df, "text", "doc_id").collect()
+    }
+    # NULL-text docs are RETAINED as empty, not silently dropped
+    assert got[3] == ("", 1, 0)
+    assert got[1] == ("body a", 2, 1)
