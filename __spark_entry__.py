@@ -2311,7 +2311,9 @@ def _q_temperature_sample(spark, sf_dir):
 
 _ORACLE_TEMPERATURE_SAMPLE = f"""
 WITH counts AS (
-    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    -- NULL groups carry no mixture weight (mirrors the implementation)
+    SELECT lang, count(*) AS n FROM documents
+    WHERE lang IS NOT NULL GROUP BY lang
 ), rates AS (
     SELECT lang,
            round(least(1.0, 200 * (pow(n, 0.7) / sum(pow(n, 0.7)) OVER ()) / n),
