@@ -394,3 +394,38 @@ def test_remove_boilerplate_lines_null_text(spark):
     # NULL-text docs are RETAINED as empty, not silently dropped
     assert got[3] == ("", 1, 0)
     assert got[1] == ("body a", 2, 1)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 42])
+def test_remove_duplicate_passages_randomized(spark, seed):
+    """Randomized conformance: small-alphabet corpora (forcing hash-run
+    ties, within-doc repeats and overlapping spans) with planted shared
+    passages must match the pure-Python reference exactly — including
+    span-merge boundaries and fully-cut documents."""
+    rnd = random.Random(seed)
+    alpha = "ab c"  # tiny alphabet: many natural repeats and collisions
+    passages = [
+        "".join(rnd.choice(alpha) for _ in range(rnd.randint(W + L - 1, 30)))
+        for _ in range(3)
+    ]
+    docs = []
+    for i in range(30):
+        n = rnd.randint(0, 120)
+        t = "".join(rnd.choice(alpha) for _ in range(n))
+        # plant 0-2 shared passages at random offsets
+        for _ in range(rnd.randint(0, 2)):
+            p = rnd.choice(passages)
+            pos = rnd.randint(0, len(t))
+            t = t[:pos] + p + t[pos:]
+        docs.append((i, t))
+    exp = _ref_remove(docs, L, W, 2)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from feathub_spark.datapipe.passages import remove_duplicate_passages
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_dup_spans"], r["n_dup_chars"])
+        for r in remove_duplicate_passages(
+            df, "text", "doc_id", L, W, hash_fn="poly"
+        ).collect()
+    }
+    assert got == exp
