@@ -429,3 +429,47 @@ def test_remove_duplicate_passages_randomized(spark, seed):
         ).collect()
     }
     assert got == exp
+
+
+@pytest.mark.parametrize("seed,min_docs", [(5, 2), (9, 3)])
+def test_remove_boilerplate_lines_randomized(spark, seed, min_docs):
+    from collections import defaultdict
+
+    from feathub_spark.datapipe.passages import remove_boilerplate_lines
+
+    rnd = random.Random(seed)
+    pool = [f"line {i} body" for i in range(8)] + ["", "   ", "UNIQ"]
+    docs = []
+    for i in range(25):
+        k = rnd.randint(0, 6)
+        lines = [rnd.choice(pool) for _ in range(k)]
+        # make some lines genuinely unique to this doc
+        if rnd.random() < 0.5:
+            lines.append(f"only in doc {i}")
+        docs.append((i, "\n".join(lines)))
+
+    docs_per_key = defaultdict(set)
+    for i, t in docs:
+        for ln in t.split("\n"):
+            if ln.strip():
+                docs_per_key[ln.strip().lower()].add(i)
+    exp = {}
+    for i, t in docs:
+        lines = t.split("\n")
+        removed = [
+            bool(ln.strip()) and len(docs_per_key[ln.strip().lower()]) >= min_docs
+            for ln in lines
+        ]
+        exp[i] = (
+            "\n".join(l for l, r in zip(lines, removed) if not r),
+            len(lines),
+            sum(removed),
+        )
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=min_docs
+        ).collect()
+    }
+    assert got == exp
