@@ -29,6 +29,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     from feathub_spark import default_spark_session
+    from feathub_spark.common.caching import release_caches
 
     import __spark_entry__ as entry_mod
 
@@ -49,8 +50,10 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-            # operators may persist() shared intermediates; drop them so
-            # every run measures cold and executor memory stays flat
+            # operators persist shared intermediates through the caching
+            # contract — release them (plus any stragglers) so every run
+            # measures cold and executor memory stays flat
+            release_caches()
             spark.catalog.clearCache()
         med = statistics.median(runs)
         timings[name] = round(med, 3)

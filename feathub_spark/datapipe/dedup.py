@@ -23,6 +23,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from feathub_spark.common.exceptions import FeathubError
+from feathub_spark.common.caching import register_cache
 from feathub_spark.common.parallelism import ensure_parallelism
 
 _MERSENNE_P = (1 << 61) - 1
@@ -160,10 +161,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id__"),
         F.expr(_shingles_sql(text_col, shingle_k)).alias("__sh__"),
     )
-    sigs = minhash_signatures(
+    sigs = register_cache(minhash_signatures(
         with_shingles, text_col, "__id__", num_hashes, shingle_k, seed,
         shingles_col="__sh__",
-    ).persist()
+    ))
     shingles = sigs.select("__id__", "__sh__")
     banded = sigs.select(
         F.col("__id__"),
@@ -241,10 +242,10 @@ def ngram_jaccard_pairs(
     cut entirely (exact recall; only safe on small corpora)."""
     # grams are scanned 4x in this plan (inverted index, two verify joins,
     # sizes) — tokenize once and persist the narrow projection.
-    grams = ensure_parallelism(df).select(
+    grams = register_cache(ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"),
         F.expr(_shingles_sql(text_col, n)).alias("__grams__"),
-    ).persist()
+    ))
     sizes = grams.select("__id__", F.size("__grams__").alias("__n__"))
     inverted = grams.select(
         "__id__", F.explode("__grams__").alias("__gram__")

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from feathub_spark.common.caching import register_cache
 from feathub_spark.common.parallelism import ensure_parallelism
 
 _M31 = (1 << 31) - 1
@@ -203,7 +204,8 @@ def remove_duplicate_passages(
     ).select(F.col(id_col), F.col(text_col), "__fpp__")
     occ = base.select(
         id_col, F.explode("__fpp__").alias("__o__")
-    ).select(id_col, F.col("__o__.fp").alias("__fp__"), F.col("__o__.pos").alias("__pos__")).persist()
+    ).select(id_col, F.col("__o__.fp").alias("__fp__"), F.col("__o__.pos").alias("__pos__"))
+    occ = register_cache(occ)
     dup = (
         occ.groupBy("__fp__")
         .agg(F.count(F.lit(1)).alias("__n__"))
@@ -269,9 +271,9 @@ def dup_passage_stats(
     base = winnow_fingerprints(
         df, text_col, id_col, gram_len, window, hash_fn
     ).select(F.col(id_col), F.size("__fps__").alias("__nfp__"), "__fps__")
-    fps = base.select(
+    fps = register_cache(base.select(
         id_col, "__nfp__", F.explode_outer("__fps__").alias("__fp__")
-    ).persist()
+    ))
     # docs contributing a fingerprint at most once (array_distinct upstream)
     # => count(*) per fingerprint == number of docs containing it
     counts = fps.filter(F.col("__fp__").isNotNull()).groupBy("__fp__").agg(

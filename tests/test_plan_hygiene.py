@@ -211,3 +211,22 @@ def test_join_field_with_reserved_keyword_name(client, tmp_path):
     client.build_features([lsrc, lview])
     out = client.get_features(lview).to_pandas().sort_values("time")
     assert out["end"].tolist() == [1.5, 2.5]
+
+
+def test_token_surprisal_has_no_global_window(client):
+    """The corpus token total must come from a broadcast 1-row aggregate,
+    never an empty-partitionBy Window: web-scale whitespace vocab reaches
+    billions of distinct tokens and a global window would serialize all of
+    them through ONE task (round-6 verdict flag)."""
+    from feathub_spark.common.caching import release_caches
+    from feathub_spark.datapipe.quality import token_surprisal
+
+    docs = client.spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d e")], "doc_id long, text string"
+    )
+    plan = _formatted_plan(token_surprisal(docs, "text", "doc_id"))
+    release_caches()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            raise AssertionError(f"unexpected Window in plan:\n{line}")
+    assert "CartesianProduct" not in plan

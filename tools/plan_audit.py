@@ -24,6 +24,7 @@ _BOUNDED_BNLJ_OK = {
     "ngram_jaccard", "dedup_clusters", "select_survivors",
     "ann_topk", "ivf_ann", "ivf_ann_trained", "lsh_ann",
     "embedding_neardup", "minhash_dedup", "cluster_sample",
+    "token_surprisal",  # 1-row corpus-total broadcast onto the vocab table
 }
 
 
