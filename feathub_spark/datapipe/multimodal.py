@@ -5,11 +5,15 @@ The Spark-side machinery — schema, Arrow-batched mapInPandas, partition
 sizing, UDF signatures — is real and tested.  Header-level image metadata
 (width / height / channels / format) is decoded for REAL from the container
 formats' public byte layouts — PNG IHDR, JPEG SOFn markers, GIF logical
-screen descriptor — in pure Python (no image library needed).  Full pixel
-decoding would need a codec library the container lacks, so payloads in an
-unrecognized format raise NotImplementedError unless ``fake=True``, which
-swaps in a deterministic md5-derived stub (stable across runs, usable in
-tests and oracles).
+screen descriptor, WAV RIFF chunks, MP4 ISO-BMFF boxes (v0 and v1
+mvhd/tkhd, 64-bit largesize) — in pure Python (no image library needed).
+Full pixel decoding would need a codec library the container lacks, so
+payloads in an unrecognized format raise NotImplementedError unless
+``fake=True``, which swaps in a deterministic md5-derived stub (stable
+across runs, usable in tests and oracles), or ``on_error="null"``, which
+emits a NULL metadata struct plus an error-reason column and keeps going —
+the policy a 100 TB crawl decode needs, where corrupt payloads are a
+certainty, not an exception.
 """
 
 from __future__ import annotations
@@ -102,6 +106,13 @@ def parse_image_header(payload: bytes):
     raise ValueError("unrecognized image container format")
 
 
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "null"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'null', got {on_error!r}"
+        )
+
+
 def _fake_decode(payload: bytes):
     """Deterministic fake: metadata derived from the md5 content digest —
     md5 (unlike sha1) exists in every SQL engine, so the whole fake
@@ -114,7 +125,11 @@ def _fake_decode(payload: bytes):
 
 
 def decode_image_metadata(
-    df: DataFrame, binary_col: str, out_col: str = "image_meta", fake: bool = False
+    df: DataFrame,
+    binary_col: str,
+    out_col: str = "image_meta",
+    fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode image metadata for every row via Arrow-batched mapInPandas.
 
@@ -125,14 +140,24 @@ def decode_image_metadata(
     the deterministic md5-derived stub instead.  The plumbing (schema
     propagation, batch iteration, column passthrough) is identical either
     way.
+
+    ``on_error`` is the corpus-scale survival knob (mirrors
+    PythonUdfTransform's exception policy): the default ``"raise"`` is
+    fail-fast; ``"null"`` emits a NULL metadata struct plus the failure
+    reason in an extra ``{out_col}_error`` string column and keeps going —
+    at 100 TB a real crawl always contains truncated/corrupt payloads and
+    one of them must not abort the whole decode pass.
     """
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, IMAGE_META_SCHEMA)]
-    )
+    _check_on_error(on_error)
+    fields = list(df.schema.fields) + [T.StructField(out_col, IMAGE_META_SCHEMA)]
+    if on_error == "null":
+        fields.append(T.StructField(out_col + "_error", T.StringType()))
+    out_schema = T.StructType(fields)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             metas = []
+            errors = []
             for payload in batch[binary_col]:
                 raw = bytes(payload) if payload is not None else b""
                 if fake:
@@ -141,11 +166,16 @@ def decode_image_metadata(
                     try:
                         w, h, c, fmt = parse_image_header(raw)
                     except ValueError as e:
+                        if on_error == "null":
+                            metas.append(None)
+                            errors.append(str(e))
+                            continue
                         raise NotImplementedError(
                             f"cannot decode payload ({e}); only PNG/JPEG/GIF "
                             "header metadata is supported without an image "
                             "library — re-run with fake=True for the "
-                            "deterministic stub"
+                            "deterministic stub, or on_error='null' to skip "
+                            "undecodable payloads"
                         ) from e
                     digest = hashlib.md5(raw).hexdigest()
                 metas.append(
@@ -157,8 +187,11 @@ def decode_image_metadata(
                         "content_md5": digest,
                     }
                 )
+                errors.append(None)
             batch = batch.copy()
             batch[out_col] = metas
+            if on_error == "null":
+                batch[out_col + "_error"] = errors
             yield batch
 
     return df.mapInPandas(decode_batches, schema=out_schema)
@@ -230,20 +263,30 @@ def _fake_audio_decode(payload: bytes):
 
 
 def decode_audio_metadata(
-    df: DataFrame, binary_col: str, out_col: str = "audio_meta", fake: bool = False
+    df: DataFrame,
+    binary_col: str,
+    out_col: str = "audio_meta",
+    fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode audio metadata for every row via Arrow-batched mapInPandas.
 
     WAV (RIFF) headers are parsed for real (:func:`parse_audio_header`);
     other formats raise NotImplementedError unless ``fake=True`` (the
-    deterministic md5-derived stub, applied to every payload)."""
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, AUDIO_META_SCHEMA)]
-    )
+    deterministic md5-derived stub, applied to every payload).
+    ``on_error="null"`` emits a NULL metadata struct plus the failure
+    reason in ``{out_col}_error`` instead of aborting (see
+    :func:`decode_image_metadata`)."""
+    _check_on_error(on_error)
+    fields = list(df.schema.fields) + [T.StructField(out_col, AUDIO_META_SCHEMA)]
+    if on_error == "null":
+        fields.append(T.StructField(out_col + "_error", T.StringType()))
+    out_schema = T.StructType(fields)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             metas = []
+            errors = []
             for payload in batch[binary_col]:
                 raw = bytes(payload) if payload is not None else b""
                 if fake:
@@ -252,11 +295,16 @@ def decode_audio_metadata(
                     try:
                         ch, sr, bits, dur, fmt = parse_audio_header(raw)
                     except ValueError as e:
+                        if on_error == "null":
+                            metas.append(None)
+                            errors.append(str(e))
+                            continue
                         raise NotImplementedError(
                             f"cannot decode payload ({e}); only WAV header "
                             "metadata is supported without an audio library "
                             "— re-run with fake=True for the deterministic "
-                            "stub"
+                            "stub, or on_error='null' to skip undecodable "
+                            "payloads"
                         ) from e
                     digest = hashlib.md5(raw).hexdigest()
                 metas.append(
@@ -269,8 +317,11 @@ def decode_audio_metadata(
                         "content_md5": digest,
                     }
                 )
+                errors.append(None)
             batch = batch.copy()
             batch[out_col] = metas
+            if on_error == "null":
+                batch[out_col + "_error"] = errors
             yield batch
 
     return df.mapInPandas(decode_batches, schema=out_schema)
@@ -295,6 +346,7 @@ def resize_plan(
     max_height: int,
     out_col: str = "resize_meta",
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Aspect-preserving resize geometry for every image payload: parse the
     REAL header (PNG/JPEG/GIF, :func:`parse_image_header`), fit the source
@@ -303,14 +355,20 @@ def resize_plan(
     JOB plans with (output sizing, storage estimates, batch shapes) — is
     fully real; actual pixel resampling needs a codec library this
     container lacks, so only the metadata is produced.  ``fake=True`` runs
-    the md5-derived stub decoder instead for undecodable payloads."""
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, RESIZE_META_SCHEMA)]
-    )
+    the md5-derived stub decoder instead for undecodable payloads.
+    ``on_error="null"`` emits a NULL geometry struct plus the failure
+    reason in ``{out_col}_error`` instead of aborting (see
+    :func:`decode_image_metadata`)."""
+    _check_on_error(on_error)
+    fields = list(df.schema.fields) + [T.StructField(out_col, RESIZE_META_SCHEMA)]
+    if on_error == "null":
+        fields.append(T.StructField(out_col + "_error", T.StringType()))
+    out_schema = T.StructType(fields)
 
     def plan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             metas = []
+            errors = []
             for payload in batch[binary_col]:
                 raw = bytes(payload) if payload is not None else b""
                 if fake:
@@ -319,9 +377,14 @@ def resize_plan(
                     try:
                         w, h, _, fmt = parse_image_header(raw)
                     except ValueError as e:
+                        if on_error == "null":
+                            metas.append(None)
+                            errors.append(str(e))
+                            continue
                         raise NotImplementedError(
                             f"cannot decode payload ({e}); re-run with "
-                            "fake=True for the deterministic stub"
+                            "fake=True for the deterministic stub, or "
+                            "on_error='null' to skip undecodable payloads"
                         ) from e
                 # fit into the box, never upscale; round half up like the
                 # reference geometry every image tool uses
@@ -336,8 +399,11 @@ def resize_plan(
                         "format": fmt,
                     }
                 )
+                errors.append(None)
             batch = batch.copy()
             batch[out_col] = metas
+            if on_error == "null":
+                batch[out_col + "_error"] = errors
             yield batch
 
     return df.mapInPandas(plan_batches, schema=out_schema)
@@ -387,17 +453,23 @@ VIDEO_META_SCHEMA = T.StructType(
 def _walk_boxes(payload: bytes, start: int, end: int):
     """Yield (fourcc, body_start, body_end) for each ISO BMFF box in
     payload[start:end] (4-byte big-endian size incl. header + 4-byte type;
-    size 0 = to end of enclosing box; size 1 / 64-bit largesize
-    unsupported for header-level parsing)."""
+    size 0 = to end of enclosing box; size 1 = an 8-byte largesize follows
+    the type — the >4 GiB-file encoding modern encoders emit)."""
     pos = start
     while pos + 8 <= end:
         size = int.from_bytes(payload[pos : pos + 4], "big")
         fourcc = payload[pos + 4 : pos + 8]
-        if size == 0:
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"truncated MP4 largesize box at byte {pos}")
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            header = 16
+        elif size == 0:
             size = end - pos
-        if size < 8 or pos + size > end:
+        if size < header or pos + size > end:
             raise ValueError(f"invalid MP4 box size {size} at byte {pos}")
-        yield fourcc, pos + 8, pos + size
+        yield fourcc, pos + header, pos + size
         pos += size
 
 
@@ -407,11 +479,16 @@ def parse_video_header(payload: bytes):
     public box layout, no video library.  Raises ValueError otherwise.
 
     Box walk: top-level 'ftyp' identifies the container; 'moov' holds
-    'mvhd' (movie timescale at body offset +12, duration at +16, version-0
-    32-bit fields) and one 'trak' per track whose 'tkhd' carries 16.16
-    fixed-point width/height at body offsets +76/+80.  The reported
-    width/height come from the first track with nonzero dimensions (the
-    video track; audio tracks store 0x0)."""
+    'mvhd' (timescale/duration) and one 'trak' per track whose 'tkhd'
+    carries 16.16 fixed-point width/height.  Version-0 boxes use 32-bit
+    creation/modification/duration fields (mvhd timescale at body offset
+    +12, duration at +16; tkhd width/height at +76/+80); version-1 boxes
+    widen those times to 64 bits, shifting the offsets (mvhd timescale
+    +20, 64-bit duration +24; tkhd width/height at +88/+92) — modern
+    encoders commonly emit v1, so both are handled.  64-bit largesize
+    boxes (size==1) are handled in the walker.  The reported width/height
+    come from the first track with nonzero dimensions (the video track;
+    audio tracks store 0x0)."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("unrecognized video container format")
     width = height = 0
@@ -428,12 +505,22 @@ def parse_video_header(payload: bytes):
             if inner == b"mvhd":
                 saw_mvhd = True
                 version = payload[i0]
-                if version != 0:
-                    raise ValueError("only version-0 mvhd supported")
-                if i0 + 20 > i1:
+                if version == 0:
+                    ts_off, dur_off, dur_len = 12, 16, 4
+                elif version == 1:
+                    # 64-bit creation/modification push timescale to +20,
+                    # and the duration itself widens to 64 bits at +24
+                    ts_off, dur_off, dur_len = 20, 24, 8
+                else:
+                    raise ValueError(f"unsupported mvhd version {version}")
+                if i0 + dur_off + dur_len > i1:
                     raise ValueError("truncated mvhd box")
-                timescale = int.from_bytes(payload[i0 + 12 : i0 + 16], "big")
-                duration = int.from_bytes(payload[i0 + 16 : i0 + 20], "big")
+                timescale = int.from_bytes(
+                    payload[i0 + ts_off : i0 + ts_off + 4], "big"
+                )
+                duration = int.from_bytes(
+                    payload[i0 + dur_off : i0 + dur_off + dur_len], "big"
+                )
                 if timescale <= 0:
                     raise ValueError("invalid mvhd timescale")
                 duration_ms = duration * 1000 // timescale
@@ -442,13 +529,23 @@ def parse_video_header(payload: bytes):
                 for tb, t0, t1 in _walk_boxes(payload, i0, i1):
                     if tb != b"tkhd":
                         continue
-                    if payload[t0] != 0:
-                        raise ValueError("only version-0 tkhd supported")
-                    if t0 + 84 > t1:
+                    version = payload[t0]
+                    if version == 0:
+                        wh_off = 76
+                    elif version == 1:
+                        # 64-bit creation/modification/duration add 12 bytes
+                        wh_off = 88
+                    else:
+                        raise ValueError(f"unsupported tkhd version {version}")
+                    if t0 + wh_off + 8 > t1:
                         raise ValueError("truncated tkhd box")
                     # 16.16 fixed point; integer part only
-                    w = int.from_bytes(payload[t0 + 76 : t0 + 80], "big") >> 16
-                    h = int.from_bytes(payload[t0 + 80 : t0 + 84], "big") >> 16
+                    w = int.from_bytes(
+                        payload[t0 + wh_off : t0 + wh_off + 4], "big"
+                    ) >> 16
+                    h = int.from_bytes(
+                        payload[t0 + wh_off + 4 : t0 + wh_off + 8], "big"
+                    ) >> 16
                     if width == 0 and w > 0 and h > 0:
                         width, height = w, h
     if not saw_moov:
@@ -473,20 +570,31 @@ def _fake_video_decode(payload: bytes):
 
 
 def decode_video_metadata(
-    df: DataFrame, binary_col: str, out_col: str = "video_meta", fake: bool = False
+    df: DataFrame,
+    binary_col: str,
+    out_col: str = "video_meta",
+    fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode video metadata for every row via Arrow-batched mapInPandas.
 
     MP4 / ISO base-media headers are parsed for real
-    (:func:`parse_video_header`); other formats raise NotImplementedError
-    unless ``fake=True`` (deterministic md5-derived stub)."""
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, VIDEO_META_SCHEMA)]
-    )
+    (:func:`parse_video_header` — version-0 AND version-1 mvhd/tkhd,
+    64-bit largesize boxes); other formats raise NotImplementedError
+    unless ``fake=True`` (deterministic md5-derived stub).
+    ``on_error="null"`` emits a NULL metadata struct plus the failure
+    reason in ``{out_col}_error`` instead of aborting (see
+    :func:`decode_image_metadata`)."""
+    _check_on_error(on_error)
+    fields = list(df.schema.fields) + [T.StructField(out_col, VIDEO_META_SCHEMA)]
+    if on_error == "null":
+        fields.append(T.StructField(out_col + "_error", T.StringType()))
+    out_schema = T.StructType(fields)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             metas = []
+            errors = []
             for payload in batch[binary_col]:
                 raw = bytes(payload) if payload is not None else b""
                 if fake:
@@ -495,11 +603,16 @@ def decode_video_metadata(
                     try:
                         w, h, dur, ts, nt, fmt = parse_video_header(raw)
                     except ValueError as e:
+                        if on_error == "null":
+                            metas.append(None)
+                            errors.append(str(e))
+                            continue
                         raise NotImplementedError(
                             f"cannot decode payload ({e}); only MP4/ISO-BMFF "
                             "header metadata is supported without a video "
                             "library — re-run with fake=True for the "
-                            "deterministic stub"
+                            "deterministic stub, or on_error='null' to skip "
+                            "undecodable payloads"
                         ) from e
                     digest = hashlib.md5(raw).hexdigest()
                 metas.append(
@@ -513,8 +626,11 @@ def decode_video_metadata(
                         "content_md5": digest,
                     }
                 )
+                errors.append(None)
             batch = batch.copy()
             batch[out_col] = metas
+            if on_error == "null":
+                batch[out_col + "_error"] = errors
             yield batch
 
     return df.mapInPandas(decode_batches, schema=out_schema)

@@ -553,3 +553,78 @@ def test_parse_video_header_requires_mvhd():
     )
     with pytest.raises(ValueError, match="mvhd"):
         parse_video_header(no_mvhd)
+
+
+def test_parse_video_header_v1_and_largesize():
+    """Version-1 mvhd/tkhd (64-bit times shift the field offsets) and the
+    size==1 + 64-bit largesize box encoding both decode — modern encoders
+    emit v1 and >4GiB files use largesize (round-6 advisor flag)."""
+    from feathub_spark.datapipe.multimodal import parse_video_header
+
+    def be(n, w):
+        return n.to_bytes(w, "big")
+
+    mvhd = (be(120, 4) + b"mvhd" + bytes([1, 0, 0, 0]) + bytes(16)
+            + be(1000, 4) + be(43210, 8) + bytes(80))
+    tkhd = (be(104, 4) + b"tkhd" + bytes([1, 0, 0, 0]) + bytes(84)
+            + be(320 << 16, 4) + be(240 << 16, 4))
+    trak = be(112, 4) + b"trak" + tkhd
+    moov = be(1, 4) + b"moov" + be(16 + len(mvhd) + len(trak), 8) + mvhd + trak
+    ftyp = be(20, 4) + b"ftyp" + b"isom" + bytes(4) + b"isom"
+    assert parse_video_header(ftyp + moov) == (320, 240, 43210, 1000, 1, "mp4")
+
+    # unsupported future versions still error (never silently misparse)
+    bad_mvhd = (be(120, 4) + b"mvhd" + bytes([2, 0, 0, 0]) + bytes(108))
+    bad = ftyp + be(128, 4) + b"moov" + bad_mvhd
+    with pytest.raises(ValueError, match="version"):
+        parse_video_header(bad)
+    # truncated largesize header errors
+    with pytest.raises(ValueError, match="largesize"):
+        parse_video_header(ftyp + be(1, 4) + b"moov" + bytes(4))
+
+
+def test_decode_on_error_null_policy(spark):
+    """on_error='null' emits NULL meta + the failure reason and KEEPS
+    GOING; the default still fails fast; bogus values are rejected."""
+    from feathub_spark.datapipe.multimodal import (
+        decode_audio_metadata,
+        decode_image_metadata,
+        decode_video_metadata,
+        resize_plan,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (32).to_bytes(4, "big") + (16).to_bytes(4, "big")
+           + bytes([8, 6, 0, 0, 0]))
+    df = spark.createDataFrame(
+        [(1, png), (2, b"definitely not an image"), (3, None)],
+        "i long, payload binary",
+    )
+    out = {
+        r["i"]: (r["image_meta"], r["image_meta_error"])
+        for r in decode_image_metadata(
+            df, "payload", on_error="null"
+        ).collect()
+    }
+    assert out[1][0]["width"] == 32 and out[1][1] is None
+    assert out[2][0] is None and "unrecognized" in out[2][1]
+    assert out[3][0] is None and out[3][1] is not None
+    # resize_plan honors the same policy
+    rz = {
+        r["i"]: (r["resize_meta"], r["resize_meta_error"])
+        for r in resize_plan(
+            df, "payload", 16, 16, on_error="null"
+        ).collect()
+    }
+    assert rz[1][0]["dst_width"] == 16 and rz[2][0] is None and rz[2][1]
+    # audio + video: same contract
+    au = decode_audio_metadata(df, "payload", on_error="null").collect()
+    assert all(r["audio_meta"] is None for r in au)
+    vi = decode_video_metadata(df, "payload", on_error="null").collect()
+    assert all(r["video_meta"] is None and r["video_meta_error"] for r in vi)
+    # default remains fail-fast, and the error column is absent
+    with pytest.raises(Exception, match="NotImplementedError|cannot decode"):
+        decode_image_metadata(df, "payload").collect()
+    assert "image_meta_error" not in decode_image_metadata(df, "payload").columns
+    with pytest.raises(ValueError, match="on_error"):
+        decode_image_metadata(df, "payload", on_error="skip")
