@@ -2294,7 +2294,12 @@ FROM fp f LEFT JOIN shared s USING (doc_id)
 def _q_temperature_sample(spark, sf_dir):
     """Temperature-based source mixing (n_s^0.7 multilingual up/down-
     sampling): per-language keep rates derived in-plan, broadcast back,
-    deterministic md5-hash membership — the corpus is never shuffled."""
+    deterministic md5-hash membership — the corpus is never shuffled.
+    target_rows=450 drives four of the five sf0.01 languages into
+    saturation, so the exact water-filling renormalization (clipped mass
+    redistributed until the expected total hits the target — the round-6
+    advisor's undershoot flag) is what the oracle hash-checks, not just
+    the plain n^alpha rule."""
     from feathub_spark.datapipe.sampling import temperature_sample
 
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -2302,7 +2307,7 @@ def _q_temperature_sample(spark, sf_dir):
         df.select("doc_id", "lang"),
         "doc_id",
         "lang",
-        target_rows=200,
+        target_rows=450,
         alpha=0.7,
         seed=3,
         keep_rate_col="keep_rate",
@@ -2314,11 +2319,31 @@ WITH counts AS (
     -- NULL groups carry no mixture weight (mirrors the implementation)
     SELECT lang, count(*) AS n FROM documents
     WHERE lang IS NOT NULL GROUP BY lang
+), aug AS (
+    SELECT lang, CAST(n AS DOUBLE) AS n, pow(n, 0.7) AS w,
+           CAST(n AS DOUBLE) / pow(n, 0.7) AS ratio
+    FROM counts
+), win AS (
+    SELECT lang, n, w, ratio,
+           coalesce(sum(n) OVER (ORDER BY ratio, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn,
+           coalesce(sum(w) OVER (ORDER BY ratio, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+           sum(w) OVER () AS tw,
+           lag(ratio) OVER (ORDER BY ratio, lang) AS pr
+    FROM aug
+), lamt AS (
+    -- water-filling threshold: the one saturation boundary whose
+    -- candidate lam falls inside its own bracket
+    SELECT max(CASE WHEN (450 - cn) / (tw - cw) < ratio
+                     AND (pr IS NULL OR (450 - cn) / (tw - cw) >= pr)
+               THEN (450 - cn) / (tw - cw) END) AS lam
+    FROM win
 ), rates AS (
     SELECT lang,
-           round(least(1.0, 200 * (pow(n, 0.7) / sum(pow(n, 0.7)) OVER ()) / n),
-                 12) AS keep_rate
-    FROM counts
+           round(CASE WHEN lam IS NULL THEN 1.0
+                 ELSE least(1.0, lam * w / n) END, 12) AS keep_rate
+    FROM aug CROSS JOIN lamt
 )
 SELECT d.doc_id, d.lang, r.keep_rate
 FROM documents d JOIN rates r USING (lang)
@@ -2741,8 +2766,11 @@ GROUP BY kk.doc_id
 def _q_domain_filter(spark, sf_dir):
     """Crawl-hygiene domain blocklist filter: deterministic URLs are
     planted per row (domain rotates over doc_id % 5, every third doc gets
-    a second www. link), registered domains extracted with the
-    public-suffix-lite rule and matched against a 2-entry blocklist."""
+    a second www. link, every fourth a *.co.uk shop link), registered
+    domains extracted with the public-suffix-lite rule — including the
+    two-level-suffix set, so 'shop1.co.uk' is a registrable domain rather
+    than collapsing to 'co.uk' (round-6 advisor flag) — and matched
+    against a 3-entry blocklist."""
     from feathub_spark.datapipe.text import domain_blocklist_filter, url_domains
 
     df = (
@@ -2753,11 +2781,16 @@ def _q_domain_filter(spark, sf_dir):
                 "concat(text, ' https://www.dom', doc_id % 5, '.org/p/', doc_id, "
                 "CASE WHEN doc_id % 3 = 0 "
                 "THEN concat(' http://extra', doc_id % 2, '.net:8080/q') "
+                "ELSE '' END, "
+                "CASE WHEN doc_id % 4 = 1 "
+                "THEN concat(' https://sub.shop', doc_id % 2, '.co.uk/item') "
                 "ELSE '' END)"
             ).alias("text"),
         )
     )
-    out = domain_blocklist_filter(df, "text", ["dom1.org", "extra0.net"])
+    out = domain_blocklist_filter(
+        df, "text", ["dom1.org", "extra0.net", "shop1.co.uk"]
+    )
     return out.select(
         "doc_id",
         url_domains("text").alias("domains"),
@@ -2765,27 +2798,39 @@ def _q_domain_filter(spark, sf_dir):
     )
 
 
+# the suffix IN-list below only needs the suffixes the fixture plants
+# (co.uk); the operator's full DEFAULT_TWO_LEVEL_SUFFIXES set is
+# golden-tested host-by-host in tests/test_datapipe_sampling.py
 _ORACLE_DOMAIN_FILTER = """
 WITH base AS (
     SELECT doc_id,
            text || ' https://www.dom' || (doc_id % 5) || '.org/p/' || doc_id ||
            CASE WHEN doc_id % 3 = 0
                 THEN ' http://extra' || (doc_id % 2) || '.net:8080/q'
+                ELSE '' END ||
+           CASE WHEN doc_id % 4 = 1
+                THEN ' https://sub.shop' || (doc_id % 2) || '.co.uk/item'
                 ELSE '' END AS t
     FROM documents
+), hosts AS (
+    SELECT doc_id,
+           list_transform(
+             regexp_extract_all(t, 'https?://([^/\\s:?#]+)', 1),
+             h -> string_split(regexp_replace(lower(h), '^www\\.', ''), '.')
+           ) AS parts
+    FROM base
 ), doms AS (
     SELECT doc_id,
-           list_sort(list_distinct(list_transform(
-             regexp_extract_all(t, 'https?://([^/\\s:?#]+)', 1),
-             h -> CASE WHEN len(string_split(regexp_replace(lower(h), '^www\\.', ''), '.')) >= 2
-                  THEN string_split(regexp_replace(lower(h), '^www\\.', ''), '.')[-2]
-                       || '.' ||
-                       string_split(regexp_replace(lower(h), '^www\\.', ''), '.')[-1]
-                  ELSE regexp_replace(lower(h), '^www\\.', '') END))) AS domains
-    FROM base
+           list_sort(list_distinct(list_transform(parts,
+             p -> CASE WHEN len(p) >= 3 AND (p[-2] || '.' || p[-1]) IN ('co.uk')
+                  THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+                  WHEN len(p) >= 2 THEN p[-2] || '.' || p[-1]
+                  ELSE array_to_string(p, '.') END))) AS domains
+    FROM hosts
 )
 SELECT doc_id, domains,
-       len(list_intersect(domains, ['dom1.org', 'extra0.net'])) > 0 AS blocked
+       len(list_intersect(domains, ['dom1.org', 'extra0.net', 'shop1.co.uk'])) > 0
+           AS blocked
 FROM doms
 """
 

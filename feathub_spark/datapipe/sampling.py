@@ -84,28 +84,40 @@ def temperature_sample(
     alpha: float = 0.7,
     seed: int = 0,
     keep_rate_col: Optional[str] = None,
+    renormalize: bool = True,
 ) -> DataFrame:
     """Temperature-based source mixing (the multilingual up/down-sampling
     rule from multilingual-BERT / XLM-R / mT5): group s is sampled with
     probability proportional to n_s^alpha, flattening the source
     distribution for alpha < 1 so small sources are up-weighted relative
-    to their raw share.  Expected output size is ~``target_rows`` (exact
-    in expectation; per-group keep rates are capped at 1.0, so heavily
-    up-weighted small groups can contribute at most all their rows).
+    to their raw share.  Expected output size is ~``target_rows`` exactly
+    (in expectation): per-group keep rates are capped at 1.0, and with
+    ``renormalize=True`` (default) the probability mass clipped off
+    saturated small groups is redistributed over the unsaturated ones by
+    the exact water-filling solution — rates are min(1, lam*w_s/n_s) with
+    lam chosen so the expected total hits min(target_rows, corpus size)
+    (without it, callers asking for N rows systematically get fewer
+    whenever any group saturates — the round-6 advisor flag).  Set
+    ``renormalize=False`` for the plain single-pass rule.
 
     Realized as: per-group counts (one map-side-combinable aggregate on a
-    LOW-cardinality key — sources/languages, not documents), normalized
-    weights via a broadcast of the 1-row total, and a deterministic
-    hash-fraction keep per row — the group-rate table is broadcast back,
-    so the corpus itself is never shuffled.  Membership depends only on
-    (id, seed): raising ``target_rows`` strictly grows the sample (nested
-    samples), and any engine can replay the exact selection.
+    LOW-cardinality key — sources/languages, not documents), the
+    water-filling threshold via cumulative-sum windows OVER THAT TINY
+    TABLE (sorted by saturation point n_s/w_s, the candidate lam at each
+    boundary is (T - sum n of saturated) / (sum w of unsaturated); exactly
+    one boundary brackets its own candidate — no iteration, no collect),
+    and a deterministic hash-fraction keep per row — the group-rate table
+    is broadcast back, so the corpus itself is never shuffled.  Membership
+    depends only on (id, seed): raising ``target_rows`` strictly grows the
+    sample (nested samples), and any engine can replay the exact
+    selection.
 
     Rates are rounded to 12 dp before the comparison so the keep decision
     is robust to last-ulp ``pow`` differences across engines.  Rows with
     NULL ``group_col`` are dropped (no defined mixture weight).  Pass
     ``keep_rate_col`` to keep the per-row applied rate for audit."""
     n = F.col("__n__").cast("double")
+    w = F.pow(n, F.lit(float(alpha)))
     # NULL-group rows are dropped from the OUTPUT (no defined mixture
     # weight), so they must not inflate the normalization total either —
     # otherwise every real group's rate shrinks and the realized sample
@@ -115,22 +127,49 @@ def temperature_sample(
         .groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("__n__"))
     )
-    # empty-partitionBy window is fine HERE: it runs over the per-group
-    # count table whose cardinality is the number of sources/languages —
-    # bounded and tiny by definition, unlike per-row global windows
-    tot = F.sum(F.pow(n, F.lit(float(alpha)))).over(Window.partitionBy())
-    rates = counts.select(
-        group_col,
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.lit(float(target_rows))
-                * (F.pow(n, F.lit(float(alpha))) / tot)
-                / n,
-            ),
-            12,
-        ).alias("__rate__"),
-    )
+    # empty-partitionBy / global-order windows are fine HERE: they run
+    # over the per-group count table whose cardinality is the number of
+    # sources/languages — bounded and tiny by definition, unlike per-row
+    # global windows
+    T = F.lit(float(target_rows))
+    if renormalize:
+        # water-filling: sort groups by saturation point ratio = n/w (the
+        # lam at which the group's rate reaches 1).  If the first k groups
+        # are saturated, lam = (T - sum_k n) / (sum_rest w); the correct k
+        # is the one whose candidate lam falls inside [ratio_{k},
+        # ratio_{k+1}) — checked per boundary row, exactly one matches.
+        # No valid boundary means T >= corpus size: every rate is 1.
+        ratio = (n / w).alias("__ratio__")
+        aug = counts.select(F.col(group_col), F.col("__n__"), w.alias("__w__"), ratio)
+        ordw = Window.orderBy("__ratio__", group_col)
+        before = ordw.rowsBetween(Window.unboundedPreceding, -1)
+        aug = aug.select(
+            "*",
+            F.coalesce(F.sum("__n__").over(before), F.lit(0)).cast("double").alias("__cn__"),
+            F.coalesce(F.sum("__w__").over(before), F.lit(0.0)).alias("__cw__"),
+            F.sum("__w__").over(Window.partitionBy()).alias("__tw__"),
+            F.lag("__ratio__").over(ordw).alias("__pr__"),
+        )
+        cand = (T - F.col("__cn__")) / (F.col("__tw__") - F.col("__cw__"))
+        valid = (cand < F.col("__ratio__")) & (
+            F.col("__pr__").isNull() | (cand >= F.col("__pr__"))
+        )
+        lam = F.max(F.when(valid, cand)).over(Window.partitionBy())
+        rates = aug.select(
+            group_col,
+            F.round(
+                F.when(lam.isNull(), F.lit(1.0)).otherwise(
+                    F.least(F.lit(1.0), lam * F.col("__w__") / F.col("__n__"))
+                ),
+                12,
+            ).alias("__rate__"),
+        )
+    else:
+        tot = F.sum(w).over(Window.partitionBy())
+        rates = counts.select(
+            group_col,
+            F.round(F.least(F.lit(1.0), T * (w / tot) / n), 12).alias("__rate__"),
+        )
     out = df.join(F.broadcast(rates), on=group_col).filter(
         hash_fraction(id_col, seed) < F.col("__rate__")
     )

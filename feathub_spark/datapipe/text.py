@@ -395,24 +395,79 @@ URL_PATTERN = r"https?://[^\s]+"
 _HOST_PATTERN = r"https?://([^/\\s:?#]+)"
 
 
-def url_domains(text_col: str) -> Column:
+# The common two-level public suffixes (public-suffix-list subset): hosts
+# under these need THREE labels to name a registered domain — without the
+# set, every *.co.uk host collapses to 'co.uk' and a blocklist entry like
+# 'badsite.co.uk' can never match (round-6 advisor flag).
+DEFAULT_TWO_LEVEL_SUFFIXES = (
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "org.uk",
+    "plc.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.eg", "com.sa", "com.pk", "com.bd", "com.ng", "com.ua",
+    "co.th", "ac.th", "or.th", "go.th", "in.th",
+    "co.il", "org.il", "ac.il", "gov.il", "net.il",
+)
+
+
+def url_domains(text_col: str, extra_suffixes=DEFAULT_TWO_LEVEL_SUFFIXES) -> Column:
     """Sorted distinct registered domains referenced by the text's URLs.
 
     Registered domain = last two dot-labels of the lowercased host with a
-    leading "www." stripped (public-suffix-LITE: correct for .com/.org/...
-    style TLDs, approximate for two-level public suffixes like .co.uk —
-    documented trade-off that keeps the extraction a pure Catalyst
-    expression with an exact cross-engine oracle).  Pure per-row compute,
-    no shuffle."""
+    leading "www." stripped — EXCEPT hosts whose last two labels form a
+    two-level public suffix in ``extra_suffixes`` (co.uk, com.au, ...),
+    which take the last THREE labels (public-suffix-lite with the
+    high-traffic ccTLD second-level suffixes covered; pass a different
+    sequence to extend, or ``()`` for the plain two-label rule).  The
+    suffix probe is a literal-array ``array_contains`` — the whole
+    extraction stays a pure Catalyst expression with an exact
+    cross-engine oracle.  Pure per-row compute, no shuffle."""
     hosts = (
         f"transform(regexp_extract_all(`{text_col}`, '{_HOST_PATTERN}', 1), "
         f"h -> regexp_replace(lower(h), '^www\\\\.', ''))"
     )
+    if extra_suffixes:
+        sufs = ", ".join(
+            "'" + str(s).lower().replace("'", "") + "'" for s in extra_suffixes
+        )
+        take3 = (
+            f"array_contains(array({sufs}), "
+            "concat(element_at(p, -2), '.', element_at(p, -1)))"
+        )
+        pick = (
+            f"CASE WHEN size(p) >= 3 AND {take3} "
+            "THEN concat(element_at(p, -3), '.', "
+            "element_at(p, -2), '.', element_at(p, -1)) "
+            "WHEN size(p) >= 2 THEN concat(element_at(p, -2), '.', "
+            "element_at(p, -1)) ELSE h END"
+        )
+    else:
+        pick = (
+            "CASE WHEN size(p) >= 2 THEN concat(element_at(p, -2), '.', "
+            "element_at(p, -1)) ELSE h END"
+        )
+    # let-bind the split so Catalyst evaluates it once per host, not once
+    # per element_at (see the HOF let-binding lesson)
     dom = (
-        "transform({hosts}, h -> CASE WHEN size(split(h, '\\\\.')) >= 2 "
-        "THEN concat(element_at(split(h, '\\\\.'), -2), '.', "
-        "element_at(split(h, '\\\\.'), -1)) ELSE h END)"
-    ).format(hosts=hosts)
+        "transform({hosts}, h -> "
+        "transform(array(split(h, '\\\\.')), p -> {pick})[0])"
+    ).format(hosts=hosts, pick=pick)
     return F.expr(f"array_sort(array_distinct({dom}))")
 
 
@@ -422,6 +477,7 @@ def domain_blocklist_filter(
     blocklist,
     keep: bool = True,
     flag_col: str = "blocked",
+    extra_suffixes=DEFAULT_TWO_LEVEL_SUFFIXES,
 ) -> DataFrame:
     """Annotate (and optionally drop) documents referencing blocklisted
     registered domains — the standard crawl-hygiene filter.
@@ -430,8 +486,9 @@ def domain_blocklist_filter(
     literal array — the usual case, blocklists are small) or a 1-column
     DataFrame joined via broadcast.  ``keep=True`` returns all rows with a
     boolean ``flag_col``; ``keep=False`` drops flagged rows.  No shuffle
-    either way."""
-    doms = url_domains(text_col)
+    either way.  ``extra_suffixes`` feeds :func:`url_domains` so
+    'badsite.co.uk'-style blocklist entries match."""
+    doms = url_domains(text_col, extra_suffixes)
     if isinstance(blocklist, DataFrame):
         # collapse the blocklist to ONE array row and broadcast it — a
         # bounded 1-row build side; an explode+groupBy(all columns)

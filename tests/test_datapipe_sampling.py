@@ -560,3 +560,97 @@ def test_domain_blocklist_df_path_keeps_duplicates_and_maps(spark):
     # literal entries containing quotes must not break the expression
     q = domain_blocklist_filter(df, "text", ["o'brien.com"]).collect()
     assert all(not r["blocked"] for r in q)
+
+
+def test_temperature_sample_renormalizes_clipped_mass(spark):
+    """When small groups saturate, the water-filling renormalization
+    redistributes their clipped probability mass so the EXPECTED sample
+    size still equals min(target_rows, corpus size) — the plain rule
+    systematically undershoots (round-6 advisor flag)."""
+    from feathub_spark.datapipe.sampling import temperature_sample
+
+    # 500 'en', 40 'de', 10 'fr', 4 'xx': alpha .5 + target 300 saturates
+    # xx, fr AND de in cascade (three water-filling steps)
+    rows = (
+        [(i, "en") for i in range(500)]
+        + [(1000 + i, "de") for i in range(40)]
+        + [(2000 + i, "fr") for i in range(10)]
+        + [(3000 + i, "xx") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    counts = {"en": 500, "de": 40, "fr": 10, "xx": 4}
+
+    out = temperature_sample(
+        df, "doc_id", "lang", target_rows=300, alpha=0.5, seed=1,
+        keep_rate_col="rate",
+    )
+    rates = {r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()}
+    # every non-dominant group saturates; en absorbs the clipped mass
+    assert rates["xx"] == 1.0 and rates["fr"] == 1.0 and rates["de"] == 1.0
+    expected_total = sum(rates[g] * n for g, n in counts.items())
+    assert abs(expected_total - 300) < 1e-6
+    # en's rate exceeds what the plain (non-renormalized) rule would give
+    plain = {r["lang"]: r["rate"] for r in temperature_sample(
+        df, "doc_id", "lang", target_rows=300, alpha=0.5, seed=1,
+        keep_rate_col="rate", renormalize=False,
+    ).select("lang", "rate").distinct().collect()}
+    assert rates["en"] > plain["en"]
+    plain_total = sum(plain[g] * n for g, n in counts.items())
+    assert plain_total < 300 - 10  # the undershoot the fix removes
+
+    # target >= corpus size: every rate is 1 (no valid boundary)
+    all_rates = {r["lang"]: r["rate"] for r in temperature_sample(
+        df, "doc_id", "lang", target_rows=10_000, alpha=0.5, seed=1,
+        keep_rate_col="rate",
+    ).select("lang", "rate").distinct().collect()}
+    assert set(all_rates.values()) == {1.0}
+
+    # nested property survives renormalization: raising target grows the set
+    small = {r["doc_id"] for r in temperature_sample(
+        df, "doc_id", "lang", target_rows=150, alpha=0.5, seed=1).collect()}
+    big = {r["doc_id"] for r in temperature_sample(
+        df, "doc_id", "lang", target_rows=300, alpha=0.5, seed=1).collect()}
+    assert small <= big
+
+
+def test_url_domains_two_level_public_suffixes(spark):
+    """Hosts under two-level public suffixes keep THREE labels — a
+    blocklist entry like 'badsite.co.uk' must be matchable, and unrelated
+    *.co.uk sites must not merge into one 'co.uk' domain (round-6 advisor
+    flag)."""
+    from feathub_spark.datapipe.text import (
+        DEFAULT_TWO_LEVEL_SUFFIXES,
+        domain_blocklist_filter,
+        url_domains,
+    )
+
+    rows = [
+        (1, "https://www.badsite.co.uk/x and https://news.bbc.co.uk/y"),
+        (2, "https://shop.example.com.au/z"),
+        (3, "https://co.uk/ and https://example.org/"),   # bare suffix host
+        (4, "https://a.b.example.ac.jp/p"),
+        (5, "plain http://normal.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in df.select("doc_id", url_domains("text").alias("d")).collect()
+    }
+    assert doms[1] == ["badsite.co.uk", "bbc.co.uk"]
+    assert doms[2] == ["example.com.au"]
+    # a host that IS the suffix has only 2 labels -> falls back to itself
+    assert doms[3] == ["co.uk", "example.org"]
+    assert doms[4] == ["example.ac.jp"]
+    assert doms[5] == ["normal.com"]
+    # blocklisting a co.uk registrable domain now works end to end
+    out = {
+        r["doc_id"]: r["blocked"]
+        for r in domain_blocklist_filter(df, "text", ["badsite.co.uk"]).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
+    # opting out restores the plain 2-label rule
+    plain = df.select(
+        "doc_id", url_domains("text", extra_suffixes=()).alias("d")
+    ).collect()
+    assert {r["doc_id"]: r["d"] for r in plain}[1] == ["co.uk"]
+    assert "co.uk" in DEFAULT_TWO_LEVEL_SUFFIXES
