@@ -2664,6 +2664,38 @@ FROM documents
 """
 
 
+def _q_remove_dup_passages_fast(spark, sf_dir):
+    """Production-path twin of remove_dup_passages: the identical plan with
+    the engine-native xxhash64 gram hash instead of the
+    oracle-reproducible dual-31-bit poly fold (~10x the per-char
+    arithmetic — the r6 bench charged that oracle tax to the operator).
+    No SQL engine exposes xxhash64, so this entry has no SQL oracle (the
+    driver records a rows-only check); the xxhash64 span semantics are
+    unit-pinned in tests/test_passages.py."""
+    from feathub_spark.datapipe.passages import remove_duplicate_passages
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return remove_duplicate_passages(
+        df, "text", "doc_id", gram_len=12, window=6, hash_fn="xxhash64"
+    )
+
+
+def _q_index_match_fast(spark, sf_dir):
+    """Production-path twin of index_match (xxhash64 gram hash; see
+    _q_remove_dup_passages_fast for why there is no SQL oracle)."""
+    from feathub_spark.datapipe.passages import match_against_index, winnow_index
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    index = winnow_index(
+        df.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
+        gram_len=12, window=6, hash_fn="xxhash64",
+    )
+    return match_against_index(
+        df.filter(F.col("doc_id") % 2 == 1), index, "text", "doc_id",
+        gram_len=12, window=6, hash_fn="xxhash64",
+    )
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3072,6 +3104,8 @@ _RAW_QUERIES = {
         "temperature_sample": _q_temperature_sample,
         "normalize_text": _q_normalize_text,
         "remove_dup_passages": _q_remove_dup_passages,
+        "remove_dup_passages_fast": _q_remove_dup_passages_fast,
+        "index_match_fast": _q_index_match_fast,
         "token_surprisal": _q_token_surprisal,
         "video_meta": _q_video_meta,
         "video_meta_v1": _q_video_meta_v1,

@@ -21,6 +21,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# round-6 per-query bench medians (sf0.1, median-of-3) — the pinned
+# numeric denominator; see BASELINE.md 'Pinned numeric baseline'
+R6_BASELINE = { "expr_filter": 0.629, "scalar_funcs": 0.727, "over_cumulative": 0.719, "over_range_1h": 0.663, "over_salted_1h": 1.434, "over_rows_limit": 0.471, "over_filtered": 0.464, "over_first_last": 0.445, "pit_join": 0.853, "sliding_2d_1d": 0.533, "sliding_value_counts": 1.226, "sliding_filtered": 0.448, "sliding_tumbling_1d": 0.384, "sql_view_tpch_q1": 0.251, "udf_token_count": 0.678, "datagen_seq": 0.076, "dedup_exact": 0.19, "text_stats": 0.416, "ngram_jaccard": 2.339, "minhash_dedup": 1.282, "simhash_pairs": 0.998, "ann_topk": 0.487, "embedding_neardup": 0.417, "value_counts": 1.209, "value_counts_2d": 1.916, "key_time_filter": 0.218, "multimodal_meta": 0.292, "multimodal_real": 0.291, "resize_plan": 0.285, "audio_meta": 0.295, "frame_sample": 0.137, "dsl_functions": 0.904, "over_on_joined": 1.187, "sliding_first_last": 0.556, "over_collect_list": 0.438, "token_metrics": 0.183, "lsh_ann": 0.786, "dedup_clusters": 3.089, "ivf_ann": 0.954, "ivf_ann_trained": 1.573, "sample_shard": 0.186, "pack_sequences": 0.336, "pii_redact": 0.521, "char_entropy": 1.696, "token_quantiles": 0.63, "ngram_topk": 0.697, "ngram_topk_global": 0.718, "repetition_signals": 0.904, "contamination": 1.026, "select_survivors": 3.149, "dup_passages": 1.542, "temperature_sample": 0.234, "normalize_text": 0.472, "remove_dup_passages": 12.507, "token_surprisal": 0.745, "video_meta": 0.41, "cluster_sample": 0.743, "boilerplate_lines": 1.58, "domain_filter": 0.33, "text_signals": 2.276, "index_match": 6.37, "compression_ratio": 0.44 }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -72,6 +77,12 @@ def main() -> None:
         "token_metrics", "lsh_ann",
     ]
     r5_total = sum(timings[q] for q in r5_set if q in timings)
+    # ratio vs the pinned round-6 medians, over the 62 queries both rounds
+    # ran (newer queries have no denominator); only meaningful at sf0.1
+    common = [q for q in R6_BASELINE if q in timings]
+    r6_total = sum(timings[q] for q in common)
+    base_total = sum(R6_BASELINE[q] for q in common)
+    vs_r6 = round(r6_total / base_total, 4) if base_total and sf == 0.1 else None
 
     print(
         json.dumps(
@@ -82,6 +93,8 @@ def main() -> None:
                 "queries": timings,
                 "runs_per_query": repeats,
                 "r5_subset_total": round(r5_total, 3),
+                "r6_subset_total": round(r6_total, 3),
+                "vs_r6_baseline": vs_r6,
                 "sf": sf,
             }
         )
