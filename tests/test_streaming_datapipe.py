@@ -80,3 +80,102 @@ def test_stateless_datapipe_ops_stream_equals_batch(spark, tmp_path):
     # sanity: the pipeline actually did something on row 1
     assert "[EMAIL]" in got[1]["clean_text"] or "@" not in got[1]["clean_text"]
     assert got[1]["domains"] == ["spam.org"]
+
+
+def test_match_against_index_streaming_foreachbatch(spark, tmp_path):
+    """Incremental ingest dedup in streaming: NEW documents arrive as a
+    stream and are checked per micro-batch against a STATIC historical
+    fingerprint index via foreachBatch — the production shape for
+    continuous corpus growth (the index is itself incrementally
+    maintainable: winnow_index output is a plain (fp) table).  Results
+    must equal the batch run over the same rows."""
+    from feathub_spark.datapipe.passages import match_against_index, winnow_index
+
+    hist = spark.createDataFrame(
+        [(i, f"historical passage number {i} with shared boilerplate tail")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    new_rows = (
+        # doc 100 copies a historical passage, 101 is fresh
+        [(100, "historical passage number 3 with shared boilerplate tail")]
+        + [(101, "entirely novel content nothing indexed before here at all")]
+        + [(102 + i, f"historical passage number {i} with shared boilerplate tail")
+           for i in range(3)]
+    )
+    new_batch = spark.createDataFrame(new_rows, "doc_id long, text string")
+    index = winnow_index(hist, "text", "doc_id", gram_len=8, window=4)
+
+    kw = dict(gram_len=8, window=4)
+    expected = {
+        r["doc_id"]: r
+        for r in match_against_index(new_batch, index, "text", "doc_id", **kw)
+        .collect()
+    }
+
+    got = {}
+
+    def handle(bdf, _bid):
+        for r in match_against_index(bdf, index, "text", "doc_id", **kw).collect():
+            got[r["doc_id"]] = r
+
+    stream = _stream_of(spark, new_batch, tmp_path, "idx")
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck_idx"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i]["n_fingerprints"] == expected[i]["n_fingerprints"]
+        assert got[i]["n_matched"] == expected[i]["n_matched"]
+        assert got[i]["dup_fraction"] == expected[i]["dup_fraction"]
+    # the duplicated docs really matched and the fresh one really did not
+    assert expected[100]["dup_fraction"] == 1.0
+    assert expected[101]["dup_fraction"] == 0.0
+
+
+def test_boilerplate_lines_streaming_foreachbatch(spark, tmp_path):
+    """Grouped-rebuild conformance for the corpus-aggregating line-removal
+    operator: line frequencies are corpus-wide by definition, so the
+    streaming shape is foreachBatch over a per-corpus batch (one ingest
+    unit = one micro-batch); within it the operator must produce exactly
+    the batch result."""
+    from feathub_spark.datapipe.passages import remove_boilerplate_lines
+
+    rows = [
+        (i, "standard header\n" + f"unique body line {i}"
+            + ("\nshared footer" if i % 2 == 0 else ""))
+        for i in range(10)
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(batch, "text", "doc_id", min_docs=2)
+        .collect()
+    }
+
+    got = {}
+
+    def handle(bdf, _bid):
+        for r in remove_boilerplate_lines(bdf, "text", "doc_id", min_docs=2).collect():
+            got[r["doc_id"]] = r
+
+    stream = _stream_of(spark, batch, tmp_path, "bp")
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck_bp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i]["clean_text"] == expected[i]["clean_text"]
+    # boilerplate really got cut, unique bodies really survived
+    assert "standard header" not in got[1]["clean_text"]
+    assert "unique body line 1" in got[1]["clean_text"]
