@@ -2696,6 +2696,73 @@ def _q_index_match_fast(spark, sf_dir):
     )
 
 
+def _q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou et al. 2011): 64-dim vectors compress to 4 subspace codes
+    against hash-rank codebooks, queries precompute tiny distance LUTs,
+    and the corpus is scored by integer-micro-unit table lookups — the
+    memory-compression scale path for billion-vector ANN.  The oracle
+    replays the full pipeline (codebook -> encode argmin -> LUT -> ADC sum
+    -> rank), so compression correctness is hash-checked, not trusted."""
+    from feathub_spark.datapipe.similarity import pq_topk
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = df.filter(F.col("vec_id") < 5)
+    return pq_topk(
+        df, queries_df, "embedding", "vec_id", k=5, m=4, n_codes=16, seed=5
+    )
+
+
+_PQ_D = (
+    "CAST(round(list_aggregate(list_transform(range(1, 17), "
+    "i -> (CAST({v}[c.sub * 16 + i] AS DOUBLE) - c.subvec[i]) "
+    "* (CAST({v}[c.sub * 16 + i] AS DOUBLE) - c.subvec[i])), 'sum') "
+    "* 1000000, 0) AS BIGINT)"
+)
+
+_ORACLE_PQ_ANN = f"""
+WITH samp AS (
+    SELECT vec_id AS cid, embedding AS cvec,
+           {_H32.format(col='vec_id', seed=5)} AS h
+    FROM embeddings ORDER BY h, cid LIMIT 16
+), coded AS (
+    SELECT cid, cvec,
+           CAST(row_number() OVER (ORDER BY h, cid) - 1 AS INT) AS code
+    FROM samp
+), cb AS (
+    SELECT CAST(j.j AS INT) AS sub, code,
+           list_transform(cvec[j.j * 16 + 1 : j.j * 16 + 16],
+                          x -> CAST(x AS DOUBLE)) AS subvec
+    FROM coded CROSS JOIN (SELECT unnest(range(4)) AS j) j
+), enc AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, c.sub, c.code,
+               row_number() OVER (PARTITION BY e.vec_id, c.sub
+                   ORDER BY {_PQ_D.format(v='e.embedding')} ASC, c.code ASC)
+                   AS rn
+        FROM embeddings e CROSS JOIN cb c
+    ) WHERE rn = 1
+), lut AS (
+    SELECT q.vec_id AS query_id, c.sub, c.code,
+           {_PQ_D.format(v='q.embedding')} AS d
+    FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 5
+), score AS (
+    SELECT l.query_id, en.vec_id AS neighbor_id, sum(l.d) AS s
+    FROM enc en JOIN lut l ON l.sub = en.sub AND l.code = en.code
+    WHERE en.vec_id <> l.query_id
+    GROUP BY l.query_id, en.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+       round(s / 1000000.0, 6) AS adc_dist
+FROM (
+    SELECT query_id, neighbor_id, s,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY s ASC, neighbor_id ASC) AS rnk
+    FROM score
+) WHERE rnk <= 5
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3090,6 +3157,7 @@ _RAW_QUERIES = {
         "dedup_clusters": _q_dedup_clusters,
         "ivf_ann": _q_ivf_ann,
         "ivf_ann_trained": _q_ivf_ann_trained,
+        "pq_ann": _q_pq_ann,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3161,6 +3229,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _ORACLE_FRAME_SAMPLE,
         "ivf_ann": _ORACLE_IVF_ANN,
         "ivf_ann_trained": _ORACLE_IVF_ANN_TRAINED,
+        "pq_ann": _ORACLE_PQ_ANN,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

@@ -10,6 +10,15 @@
   scored.  Hyperplane coefficients derive deterministically from
   xxhash64(seed, plane, dim) so executors need no broadcast of plane
   matrices and reruns are reproducible.
+- ivf_topk / train_ivf_codebook: inverted-file cells over a
+  corpus-size-independent codebook; queries probe nprobe cells.
+- pq_codebook / pq_encode / pq_topk: product quantization with asymmetric
+  distance computation (Jegou et al. 2011) — the memory-compression path
+  (64 floats -> m codes); encode and scoring are map-only broadcast folds
+  in integer micro-units.
+
+Every per-query top-k runs the salted two-stage rank (_two_stage_topk), so
+no single task ever ranks a whole query's candidate set.
 """
 
 from __future__ import annotations
@@ -17,6 +26,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from feathub_spark.common.parallelism import ensure_parallelism
+
+def _two_stage_topk(
+    scored: DataFrame,
+    k: int,
+    order_cols,
+    group_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Distributed per-query top-k: a single Window partitioned by query
+    would funnel every scored row for a query through ONE task — at corpus
+    scale that task is the whole job.  Instead rank within (query, salt)
+    first (salt = xxhash64(item) mod n_salts, so the heavy pass runs
+    n_salts-way parallel per query), keep each salt's top k — every global
+    top-k row necessarily survives its own salt's cut — then rank the
+    <= n_salts*k survivors per query for the exact global result.  Result
+    rows and ranks are identical to the single-window plan; only the
+    physical shape changes."""
+    salt = F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(group_col, "__salt__").orderBy(*order_cols)
+    w2 = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        scored.withColumn("__salt__", salt)
+        .withColumn("__prank__", F.row_number().over(w1))
+        .filter(F.col("__prank__") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .drop("__salt__", "__prank__")
+    )
+
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -63,14 +102,9 @@ def brute_force_topk(
             F.round(F.expr(dot) / (F.col("__qn__") * F.col("__cn__")), 6),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _two_stage_topk(
+        scored, k, [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    ).select("query_id", "neighbor_id", "rank", "cosine")
 
 
 def ivf_codebook(
@@ -230,14 +264,9 @@ def ivf_topk(
         "cosine",
         F.round(F.expr(cosine_expr("__query_id_v__", "__neighbor_id_v__")), 6),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _two_stage_topk(
+        scored, k, [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    ).select("query_id", "neighbor_id", "rank", "cosine")
 
 
 def _srp_signature(
@@ -334,14 +363,9 @@ def lsh_topk(
         "cosine",
         F.round(F.expr(cosine_expr("__query_id_v__", "__neighbor_id_v__")), 6),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _two_stage_topk(
+        scored, k, [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    ).select("query_id", "neighbor_id", "rank", "cosine")
 
 
 def cluster_balanced_sample(
@@ -402,3 +426,180 @@ def cluster_balanced_sample(
         .filter(F.col("cell_rank") <= per_cell)
         .select(id_col, "cell", "cell_rank")
     )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Product-quantization codebooks: the vector space is split into ``m``
+    equal-width subspaces and each gets ``n_codes`` centroids — the slices
+    of the deterministic hash-rank sample (:func:`ivf_codebook`'s
+    corpus-size-independent selection, so the broadcast never grows with
+    the data).  Codes are compact 0..n_codes-1 in (hash, id) sample order;
+    subvector components are cast to double up front so all downstream
+    distance arithmetic is engine-stable.
+
+    Returns (sub, code, subvec) — m * n_codes tiny rows."""
+    from feathub_spark.datapipe.sampling import hash32
+
+    cents = ivf_codebook(corpus, vec_col, id_col, n_codes, seed)
+    # compact code ids by the same (hash, id) rank that selected the sample;
+    # single-task window over <= n_codes rows — bounded by construction
+    w = Window.orderBy(hash32("__cid__", seed).asc(), F.col("__cid__").asc())
+    coded = cents.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+    sub = (
+        f"transform(sequence(0, {m - 1}), j -> named_struct("
+        f"'sub', CAST(j AS INT), "
+        f"'subvec', transform(slice(__cvec__, "
+        f"j * (size(__cvec__) div {m}) + 1, size(__cvec__) div {m}), "
+        f"x -> CAST(x AS DOUBLE))))"
+    )
+    return coded.select(
+        F.explode(F.expr(sub)).alias("__s__"), "code"
+    ).select(F.col("__s__.sub").alias("sub"), "code", F.col("__s__.subvec").alias("subvec"))
+
+
+def _pq_sq_dist_micro(a: str, b: str) -> str:
+    """Squared L2 distance between two double arrays in integer MICRO-units
+    (round 6 dp, x1e6, bigint): downstream sums of these are exact integer
+    arithmetic — identical in any engine regardless of summation order."""
+    return (
+        f"CAST(round(aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + v) * 1000000, 0) AS BIGINT)"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 0,
+    codebook: DataFrame = None,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte-ish codes (nearest codebook
+    entry per subspace by squared L2, ties to the smaller code) — the
+    memory-compression step that makes billion-scale ANN fit: 64 floats
+    become 4 ints.
+
+    Scale shape: the codebook is collapsed to ONE broadcast row and the
+    argmin runs as a Catalyst fold over it per subspace — the encode pass
+    is map-only (zero shuffle, no explode of the corpus).  Distances
+    compare in integer micro-units (see :func:`_pq_sq_dist_micro`), so
+    the assignment is engine-exact for oracles.
+
+    Returns the corpus projected to (id_col, out_col array<int>)."""
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(corpus, vec_col, id_col, m, n_codes, seed)
+    )
+    cb1 = cb.agg(
+        F.expr("array_sort(collect_list(named_struct("
+               "'sub', sub, 'code', code, 'subvec', subvec)))").alias("__cb__")
+    )
+    subs = (
+        f"transform(sequence(0, {m - 1}), j -> transform(slice(`{vec_col}`, "
+        f"j * (size(`{vec_col}`) div {m}) + 1, size(`{vec_col}`) div {m}), "
+        f"x -> CAST(x AS DOUBLE)))"
+    )
+    d2 = _pq_sq_dist_micro("element_at(__subs__, j + 1)", "e.subvec")
+    codes = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"aggregate(filter(__cb__, e -> e.sub = j), "
+        f"named_struct('d', CAST(NULL AS BIGINT), 'c', CAST(-1 AS INT)), "
+        # let-bind the candidate distance via a 1-element transform so the
+        # fold evaluates it once per entry (the HOF let-binding lesson)
+        f"(acc, e) -> transform(array({d2}), dd -> "
+        f"CASE WHEN acc.c = -1 OR dd < acc.d "
+        f"THEN named_struct('d', dd, 'c', e.code) ELSE acc END)[0], "
+        f"acc -> acc.c))"
+    )
+    return (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), F.expr(subs).alias("__subs__"))
+        .crossJoin(F.broadcast(cb1))
+        .select(F.col(id_col), F.expr(codes).alias(out_col))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 0,
+    query_id_col: str = None,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (ADC,
+    Jegou et al. 2011): the corpus is PQ-encoded once (m codes per
+    vector), each query precomputes its m x n_codes lookup table of exact
+    query-subvector-to-centroid distances, and every corpus row is scored
+    by m table lookups instead of a d-dimensional dot product.
+
+    Scale shape: encode is a map-only broadcast fold
+    (:func:`pq_encode`); the per-query LUTs are tiny (m*n_codes entries)
+    and broadcast; scoring is a map-only lookup sum in integer micro-units
+    (exact in any engine); top-k runs the salted two-stage rank
+    (:func:`_two_stage_topk`) so no single task ever sees a whole query's
+    corpus.  This is the compressed-domain exhaustive scan — compose with
+    IVF cells for the full IVF-PQ when even a compressed scan is too much.
+
+    Returns (query_id, neighbor_id, rank, adc_dist) — adc_dist ascending,
+    the approximate squared L2 distance."""
+    query_id_col = query_id_col or id_col
+    cb = pq_codebook(corpus, vec_col, id_col, m, n_codes, seed)
+    encoded = pq_encode(
+        corpus, vec_col, id_col, m, n_codes, seed, codebook=cb
+    ).withColumnRenamed(id_col, "neighbor_id")
+
+    qsubs = (
+        f"transform(sequence(0, {m - 1}), j -> transform(slice(`{vec_col}`, "
+        f"j * (size(`{vec_col}`) div {m}) + 1, size(`{vec_col}`) div {m}), "
+        f"x -> CAST(x AS DOUBLE)))"
+    )
+    lut = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.expr(qsubs).alias("__qs__")
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", "sub", "code",
+            F.expr(
+                _pq_sq_dist_micro("element_at(__qs__, sub + 1)", "subvec")
+            ).alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(named_struct("
+                "'sub', sub, 'code', code, 'd', d)))"
+            ).alias("__lut__")
+        )
+    )
+    # LUT is sorted by (sub, code) with compact codes, so entry (j, c)
+    # lives at index j * (len/m) + c — pure arithmetic lookup, no probe
+    score = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, j) -> "
+        f"acc + element_at(__lut__, CAST(j * (size(__lut__) div {m}) "
+        f"+ element_at(pq_codes, j + 1) + 1 AS INT)).d)"
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(lut))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(F.expr(score) / F.lit(1e6), 6))
+    )
+    return _two_stage_topk(
+        scored, k, [F.col("adc_dist").asc(), F.col("neighbor_id").asc()]
+    ).select("query_id", "neighbor_id", "rank", "adc_dist")

@@ -628,3 +628,106 @@ def test_decode_on_error_null_policy(spark):
     assert "image_meta_error" not in decode_image_metadata(df, "payload").columns
     with pytest.raises(ValueError, match="on_error"):
         decode_image_metadata(df, "payload", on_error="skip")
+
+
+def test_pq_encode_and_adc_matches_python_model(spark):
+    """PQ codebook/encode/ADC against a direct python replay: same
+    hash-rank codebook, same integer-micro-unit distances, same argmin
+    tie-breaks."""
+    import hashlib
+
+    from feathub_spark.datapipe.similarity import pq_codebook, pq_encode, pq_topk
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(8).round(3).tolist() for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    m, n_codes, seed = 2, 4, 3
+
+    def h32(v, s):
+        return int(hashlib.md5(f"{v}:{s}".encode()).hexdigest()[:8], 16)
+
+    sample = sorted(vecs, key=lambda i: (h32(i, seed), i))[:n_codes]
+    # codebook: code c = c-th sampled vector, subspace j = dims [j*4, j*4+4)
+    cb = {
+        (j, c): vecs[sample[c]][j * 4 : (j + 1) * 4]
+        for j in range(m) for c in range(n_codes)
+    }
+
+    def dmicro(a, b):
+        return int(round(sum((x - y) * (x - y) for x, y in zip(a, b)) * 1e6))
+
+    def encode(v):
+        out = []
+        for j in range(m):
+            sub = v[j * 4 : (j + 1) * 4]
+            best = min(range(n_codes), key=lambda c: (dmicro(sub, cb[(j, c)]), c))
+            out.append(best)
+        return out
+
+    got_cb = {
+        (r["sub"], r["code"]): r["subvec"]
+        for r in pq_codebook(df, "embedding", "vec_id", m, n_codes, seed).collect()
+    }
+    assert got_cb == cb
+    got_enc = {
+        r["vec_id"]: r["pq_codes"]
+        for r in pq_encode(df, "embedding", "vec_id", m, n_codes, seed).collect()
+    }
+    assert got_enc == {i: encode(v) for i, v in vecs.items()}
+
+    # ADC top-k vs python model
+    q_ids = [0, 1]
+    expected = {}
+    for q in q_ids:
+        lut = {
+            (j, c): dmicro(vecs[q][j * 4 : (j + 1) * 4], cb[(j, c)])
+            for j in range(m) for c in range(n_codes)
+        }
+        scored = sorted(
+            (
+                (sum(lut[(j, got_enc[n][j])] for j in range(m)), n)
+                for n in vecs if n != q
+            )
+        )[:3]
+        expected[q] = [
+            (n, r + 1, round(s / 1e6, 6)) for r, (s, n) in enumerate(scored)
+        ]
+    got = {}
+    qdf = df.filter(F.col("vec_id") < 2)
+    for r in pq_topk(
+        df, qdf, "embedding", "vec_id", k=3, m=m, n_codes=n_codes, seed=seed
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["rank"], r["adc_dist"])
+        )
+    for q in q_ids:
+        assert sorted(got[q], key=lambda t: t[1]) == expected[q]
+
+
+def test_two_stage_topk_equals_single_window(spark):
+    """The salted two-stage per-query top-k must return exactly the rows
+    and ranks of a plain per-query window rank."""
+    from pyspark.sql import Window
+
+    from feathub_spark.datapipe.similarity import _two_stage_topk
+
+    rows = [
+        (q, n, float((q * 31 + n * 17) % 50))
+        for q in range(3) for n in range(200)
+    ]
+    scored = spark.createDataFrame(rows, "query_id long, neighbor_id long, s double")
+    order = [F.col("s").desc(), F.col("neighbor_id").asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    single = (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 7)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    two = _two_stage_topk(scored, 7, order).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, single.collect()))

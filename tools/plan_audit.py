@@ -25,6 +25,7 @@ _BOUNDED_BNLJ_OK = {
     "ann_topk", "ivf_ann", "ivf_ann_trained", "lsh_ann",
     "embedding_neardup", "minhash_dedup", "cluster_sample",
     "token_surprisal",  # 1-row corpus-total broadcast onto the vocab table
+    "pq_ann",  # broadcast PQ codebook row + per-query LUTs (both bounded)
 }
 
 
