@@ -2763,6 +2763,159 @@ FROM (
 """
 
 
+def _events_with_micros(spark, sf_dir):
+    """events with an exact integer epoch-micros column, robust to the ts
+    physical type (TIMESTAMP vs nanos-as-bigint, which varies with the
+    writer; see the nanosAsLong session conf)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    return ev.withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+
+
+_SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8-hour inactivity gap (events
+# average ~6h apart per user in the fixture, so sessions genuinely chain)
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (gaps-and-islands): a session breaks after
+    8 hours of per-user inactivity; every event gets a stable
+    '<user>#<session-start-micros>' label and its 1-based position — the
+    classic session-feature operator the reference's fixed-frame windows
+    cannot express.  All integer arithmetic on epoch micros, hash-checked
+    against the SQL gaps-and-islands formulation."""
+    from feathub_spark.datapipe.sessions import sessionize
+
+    ev = _events_with_micros(spark, sf_dir)
+    return sessionize(
+        ev, "user_id", "ts_us", _SESSION_GAP_US, id_col="event_id"
+    ).select("event_id", "user_id", "session_id", "session_seq")
+
+
+_ORACLE_SESSIONIZE = """
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+), flags AS (
+    SELECT event_id, user_id, tu,
+           CASE WHEN lag(tu) OVER w IS NULL
+                  OR tu - lag(tu) OVER w > 28800000000 THEN 1 ELSE 0 END AS nw
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+), sess AS (
+    SELECT event_id, user_id, tu,
+           sum(nw) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sn
+    FROM flags
+)
+SELECT event_id, user_id,
+       CAST(user_id AS VARCHAR) || '#' ||
+           CAST(min(tu) OVER (PARTITION BY user_id, sn) AS VARCHAR)
+           AS session_id,
+       CAST(row_number() OVER (PARTITION BY user_id, sn
+                               ORDER BY tu, event_id) AS BIGINT)
+           AS session_seq
+FROM sess
+"""
+
+
+def _q_session_stats(spark, sf_dir):
+    """Per-session summaries (start/end/duration/counts/value sum) over
+    the 8-hour-gap sessions — one map-side-combinable groupBy after the
+    sessionizing sort."""
+    from feathub_spark.datapipe.sessions import session_stats
+
+    ev = _events_with_micros(spark, sf_dir)
+    return session_stats(
+        ev, "user_id", "ts_us", _SESSION_GAP_US, id_col="event_id",
+        agg_cols={"sum_value": F.round(F.sum("value"), 2)},
+    )
+
+
+_ORACLE_SESSION_STATS = """
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS tu, value FROM events
+), flags AS (
+    SELECT event_id, user_id, tu, value,
+           CASE WHEN lag(tu) OVER w IS NULL
+                  OR tu - lag(tu) OVER w > 28800000000 THEN 1 ELSE 0 END AS nw
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+), sess AS (
+    SELECT event_id, user_id, tu, value,
+           sum(nw) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sn
+    FROM flags
+)
+SELECT user_id,
+       CAST(user_id AS VARCHAR) || '#' || CAST(min(tu) AS VARCHAR) AS session_id,
+       CAST(min(tu) AS BIGINT) AS session_start_us,
+       CAST(max(tu) AS BIGINT) AS session_end_us,
+       CAST(max(tu) - min(tu) AS BIGINT) AS duration_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, sn
+"""
+
+
+def _q_quality_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (Wenzek et al. 2020): per-language
+    head/middle/tail thirds of the unigram-surprisal signal.  Thresholds
+    come from cumulative counts over the BOUNDED rounded-value table (no
+    per-language sort of corpus rows), broadcast back — hash-checked
+    against the same exact count-quantile arithmetic in SQL."""
+    from feathub_spark.datapipe.quality import quality_buckets, token_surprisal
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    surp = token_surprisal(docs, "text", "doc_id")
+    joined = surp.join(docs.select("doc_id", "lang"), "doc_id")
+    return quality_buckets(
+        joined, "avg_surprisal", group_col="lang"
+    ).select("doc_id", "lang", "avg_surprisal", "bucket")
+
+
+_ORACLE_QUALITY_BUCKETS = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(
+        string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+    FROM documents
+), counts AS (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), tot AS (
+    SELECT sum(n) AS t FROM counts
+), unigram AS (
+    SELECT tok, -log2(CAST(n AS DOUBLE) / t) AS surp FROM counts CROSS JOIN tot
+), surps AS (
+    SELECT t.doc_id, round(avg(u.surp), 6) AS avg_surprisal
+    FROM toks t JOIN unigram u USING (tok)
+    GROUP BY t.doc_id
+), joined AS (
+    SELECT s.doc_id, d.lang, s.avg_surprisal,
+           round(s.avg_surprisal, 3) AS v
+    FROM surps s JOIN documents d USING (doc_id)
+    WHERE d.lang IS NOT NULL
+), vc AS (
+    SELECT lang, v, count(*) AS c FROM joined GROUP BY lang, v
+), aug AS (
+    SELECT lang, v,
+           sum(c) OVER (PARTITION BY lang ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY lang) AS n
+    FROM vc
+), thr AS (
+    SELECT lang,
+           min(CASE WHEN cum >= (1 * n + 2) // 3 THEN v END) AS t1,
+           min(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS t2
+    FROM aug GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.avg_surprisal,
+       CASE WHEN j.v <= t.t1 THEN 'head'
+            WHEN j.v <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM joined j JOIN thr t USING (lang)
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3158,6 +3311,9 @@ _RAW_QUERIES = {
         "ivf_ann": _q_ivf_ann,
         "ivf_ann_trained": _q_ivf_ann_trained,
         "pq_ann": _q_pq_ann,
+        "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
+        "quality_buckets": _q_quality_buckets,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3230,6 +3386,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": _ORACLE_IVF_ANN,
         "ivf_ann_trained": _ORACLE_IVF_ANN_TRAINED,
         "pq_ann": _ORACLE_PQ_ANN,
+        "sessionize": _ORACLE_SESSIONIZE,
+        "session_stats": _ORACLE_SESSION_STATS,
+        "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

@@ -13,7 +13,7 @@ is part of the beyond-reference training-data surface).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from feathub_spark.common.caching import register_cache
 from feathub_spark.common.parallelism import ensure_parallelism
@@ -254,3 +254,79 @@ def compression_ratio(
             yield batch
 
     return ensure_parallelism(df).mapInPandas(score_batches, schema=out_schema)
+
+
+def quality_buckets(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = None,
+    n_buckets: int = 3,
+    precision: int = 3,
+    labels=("head", "middle", "tail"),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact count-based quantile bucketing of a per-document quality
+    signal, optionally per group — the CCNet recipe (Wenzek et al. 2020):
+    score documents by LM perplexity per language and split each language
+    into head/middle/tail thirds; pipelines keep the head or reweight by
+    bucket.  Works over any numeric column (here typically
+    :func:`token_surprisal`'s output).
+
+    Scale shape: values are rounded to ``precision`` dp first, so the
+    per-(group, value) count table is BOUNDED (signal range x
+    10^precision rows per group, independent of corpus size); thresholds
+    come from cumulative-count windows over that table; docs get their
+    bucket from a broadcast threshold join — no per-group sort of corpus
+    rows anywhere (an ntile over the group would serialize each group
+    through one task).  Threshold i is the smallest value whose cumulative
+    count reaches ceil(i*n/k) — pure integer arithmetic, engine-exact;
+    ties at a threshold all land in the lower bucket (value-based
+    bucketing, so equal scores never split across buckets).
+
+    Rows with NULL ``value_col`` or NULL ``group_col`` are dropped (no
+    defined quantile).  Returns the input plus ``bucket_col``."""
+    if n_buckets != len(labels):
+        raise ValueError(
+            f"labels must have n_buckets={n_buckets} entries, got {len(labels)}"
+        )
+    grp = group_col or "__g__"
+    base = df.filter(F.col(value_col).isNotNull())
+    if group_col:
+        base = base.filter(F.col(group_col).isNotNull())
+    else:
+        base = base.withColumn(grp, F.lit(0))
+    v = F.round(F.col(value_col).cast("double"), precision)
+    counts = base.groupBy(F.col(grp), v.alias("__v__")).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    wv = Window.partitionBy(grp).orderBy("__v__")
+    wg = Window.partitionBy(grp)
+    aug = counts.select(
+        grp,
+        "__v__",
+        F.sum("__c__").over(wv).alias("__cum__"),
+        F.sum("__c__").over(wg).alias("__n__"),
+    )
+    thr_aggs = [
+        F.min(
+            F.when(
+                F.col("__cum__")
+                >= F.expr(f"({i} * __n__ + {n_buckets - 1}) div {n_buckets}"),
+                F.col("__v__"),
+            )
+        ).alias(f"__t{i}__")
+        for i in range(1, n_buckets)
+    ]
+    thresholds = aug.groupBy(grp).agg(*thr_aggs)
+    out = base.join(F.broadcast(thresholds), on=grp)
+    bucket = F.lit(labels[-1])
+    for i in range(n_buckets - 1, 0, -1):
+        bucket = F.when(v <= F.col(f"__t{i}__"), F.lit(labels[i - 1])).otherwise(
+            bucket
+        )
+    out = out.withColumn(bucket_col, bucket).drop(
+        *[f"__t{i}__" for i in range(1, n_buckets)]
+    )
+    if not group_col:
+        out = out.drop(grp)
+    return out

@@ -1,0 +1,98 @@
+"""Gap-based sessionization — the classic feature-engineering operator the
+reference's over/sliding windows don't cover (sessions have data-dependent
+boundaries, not fixed sizes; cf. the reference's fixed-frame transforms,
+/root/reference/python/feathub/feature_views/transforms/sliding_window_transform.py:30).
+
+Batch is the standard gaps-and-islands shape: one per-key sort powers the
+lag flag, the running session counter, and the per-session labels (Spark
+evaluates all three window passes over a single Exchange+Sort of the key
+partition).  Scale: per-key ordered windows — the same posture as every
+event-time operator here; a pathologically hot key serializes its own
+events only, and the over-window time-chunk plan applies if that ever
+binds.  Everything is integer arithmetic on epoch-micros, so any SQL
+engine replays the exact session labels.
+
+Streaming: Spark's native ``session_window`` aggregation is the stateful
+equivalent for summaries; per-event labeling streams via foreachBatch per
+ingest unit (conformance-tested like the other corpus-aggregating ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from feathub_spark.common.parallelism import ensure_parallelism
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    gap_us: int,
+    id_col: str = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign every event a stable session label: a session breaks when
+    the time since the key's previous event exceeds ``gap_us``
+    (microseconds).  ``id_col`` breaks timestamp ties deterministically
+    (strongly recommended; defaults to the timestamp alone).
+
+    Adds: ``session_col`` ('<key>#<session-start-micros>' — stable across
+    reruns and engines), ``session_seq`` (1-based event index within the
+    session).  Input rows and columns pass through."""
+    order = [F.col(ts_us_col).asc()] + (
+        [F.col(id_col).asc()] if id_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(ts_us_col)).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_us_col) - prev > F.lit(int(gap_us))), 1
+    ).otherwise(0)
+    out = (
+        ensure_parallelism(df)
+        .withColumn("__new__", is_new)
+        .withColumn("__sn__", F.sum("__new__").over(run))
+    )
+    ws = Window.partitionBy(key_col, "__sn__")
+    return (
+        out.withColumn("__start__", F.min(ts_us_col).over(ws))
+        .withColumn(
+            session_col,
+            F.concat_ws(
+                "#",
+                F.col(key_col).cast("string"),
+                F.col("__start__").cast("string"),
+            ),
+        )
+        .withColumn(
+            "session_seq",
+            F.row_number().over(ws.orderBy(*order)).cast("bigint"),
+        )
+        .drop("__new__", "__sn__", "__start__")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    gap_us: int,
+    id_col: str = None,
+    agg_cols: dict = None,
+) -> DataFrame:
+    """Per-session summary over :func:`sessionize`'s labels: (key,
+    session_id, session_start_us, session_end_us, duration_us, n_events)
+    plus any extra aggregates passed as ``agg_cols`` (name -> Column).
+    One map-side-combinable groupBy on (key, session) after the
+    sessionizing sort."""
+    labeled = sessionize(df, key_col, ts_us_col, gap_us, id_col)
+    aggs = [
+        F.min(ts_us_col).cast("bigint").alias("session_start_us"),
+        F.max(ts_us_col).cast("bigint").alias("session_end_us"),
+        (F.max(ts_us_col) - F.min(ts_us_col)).cast("bigint").alias("duration_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    ]
+    for name, col in (agg_cols or {}).items():
+        aggs.append(col.alias(name))
+    return labeled.groupBy(key_col, "session_id").agg(*aggs)

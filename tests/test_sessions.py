@@ -1,0 +1,86 @@
+"""Gap-based sessionization and CCNet-style quality bucketing."""
+
+from pyspark.sql import functions as F
+
+
+def test_sessionize_gaps_and_islands(spark):
+    from feathub_spark.datapipe.sessions import sessionize, session_stats
+
+    # user 1: three events in one session, gap, then two more; user 2: one
+    rows = [
+        (1, 1, 0), (2, 1, 50), (3, 1, 120),
+        (4, 1, 1000), (5, 1, 1090),
+        (6, 2, 40),
+        # tie on timestamp: event_id breaks it deterministically
+        (7, 2, 40),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+    out = {
+        r["event_id"]: (r["session_id"], r["session_seq"])
+        for r in sessionize(df, "user_id", "ts_us", gap_us=100,
+                            id_col="event_id").collect()
+    }
+    assert out[1] == ("1#0", 1) and out[2] == ("1#0", 2) and out[3] == ("1#0", 3)
+    assert out[4] == ("1#1000", 1) and out[5] == ("1#1000", 2)
+    assert out[6] == ("2#40", 1) and out[7] == ("2#40", 2)
+
+    stats = {
+        r["session_id"]: r
+        for r in session_stats(
+            df, "user_id", "ts_us", gap_us=100, id_col="event_id",
+            agg_cols={"max_id": F.max("event_id")},
+        ).collect()
+    }
+    assert stats["1#0"]["n_events"] == 3 and stats["1#0"]["duration_us"] == 120
+    assert stats["1#1000"]["session_end_us"] == 1090
+    assert stats["2#40"]["max_id"] == 7
+    # exactly-gap spacing does NOT break the session (strict > gap)
+    two = spark.createDataFrame(
+        [(1, 9, 0), (2, 9, 100)], "event_id long, user_id long, ts_us long"
+    )
+    lab = sessionize(two, "user_id", "ts_us", gap_us=100, id_col="event_id")
+    assert lab.select("session_id").distinct().count() == 1
+
+
+def test_quality_buckets_exact_terciles(spark):
+    from feathub_spark.datapipe.quality import quality_buckets
+
+    # group 'a': 9 docs with values 1..9 -> thresholds at cum>=3 (v=3) and
+    # cum>=6 (v=6); group 'b': 3 docs
+    rows = [(i, "a", float(i)) for i in range(1, 10)] + [
+        (10, "b", 5.0), (11, "b", 1.0), (12, "b", 9.0), (13, None, 2.0),
+        (14, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v double")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(df, "v", group_col="lang").collect()
+    }
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert out[11] == "head" and out[10] == "middle" and out[12] == "tail"
+    # NULL group / NULL value rows are dropped
+    assert 13 not in out and 14 not in out
+
+    # ties at a threshold all land in the lower bucket
+    tied = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 2, 2, 2, 9])],
+        "doc_id long, v double",
+    )
+    tb = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(tied, "v").collect()
+    }
+    # threshold t1 = 2 (cum>=2), t2 = 2 (cum>=4): every 2 is "head"
+    assert [tb[i] for i in range(6)] == ["head"] * 5 + ["tail"]
+
+    # custom bucket count and labels
+    q = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(
+            df.filter(F.col("lang") == "a"), "v",
+            n_buckets=2, labels=("lo", "hi"),
+        ).collect()
+    }
+    assert sorted(q.values()).count("lo") == 5  # ceil(9/2)=5 -> v<=5
