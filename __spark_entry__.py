@@ -2916,6 +2916,39 @@ FROM joined j JOIN thr t USING (lang)
 """
 
 
+def _q_decayed_sum(spark, sf_dir):
+    """Exponentially time-decayed trailing sum (half-life 6h over a 2-day
+    window) per user — the recency-weighted feature plain windowed SUMs
+    cannot express.  Per-term integer micro-unit rounding makes the fold
+    an exact bigint sum, hash-checked against a SQL self-join replay."""
+    from feathub_spark.datapipe.decay import time_decayed_sum
+
+    ev = _events_with_micros(spark, sf_dir)
+    out = time_decayed_sum(
+        ev, "user_id", "ts_us", "value",
+        half_life_us=6 * 3600 * 1_000_000,
+        window_us=2 * 86400 * 1_000_000,
+        id_col="event_id",
+    )
+    return out.select("event_id", "user_id", "decayed_sum", "n_in_window")
+
+
+_ORACLE_DECAYED_SUM = """
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS tu, value FROM events
+)
+SELECT a.event_id, a.user_id,
+       round(sum(CAST(round(b.value * pow(CAST(2 AS DOUBLE),
+                 -CAST(a.tu - b.tu AS DOUBLE) / 21600000000.0)
+                 * 1000000, 0) AS BIGINT)) / 1000000.0, 6) AS decayed_sum,
+       CAST(count(*) AS BIGINT) AS n_in_window
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND b.tu >= a.tu - 172800000000 AND b.tu <= a.tu
+GROUP BY a.event_id, a.user_id
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3314,6 +3347,7 @@ _RAW_QUERIES = {
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
         "quality_buckets": _q_quality_buckets,
+        "decayed_sum": _q_decayed_sum,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3389,6 +3423,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _ORACLE_SESSIONIZE,
         "session_stats": _ORACLE_SESSION_STATS,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
+        "decayed_sum": _ORACLE_DECAYED_SUM,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

@@ -84,3 +84,42 @@ def test_quality_buckets_exact_terciles(spark):
         ).collect()
     }
     assert sorted(q.values()).count("lo") == 5  # ceil(9/2)=5 -> v<=5
+
+
+def test_time_decayed_sum_matches_python_model(spark):
+    import math
+
+    from feathub_spark.datapipe.decay import time_decayed_sum
+
+    rows = [
+        (1, 1, 0, 10.0), (2, 1, 50, 4.0), (3, 1, 200, 2.0),
+        (4, 2, 0, 1.0),
+        # timestamp tie inside one frame: id makes fold order total
+        (5, 2, 100, 3.0), (6, 2, 100, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    )
+    out = {
+        r["event_id"]: (r["decayed_sum"], r["n_in_window"])
+        for r in time_decayed_sum(
+            df, "user_id", "ts_us", "value",
+            half_life_us=100, window_us=150, id_col="event_id",
+        ).collect()
+    }
+
+    def model(terms, t0):
+        s = sum(
+            int(round(v * math.pow(2.0, -(t0 - tj) / 100.0) * 1e6))
+            for tj, v in terms
+        )
+        return round(s / 1e6, 6)
+
+    assert out[1] == (model([(0, 10.0)], 0), 1)
+    assert out[2] == (model([(0, 10.0), (50, 4.0)], 50), 2)
+    # window 150: event at t=0 fell out of event 3's frame
+    assert out[3] == (model([(50, 4.0), (200, 2.0)], 200), 2)
+    assert out[5] == (model([(0, 1.0), (100, 3.0), (100, 7.0)], 100), 3)
+    assert out[6] == out[5]
+    # half-life semantics: weight at exactly one half-life is 0.5
+    assert abs(out[2][0] - (10.0 * 0.5 ** 0.5 + 4.0)) < 1e-5
