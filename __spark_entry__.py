@@ -2949,6 +2949,33 @@ GROUP BY a.event_id, a.user_id
 """
 
 
+def _q_chunk_docs(spark, sf_dir):
+    """RAG/embedding-pipeline chunker: 256-char windows with 32-char
+    overlap — a pure narrow explode (sequence + substr, no UDF), tail
+    fragments kept only when they add uncovered characters."""
+    from feathub_spark.datapipe.text import chunk_documents
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return chunk_documents(
+        df, "text", "doc_id", chunk_size=256, overlap=32
+    )
+
+
+_ORACLE_CHUNK_DOCS = """
+WITH c AS (
+    SELECT doc_id, text,
+           unnest(range(0, (length(text) - 1) // 224 + 1)) AS cid
+    FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(1 + cid * 224 AS BIGINT) AS chunk_start,
+       substr(text, CAST(1 + cid * 224 AS INT), 256) AS chunk_text
+FROM c
+WHERE cid = 0 OR 1 + cid * 224 + 32 <= length(text)
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3348,6 +3375,7 @@ _RAW_QUERIES = {
         "session_stats": _q_session_stats,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
+        "chunk_docs": _q_chunk_docs,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3424,6 +3452,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": _ORACLE_SESSION_STATS,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
+        "chunk_docs": _ORACLE_CHUNK_DOCS,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

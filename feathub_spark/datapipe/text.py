@@ -593,3 +593,58 @@ def structure_signals(text_col: str) -> Column:
         f"'indent_frac', {indented}, "
         f"'punct_density', {dens})), 1)"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int,
+    overlap: int = 0,
+    min_chunk_chars: int = 1,
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the standard chunker feeding embedding / RAG indexing pipelines (the
+    char-level sibling of ``sampling.pack_sequences``' token packing).
+
+    Chunk i covers characters [1 + i*(chunk_size-overlap), ...
+    +chunk_size); the final fragment is kept when it has at least
+    ``min_chunk_chars`` characters that are NOT already covered by the
+    previous chunk's overlap.  Pure narrow explode (no shuffle, no UDF):
+    one sequence + substr per row, deterministic chunk ids, exactly
+    reproducible in any SQL engine.
+
+    Returns (id_col, chunk_id, chunk_start, chunk_text); empty/NULL texts
+    yield no rows."""
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_size ({chunk_size})"
+        )
+    step = chunk_size - overlap
+    n = f"length(`{text_col}`)"
+    # last start s satisfies s <= len - min_chunk_chars + ... : keep starts
+    # whose fresh (non-overlap) span has >= min_chunk_chars chars, i.e.
+    # start + (i>0 ? overlap : 0) <= len - min_chunk_chars + 1; chunk 0 is
+    # always kept for nonempty text
+    starts = (
+        f"filter(transform(sequence(0, ({n} - 1) DIV {step}), "
+        f"i -> named_struct('cid', i, 'pos', 1 + i * {step})), "
+        f"s -> s.cid = 0 OR s.pos + {overlap} + {min_chunk_chars} - 1 <= {n})"
+    )
+    return (
+        ensure_parallelism(df)
+        .filter(F.expr(f"{n} > 0"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(starts)).alias("__ch__"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            F.col("__ch__.cid").cast("bigint").alias("chunk_id"),
+            F.col("__ch__.pos").cast("bigint").alias("chunk_start"),
+            F.expr(
+                f"substr(`{text_col}`, __ch__.pos, {chunk_size})"
+            ).alias("chunk_text"),
+        )
+    )

@@ -654,3 +654,43 @@ def test_url_domains_two_level_public_suffixes(spark):
     ).collect()
     assert {r["doc_id"]: r["d"] for r in plain}[1] == ["co.uk"]
     assert "co.uk" in DEFAULT_TWO_LEVEL_SUFFIXES
+
+
+def test_chunk_documents(spark):
+    import pytest
+
+    from feathub_spark.datapipe.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, ""), (4, None), (5, "abcdefg")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        tuple(r)
+        for r in chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=1)
+        .collect()
+    )
+    assert out == [
+        (1, 0, 1, "abcd"), (1, 1, 4, "defg"), (1, 2, 7, "ghij"),
+        (2, 0, 1, "abc"),
+        (5, 0, 1, "abcd"), (5, 1, 4, "defg"),
+    ]
+    # every character is covered exactly when min_chunk_chars=1
+    covered = set()
+    for _, _, start, text in out:
+        if _ == 1:
+            covered.update(range(start, start + len(text)))
+    # no overlap: plain partition
+    flat = chunk_documents(
+        df.filter("doc_id = 1"), "text", "doc_id", chunk_size=5
+    ).collect()
+    assert [r["chunk_text"] for r in sorted(flat, key=lambda r: r["chunk_id"])] \
+        == ["abcde", "fghij"]
+    # min_chunk_chars drops uninformative tails
+    tail = chunk_documents(
+        df.filter("doc_id = 1"), "text", "doc_id",
+        chunk_size=4, overlap=2, min_chunk_chars=3,
+    ).collect()
+    assert all(len(r["chunk_text"]) >= 4 or r["chunk_id"] == 0 for r in tail)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=4)
