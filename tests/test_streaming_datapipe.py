@@ -179,3 +179,66 @@ def test_boilerplate_lines_streaming_foreachbatch(spark, tmp_path):
     # boilerplate really got cut, unique bodies really survived
     assert "standard header" not in got[1]["clean_text"]
     assert "unique body line 1" in got[1]["clean_text"]
+
+
+def test_session_stats_matches_native_session_window(spark, tmp_path):
+    """The gaps-and-islands sessionizer must carve exactly the sessions
+    Spark's own session_window aggregation produces (same gap), in batch
+    AND in a watermarked streaming aggregation — the native stateful path
+    for streaming session summaries."""
+    from feathub_spark.datapipe.sessions import session_stats
+
+    rows = []
+    # three users, sessions separated by > 10s gaps, events 1-4s apart
+    t = 1_700_000_000_000_000
+    for u in range(3):
+        base = t + u * 977_000
+        for s in range(3):
+            start = base + s * 60_000_000  # 60s between sessions
+            for i in range(u + s + 1):
+                rows.append((len(rows), u, start + i * 3_100_000))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+
+    mine = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in session_stats(
+            df, "user_id", "ts_us", gap_us=10_000_000, id_col="event_id"
+        ).collect()
+    }
+
+    withts = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    native_batch = {
+        (r["user_id"], r["start_us"]): r["n"]
+        for r in withts.groupBy(
+            "user_id", F.session_window("ts", "10 seconds").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", F.unix_micros("w.start").alias("start_us"), "n"
+        )
+        .collect()
+    }
+    assert mine == native_batch
+
+    # streaming: same aggregation with a watermark, append after close
+    d = str(tmp_path / "sess_in")
+    withts.write.parquet(d)
+    stream = spark.readStream.schema(withts.schema).parquet(d)
+    q = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "10 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.unix_micros("w.start").alias("start_us"), "n")
+        .writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    native_stream = {
+        (r["user_id"], r["start_us"]): r["n"]
+        for r in spark.sql("SELECT * FROM native_sessions").collect()
+    }
+    assert native_stream == mine
