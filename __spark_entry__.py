@@ -2976,6 +2976,93 @@ WHERE cid = 0 OR 1 + cid * 224 + 32 <= length(text)
 """
 
 
+def _q_ivf_pq_ann(spark, sf_dir):
+    """IVF-PQ composition — the production billion-vector ANN shape:
+    coarse cells bound which rows each query scores (nprobe=8 of 32),
+    PQ codes bound what is stored per row (4 ints), ADC LUTs make scoring
+    integer adds.  One map-only corpus pass assigns cells AND encodes
+    (argmax/argmin folds over broadcast codebooks — no assignment
+    shuffle); the oracle replays every stage."""
+    from feathub_spark.datapipe.similarity import ivf_pq_topk
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = df.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(
+        df, queries_df, "embedding", "vec_id",
+        k=5, n_centroids=32, nprobe=8, m=4, n_codes=16, seed=5,
+    )
+
+
+_ORACLE_IVF_PQ_ANN = f"""
+WITH csamp AS (
+    SELECT vec_id AS cid, embedding AS cvec,
+           {_H32.format(col='vec_id', seed=5)} AS h
+    FROM embeddings ORDER BY h, cid LIMIT 32
+), mcos AS (
+    SELECT e.vec_id, c.cid,
+           round({_duck_cos('e.embedding', 'c.cvec')}, 6) AS acos
+    FROM embeddings e CROSS JOIN csamp c
+), members AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY acos DESC, cid ASC) AS arank
+        FROM mcos
+    ) WHERE arank = 1
+), probes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({_duck_cos('q.embedding', 'c.cvec')}, 6)
+                            DESC, c.cid ASC) AS prank
+        FROM embeddings q CROSS JOIN csamp c WHERE q.vec_id < 5
+    ) WHERE prank <= 8
+), samp AS (
+    SELECT vec_id AS cid, embedding AS cvec,
+           {_H32.format(col='vec_id', seed=5)} AS h
+    FROM embeddings ORDER BY h, cid LIMIT 16
+), coded AS (
+    SELECT cid, cvec,
+           CAST(row_number() OVER (ORDER BY h, cid) - 1 AS INT) AS code
+    FROM samp
+), cb AS (
+    SELECT CAST(j.j AS INT) AS sub, code,
+           list_transform(cvec[j.j * 16 + 1 : j.j * 16 + 16],
+                          x -> CAST(x AS DOUBLE)) AS subvec
+    FROM coded CROSS JOIN (SELECT unnest(range(4)) AS j) j
+), enc AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, c.sub, c.code,
+               row_number() OVER (PARTITION BY e.vec_id, c.sub
+                   ORDER BY {_PQ_D.format(v='e.embedding')} ASC, c.code ASC)
+                   AS rn
+        FROM embeddings e CROSS JOIN cb c
+    ) WHERE rn = 1
+), lut AS (
+    SELECT q.vec_id AS query_id, c.sub, c.code,
+           {_PQ_D.format(v='q.embedding')} AS d
+    FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 5
+), score AS (
+    SELECT p.query_id, mb.vec_id AS neighbor_id, sum(l.d) AS s
+    FROM members mb
+    JOIN probes p ON p.cell = mb.cell
+    JOIN enc en ON en.vec_id = mb.vec_id
+    JOIN lut l ON l.query_id = p.query_id
+              AND l.sub = en.sub AND l.code = en.code
+    WHERE mb.vec_id <> p.query_id
+    GROUP BY p.query_id, mb.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+       round(s / 1000000.0, 6) AS adc_dist
+FROM (
+    SELECT query_id, neighbor_id, s,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY s ASC, neighbor_id ASC) AS rnk
+    FROM score
+) WHERE rnk <= 5
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3371,6 +3458,7 @@ _RAW_QUERIES = {
         "ivf_ann": _q_ivf_ann,
         "ivf_ann_trained": _q_ivf_ann_trained,
         "pq_ann": _q_pq_ann,
+        "ivf_pq_ann": _q_ivf_pq_ann,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
         "quality_buckets": _q_quality_buckets,
@@ -3448,6 +3536,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": _ORACLE_IVF_ANN,
         "ivf_ann_trained": _ORACLE_IVF_ANN_TRAINED,
         "pq_ann": _ORACLE_PQ_ANN,
+        "ivf_pq_ann": _ORACLE_IVF_PQ_ANN,
         "sessionize": _ORACLE_SESSIONIZE,
         "session_stats": _ORACLE_SESSION_STATS,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,

@@ -603,3 +603,117 @@ def pq_topk(
     return _two_stage_topk(
         scored, k, [F.col("adc_dist").asc(), F.col("neighbor_id").asc()]
     ).select("query_id", "neighbor_id", "rank", "adc_dist")
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 0,
+    query_id_col: str = None,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN shape — coarse inverted
+    file cells bound WHICH rows each query scores (nprobe of n_centroids
+    cells), product-quantization codes bound WHAT is stored and moved per
+    row (m ints instead of d floats), and ADC lookup tables make scoring
+    m integer adds.
+
+    Plan shape: ONE map-only pass over the corpus computes both the cell
+    assignment (argmax-cosine fold over the broadcast centroid array — no
+    per-row window, no assignment shuffle) and the PQ codes
+    (:func:`pq_encode`'s broadcast fold); the only corpus shuffle is the
+    cell equi-join against the broadcast probe set; top-k runs the salted
+    two-stage rank.  Codes quantize the RAW vectors (not residuals) so
+    every distance is engine-exact integer arithmetic for the oracle;
+    residual encoding is a recall refinement, not a plan change.
+
+    Returns (query_id, neighbor_id, rank, adc_dist)."""
+    query_id_col = query_id_col or id_col
+    cents = ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
+    cb = pq_codebook(corpus, vec_col, id_col, m, n_codes, seed)
+
+    # centroids collapsed to one sorted broadcast array row
+    cents1 = cents.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            "'cid', __cid__, 'cvec', __cvec__)))"
+        ).alias("__cents__")
+    )
+    cos = cosine_expr("`" + vec_col + "`", "e.cvec")
+    assign_fold = (
+        "aggregate(__cents__, "
+        "named_struct('c', CAST(NULL AS BIGINT), 's', CAST(NULL AS DOUBLE)), "
+        f"(acc, e) -> transform(array(round({cos}, 6)), sc -> "
+        "CASE WHEN acc.c IS NULL OR sc > acc.s "
+        "THEN named_struct('c', CAST(e.cid AS BIGINT), 's', sc) "
+        "ELSE acc END)[0], acc -> acc.c)"
+    )
+    encoded = pq_encode(
+        corpus, vec_col, id_col, m, n_codes, seed, codebook=cb
+    )
+    members = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents1))
+        .select(F.col(id_col), F.expr(assign_fold).alias("cell"))
+        .join(encoded, on=id_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+    )
+
+    # query side: nprobe nearest cells (tiny: queries x centroids) + LUT
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+    )
+    probe_scored = qv.crossJoin(F.broadcast(cents)).withColumn(
+        "__acos__", F.round(F.expr(cosine_expr("__qv__", "__cvec__")), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__acos__").desc(), F.col("__cid__").asc()
+    )
+    probes = (
+        probe_scored.withColumn("__pr__", F.row_number().over(wq))
+        .filter(F.col("__pr__") <= nprobe)
+        .select("query_id", F.col("__cid__").alias("cell"))
+    )
+    qsubs = (
+        f"transform(sequence(0, {m - 1}), j -> transform(slice(__qv__, "
+        f"j * (size(__qv__) div {m}) + 1, size(__qv__) div {m}), "
+        f"x -> CAST(x AS DOUBLE)))"
+    )
+    lut = (
+        qv.select("query_id", F.expr(qsubs).alias("__qs__"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", "sub", "code",
+            F.expr(
+                _pq_sq_dist_micro("element_at(__qs__, sub + 1)", "subvec")
+            ).alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(named_struct("
+                "'sub', sub, 'code', code, 'd', d)))"
+            ).alias("__lut__")
+        )
+    )
+    probe_lut = probes.join(lut, on="query_id")
+    score = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, j) -> "
+        f"acc + element_at(__lut__, CAST(j * (size(__lut__) div {m}) "
+        f"+ element_at(pq_codes, j + 1) + 1 AS INT)).d)"
+    )
+    scored = (
+        members.join(F.broadcast(probe_lut), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(F.expr(score) / F.lit(1e6), 6))
+    )
+    return _two_stage_topk(
+        scored, k, [F.col("adc_dist").asc(), F.col("neighbor_id").asc()]
+    ).select("query_id", "neighbor_id", "rank", "adc_dist")

@@ -731,3 +731,34 @@ def test_two_stage_topk_equals_single_window(spark):
         "query_id", "neighbor_id", "rank"
     )
     assert sorted(map(tuple, two.collect())) == sorted(map(tuple, single.collect()))
+
+
+def test_ivf_pq_exhaustive_probe_equals_pq(spark):
+    """With nprobe == n_centroids (every cell probed) IVF-PQ must return
+    exactly the plain ADC scan's results — the cells only bound WHICH rows
+    are scored, never the scores."""
+    import numpy as np
+
+    from feathub_spark.datapipe.similarity import ivf_pq_topk, pq_topk
+
+    rng = np.random.RandomState(11)
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).round(3).tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    kw = dict(k=4, m=2, n_codes=4, seed=3)
+    full = sorted(map(tuple, pq_topk(df, q, "embedding", "vec_id", **kw).collect()))
+    ivfpq = sorted(map(tuple, ivf_pq_topk(
+        df, q, "embedding", "vec_id", n_centroids=6, nprobe=6, **kw
+    ).collect()))
+    assert ivfpq == full
+    # restricted probes return a subset of the scored universe per query
+    few = ivf_pq_topk(
+        df, q, "embedding", "vec_id", n_centroids=6, nprobe=1, **kw
+    ).collect()
+    full_map = {(r[0], r[1]): r[3] for r in full}
+    for r in few:
+        # any returned pair that the full scan also ranked has the same dist
+        if (r["query_id"], r["neighbor_id"]) in full_map:
+            assert r["adc_dist"] == full_map[(r["query_id"], r["neighbor_id"])]

@@ -26,6 +26,7 @@ _BOUNDED_BNLJ_OK = {
     "embedding_neardup", "minhash_dedup", "cluster_sample",
     "token_surprisal",  # 1-row corpus-total broadcast onto the vocab table
     "pq_ann",  # broadcast PQ codebook row + per-query LUTs (both bounded)
+    "ivf_pq_ann",  # broadcast centroid array + PQ codebook rows (bounded)
     "quality_buckets",  # embeds token_surprisal's 1-row total broadcast
 }
 
