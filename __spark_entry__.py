@@ -3063,6 +3063,49 @@ FROM (
 """
 
 
+def _q_bigram_surprisal(spark, sf_dir):
+    """Interpolated bigram surprisal with Kneser-Ney continuation backoff
+    — the next step up from the unigram signal (cheap KenLM stand-in).
+    All model tables derive from one exploded bigram projection; the type
+    total is a broadcast 1-row aggregate (no global window)."""
+    from feathub_spark.datapipe.quality import bigram_surprisal
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return bigram_surprisal(df, "text", "doc_id", lam=0.75)
+
+
+_ORACLE_BIGRAM_SURPRISAL = """
+WITH toks AS (
+    SELECT doc_id, list_filter(
+        string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+    FROM documents
+), e AS (
+    SELECT doc_id, bg['p'] AS p, bg['c'] AS c FROM (
+        SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+            i -> {'p': t[i - 1], 'c': t[i]})) AS bg
+        FROM toks WHERE len(t) >= 2
+    )
+), bi AS (
+    SELECT p, c, count(*) AS n FROM e GROUP BY p, c
+), prefix AS (
+    SELECT p, sum(n) AS n1 FROM bi GROUP BY p
+), cont AS (
+    SELECT c, count(*) AS k FROM bi GROUP BY c
+), types AS (
+    SELECT count(*) AS ty FROM bi
+), scores AS (
+    SELECT bi.p, bi.c,
+           -log2(0.75 * (CAST(bi.n AS DOUBLE) / n1)
+                 + 0.25 * (CAST(k AS DOUBLE) / ty)) AS s
+    FROM bi JOIN prefix USING (p) JOIN cont USING (c) CROSS JOIN types
+)
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(s.s), 6) AS avg_surprisal
+FROM e JOIN scores s ON s.p = e.p AND s.c = e.c
+GROUP BY e.doc_id
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3464,6 +3507,7 @@ _RAW_QUERIES = {
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
         "chunk_docs": _q_chunk_docs,
+        "bigram_surprisal": _q_bigram_surprisal,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3542,6 +3586,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,
+        "bigram_surprisal": _ORACLE_BIGRAM_SURPRISAL,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

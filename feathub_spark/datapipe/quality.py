@@ -191,8 +191,10 @@ def token_surprisal(
             F.col(id_col), F.explode(F.expr(toks)).alias("__tok__")
         )
     )
-    counts = exploded.groupBy("__tok__").agg(
-        F.count(F.lit(1)).alias("__n__")
+    # the vocab-sized count table feeds BOTH the 1-row total and the
+    # scoring join — cache it so the exploded aggregation runs once
+    counts = register_cache(
+        exploded.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__n__"))
     )
     # the shared-lineage total: aliasing both sides keeps the analyzer from
     # resolving the cross join's columns through the common subtree (the
@@ -330,3 +332,72 @@ def quality_buckets(
     if not group_col:
         out = out.drop(grp)
     return out
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document average bigram surprisal under the corpus's own
+    interpolated bigram model — the next step up from
+    :func:`token_surprisal`'s unigram signal and the cheap stand-in for a
+    KenLM perplexity filter: score(w1 w2) = -log2(lam * p(w2|w1) +
+    (1-lam) * p_cont(w2)), averaged over positions 2..n.  The backoff
+    term is the Kneser-Ney CONTINUATION probability (how many distinct
+    left-contexts a word follows / total bigram types), which scores
+    "glued" boilerplate phrases low and genuinely novel continuations
+    high.
+
+    Plan shape: everything derives from ONE exploded bigram projection
+    (cached via the ``common.caching`` contract): the bigram count table,
+    the prefix totals (groupBy prev), the continuation counts (groupBy
+    cur) and the 1-row type total (broadcast cross join — no global
+    window; same reasoning as token_surprisal).  All aggregations are
+    map-side combinable; the scoring join is on the bigram key.
+    Documents with fewer than 2 tokens drop out.
+
+    Returns (id_col, n_bigrams, avg_surprisal) rounded to 6 dp."""
+    toks = (
+        f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    )
+    pairs = (
+        f"transform(array({toks}), t -> CASE WHEN size(t) >= 2 THEN "
+        f"transform(sequence(2, size(t)), i -> named_struct("
+        f"'p', element_at(t, i - 1), 'c', element_at(t, i))) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<p: STRING, c: STRING>>) END)[0]"
+    )
+    exploded = register_cache(
+        ensure_parallelism(df).select(
+            F.col(id_col), F.explode(F.expr(pairs)).alias("__bg__")
+        ).select(
+            id_col,
+            F.col("__bg__.p").alias("__p__"),
+            F.col("__bg__.c").alias("__c__"),
+        )
+    )
+    bi = exploded.groupBy("__p__", "__c__").agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    prefix = bi.groupBy("__p__").agg(F.sum("__n__").alias("__n1__"))
+    cont = bi.groupBy("__c__").agg(F.count(F.lit(1)).alias("__k__"))
+    types = bi.alias("__bi__").agg(F.count(F.lit(1)).alias("__t__"))
+    p = (
+        F.lit(float(lam)) * (F.col("__n__") / F.col("__n1__"))
+        + F.lit(1.0 - float(lam)) * (F.col("__k__") / F.col("__t__"))
+    )
+    scores = (
+        bi.join(prefix, on="__p__")
+        .join(cont, on="__c__")
+        .crossJoin(F.broadcast(types))
+        .select("__p__", "__c__", (-F.log2(p)).alias("__s__"))
+    )
+    return (
+        exploded.join(scores, on=["__p__", "__c__"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("__s__"), 6).alias("avg_surprisal"),
+        )
+    )

@@ -250,3 +250,56 @@ def test_compression_ratio_matches_zlib(spark):
             raw = t.encode()
             assert got[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
     assert got[1] < 0.1 < got[2]
+
+
+def test_bigram_surprisal_matches_python_model(spark):
+    """Interpolated KN-backoff bigram surprisal vs a direct python replay
+    of the same model (counts, prefix totals, continuation counts)."""
+    import math
+    from collections import Counter
+
+    from feathub_spark.common.caching import release_caches
+    from feathub_spark.datapipe.quality import bigram_surprisal
+
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "a dog sat",
+        4: "single",          # < 2 tokens -> drops out
+        5: "",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    lam = 0.75
+
+    pairs = {
+        i: list(zip(t.split(), t.split()[1:]))
+        for i, t in ((i, v.lower()) for i, v in docs.items())
+    }
+    bi = Counter(p for ps in pairs.values() for p in ps)
+    n1 = Counter()
+    cont = Counter()
+    for (p, c), n in bi.items():
+        n1[p] += n
+        cont[c] += 1
+    ty = len(bi)
+
+    def score(p, c):
+        return -math.log2(lam * (bi[(p, c)] / n1[p]) + (1 - lam) * (cont[c] / ty))
+
+    expected = {
+        i: (len(ps), round(sum(score(*x) for x in ps) / len(ps), 6))
+        for i, ps in pairs.items() if ps
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_surprisal"])
+        for r in bigram_surprisal(df, "text", "doc_id", lam=lam).collect()
+    }
+    release_caches()
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i][0] == expected[i][0]
+        assert abs(got[i][1] - expected[i][1]) < 1e-6
+    # sub-2-token docs dropped; all-unique-prefix bigrams (p(w2|w1)=1)
+    # score lowest — doc 3's bigrams are fully predictable continuations
+    assert 4 not in got and 5 not in got
+    assert got[3][1] == min(v[1] for v in got.values())

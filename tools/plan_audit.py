@@ -28,6 +28,7 @@ _BOUNDED_BNLJ_OK = {
     "pq_ann",  # broadcast PQ codebook row + per-query LUTs (both bounded)
     "ivf_pq_ann",  # broadcast centroid array + PQ codebook rows (bounded)
     "quality_buckets",  # embeds token_surprisal's 1-row total broadcast
+    "bigram_surprisal",  # 1-row bigram-type total broadcast
 }
 
 

@@ -1,0 +1,120 @@
+"""10x hot-key stress for the round-7 operators (the verify-skill rule:
+unit-scale-clean plans can still be quadratic at 10x).  Prints wall
+seconds per case; linear-ish growth and no single-task stage = pass.
+
+Usage: python tools/stress_r7.py [scale]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def timed(label, df):
+    t0 = time.time()
+    n = df.write.format("noop").mode("overwrite").save()
+    print(f"{label:40s} {time.time() - t0:7.2f}s")
+    return n
+
+
+def main() -> None:
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from pyspark.sql import functions as F
+
+    from feathub_spark import default_spark_session
+    from feathub_spark.common.caching import release_caches
+
+    spark = default_spark_session("stress_r7", cpus=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_events = 20_000 * scale
+    # ONE hot user holds half the events — the skew case
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        (F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 97))
+        .alias("user_id"),
+        (F.col("id") * 7_000_000 % (86_400_000_000 * 30)).alias("ts_us"),
+        (F.col("id") % 100 / 10.0).alias("value"),
+    )
+
+    from feathub_spark.datapipe.decay import time_decayed_sum
+    from feathub_spark.datapipe.sessions import session_stats, sessionize
+
+    timed(
+        f"sessionize hot-key ({n_events} ev, 50% one user)",
+        sessionize(ev, "user_id", "ts_us", 3_600_000_000, id_col="event_id"),
+    )
+    timed(
+        "session_stats hot-key",
+        session_stats(ev, "user_id", "ts_us", 3_600_000_000, id_col="event_id"),
+    )
+    timed(
+        "decayed_sum hot-key (1h window)",
+        time_decayed_sum(
+            ev, "user_id", "ts_us", "value",
+            half_life_us=600_000_000, window_us=3_600_000_000,
+            id_col="event_id",
+        ),
+    )
+
+    n_vec = 5_000 * scale
+    dims = 64
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dims}), "
+            f"d -> CAST(xxhash64(id, d) % 1000 AS DOUBLE) / 1000)"
+        ).alias("embedding"),
+    )
+    from feathub_spark.datapipe.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    q = vecs.filter(F.col("vec_id") < 8)
+    timed(f"pq_encode ({n_vec} vecs)", pq_encode(vecs, "embedding", "vec_id"))
+    timed(
+        "pq_topk full ADC scan (8 queries)",
+        pq_topk(vecs, q, "embedding", "vec_id", k=10),
+    )
+    timed(
+        "ivf_pq_topk (64 cells, nprobe 4)",
+        ivf_pq_topk(vecs, q, "embedding", "vec_id", k=10),
+    )
+
+    n_docs = 5_000 * scale
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 == 0, "en").otherwise(
+            F.concat(F.lit("l"), (F.col("id") % 7).cast("string"))
+        ).alias("lang"),
+        (F.col("id") % 1000 / 37.0).alias("score"),
+    )
+    from feathub_spark.datapipe.quality import quality_buckets
+
+    timed(
+        f"quality_buckets ({n_docs} docs, hot lang)",
+        quality_buckets(docs, "score", group_col="lang"),
+    )
+
+    from feathub_spark.datapipe.text import chunk_documents
+
+    texts = spark.range(2_000 * scale).select(
+        F.col("id").alias("doc_id"),
+        F.expr("repeat(concat('chunkable text ', CAST(id AS STRING), ' '), 200)")
+        .alias("text"),
+    )
+    timed("chunk_documents (~4KB docs)", chunk_documents(
+        texts, "text", "doc_id", chunk_size=512, overlap=64
+    ))
+    release_caches()
+
+
+if __name__ == "__main__":
+    main()
