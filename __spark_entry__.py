@@ -3106,6 +3106,49 @@ GROUP BY e.doc_id
 """
 
 
+def _q_interval_join(spark, sf_dir):
+    """Binned interval (range) join: ts BETWEEN start AND end re-expressed
+    as an equi-join on time bins + exact post-filter — Spark has no native
+    range-join strategy and the naive conditional join nested-loops.
+    Fixture: every 20th event anchors a 2-hour per-user interval; every
+    event joins the intervals covering it."""
+    from feathub_spark.datapipe.intervals import interval_join
+
+    ev = _events_with_micros(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us"
+    )
+    iv = ev.filter(F.col("event_id") % 20 == 0).select(
+        "user_id",
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + 7_200_000_000).alias("end_us"),
+    )
+    out = interval_join(
+        ev, iv, "ts_us", "start_us", "end_us",
+        keys=["user_id"], bin_us=3_600_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", "anchor_id",
+        F.col("start_us").cast("bigint").alias("start_us"),
+    )
+
+
+_ORACLE_INTERVAL_JOIN = """
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+), iv AS (
+    SELECT user_id, event_id AS anchor_id, tu AS start_us,
+           tu + 7200000000 AS end_us
+    FROM e WHERE event_id % 20 = 0
+)
+SELECT e.event_id, e.user_id, iv.anchor_id,
+       CAST(iv.start_us AS BIGINT) AS start_us
+FROM e JOIN iv
+  ON e.user_id = iv.user_id
+ AND e.tu >= iv.start_us AND e.tu <= iv.end_us
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3508,6 +3551,7 @@ _RAW_QUERIES = {
         "decayed_sum": _q_decayed_sum,
         "chunk_docs": _q_chunk_docs,
         "bigram_surprisal": _q_bigram_surprisal,
+        "interval_join": _q_interval_join,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3587,6 +3631,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,
         "bigram_surprisal": _ORACLE_BIGRAM_SURPRISAL,
+        "interval_join": _ORACLE_INTERVAL_JOIN,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

@@ -92,3 +92,57 @@ def test_map_entry_lookup_join(client, tmp_path):
     )
     # as-of self-join at equal times matches the same row → cost*2
     assert df["cost_map"].tolist() == [200, 800, 600, 400, 1000, 1200]
+
+
+def test_binned_interval_join_matches_naive(spark):
+    """The binned equi-join + post-filter must produce exactly the naive
+    conditional join's matches, and its plan must stay equi-join shaped
+    (no BroadcastNestedLoopJoin / CartesianProduct)."""
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.intervals import interval_join
+
+    ev = spark.createDataFrame(
+        [(i, i % 3, i * 137) for i in range(200)],
+        "event_id long, k long, ts long",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100 + j, j % 3, j * 450, j * 450 + 900)
+            for j in range(40)
+        ] + [(999, 0, 5000, 4000), (998, 1, None, 100)],  # inverted + NULL
+        "iv_id long, k long, s long, e long",
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(
+            ev, iv, "ts", "s", "e", keys=["k"], bin_us=500
+        ).collect()
+    )
+    naive = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in ev.join(
+            iv,
+            (ev["k"] == iv["k"]) & (ev["ts"] >= iv["s"]) & (ev["ts"] <= iv["e"]),
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
+
+    plan = interval_join(
+        ev, iv, "ts", "s", "e", keys=["k"], bin_us=500
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # left join keeps unmatched events with NULL interval columns
+    left = interval_join(
+        ev, iv, "ts", "s", "e", keys=["k"], bin_us=500, how="left"
+    )
+    assert left.filter(F.col("iv_id").isNull()).count() == (
+        200 - len({e for e, _ in naive})
+    )
+    matched_left = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in left.filter(F.col("iv_id").isNotNull()).collect()
+    )
+    assert matched_left == naive
