@@ -3149,6 +3149,71 @@ FROM e JOIN iv
 """
 
 
+def _q_corpus_drift(spark, sf_dir):
+    """Corpus drift monitor: add-one-smoothed KL and Jensen-Shannon
+    divergence between the token distributions of two snapshot halves
+    (even vs odd doc_id).  Per-token terms round into integer nano-units
+    before the sum, so the reduction is exact in any engine."""
+    from feathub_spark.datapipe.drift import token_kl_divergence
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return token_kl_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+    )
+
+
+_ORACLE_CORPUS_DRIFT = """
+WITH ta AS (
+    SELECT tok, count(*) AS na FROM (
+        SELECT unnest(list_filter(
+            string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+        FROM documents WHERE doc_id % 2 = 0
+    ) GROUP BY tok
+), tb AS (
+    SELECT tok, count(*) AS nb FROM (
+        SELECT unnest(list_filter(
+            string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+        FROM documents WHERE doc_id % 2 = 1
+    ) GROUP BY tok
+), j AS (
+    SELECT coalesce(ta.tok, tb.tok) AS tok,
+           coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+    FROM ta FULL OUTER JOIN tb ON ta.tok = tb.tok
+), tot AS (
+    SELECT sum(na) AS tta, sum(nb) AS ttb,
+           sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS va,
+           sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS vb,
+           count(*) AS v
+    FROM j
+), w AS (
+    SELECT j.*, tot.* FROM j CROSS JOIN tot
+)
+SELECT CAST(max(tta) AS BIGINT) AS n_tokens_a,
+       CAST(max(ttb) AS BIGINT) AS n_tokens_b,
+       CAST(max(va) AS BIGINT) AS vocab_a,
+       CAST(max(vb) AS BIGINT) AS vocab_b,
+       CAST(max(v) AS BIGINT) AS vocab_union,
+       round(sum(CAST(round(
+           ((CAST(na AS DOUBLE) + 1) / (CAST(tta AS DOUBLE) + v))
+           * log2(((CAST(na AS DOUBLE) + 1) / (CAST(tta AS DOUBLE) + v))
+                  / ((CAST(nb AS DOUBLE) + 1) / (CAST(ttb AS DOUBLE) + v)))
+           * 1000000000, 0) AS BIGINT)) / 1e9, 6) AS kl_ab,
+       round(sum(CAST(round(
+           ((((CAST(na AS DOUBLE) + 1) / (CAST(tta AS DOUBLE) + v))
+             * log2(((CAST(na AS DOUBLE) + 1) / (CAST(tta AS DOUBLE) + v))
+                    / ((((CAST(na AS DOUBLE) + 1) / (CAST(tta AS DOUBLE) + v))
+                        + ((CAST(nb AS DOUBLE) + 1) / (CAST(ttb AS DOUBLE) + v))) / 2)))
+            + (((CAST(nb AS DOUBLE) + 1) / (CAST(ttb AS DOUBLE) + v))
+             * log2(((CAST(nb AS DOUBLE) + 1) / (CAST(ttb AS DOUBLE) + v))
+                    / ((((CAST(na AS DOUBLE) + 1) / (CAST(tta AS DOUBLE) + v))
+                        + ((CAST(nb AS DOUBLE) + 1) / (CAST(ttb AS DOUBLE) + v))) / 2)))) / 2
+           * 1000000000, 0) AS BIGINT)) / 1e9, 6) AS js
+FROM w
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3552,6 +3617,7 @@ _RAW_QUERIES = {
         "chunk_docs": _q_chunk_docs,
         "bigram_surprisal": _q_bigram_surprisal,
         "interval_join": _q_interval_join,
+        "corpus_drift": _q_corpus_drift,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3632,6 +3698,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _ORACLE_CHUNK_DOCS,
         "bigram_surprisal": _ORACLE_BIGRAM_SURPRISAL,
         "interval_join": _ORACLE_INTERVAL_JOIN,
+        "corpus_drift": _ORACLE_CORPUS_DRIFT,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

@@ -303,3 +303,46 @@ def test_bigram_surprisal_matches_python_model(spark):
     # score lowest — doc 3's bigrams are fully predictable continuations
     assert 4 not in got and 5 not in got
     assert got[3][1] == min(v[1] for v in got.values())
+
+
+def test_token_kl_divergence_matches_python_model(spark):
+    import math
+    from collections import Counter
+
+    from feathub_spark.datapipe.drift import token_kl_divergence
+
+    a_docs = ["the cat sat", "the dog ran", "the the the"]
+    b_docs = ["the cat sat", "a bird flew", "over the moon"]
+    df_a = spark.createDataFrame([(i, t) for i, t in enumerate(a_docs)],
+                                 "doc_id long, text string")
+    df_b = spark.createDataFrame([(i, t) for i, t in enumerate(b_docs)],
+                                 "doc_id long, text string")
+    ca = Counter(w for t in a_docs for w in t.split())
+    cb = Counter(w for t in b_docs for w in t.split())
+    vocab = set(ca) | set(cb)
+    ta, tb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+
+    def p(w):
+        return (ca[w] + 1) / (ta + v)
+
+    def q(w):
+        return (cb[w] + 1) / (tb + v)
+
+    kl = round(sum(
+        int(round(p(w) * math.log2(p(w) / q(w)) * 1e9)) for w in vocab
+    ) / 1e9, 6)
+    js = round(sum(
+        int(round((p(w) * math.log2(p(w) / ((p(w) + q(w)) / 2))
+                   + q(w) * math.log2(q(w) / ((p(w) + q(w)) / 2))) / 2 * 1e9))
+        for w in vocab
+    ) / 1e9, 6)
+
+    r = token_kl_divergence(df_a, df_b, "text").collect()[0]
+    assert (r["n_tokens_a"], r["n_tokens_b"]) == (ta, tb)
+    assert (r["vocab_a"], r["vocab_b"], r["vocab_union"]) == (
+        len(ca), len(cb), v
+    )
+    assert r["kl_ab"] == kl and r["js"] == js
+    # identical corpora diverge by ~zero
+    same = token_kl_divergence(df_a, df_a, "text").collect()[0]
+    assert same["kl_ab"] == 0.0 and same["js"] == 0.0

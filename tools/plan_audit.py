@@ -29,6 +29,7 @@ _BOUNDED_BNLJ_OK = {
     "ivf_pq_ann",  # broadcast centroid array + PQ codebook rows (bounded)
     "quality_buckets",  # embeds token_surprisal's 1-row total broadcast
     "bigram_surprisal",  # 1-row bigram-type total broadcast
+    "corpus_drift",  # 1-row totals broadcast onto the union vocab table
 }
 
 
