@@ -3214,6 +3214,33 @@ FROM w
 """
 
 
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic train/valid/test split assignment (80/10/10) by md5
+    hash fraction — reproducible in any engine; the group-keyed
+    leakage-safe variant (all rows of a near-dup cluster in ONE split) is
+    unit-tested in tests/test_datapipe_sampling.py."""
+    from feathub_spark.datapipe.sampling import assign_splits
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return assign_splits(
+        df.select("doc_id"), "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=2,
+    )
+
+
+_ORACLE_DATASET_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN f < 0.1 THEN 'test'
+            WHEN f < 0.9 THEN 'train'
+            ELSE 'valid' END AS split
+FROM (
+    SELECT doc_id,
+           {_H32.format(col='doc_id', seed=2)} / 4294967296.0 AS f
+    FROM documents
+)
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3618,6 +3645,7 @@ _RAW_QUERIES = {
         "bigram_surprisal": _q_bigram_surprisal,
         "interval_join": _q_interval_join,
         "corpus_drift": _q_corpus_drift,
+        "dataset_split": _q_dataset_split,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3699,6 +3727,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": _ORACLE_BIGRAM_SURPRISAL,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "corpus_drift": _ORACLE_CORPUS_DRIFT,
+        "dataset_split": _ORACLE_DATASET_SPLIT,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

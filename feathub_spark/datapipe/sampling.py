@@ -236,3 +236,52 @@ def pack_sequences(
         .drop("__h__")
     )
     return out
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    weights: Dict[str, float],
+    seed: int = 0,
+    group_col: Optional[str] = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test split assignment.
+
+    ``weights`` maps split name -> fraction (must sum to ~1); each row
+    lands in the split whose cumulative-weight interval contains its hash
+    fraction.  With ``group_col`` the hash is taken over the GROUP value
+    instead of the row id — the leakage-safe split: all rows of a
+    near-duplicate cluster / domain / author land in the SAME split, so
+    held-out data is never a near-copy of training data (the classic eval
+    contamination bug).  NULL groups fall back to the row id.
+
+    Pure per-row Catalyst (one md5 + a CASE ladder), no shuffle; exactly
+    reproducible in any engine.  Split names are assigned in sorted-name
+    order so the mapping is stable regardless of dict ordering."""
+    total = sum(float(w) for w in weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    key = (
+        F.coalesce(F.col(group_col).cast("string"),
+                   F.col(id_col).cast("string"))
+        if group_col
+        else F.col(id_col).cast("string")
+    )
+    frac = F.expr(
+        "CAST(conv(substr(md5(concat({k}, ':{s}')), 1, 8), 16, 10) AS BIGINT)"
+        .format(k="__k__", s=int(seed))
+    ) / F.lit(HASH_SPACE)
+    out = df.withColumn("__k__", key).withColumn("__f__", frac)
+    cum = 0.0
+    expr = None
+    names = sorted(weights)
+    for name in names[:-1]:
+        cum += float(weights[name])
+        branch = F.when(F.col("__f__") < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            F.col("__f__") < F.lit(cum), F.lit(name)
+        )
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return out.withColumn(split_col, split).drop("__k__", "__f__")

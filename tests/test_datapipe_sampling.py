@@ -694,3 +694,39 @@ def test_chunk_documents(spark):
     assert all(len(r["chunk_text"]) >= 4 or r["chunk_id"] == 0 for r in tail)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=4)
+
+
+def test_assign_splits_deterministic_and_leakage_safe(spark):
+    import pytest
+
+    from feathub_spark.datapipe.sampling import assign_splits
+
+    df = spark.createDataFrame(
+        [(i, i % 40) for i in range(2000)], "doc_id long, cluster long"
+    )
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out = assign_splits(df, "doc_id", w, seed=2)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # deterministic: identical on rerun
+    again = assign_splits(df, "doc_id", w, seed=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+    # leakage-safe: a whole cluster always lands in one split
+    g = assign_splits(df, "doc_id", w, seed=2, group_col="cluster")
+    from pyspark.sql import functions as F
+    spans = (
+        g.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    # NULL group falls back to the row id
+    withnull = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, cluster string"
+    )
+    assert assign_splits(withnull, "doc_id", w, group_col="cluster").count() == 2
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "doc_id", {"a": 0.5, "b": 0.2})
