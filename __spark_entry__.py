@@ -3241,6 +3241,72 @@ FROM (
 """
 
 
+def _q_price_histogram(spark, sf_dir):
+    """Fixed-width 20-bin histogram of l_extendedprice with in-plan exact
+    bounds (1-row broadcast min/max — no collect, no second job); integer
+    bin arithmetic, map-side-combinable counts."""
+    from feathub_spark.datapipe.profile import numeric_histogram
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return numeric_histogram(df, "l_extendedprice", n_bins=20)
+
+
+_ORACLE_PRICE_HISTOGRAM = """
+WITH b AS (
+    SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+    FROM lineitem
+), binned AS (
+    SELECT least(19, greatest(0, CAST(floor(
+               (l_extendedprice - lo) / ((hi - lo) / 20.0)) AS INT)))
+               AS bin,
+           lo, hi
+    FROM lineitem CROSS JOIN b
+    WHERE l_extendedprice IS NOT NULL
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       round(min(lo) + bin * ((min(hi) - min(lo)) / 20.0), 6) AS bin_lo,
+       round(min(lo) + (bin + 1) * ((min(hi) - min(lo)) / 20.0), 6) AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY bin
+"""
+
+
+def _q_profile_stats(spark, sf_dir):
+    """Per-column data-quality profile (rows/nulls/exact distinct/min/max)
+    in one wide aggregate pass, unpivoted to long format."""
+    from feathub_spark.datapipe.profile import profile_columns
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return profile_columns(
+        df, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    )
+
+
+_ORACLE_PROFILE_STATS = """
+SELECT 'l_orderkey' AS column, count(*) AS n_rows,
+       count(*) - count(l_orderkey) AS n_nulls,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       count(DISTINCT l_quantity),
+       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag),
+       CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+       count(DISTINCT l_shipdate),
+       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+FROM lineitem
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3646,6 +3712,8 @@ _RAW_QUERIES = {
         "interval_join": _q_interval_join,
         "corpus_drift": _q_corpus_drift,
         "dataset_split": _q_dataset_split,
+        "price_histogram": _q_price_histogram,
+        "profile_stats": _q_profile_stats,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3728,6 +3796,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "corpus_drift": _ORACLE_CORPUS_DRIFT,
         "dataset_split": _ORACLE_DATASET_SPLIT,
+        "price_histogram": _ORACLE_PRICE_HISTOGRAM,
+        "profile_stats": _ORACLE_PROFILE_STATS,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

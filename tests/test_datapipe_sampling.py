@@ -730,3 +730,31 @@ def test_assign_splits_deterministic_and_leakage_safe(spark):
     assert assign_splits(withnull, "doc_id", w, group_col="cluster").count() == 2
     with pytest.raises(ValueError, match="sum to 1"):
         assign_splits(df, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_numeric_histogram_and_profile(spark):
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.profile import numeric_histogram, profile_columns
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "v double"
+    )
+    h = {r["bin"]: r for r in numeric_histogram(df, "v", n_bins=10).collect()}
+    assert len(h) == 10 and all(h[b]["n"] == 10 for b in h)
+    assert h[0]["bin_lo"] == 0.0 and h[9]["bin_hi"] == 99.0
+    # the max value lands in the LAST bin, not a phantom bin 10
+    assert 10 not in h
+    # explicit bounds: out-of-range values clamp to edge bins
+    hb = {r["bin"]: r["n"] for r in numeric_histogram(
+        df, "v", n_bins=4, lo=20.0, hi=60.0
+    ).collect()}
+    assert hb[0] == 30 and hb[3] == 50  # below-lo clamps low, >=50th clamps high
+
+    prof = {r["column"]: r for r in profile_columns(
+        df.withColumn("s", F.when(F.col("v") < 50, F.lit("x")))
+    ).collect()}
+    assert prof["v"]["n_rows"] == 101 and prof["v"]["n_nulls"] == 1
+    assert prof["v"]["n_distinct"] == 100
+    assert prof["v"]["min_value"] == "0.0" and prof["v"]["max_value"] == "99.0"
+    assert prof["s"]["n_nulls"] == 51 and prof["s"]["n_distinct"] == 1

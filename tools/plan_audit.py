@@ -30,6 +30,7 @@ _BOUNDED_BNLJ_OK = {
     "quality_buckets",  # embeds token_surprisal's 1-row total broadcast
     "bigram_surprisal",  # 1-row bigram-type total broadcast
     "corpus_drift",  # 1-row totals broadcast onto the union vocab table
+    "price_histogram",  # 1-row min/max bounds broadcast
 }
 
 
