@@ -8,18 +8,22 @@ action belongs to the caller.  This module is the contract that keeps
 executor storage flat across a long composed pipeline:
 
 - operators persist ONLY through :func:`register_cache`, which tracks the
-  handle in a process-wide registry;
+  handle in a process-wide registry (STRONG references on purpose: the
+  cached subplan is consumed through the JVM plan, not through the Python
+  handle, so a GC-driven release would unpersist intermediates before the
+  caller's action ever runs);
 - callers invoke :func:`release_caches` once they have consumed the
   operator's output (after the final action on it) — every tracked
-  intermediate is unpersisted and the registry emptied.
+  intermediate is unpersisted and the registry emptied;
+- as a backstop for callers that never release (a foreachBatch handler
+  building fresh operators every micro-batch, a long notebook session),
+  the registry is BOUNDED: beyond ``MAX_ACTIVE`` entries the oldest is
+  unpersisted FIFO.  Unpersisting never changes results — a still-needed
+  intermediate is merely recomputed — so the bound trades worst-case
+  recompute for a hard storage ceiling.
 
 ``bench.py`` and the test suite call :func:`release_caches` after every
-query action; a long-lived session composing many operators should do the
-same between pipeline stages.  Without a release call the behavior is the
-pre-contract one (caches linger until eviction or ``clearCache``), so the
-contract is strictly an improvement, never a correctness requirement:
-unpersisting a DataFrame never changes its results, only whether the
-shared subplan is recomputed.
+query action; put the same call at the end of a foreachBatch handler.
 """
 
 from __future__ import annotations
@@ -28,6 +32,8 @@ from typing import List
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+MAX_ACTIVE = 64
 
 _ACTIVE: List[DataFrame] = []
 
@@ -44,6 +50,8 @@ def register_cache(
     hazard, so the default stays."""
     df.persist(storage_level)
     _ACTIVE.append(df)
+    while len(_ACTIVE) > MAX_ACTIVE:
+        _ACTIVE.pop(0).unpersist()
     return df
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from feathub_spark.common.caching import register_cache
 from feathub_spark.common.parallelism import ensure_parallelism
 
 
@@ -44,10 +45,14 @@ def token_kl_divergence(
 
     ca = counts(df_a, "__na__")
     cb = counts(df_b, "__nb__")
-    joined = ca.join(cb, on="__tok__", how="full").select(
-        "__tok__",
-        F.coalesce("__na__", F.lit(0)).alias("__na__"),
-        F.coalesce("__nb__", F.lit(0)).alias("__nb__"),
+    # the vocab-sized joined table feeds the totals aggregate AND the
+    # divergence sum — cache it so both corpora tokenize/count once
+    joined = register_cache(
+        ca.join(cb, on="__tok__", how="full").select(
+            "__tok__",
+            F.coalesce("__na__", F.lit(0)).alias("__na__"),
+            F.coalesce("__nb__", F.lit(0)).alias("__nb__"),
+        )
     )
     tot = joined.alias("__j__").agg(
         F.sum("__na__").alias("__ta__"),

@@ -504,6 +504,8 @@ def parse_video_header(payload: bytes):
         for inner, i0, i1 in _walk_boxes(payload, b0, b1):
             if inner == b"mvhd":
                 saw_mvhd = True
+                if i0 >= i1:
+                    raise ValueError("truncated mvhd box")
                 version = payload[i0]
                 if version == 0:
                     ts_off, dur_off, dur_len = 12, 16, 4
@@ -529,6 +531,8 @@ def parse_video_header(payload: bytes):
                 for tb, t0, t1 in _walk_boxes(payload, i0, i1):
                     if tb != b"tkhd":
                         continue
+                    if t0 >= t1:
+                        raise ValueError("truncated tkhd box")
                     version = payload[t0]
                     if version == 0:
                         wh_off = 76

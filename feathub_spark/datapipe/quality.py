@@ -377,8 +377,13 @@ def bigram_surprisal(
             F.col("__bg__.c").alias("__c__"),
         )
     )
-    bi = exploded.groupBy("__p__", "__c__").agg(
-        F.count(F.lit(1)).alias("__n__")
+    # the bigram count table feeds FOUR consumers (prefix totals,
+    # continuation counts, the type total and the scoring join) — cache it
+    # so the corpus-scale aggregation runs once
+    bi = register_cache(
+        exploded.groupBy("__p__", "__c__").agg(
+            F.count(F.lit(1)).alias("__n__")
+        )
     )
     prefix = bi.groupBy("__p__").agg(F.sum("__n__").alias("__n1__"))
     cont = bi.groupBy("__c__").agg(F.count(F.lit(1)).alias("__k__"))

@@ -268,11 +268,9 @@ def assign_splits(
         if group_col
         else F.col(id_col).cast("string")
     )
-    frac = F.expr(
-        "CAST(conv(substr(md5(concat({k}, ':{s}')), 1, 8), 16, 10) AS BIGINT)"
-        .format(k="__k__", s=int(seed))
-    ) / F.lit(HASH_SPACE)
-    out = df.withColumn("__k__", key).withColumn("__f__", frac)
+    out = df.withColumn("__k__", key).withColumn(
+        "__f__", hash_fraction("__k__", seed)
+    )
     cum = 0.0
     expr = None
     names = sorted(weights)

@@ -475,6 +475,40 @@ def _pq_sq_dist_micro(a: str, b: str) -> str:
     )
 
 
+def _pq_cb_row(cb: DataFrame) -> DataFrame:
+    """The PQ codebook collapsed to ONE sorted broadcast array row."""
+    return cb.agg(
+        F.expr("array_sort(collect_list(named_struct("
+               "'sub', sub, 'code', code, 'subvec', subvec)))").alias("__cb__")
+    )
+
+
+def _pq_subs_expr(vec_col: str, m: int) -> str:
+    """The vector pre-split into m double subvectors (one evaluation)."""
+    return (
+        f"transform(sequence(0, {m - 1}), j -> transform(slice(`{vec_col}`, "
+        f"j * (size(`{vec_col}`) div {m}) + 1, size(`{vec_col}`) div {m}), "
+        f"x -> CAST(x AS DOUBLE)))"
+    )
+
+
+def _pq_codes_expr(m: int) -> str:
+    """Per-subspace argmin codes over the bound __cb__ row, reading the
+    pre-split __subs__ column.  The candidate distance is let-bound via a
+    1-element transform so the fold evaluates it once per entry (the HOF
+    let-binding lesson)."""
+    d2 = _pq_sq_dist_micro("element_at(__subs__, j + 1)", "e.subvec")
+    return (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"aggregate(filter(__cb__, e -> e.sub = j), "
+        f"named_struct('d', CAST(NULL AS BIGINT), 'c', CAST(-1 AS INT)), "
+        f"(acc, e) -> transform(array({d2}), dd -> "
+        f"CASE WHEN acc.c = -1 OR dd < acc.d "
+        f"THEN named_struct('d', dd, 'c', e.code) ELSE acc END)[0], "
+        f"acc -> acc.c))"
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     vec_col: str,
@@ -502,32 +536,14 @@ def pq_encode(
         if codebook is not None
         else pq_codebook(corpus, vec_col, id_col, m, n_codes, seed)
     )
-    cb1 = cb.agg(
-        F.expr("array_sort(collect_list(named_struct("
-               "'sub', sub, 'code', code, 'subvec', subvec)))").alias("__cb__")
-    )
-    subs = (
-        f"transform(sequence(0, {m - 1}), j -> transform(slice(`{vec_col}`, "
-        f"j * (size(`{vec_col}`) div {m}) + 1, size(`{vec_col}`) div {m}), "
-        f"x -> CAST(x AS DOUBLE)))"
-    )
-    d2 = _pq_sq_dist_micro("element_at(__subs__, j + 1)", "e.subvec")
-    codes = (
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"aggregate(filter(__cb__, e -> e.sub = j), "
-        f"named_struct('d', CAST(NULL AS BIGINT), 'c', CAST(-1 AS INT)), "
-        # let-bind the candidate distance via a 1-element transform so the
-        # fold evaluates it once per entry (the HOF let-binding lesson)
-        f"(acc, e) -> transform(array({d2}), dd -> "
-        f"CASE WHEN acc.c = -1 OR dd < acc.d "
-        f"THEN named_struct('d', dd, 'c', e.code) ELSE acc END)[0], "
-        f"acc -> acc.c))"
-    )
     return (
         ensure_parallelism(corpus)
-        .select(F.col(id_col), F.expr(subs).alias("__subs__"))
-        .crossJoin(F.broadcast(cb1))
-        .select(F.col(id_col), F.expr(codes).alias(out_col))
+        .select(
+            F.col(id_col),
+            F.expr(_pq_subs_expr(vec_col, m)).alias("__subs__"),
+        )
+        .crossJoin(F.broadcast(_pq_cb_row(cb)))
+        .select(F.col(id_col), F.expr(_pq_codes_expr(m)).alias(out_col))
     )
 
 
@@ -654,16 +670,23 @@ def ivf_pq_topk(
         "THEN named_struct('c', CAST(e.cid AS BIGINT), 's', sc) "
         "ELSE acc END)[0], acc -> acc.c)"
     )
-    encoded = pq_encode(
-        corpus, vec_col, id_col, m, n_codes, seed, codebook=cb
-    )
+    # ONE corpus pass: both broadcast codebooks are attached and the cell
+    # assignment + PQ codes come out of the same narrow select — no second
+    # scan, no corpus self-join on the id
     members = (
         ensure_parallelism(corpus)
-        .select(F.col(id_col), F.col(vec_col))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            F.expr(_pq_subs_expr(vec_col, m)).alias("__subs__"),
+        )
         .crossJoin(F.broadcast(cents1))
-        .select(F.col(id_col), F.expr(assign_fold).alias("cell"))
-        .join(encoded, on=id_col)
-        .withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(_pq_cb_row(cb)))
+        .select(
+            "neighbor_id",
+            F.expr(assign_fold).alias("cell"),
+            F.expr(_pq_codes_expr(m)).alias("pq_codes"),
+        )
     )
 
     # query side: nprobe nearest cells (tiny: queries x centroids) + LUT

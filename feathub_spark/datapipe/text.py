@@ -610,9 +610,15 @@ def chunk_documents(
     Chunk i covers characters [1 + i*(chunk_size-overlap), ...
     +chunk_size); the final fragment is kept when it has at least
     ``min_chunk_chars`` characters that are NOT already covered by the
-    previous chunk's overlap.  Pure narrow explode (no shuffle, no UDF):
-    one sequence + substr per row, deterministic chunk ids, exactly
-    reproducible in any SQL engine.
+    previous chunk's overlap.  Pure narrow explode (no shuffle, no UDF),
+    deterministic chunk ids, exactly reproducible in any SQL engine.
+
+    Chunk texts slice a let-bound ``split('')`` char array (O(1) indexed)
+    rather than calling per-chunk ``substr`` — substr seeks UTF-8 char
+    positions from the string start, which would make a long document
+    O(len^2 / chunk_size) (the repo's recorded O(n^2)-substr lesson); the
+    slices also complete BEFORE the explode, so generated rows carry only
+    their own chunk, never the whole document.
 
     Returns (id_col, chunk_id, chunk_start, chunk_text); empty/NULL texts
     yield no rows."""
@@ -622,29 +628,25 @@ def chunk_documents(
         )
     step = chunk_size - overlap
     n = f"length(`{text_col}`)"
-    # last start s satisfies s <= len - min_chunk_chars + ... : keep starts
-    # whose fresh (non-overlap) span has >= min_chunk_chars chars, i.e.
-    # start + (i>0 ? overlap : 0) <= len - min_chunk_chars + 1; chunk 0 is
+    # keep starts whose fresh (non-overlap) span has >= min_chunk_chars
+    # chars, i.e. pos + overlap <= len - min_chunk_chars + 1; chunk 0 is
     # always kept for nonempty text
-    starts = (
-        f"filter(transform(sequence(0, ({n} - 1) DIV {step}), "
+    chunks = (
+        f"transform(array(split(`{text_col}`, '')), cs -> "
+        f"transform(filter(transform(sequence(0, ({n} - 1) DIV {step}), "
         f"i -> named_struct('cid', i, 'pos', 1 + i * {step})), "
-        f"s -> s.cid = 0 OR s.pos + {overlap} + {min_chunk_chars} - 1 <= {n})"
+        f"s -> s.cid = 0 OR s.pos + {overlap} + {min_chunk_chars} - 1 <= {n}), "
+        f"s -> named_struct('cid', s.cid, 'pos', s.pos, "
+        f"'txt', array_join(slice(cs, s.pos, {chunk_size}), ''))))[0]"
     )
     return (
         ensure_parallelism(df)
         .filter(F.expr(f"{n} > 0"))
-        .select(
-            F.col(id_col),
-            F.explode(F.expr(starts)).alias("__ch__"),
-            F.col(text_col),
-        )
+        .select(F.col(id_col), F.explode(F.expr(chunks)).alias("__ch__"))
         .select(
             id_col,
             F.col("__ch__.cid").cast("bigint").alias("chunk_id"),
             F.col("__ch__.pos").cast("bigint").alias("chunk_start"),
-            F.expr(
-                f"substr(`{text_col}`, __ch__.pos, {chunk_size})"
-            ).alias("chunk_text"),
+            F.col("__ch__.txt").alias("chunk_text"),
         )
     )

@@ -60,3 +60,24 @@ def test_no_bare_persist_in_package():
         if "common/caching.py" not in line and "dedup.py" not in line
     ]
     assert not offenders, f"bare persist() outside the contract: {offenders}"
+
+
+def test_registry_bound_evicts_oldest(spark):
+    """Beyond MAX_ACTIVE entries the oldest cache is unpersisted FIFO — a
+    never-releasing caller (perpetual foreachBatch loop) gets a hard
+    storage ceiling instead of unbounded growth."""
+    from feathub_spark.common import caching
+
+    release_caches()
+    old_max = caching.MAX_ACTIVE
+    caching.MAX_ACTIVE = 3
+    try:
+        dfs = [register_cache(spark.range(10 + i)) for i in range(5)]
+        for df in dfs:
+            df.count()
+        # only the newest 3 remain persisted
+        assert [bool(d.storageLevel.useMemory or d.storageLevel.useDisk)
+                for d in dfs] == [False, False, True, True, True]
+        assert release_caches() == 3
+    finally:
+        caching.MAX_ACTIVE = old_max
