@@ -3307,6 +3307,40 @@ FROM lineitem
 """
 
 
+def _q_frame_sample_real(spark, sf_dir):
+    """Frame-sampling grid driven by the REAL decoded MP4 duration:
+    in-plan-assembled headers are parsed back by the pure-Python box
+    walker and the per-video frame offsets explode from
+    video_meta.duration_ms — the decode -> plan composition a video
+    ingest pipeline runs.  Oracle recomputes duration arithmetically."""
+    from feathub_spark.datapipe.multimodal import (
+        decode_video_metadata,
+        frame_sample_plan,
+    )
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.expr(_video_payload_expr()).alias("payload"))
+    )
+    meta = decode_video_metadata(df, "payload", fake=False).withColumn(
+        "duration_ms", F.col("video_meta.duration_ms")
+    )
+    return frame_sample_plan(
+        meta, "payload", every_n_ms=2000, duration_ms_col="duration_ms"
+    ).select(
+        "doc_id",
+        F.col("frame_offset_ms").cast("bigint").alias("frame_offset_ms"),
+    )
+
+
+_ORACLE_FRAME_SAMPLE_REAL = """
+SELECT doc_id,
+       CAST(unnest(generate_series(0, 1000 + (doc_id * 13) % 60000, 2000))
+            AS BIGINT) AS frame_offset_ms
+FROM documents
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3714,6 +3748,7 @@ _RAW_QUERIES = {
         "dataset_split": _q_dataset_split,
         "price_histogram": _q_price_histogram,
         "profile_stats": _q_profile_stats,
+        "frame_sample_real": _q_frame_sample_real,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3798,6 +3833,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _ORACLE_DATASET_SPLIT,
         "price_histogram": _ORACLE_PRICE_HISTOGRAM,
         "profile_stats": _ORACLE_PROFILE_STATS,
+        "frame_sample_real": _ORACLE_FRAME_SAMPLE_REAL,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

@@ -410,20 +410,29 @@ def resize_plan(
 
 
 def frame_sample_plan(
-    df: DataFrame, binary_col: str, every_n_ms: int = 1000
+    df: DataFrame,
+    binary_col: str,
+    every_n_ms: int = 1000,
+    duration_ms_col: str = None,
 ) -> DataFrame:
     """Plan-only helper for video frame sampling: emits one row per sampled
-    frame offset (duration read from metadata when a decoder is present;
-    here derived deterministically from the payload's md5 — portable
-    across engines, so the whole frame-grid plan is oracle-checkable)."""
+    frame offset.  Pass ``duration_ms_col`` to drive the grid from a REAL
+    decoded duration (e.g. ``video_meta.duration_ms`` from
+    :func:`decode_video_metadata`); without it the duration derives
+    deterministically from the payload's md5 (portable across engines, so
+    even the stub grid is oracle-checkable)."""
     from pyspark.sql import functions as F
 
     duration_ms = (
-        F.expr(
-            f"CAST(conv(substr(md5(`{binary_col}`), 1, 8), 16, 10) AS BIGINT)"
+        F.col(duration_ms_col).cast("bigint")
+        if duration_ms_col
+        else (
+            F.expr(
+                f"CAST(conv(substr(md5(`{binary_col}`), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % F.lit(10_000)
+            + F.lit(1000)
         )
-        % F.lit(10_000)
-        + F.lit(1000)
     )
     return (
         df.withColumn("__duration_ms__", duration_ms)
