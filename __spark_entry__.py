@@ -3341,6 +3341,38 @@ FROM documents
 """
 
 
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization (crawl pre-dedup key): uppercase scheme/host
+    lowered, default :443 stripped (:8080 kept), utm_* tracking param
+    dropped, surviving params sorted, fragment removed.  The oracle builds
+    the EXPECTED canonical form arithmetically from the same doc_id
+    recipe, so every normalization rule is hash-checked."""
+    from feathub_spark.datapipe.text import normalize_urls
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.expr(
+                "concat('HTTPS://Site', doc_id % 5, '.COM', "
+                "CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END, "
+                "'/P/', doc_id, '?utm_source=news&z=', doc_id % 7, '&a=1', "
+                "CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)"
+            ).alias("url"),
+        )
+    )
+    return normalize_urls(df, "url").select("doc_id", "norm_url")
+
+
+_ORACLE_URL_NORMALIZE = """
+SELECT doc_id,
+       'https://site' || (doc_id % 5) || '.com' ||
+       CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END ||
+       '/P/' || doc_id || '?a=1&z=' || (doc_id % 7) AS norm_url
+FROM documents
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3749,6 +3781,7 @@ _RAW_QUERIES = {
         "price_histogram": _q_price_histogram,
         "profile_stats": _q_profile_stats,
         "frame_sample_real": _q_frame_sample_real,
+        "url_normalize": _q_url_normalize,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3834,6 +3867,7 @@ def oracle_sql() -> dict[str, str]:
         "price_histogram": _ORACLE_PRICE_HISTOGRAM,
         "profile_stats": _ORACLE_PROFILE_STATS,
         "frame_sample_real": _ORACLE_FRAME_SAMPLE_REAL,
+        "url_normalize": _ORACLE_URL_NORMALIZE,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

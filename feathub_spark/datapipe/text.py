@@ -650,3 +650,64 @@ def chunk_documents(
             F.col("__ch__.txt").alias("chunk_text"),
         )
     )
+
+
+# Tracking parameters every crawl normalizer strips: any utm_* plus the
+# common click/campaign identifiers.
+DEFAULT_TRACKING_PARAMS = (
+    "gclid", "fbclid", "msclkid", "igshid", "ref", "ref_src",
+    "mc_cid", "mc_eid", "spm", "yclid", "mkt_tok",
+)
+
+
+def normalize_urls(
+    df: DataFrame,
+    url_col: str,
+    out_col: str = "norm_url",
+    tracking_params=DEFAULT_TRACKING_PARAMS,
+) -> DataFrame:
+    """URL canonicalization for crawl dedup/blocklists: lowercase scheme
+    and host, strip default ports (:80 http / :443 https), drop the
+    fragment, drop tracking query parameters (any ``utm_*`` plus
+    ``tracking_params``, name-matched case-insensitively), sort the
+    surviving parameters, and default an empty path to '/'.  Two URLs
+    that differ only in case/port/fragment/tracking-noise/param order
+    normalize identically — the usual pre-dedup key.
+
+    Rows whose value does not start with http(s):// pass through
+    unchanged.  Pure per-row Catalyst (regexp part extraction + one array
+    filter/sort), no shuffle, engine-reproducible."""
+    names = ", ".join(
+        "'" + str(p).lower().replace("'", "") + "'" for p in tracking_params
+    )
+    scheme = f"lower(regexp_extract(`{url_col}`, '^(?i)(https?)://', 1))"
+    hostport = (
+        f"lower(regexp_extract(`{url_col}`, '^(?i)https?://([^/?#]+)', 1))"
+    )
+    host = (
+        f"CASE WHEN ({scheme} = 'http' AND {hostport} LIKE '%:80') "
+        f"THEN substring({hostport}, 1, length({hostport}) - 3) "
+        f"WHEN ({scheme} = 'https' AND {hostport} LIKE '%:443') "
+        f"THEN substring({hostport}, 1, length({hostport}) - 4) "
+        f"ELSE {hostport} END"
+    )
+    path = f"regexp_extract(`{url_col}`, '^(?i)https?://[^/?#]+([^?#]*)', 1)"
+    query = f"regexp_extract(`{url_col}`, '\\\\?([^#]*)', 1)"
+    keep = (
+        f"array_sort(filter(split({query}, '&'), p -> p <> '' AND NOT ("
+        f"lower(element_at(split(p, '='), 1)) LIKE 'utm@_%' ESCAPE '@' "
+        f"OR lower(element_at(split(p, '='), 1)) IN ({names}))))"
+    )
+    norm = (
+        f"concat({scheme}, '://', {host}, "
+        f"CASE WHEN {path} = '' THEN '/' ELSE {path} END, "
+        f"CASE WHEN size({keep}) > 0 "
+        f"THEN concat('?', array_join({keep}, '&')) ELSE '' END)"
+    )
+    return ensure_parallelism(df).withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN `{url_col}` RLIKE '^(?i)https?://' THEN {norm} "
+            f"ELSE `{url_col}` END"
+        ),
+    )

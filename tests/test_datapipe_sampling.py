@@ -758,3 +758,24 @@ def test_numeric_histogram_and_profile(spark):
     assert prof["v"]["n_distinct"] == 100
     assert prof["v"]["min_value"] == "0.0" and prof["v"]["max_value"] == "99.0"
     assert prof["s"]["n_nulls"] == 51 and prof["s"]["n_distinct"] == 1
+
+
+def test_normalize_urls_rules(spark):
+    from feathub_spark.datapipe.text import normalize_urls
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/A?utm_source=x&b=2&a=1#frag"),
+        (2, "http://Site.org:80"),                  # default port + empty path
+        (3, "http://site.org:8080/x?gclid=9&z=1"),  # non-default port kept
+        (4, "not a url"),                           # passes through
+        (5, "https://a.b/?UTM_CAMPAIGN=z"),         # utm_* case-insensitive
+        (6, "http://h/p?a=1&a=0&ref=t"),            # sort + ref dropped
+    ]
+    df = spark.createDataFrame(rows, "i long, u string")
+    got = {r["i"]: r["norm_url"] for r in normalize_urls(df, "u").collect()}
+    assert got[1] == "https://www.example.com/Path/A?a=1&b=2"
+    assert got[2] == "http://site.org/"
+    assert got[3] == "http://site.org:8080/x?z=1"
+    assert got[4] == "not a url"
+    assert got[5] == "https://a.b/"
+    assert got[6] == "http://h/p?a=0&a=1"
