@@ -3373,6 +3373,71 @@ FROM documents
 """
 
 
+def _q_bm25_search(spark, sf_dir):
+    """Okapi BM25 keyword retrieval — the lexical half of hybrid search
+    (vector half: the ANN family).  Queries are the first four tokens of
+    three fixture documents; document frequencies are semi-joined down to
+    the query vocabulary before broadcasting, per-term partials round to
+    integer micro-units, and the oracle replays the full scoring."""
+    from feathub_spark.datapipe.retrieval import bm25_search
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    toks = "filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')"
+    queries = docs.filter(F.col("doc_id").isin([10, 111, 222])).select(
+        F.col("doc_id").alias("query_id"),
+        F.expr(f"array_join(slice({toks}, 1, 4), ' ')").alias("query_text"),
+    )
+    return bm25_search(docs, queries, "text", "doc_id", k=5)
+
+
+_ORACLE_BM25_SEARCH = """
+WITH toks AS (
+    SELECT doc_id, list_filter(
+        string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+    FROM documents
+), e AS (
+    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), dt AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+           CAST(max(dl) AS DOUBLE) AS dl
+    FROM e GROUP BY doc_id, term
+), dls AS (
+    SELECT doc_id, max(dl) AS l FROM dt GROUP BY doc_id
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n, avg(l) AS avgdl FROM dls
+), qt AS (
+    SELECT doc_id AS query_id, unnest(list_distinct(t[1:4])) AS term
+    FROM toks WHERE doc_id IN (10, 111, 222)
+), dfq AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df
+    FROM dt WHERE term IN (SELECT term FROM qt)
+    GROUP BY term
+), scored AS (
+    SELECT qt.query_id, dt.doc_id,
+           sum(CAST(round(
+               ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dt.dl / avgdl))
+               * 1000000, 0) AS BIGINT)) AS s
+    FROM dt
+    JOIN qt ON dt.term = qt.term
+    JOIN dfq ON dfq.term = dt.term
+    CROSS JOIN stats
+    GROUP BY qt.query_id, dt.doc_id
+)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank,
+       round(s / 1000000.0, 6) AS bm25
+FROM (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY s DESC, doc_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3782,6 +3847,7 @@ _RAW_QUERIES = {
         "profile_stats": _q_profile_stats,
         "frame_sample_real": _q_frame_sample_real,
         "url_normalize": _q_url_normalize,
+        "bm25_search": _q_bm25_search,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3868,6 +3934,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_stats": _ORACLE_PROFILE_STATS,
         "frame_sample_real": _ORACLE_FRAME_SAMPLE_REAL,
         "url_normalize": _ORACLE_URL_NORMALIZE,
+        "bm25_search": _ORACLE_BM25_SEARCH,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

@@ -1,0 +1,112 @@
+"""Keyword retrieval: Okapi BM25 scoring over the corpus's own term
+statistics — the lexical half of hybrid search (compose with
+``similarity``'s ANN family for the vector half).
+
+Plan shape: ONE tokenize pass yields per-(doc, term) frequencies WITH the
+document length carried through the aggregation (no second scan, no
+doc-length self-join); document frequencies are computed per term and then
+semi-joined down to the QUERY vocabulary before broadcasting (the
+broadcast side is bounded by distinct query terms, never corpus vocab);
+corpus totals (N, avgdl) attach as a 1-row broadcast.  Per-term partial
+scores round into integer micro-units so the per-(query, doc) sum is
+exact bigint arithmetic in any engine, and the final per-query top-k runs
+the salted two-stage rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from feathub_spark.common.parallelism import ensure_parallelism
+from feathub_spark.datapipe.similarity import _two_stage_topk
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text_col: str = "query_text",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query row under Okapi BM25
+    (whitespace-lowercase terms):
+
+        score(D, Q) = sum_t idf(t) * tf * (k1+1) /
+                      (tf + k1 * (1 - b + b * |D| / avgdl))
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    Returns (query_id, doc id, rank, bm25) — bm25 descending, ranks
+    deterministic (ties break on the smaller document id)."""
+    toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    qtoks = (
+        f"filter(split(trim(lower(`{query_text_col}`)), '\\\\s+'), "
+        f"t -> t <> '')"
+    )
+    # one pass: per-(doc, term) tf with the doc length carried through
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.expr(f"size({toks})").cast("double").alias("__len__"),
+        F.explode(F.expr(toks)).alias("__term__"),
+    )
+    doc_terms = exploded.groupBy(id_col, "__term__").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf__"),
+        F.first("__len__").alias("__len__"),
+    )
+    # corpus totals from the per-doc length table (derived in-plan)
+    doclens = doc_terms.groupBy(id_col).agg(F.first("__len__").alias("__l__"))
+    stats = doclens.alias("__dl__").agg(
+        F.count(F.lit(1)).cast("double").alias("__N__"),
+        F.avg("__l__").alias("__avgdl__"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.expr(f"array_distinct({qtoks})")).alias("__term__"),
+    )
+    # document frequencies ONLY for the query vocabulary: semi-join the
+    # per-term df table down before broadcasting
+    dfreq = (
+        doc_terms.join(
+            F.broadcast(qterms.select("__term__").distinct()),
+            on="__term__",
+        )
+        .groupBy("__term__")
+        .agg(F.count(F.lit(1)).cast("double").alias("__df__"))
+    )
+    qside = (
+        qterms.join(F.broadcast(dfreq), on="__term__")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf__",
+            F.log((F.col("__N__") - F.col("__df__") + 0.5)
+                  / (F.col("__df__") + 0.5) + 1.0),
+        )
+        .select("query_id", "__term__", "__idf__", "__avgdl__")
+    )
+    term_score = (
+        F.col("__idf__")
+        * (F.col("__tf__") * F.lit(float(k1) + 1.0))
+        / (
+            F.col("__tf__")
+            + F.lit(float(k1))
+            * (F.lit(1.0 - float(b))
+               + F.lit(float(b)) * F.col("__len__") / F.col("__avgdl__"))
+        )
+    )
+    scored = (
+        doc_terms.join(F.broadcast(qside), on="__term__")
+        # integer micro-unit partials: the per-(query, doc) sum is exact
+        .withColumn(
+            "__s__", F.round(term_score * F.lit(1e6), 0).cast("bigint")
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__s__").alias("__sum__"))
+        .withColumn("bm25", F.round(F.col("__sum__") / F.lit(1e6), 6))
+    )
+    return _two_stage_topk(
+        scored, k, [F.col("bm25").desc(), F.col(id_col).asc()],
+        item_col=id_col,
+    ).select("query_id", id_col, "rank", "bm25")

@@ -762,3 +762,58 @@ def test_ivf_pq_exhaustive_probe_equals_pq(spark):
         # any returned pair that the full scan also ranked has the same dist
         if (r["query_id"], r["neighbor_id"]) in full_map:
             assert r["adc_dist"] == full_map[(r["query_id"], r["neighbor_id"])]
+
+
+def test_bm25_search_matches_python_model(spark):
+    import math
+    from collections import Counter
+
+    from feathub_spark.datapipe.retrieval import bm25_search
+
+    corpus = {
+        1: "apple banana apple cherry",
+        2: "banana banana date",
+        3: "cherry date elderberry fig grape",
+        4: "apple apple apple apple",
+        5: "",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(100, "apple banana"), (200, "date")],
+        "query_id long, query_text string",
+    )
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in corpus.items()}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    N, avgdl = len(dls), sum(dls.values()) / len(dls)
+
+    def score(q_terms, d):
+        tf = Counter(toks[d])
+        s = 0
+        for t in set(q_terms):
+            if tf[t] == 0:
+                continue
+            dfreq = sum(1 for dt in toks.values() if t in dt)
+            idf = math.log((N - dfreq + 0.5) / (dfreq + 0.5) + 1)
+            term = idf * (tf[t] * (k1 + 1)) / (
+                tf[t] + k1 * (1 - b + b * dls[d] / avgdl)
+            )
+            s += int(round(term * 1e6))
+        return round(s / 1e6, 6)
+
+    expected = {}
+    for qid, qt in ((100, ["apple", "banana"]), (200, ["date"])):
+        ranked = sorted(
+            ((score(qt, d), -d) for d in dls if score(qt, d) > 0), reverse=True
+        )
+        expected[qid] = [(-nd, r + 1, s) for r, (s, nd) in enumerate(ranked)][:3]
+
+    got = {}
+    for r in bm25_search(df, qdf, "text", "doc_id", k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["rank"], r["bm25"])
+        )
+    for qid in expected:
+        assert sorted(got[qid], key=lambda t: t[1]) == expected[qid], qid
+    # empty doc never matches; doc without the term never matches
+    assert all(d != 5 for lst in got.values() for d, _, _ in lst)

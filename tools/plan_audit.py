@@ -31,6 +31,7 @@ _BOUNDED_BNLJ_OK = {
     "bigram_surprisal",  # 1-row bigram-type total broadcast
     "corpus_drift",  # 1-row totals broadcast onto the union vocab table
     "price_histogram",  # 1-row min/max bounds broadcast
+    "bm25_search",  # 1-row (N, avgdl) corpus stats broadcast
 }
 
 
