@@ -3438,6 +3438,110 @@ FROM (
 """
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: reciprocal-rank fusion of the BM25 keyword ranking
+    (documents) and the exact cosine ANN ranking (embeddings; the
+    synthetic tables share the id space) — score = sum of 1/(60+rank)
+    over both lists in exact integer nano-units.  The oracle replays both
+    rankers AND the fusion."""
+    from feathub_spark.datapipe.retrieval import bm25_search, rrf_fuse
+    from feathub_spark.datapipe.similarity import brute_force_topk
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    toks = "filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')"
+    queries = docs.filter(F.col("doc_id").isin([10, 111, 222])).select(
+        F.col("doc_id").alias("query_id"),
+        F.expr(f"array_join(slice({toks}, 1, 4), ' ')").alias("query_text"),
+    )
+    bm = bm25_search(docs, queries, "text", "doc_id", k=20).select(
+        "query_id", F.col("doc_id").alias("item_id"), "rank"
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ann = brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin([10, 111, 222])),
+        "embedding", "vec_id", k=20,
+    ).select("query_id", F.col("neighbor_id").alias("item_id"), "rank")
+    return rrf_fuse([bm, ann], k=10)
+
+
+_ORACLE_HYBRID_RRF = """
+WITH toks AS (
+    SELECT doc_id, list_filter(
+        string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+    FROM documents
+), e AS (
+    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), dt AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+           CAST(max(dl) AS DOUBLE) AS dl
+    FROM e GROUP BY doc_id, term
+), dls AS (
+    SELECT doc_id, max(dl) AS l FROM dt GROUP BY doc_id
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n, avg(l) AS avgdl FROM dls
+), qt AS (
+    SELECT doc_id AS query_id, unnest(list_distinct(t[1:4])) AS term
+    FROM toks WHERE doc_id IN (10, 111, 222)
+), dfq AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df
+    FROM dt WHERE term IN (SELECT term FROM qt)
+    GROUP BY term
+), bmscore AS (
+    SELECT qt.query_id, dt.doc_id,
+           sum(CAST(round(
+               ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dt.dl / avgdl))
+               * 1000000, 0) AS BIGINT)) AS s
+    FROM dt
+    JOIN qt ON dt.term = qt.term
+    JOIN dfq ON dfq.term = dt.term
+    CROSS JOIN stats
+    GROUP BY qt.query_id, dt.doc_id
+), bmtop AS (
+    SELECT query_id, doc_id AS item_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY s DESC, doc_id ASC) AS rnk
+    FROM bmscore QUALIFY rnk <= 20
+), q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id IN (10, 111, 222)
+), cos AS (
+    SELECT q.query_id, v.vec_id AS item_id,
+           round(
+             list_aggregate(list_transform(range(1, len(qv) + 1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(qv, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+           6) AS c
+    FROM q, embeddings v WHERE v.vec_id <> q.query_id
+), anntop AS (
+    SELECT query_id, item_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, item_id ASC) AS rnk
+    FROM cos QUALIFY rnk <= 20
+), u AS (
+    SELECT query_id, item_id, rnk FROM bmtop
+    UNION ALL
+    SELECT query_id, item_id, rnk FROM anntop
+), fused AS (
+    SELECT query_id, item_id,
+           sum(CAST(round(1000000000.0 / (60 + rnk), 0) AS BIGINT)) AS s
+    FROM u GROUP BY query_id, item_id
+)
+SELECT query_id, item_id, CAST(rnk AS BIGINT) AS rank,
+       round(s / 1000000000.0, 9) AS rrf_score
+FROM (
+    SELECT query_id, item_id, s,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY s DESC, item_id ASC) AS rnk
+    FROM fused
+) WHERE rnk <= 10
+"""
+
+
 def _q_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: nearest-codebook-cell
     assignment (hash-rank codebook, broadcast pass) + deterministic
@@ -3848,6 +3952,7 @@ _RAW_QUERIES = {
         "frame_sample_real": _q_frame_sample_real,
         "url_normalize": _q_url_normalize,
         "bm25_search": _q_bm25_search,
+        "hybrid_rrf": _q_hybrid_rrf,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -3935,6 +4040,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample_real": _ORACLE_FRAME_SAMPLE_REAL,
         "url_normalize": _ORACLE_URL_NORMALIZE,
         "bm25_search": _ORACLE_BM25_SEARCH,
+        "hybrid_rrf": _ORACLE_HYBRID_RRF,
         "sample_shard": _ORACLE_SAMPLE_SHARD,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "pii_redact": _ORACLE_PII_REDACT,

@@ -110,3 +110,50 @@ def bm25_search(
         scored, k, [F.col("bm25").desc(), F.col(id_col).asc()],
         item_col=id_col,
     ).select("query_id", id_col, "rank", "bm25")
+
+
+def rrf_fuse(
+    rankings,
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    combine heterogeneous rankers (BM25 + vector ANN = hybrid search):
+    score(item) = sum over input lists of 1 / (c + rank), items missing
+    from a list simply contribute nothing.
+
+    ``rankings`` is a sequence of DataFrames, each with (query_col,
+    item_col, rank_col).  Scores are exact integer nano-units (1e9 /
+    (c + rank) rounds to the same bigint in any engine), so fusion is
+    reproducible; ties break on the smaller item id.  One union + one
+    map-side-combinable aggregation + the salted two-stage top-k.
+
+    Returns (query_col, item_col, rank, rrf_score)."""
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(item_col),
+            F.round(F.lit(1e9) / (F.lit(int(c)) + F.col(rank_col)), 0)
+            .cast("bigint")
+            .alias("__s__"),
+        )
+        for r in rankings
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    scored = (
+        unioned.groupBy(query_col, item_col)
+        .agg(F.sum("__s__").alias("__sum__"))
+        .withColumn(
+            "rrf_score", F.round(F.col("__sum__") / F.lit(1e9), 9)
+        )
+    )
+    return _two_stage_topk(
+        scored, k,
+        [F.col("rrf_score").desc(), F.col(item_col).asc()],
+        group_col=query_col, item_col=item_col,
+    ).select(query_col, item_col, "rank", "rrf_score")

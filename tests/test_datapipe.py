@@ -817,3 +817,39 @@ def test_bm25_search_matches_python_model(spark):
         assert sorted(got[qid], key=lambda t: t[1]) == expected[qid], qid
     # empty doc never matches; doc without the term never matches
     assert all(d != 5 for lst in got.values() for d, _, _ in lst)
+
+
+def test_rrf_fuse_matches_python_model(spark):
+    from feathub_spark.datapipe.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id long, item_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id long, item_id long, rank long",
+    )
+
+    def r(rank):
+        return int(round(1e9 / (60 + rank)))
+
+    expected = {
+        (1, 11): r(2) + r(1),          # in both lists -> wins
+        (1, 10): r(1),
+        (1, 12): r(3),
+        (1, 13): r(2),
+        (2, 20): r(1) + r(1),
+        (2, 21): r(2),
+    }
+    got = {
+        (x["query_id"], x["item_id"]): (x["rank"], x["rrf_score"])
+        for x in rrf_fuse([a, b], k=10).collect()
+    }
+    assert set(got) == set(expected)
+    for key, s in expected.items():
+        assert abs(got[key][1] - round(s / 1e9, 9)) < 1e-12
+    # the doubly-ranked item tops its query
+    assert got[(1, 11)][0] == 1 and got[(2, 20)][0] == 1
+    # k truncates
+    assert {x["item_id"] for x in rrf_fuse([a, b], k=1).collect()} == {11, 20}

@@ -32,6 +32,7 @@ _BOUNDED_BNLJ_OK = {
     "corpus_drift",  # 1-row totals broadcast onto the union vocab table
     "price_histogram",  # 1-row min/max bounds broadcast
     "bm25_search",  # 1-row (N, avgdl) corpus stats broadcast
+    "hybrid_rrf",  # embeds bm25_search + brute-force query-set broadcasts
 }
 
 
