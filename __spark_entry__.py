@@ -3589,6 +3589,60 @@ SELECT vec_id, cell, cell_rank FROM (
 """
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): codebook-cell clustering + within-cell
+    cosine pruning, keeping the member farthest from its centroid per
+    duplicate neighborhood.  Threshold 0.35 suits the synthetic near-random
+    embeddings (real corpora use ~0.8+); one row per corpus row with a
+    kept flag."""
+    from feathub_spark.datapipe.similarity import semantic_dedup
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.35, n_centroids=32, seed=9
+    )
+
+
+_ORACLE_SEMANTIC_DEDUP = f"""
+WITH cents AS (
+    SELECT cid, cvec FROM (
+        SELECT vec_id AS cid, embedding AS cvec,
+               {_H32.format(col='vec_id', seed=9)} AS h
+        FROM embeddings
+    ) ORDER BY h, cid LIMIT 32
+), cos AS (
+    SELECT e.vec_id, e.embedding AS v, c.cid,
+           round(
+             list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+           6) AS acos
+    FROM embeddings e CROSS JOIN cents c
+), members AS (
+    SELECT vec_id, v, cid AS cell, acos AS ccos FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY acos DESC, cid ASC) AS arank
+        FROM cos
+    ) WHERE arank = 1
+), dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM members a JOIN members b
+      ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    WHERE round(
+            list_aggregate(list_transform(range(1, len(a.v) + 1),
+                i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), 'sum')
+            / (sqrt(list_aggregate(list_transform(a.v, x -> CAST(x AS DOUBLE) * x), 'sum'))
+               * sqrt(list_aggregate(list_transform(b.v, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+          6) >= 0.35
+      AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+)
+SELECT m.vec_id, m.cell, m.ccos AS centroid_cos,
+       (d.vec_id IS NULL) AS kept
+FROM members m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+"""
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     """CCNet/C4-style boilerplate line removal: a shared header is planted
     on every document and a footer on every third (fixture docs are
@@ -3974,6 +4028,7 @@ _RAW_QUERIES = {
         "video_meta_v1": _q_video_meta_v1,
         "multimodal_tolerant": _q_multimodal_tolerant,
         "cluster_sample": _q_cluster_sample,
+        "semantic_dedup": _q_semantic_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
         "domain_filter": _q_domain_filter,
         "text_signals": _q_text_signals,
@@ -4060,6 +4115,7 @@ def oracle_sql() -> dict[str, str]:
         "video_meta_v1": _ORACLE_VIDEO_META_V1,
         "multimodal_tolerant": _ORACLE_MULTIMODAL_TOLERANT,
         "cluster_sample": _ORACLE_CLUSTER_SAMPLE,
+        "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
         "boilerplate_lines": _ORACLE_BOILERPLATE_LINES,
         "domain_filter": _ORACLE_DOMAIN_FILTER,
         "text_signals": _ORACLE_TEXT_SIGNALS,

@@ -740,3 +740,113 @@ def ivf_pq_topk(
     return _two_stage_topk(
         scored, k, [F.col("adc_dist").asc(), F.col("neighbor_id").asc()]
     ).select("query_id", "neighbor_id", "rank", "adc_dist")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n_centroids: int = 256,
+    seed: int = 0,
+    codebook: DataFrame = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by nearest codebook centroid, then
+    inside each cluster mark as duplicates every pair with cosine >=
+    ``threshold`` and keep, per duplicate neighborhood, the member FARTHEST
+    from its centroid (the paper's keep-rule: the most atypical example
+    carries the most information).  Greedy priority form: a row is dropped
+    iff some same-cell row within ``threshold`` has strictly higher keep
+    priority (lower centroid cosine, ties broken by id) — deterministic and
+    relational, no iterative connected components needed.
+
+    Scale: the codebook is corpus-size-independent (hash-rank
+    :func:`ivf_codebook`, or pass a Lloyd-trained one); assignment is ONE
+    map-only broadcast-fold pass (no per-row window, no assignment
+    shuffle); the pair scan is an equi-join on the cell id, so work is
+    sum(|cell|^2), bounded by the codebook granularity, never corpus x
+    corpus (use more centroids — the paper uses ~0.1% of n — to keep cells
+    small; a skewed cell shows up in the Spark UI as one hot cell-key
+    task).  The assigned-members intermediate feeds both join sides and is
+    persisted through the register_cache contract — call
+    ``release_caches()`` after consuming the result.
+
+    Returns one row per corpus row: (id_col, cell, centroid_cos, kept).
+    """
+    from feathub_spark.common.caching import register_cache
+
+    cents = (
+        codebook
+        if codebook is not None
+        else ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
+    )
+    cents1 = cents.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            "'cid', __cid__, 'cvec', __cvec__)))"
+        ).alias("__cents__")
+    )
+    cos = cosine_expr("__v__", "e.cvec")
+    # argmax-cosine fold over the broadcast centroid array; strict > keeps
+    # the smallest cid on ties (array is cid-sorted), matching the oracle's
+    # (acos DESC, cid ASC) rank
+    assign_fold = (
+        "aggregate(__cents__, "
+        "named_struct('c', CAST(NULL AS BIGINT), 's', CAST(NULL AS DOUBLE)), "
+        f"(acc, e) -> transform(array(round({cos}, 6)), sc -> "
+        "CASE WHEN acc.c IS NULL OR sc > acc.s "
+        "THEN named_struct('c', CAST(e.cid AS BIGINT), 's', sc) "
+        "ELSE acc END)[0], acc -> acc)"
+    )
+    members = register_cache(
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), F.col(vec_col).alias("__v__"))
+        .crossJoin(F.broadcast(cents1))
+        .withColumn("__a__", F.expr(assign_fold))
+        .select(
+            F.col(id_col),
+            F.col("__v__"),
+            F.col("__a__.c").alias("cell"),
+            F.col("__a__.s").alias("centroid_cos"),
+        )
+    )
+    ma = members.select(
+        F.col(id_col).alias("__ida__"),
+        F.col("__v__").alias("__va__"),
+        "cell",
+        F.col("centroid_cos").alias("__ca__"),
+    )
+    mb = members.select(
+        F.col(id_col).alias("__idb__"),
+        F.col("__v__").alias("__vb__"),
+        F.col("cell").alias("__cellb__"),
+        F.col("centroid_cos").alias("__cb__"),
+    )
+    dropped = (
+        ma.join(mb, F.col("cell") == F.col("__cellb__"))
+        .filter(F.col("__ida__") != F.col("__idb__"))
+        .withColumn(
+            "__pcos__", F.round(F.expr(cosine_expr("__va__", "__vb__")), 6)
+        )
+        .filter(F.col("__pcos__") >= F.lit(threshold))
+        .filter(
+            (F.col("__cb__") < F.col("__ca__"))
+            | (
+                (F.col("__cb__") == F.col("__ca__"))
+                & (F.col("__idb__") < F.col("__ida__"))
+            )
+        )
+        .select(F.col("__ida__").alias(id_col))
+        .distinct()
+        .withColumn("__dup__", F.lit(True))
+    )
+    return (
+        members.join(dropped, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("centroid_cos"),
+            F.col("__dup__").isNull().alias("kept"),
+        )
+    )

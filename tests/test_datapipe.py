@@ -853,3 +853,50 @@ def test_rrf_fuse_matches_python_model(spark):
     assert got[(1, 11)][0] == 1 and got[(2, 20)][0] == 1
     # k truncates
     assert {x["item_id"] for x in rrf_fuse([a, b], k=1).collect()} == {11, 20}
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Identical vectors in one cell: the member farther from the centroid
+    (lower centroid cosine; ties by smaller id) survives, the other is
+    dropped.  Unrelated vectors and sub-threshold neighbors are kept."""
+    from feathub_spark.datapipe.similarity import semantic_dedup
+    from feathub_spark.common.caching import release_caches
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),     # exact dup of 0 -> tie on ccos, id 0 wins
+        (2, [0.9, 0.1, 0.0]),     # near dup of 0/1
+        (3, [0.0, 1.0, 0.0]),     # unrelated
+        (4, [0.0, 0.0, 1.0]),     # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "vec"])
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, "vec", "vec_id", threshold=0.999, n_centroids=2, seed=0
+        ).collect()
+    }
+    release_caches()
+    assert len(out) == 5  # one row per corpus row, kept flag attached
+    assert out[2].kept and out[3].kept and out[4].kept
+    # 0 and 1 are identical: same cell, equal centroid cosine, only the
+    # (0, 1) pair clears the 0.999 threshold -> tie breaks to smaller id
+    assert out[0].cell == out[1].cell
+    assert out[0].centroid_cos == out[1].centroid_cos
+    assert out[0].kept and not out[1].kept
+    # at 0.95 the whole {0, 1, 2} neighborhood is mutually near-dup and the
+    # member FARTHEST from the centroid (vec 2) is the sole survivor
+    out95 = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(
+            df, "vec", "vec_id", threshold=0.95, n_centroids=2, seed=0
+        ).collect()
+    }
+    release_caches()
+    assert out95 == {0: False, 1: False, 2: True, 3: True, 4: True}
+    # threshold above any attainable cosine -> nothing dropped
+    all_kept = semantic_dedup(
+        df, "vec", "vec_id", threshold=1.01, n_centroids=2, seed=0
+    ).collect()
+    release_caches()
+    assert all(r.kept for r in all_kept)

@@ -33,6 +33,7 @@ _BOUNDED_BNLJ_OK = {
     "price_histogram",  # 1-row min/max bounds broadcast
     "bm25_search",  # 1-row (N, avgdl) corpus stats broadcast
     "hybrid_rrf",  # embeds bm25_search + brute-force query-set broadcasts
+    "semantic_dedup",  # 1-row broadcast centroid array (bounded codebook)
 }
 
 
