@@ -3359,6 +3359,44 @@ FROM fin
 """
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over document tokens: a deliberately
+    tiny 2x16 grid forces hash collisions so the est>=exact overestimate
+    property is visible; candidates are pre-filtered against the broadcast
+    sketch before the exact-count shuffle."""
+    from feathub_spark.datapipe.profile import cms_heavy_hitters
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return cms_heavy_hitters(df, "text", d=2, w=16, min_count=500, seed=7)
+
+
+_ORACLE_CMS_HEAVY_HITTERS = """
+WITH occ AS (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+), dims AS (SELECT unnest(range(2)) AS i),
+cells AS (
+    SELECT i * 16 + CAST(('0x' || substr(md5(tok || ':' ||
+               CAST(7 + i AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS cell,
+           count(*) AS n
+    FROM occ CROSS JOIN dims
+    GROUP BY 1
+), tok_est AS (
+    SELECT t.tok, min(c.n) AS est_count
+    FROM (SELECT DISTINCT tok FROM occ) t
+    CROSS JOIN dims d
+    JOIN cells c
+      ON c.cell = d.i * 16 + CAST(('0x' || substr(md5(t.tok || ':' ||
+             CAST(7 + d.i AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+    GROUP BY 1
+), ex AS (SELECT tok, count(*) AS exact_count FROM occ GROUP BY 1)
+SELECT t.tok AS token, t.est_count, e.exact_count
+FROM tok_est t JOIN ex e ON t.tok = e.tok
+WHERE t.est_count >= 500
+"""
+
+
 def _q_frame_sample_real(spark, sf_dir):
     """Frame-sampling grid driven by the REAL decoded MP4 duration:
     in-plan-assembled headers are parsed back by the pure-Python box
@@ -4056,6 +4094,7 @@ _RAW_QUERIES = {
         "price_histogram": _q_price_histogram,
         "profile_stats": _q_profile_stats,
         "hll_distinct": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "frame_sample_real": _q_frame_sample_real,
         "url_normalize": _q_url_normalize,
         "bm25_search": _q_bm25_search,
@@ -4146,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
         "price_histogram": _ORACLE_PRICE_HISTOGRAM,
         "profile_stats": _ORACLE_PROFILE_STATS,
         "hll_distinct": _ORACLE_HLL_DISTINCT,
+        "cms_heavy_hitters": _ORACLE_CMS_HEAVY_HITTERS,
         "frame_sample_real": _ORACLE_FRAME_SAMPLE_REAL,
         "url_normalize": _ORACLE_URL_NORMALIZE,
         "bm25_search": _ORACLE_BM25_SEARCH,

@@ -189,3 +189,76 @@ def hll_distinct(
             *group_cols, "n_exact", "n_registers", "hll_estimate", "rel_err"
         )
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    d: int = 4,
+    w: int = 1024,
+    min_count: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch (Cormode & Muthukrishnan
+    2005) pre-filter: pass 1 folds every token occurrence into a d x w
+    counter grid (cell = i*w + md5-hash_i(token) mod w, one map-side
+    combinable groupBy — the sketch is CORPUS-SIZE-INDEPENDENT); pass 2
+    re-streams the corpus, scores each occurrence against the broadcast
+    sketch (est = min over the d rows), and drops sub-threshold tokens
+    BEFORE the exact-count shuffle.  CMS never underestimates, so no true
+    heavy hitter can be lost to the pre-filter — the output's exact counts
+    are computed only for the surviving candidate set, which is the whole
+    point at 100 TB: the second shuffle carries candidate occurrences, not
+    the full token distribution.  Tokenization is the engine-wide
+    whitespace rule; all arithmetic is exact integers, so the sketch and
+    estimates reproduce bit-for-bit in any engine with md5.
+
+    Returns (token, est_count, exact_count) for tokens whose CMS estimate
+    reaches ``min_count``; est_count >= exact_count always."""
+    from feathub_spark.datapipe.sampling import hash32
+
+    toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    occ = ensure_parallelism(df).select(
+        F.explode(F.expr(toks)).alias("__tok__")
+    )
+    cell_cols = [
+        (F.lit(i * w) + hash32("__tok__", seed + i) % F.lit(w)).alias(f"c{i}")
+        for i in range(d)
+    ]
+    sketch = (
+        occ.select(F.explode(F.array(*cell_cols)).alias("__cell__"))
+        .groupBy("__cell__")
+        .count()
+        .agg(
+            F.expr(
+                "map_from_entries(collect_list(struct("
+                "CAST(__cell__ AS INT) AS k, CAST(count AS BIGINT) AS v)))"
+            ).alias("__cms__")
+        )
+    )
+    lookups = [
+        F.coalesce(
+            F.element_at(
+                F.col("__cms__"),
+                (F.lit(i * w) + hash32("__tok__", seed + i) % F.lit(w)).cast(
+                    "int"
+                ),
+            ),
+            F.lit(0),
+        )
+        for i in range(d)
+    ]
+    est = lookups[0] if d == 1 else F.least(*lookups)
+    return (
+        occ.crossJoin(F.broadcast(sketch))
+        .withColumn("__est__", est)
+        .filter(F.col("__est__") >= F.lit(min_count))
+        .groupBy("__tok__")
+        .agg(
+            F.first("__est__").alias("est_count"),
+            F.count(F.lit(1)).cast("bigint").alias("exact_count"),
+        )
+        .select(
+            F.col("__tok__").alias("token"), "est_count", "exact_count"
+        )
+    )

@@ -935,3 +935,38 @@ def test_hll_distinct_rejects_unaligned_p():
 
     with _pytest.raises(ValueError):
         hll_distinct(None, "v", ["g"], p=10)
+
+
+def test_cms_heavy_hitters_no_false_negatives(spark):
+    """CMS never underestimates: every token whose true count reaches the
+    threshold appears in the output, est_count >= exact_count everywhere,
+    and sub-threshold tokens only sneak in via collisions (never with an
+    inflated exact count)."""
+    from feathub_spark.datapipe.profile import cms_heavy_hitters
+
+    # skewed corpus: 'hot' 60x, 'warm' 20x, 30 singletons
+    rows = (
+        [("hot hot hot",)] * 20
+        + [("warm",)] * 20
+        + [(f"rare{i}",) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, ["text"])
+    out = {
+        r.token: (r.est_count, r.exact_count)
+        for r in cms_heavy_hitters(
+            df, "text", d=3, w=8, min_count=15, seed=2
+        ).collect()
+    }
+    assert "hot" in out and "warm" in out
+    assert out["hot"][1] == 60 and out["warm"][1] == 20
+    for tok, (est, exact) in out.items():
+        assert est >= exact
+    # with a roomy sketch there are no collisions: est == exact and only
+    # the two true heavy hitters survive
+    clean = {
+        r.token: (r.est_count, r.exact_count)
+        for r in cms_heavy_hitters(
+            df, "text", d=4, w=4096, min_count=15, seed=2
+        ).collect()
+    }
+    assert clean == {"hot": (60, 60), "warm": (20, 20)}

@@ -34,6 +34,7 @@ _BOUNDED_BNLJ_OK = {
     "bm25_search",  # 1-row (N, avgdl) corpus stats broadcast
     "hybrid_rrf",  # embeds bm25_search + brute-force query-set broadcasts
     "semantic_dedup",  # 1-row broadcast centroid array (bounded codebook)
+    "cms_heavy_hitters",  # 1-row broadcast d*w sketch map (bounded grid)
 }
 
 
