@@ -3397,6 +3397,34 @@ WHERE t.est_count >= 500
 """
 
 
+def _q_phrase_search(spark, sf_dir):
+    """Positional-postings exact phrase search for 'table hash': term-i
+    occurrences vote for anchor pos-i, one groupBy((doc, anchor)) replaces
+    the m-way adjacency self-join; oracle scans token lists directly."""
+    from feathub_spark.datapipe.retrieval import phrase_search
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return phrase_search(df, "text", "doc_id", "table hash")
+
+
+_ORACLE_PHRASE_SEARCH = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS tk
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           list_filter(range(1, len(tk)),
+                       i -> tk[i] = 'table' AND tk[i+1] = 'hash') AS hits
+    FROM t
+)
+SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(hits[1] - 1 AS BIGINT) AS first_pos
+FROM m WHERE len(hits) > 0
+"""
+
+
 def _q_frame_sample_real(spark, sf_dir):
     """Frame-sampling grid driven by the REAL decoded MP4 duration:
     in-plan-assembled headers are parsed back by the pure-Python box
@@ -4095,6 +4123,7 @@ _RAW_QUERIES = {
         "profile_stats": _q_profile_stats,
         "hll_distinct": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "phrase_search": _q_phrase_search,
         "frame_sample_real": _q_frame_sample_real,
         "url_normalize": _q_url_normalize,
         "bm25_search": _q_bm25_search,
@@ -4186,6 +4215,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_stats": _ORACLE_PROFILE_STATS,
         "hll_distinct": _ORACLE_HLL_DISTINCT,
         "cms_heavy_hitters": _ORACLE_CMS_HEAVY_HITTERS,
+        "phrase_search": _ORACLE_PHRASE_SEARCH,
         "frame_sample_real": _ORACLE_FRAME_SAMPLE_REAL,
         "url_normalize": _ORACLE_URL_NORMALIZE,
         "bm25_search": _ORACLE_BM25_SEARCH,

@@ -157,3 +157,62 @@ def rrf_fuse(
         [F.col("rrf_score").desc(), F.col(item_col).asc()],
         group_col=query_col, item_col=item_col,
     ).select(query_col, item_col, "rank", "rrf_score")
+
+
+def phrase_search(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact phrase matching via POSITIONAL postings — the inverted-index
+    query BM25's bag-of-words scoring cannot answer.
+
+    Tokenization is the engine-wide whitespace-lowercase rule.  One
+    posexplode pass emits (doc, token, position); postings are filtered to
+    the phrase's terms BEFORE any shuffle (at corpus scale the phrase
+    vocabulary prunes ~everything at the scan).  Instead of an m-way
+    self-join on adjacent positions, each occurrence of phrase term i at
+    position p votes for anchor p - i, and an anchor with votes from all m
+    DISTINCT term indexes is a match — one groupBy((doc, anchor)) replaces
+    m-1 joins, and repeated phrase terms (e.g. "the x the") are handled
+    because an occurrence votes once per index it could fill.
+
+    Returns (id_col, n_matches, first_pos) for matching documents only;
+    first_pos is the 0-based token position of the earliest match."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    m = len(terms)
+    toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    # index votes: occurrences of term i at position p -> anchor p - i
+    votes_expr = (
+        "filter(flatten(transform(__idx__, i -> CASE "
+        + " ".join(
+            f"WHEN __tok__ = '{t.replace(chr(39), chr(39)*2)}' AND i = {i} "
+            f"THEN array(named_struct('anchor', __pos__ - {i}, 'ti', {i}))"
+            for i, t in enumerate(terms)
+        )
+        + " ELSE array() END)), v -> v.anchor >= 0)"
+    )
+    occ = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(toks)).alias("__pos__", "__tok__"),
+        )
+        .filter(F.col("__tok__").isin(terms))
+        .withColumn("__idx__", F.expr(f"sequence(0, {m - 1})"))
+        .select(id_col, F.explode(F.expr(votes_expr)).alias("__v__"))
+        .select(id_col, F.col("__v__.anchor").alias("__anchor__"),
+                F.col("__v__.ti").alias("__ti__"))
+    )
+    matches = (
+        occ.groupBy(id_col, "__anchor__")
+        .agg(F.countDistinct("__ti__").alias("__nti__"))
+        .filter(F.col("__nti__") == m)
+    )
+    return matches.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("__anchor__").cast("bigint").alias("first_pos"),
+    )

@@ -970,3 +970,36 @@ def test_cms_heavy_hitters_no_false_negatives(spark):
         ).collect()
     }
     assert clean == {"hot": (60, 60), "warm": (20, 20)}
+
+
+def test_phrase_search_positions_and_repeats(spark):
+    from feathub_spark.datapipe.retrieval import phrase_search
+
+    rows = [
+        (0, "the cat sat on the mat the cat sat"),
+        (1, "cat the cat the cat"),
+        (2, "dog park"),
+        (3, "THE Cat  sat"),   # case + multi-space normalized
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, "text", "doc_id", "the cat sat").collect()
+    }
+    assert out == {0: (2, 0), 3: (1, 0)}
+    # repeated phrase term: "the cat the" matches [cat, THE, cat, THE, cat]
+    rep = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, "text", "doc_id", "the cat the").collect()
+    }
+    assert rep == {1: (1, 1)}
+    # single-token phrase degenerates to term lookup with counts
+    one = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(df, "text", "doc_id", "cat").collect()
+    }
+    assert one == {0: 2, 1: 3, 3: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(df, "text", "doc_id", "   ")
