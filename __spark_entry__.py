@@ -2819,6 +2819,51 @@ FROM sess
 """
 
 
+def _q_funnel_steps(spark, sf_dir):
+    """view -> click -> purchase funnel per user: greedy earliest chain
+    via one sorted-array fold (no per-step join rounds); wide per-step
+    timestamps for the oracle's min-chain formulation."""
+    from feathub_spark.datapipe.sessions import funnel_steps
+
+    ev = _events_with_micros(spark, sf_dir)
+    out = funnel_steps(
+        ev, "user_id", "ts_us", "event_type",
+        ["view", "click", "purchase"],
+    )
+    return out.select(
+        "user_id",
+        "n_steps",
+        F.expr("element_at(step_ts, 1)").alias("t_view"),
+        F.expr("element_at(step_ts, 2)").alias("t_click"),
+        F.expr("element_at(step_ts, 3)").alias("t_purchase"),
+    )
+
+
+_ORACLE_FUNNEL_STEPS = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS tu FROM events
+), s1 AS (
+    SELECT user_id, min(tu) AS t1 FROM e
+    WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id, min(tu) AS t2 FROM e
+    JOIN s1 ON e.user_id = s1.user_id
+    WHERE event_type = 'click' AND tu > t1 GROUP BY 1
+), s3 AS (
+    SELECT e.user_id, min(tu) AS t3 FROM e
+    JOIN s2 ON e.user_id = s2.user_id
+    WHERE event_type = 'purchase' AND tu > t2 GROUP BY 1
+)
+SELECT s1.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS n_steps,
+       t1 AS t_view, t2 AS t_click, t3 AS t_purchase
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def _q_session_stats(spark, sf_dir):
     """Per-session summaries (start/end/duration/counts/value sum) over
     the 8-hour-gap sessions — one map-side-combinable groupBy after the
@@ -4112,6 +4157,7 @@ _RAW_QUERIES = {
         "ivf_pq_ann": _q_ivf_pq_ann,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
+        "funnel_steps": _q_funnel_steps,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
         "chunk_docs": _q_chunk_docs,
@@ -4204,6 +4250,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_ann": _ORACLE_IVF_PQ_ANN,
         "sessionize": _ORACLE_SESSIONIZE,
         "session_stats": _ORACLE_SESSION_STATS,
+        "funnel_steps": _ORACLE_FUNNEL_STEPS,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

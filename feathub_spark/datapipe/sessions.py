@@ -96,3 +96,69 @@ def session_stats(
     for name, col in (agg_cols or {}).items():
         aggs.append(col.alias(name))
     return labeled.groupBy(key_col, "session_id").agg(*aggs)
+
+
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    type_col: str,
+    steps,
+    min_steps: int = 1,
+) -> DataFrame:
+    """Ordered funnel completion per key: how far through the event
+    sequence ``steps`` (e.g. view -> click -> purchase) each key got, and
+    when.  Semantics are the standard greedy earliest chain — step 1 is
+    the key's earliest steps[0] event; step i is the earliest steps[i]
+    event STRICTLY after the chosen step i-1 — which completes a chain
+    whenever any chain exists.
+
+    Plan: events are filtered to the funnel's types BEFORE the shuffle
+    (at corpus scale the funnel vocabulary prunes ~everything at the
+    scan), then ONE groupBy collects each key's (ts, type) pairs into a
+    sorted array and a single aggregate() fold walks it with (steps
+    completed, chosen timestamps) state — no per-step join round trips,
+    no window pass per step.  Per-key arrays are bounded by that key's
+    funnel-type events (the same hot-key posture as sessionization).
+    Integer micros throughout, so any engine replays the chain exactly.
+
+    Returns (key_col, n_steps, step_ts[array<bigint>]) for keys
+    completing at least ``min_steps``."""
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    m = len(steps)
+    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    base = (
+        ensure_parallelism(df)
+        .filter(F.col(type_col).isin(steps))
+        .select(
+            key_col,
+            F.col(ts_us_col).cast("long").alias("__tu__"),
+            F.col(type_col).alias("__tp__"),
+        )
+    )
+    g = base.groupBy(key_col).agg(
+        F.expr("array_sort(collect_list(struct(__tu__, __tp__)))").alias(
+            "__evs__"
+        )
+    )
+    fold = (
+        "aggregate(__evs__, "
+        "named_struct('k', 0, 'ts', CAST(array() AS ARRAY<BIGINT>)), "
+        f"(acc, e) -> CASE WHEN acc.k < {m} "
+        f"AND e.__tp__ = element_at(array({lits}), acc.k + 1) "
+        "AND (acc.k = 0 OR e.__tu__ > element_at(acc.ts, acc.k)) "
+        "THEN named_struct('k', acc.k + 1, "
+        "'ts', concat(acc.ts, array(e.__tu__))) "
+        "ELSE acc END, acc -> acc)"
+    )
+    return (
+        g.withColumn("__f__", F.expr(fold))
+        .select(
+            key_col,
+            F.col("__f__.k").cast("int").alias("n_steps"),
+            F.col("__f__.ts").alias("step_ts"),
+        )
+        .filter(F.col("n_steps") >= F.lit(int(min_steps)))
+    )

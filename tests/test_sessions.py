@@ -123,3 +123,42 @@ def test_time_decayed_sum_matches_python_model(spark):
     assert out[6] == out[5]
     # half-life semantics: weight at exactly one half-life is 0.5
     assert abs(out[2][0] - (10.0 * 0.5 ** 0.5 + 4.0)) < 1e-5
+
+
+def test_funnel_steps_greedy_chain(spark):
+    """Greedy earliest chain: strict-after ordering, partial completion,
+    and keys with no step-1 event dropped."""
+    from feathub_spark.datapipe.sessions import funnel_steps
+
+    rows = [
+        # user 1: full funnel, with a decoy click BEFORE the first view
+        (1, 5, "click"), (1, 10, "view"), (1, 20, "click"), (1, 30, "buy"),
+        # user 2: click at the SAME micro as view must not count
+        (2, 10, "view"), (2, 10, "click"),
+        # user 3: steps out of order only -> stuck at step 1
+        (3, 50, "buy"), (3, 60, "view"),
+        # user 4: no view at all -> excluded
+        (4, 5, "click"), (4, 6, "buy"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_us", "event_type"])
+    out = {
+        r.user_id: (r.n_steps, list(r.step_ts))
+        for r in funnel_steps(
+            df, "user_id", "ts_us", "event_type", ["view", "click", "buy"]
+        ).collect()
+    }
+    assert out == {
+        1: (3, [10, 20, 30]),
+        2: (1, [10]),
+        3: (1, [60]),
+    }
+    # min_steps filter
+    full = funnel_steps(
+        df, "user_id", "ts_us", "event_type", ["view", "click", "buy"],
+        min_steps=3,
+    ).collect()
+    assert [r.user_id for r in full] == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_steps(df, "user_id", "ts_us", "event_type", [])
