@@ -2864,6 +2864,56 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def _q_winsorize(spark, sf_dir):
+    """p5/p95 winsorization of event values per event_type: exact
+    integer-rank thresholds from the bounded rounded-value count table,
+    broadcast back for clip + flag — no per-group corpus sort, no
+    approx_percentile nondeterminism."""
+    from feathub_spark.datapipe.quality import winsorize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = winsorize(
+        ev, "value", group_col="event_type",
+        lower_pct=5, upper_pct=95, precision=3,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value").cast("double"), 3).alias("value_r"),
+        "value_w",
+        "is_outlier",
+        "winsor_lo",
+        "winsor_hi",
+    )
+
+
+_ORACLE_WINSORIZE = """
+WITH base AS (
+    SELECT event_id, event_type,
+           round(CAST(value AS DOUBLE), 3) AS rv
+    FROM events WHERE value IS NOT NULL
+), counts AS (
+    SELECT event_type, rv, count(*) AS c FROM base GROUP BY 1, 2
+), aug AS (
+    SELECT event_type, rv,
+           sum(c) OVER (PARTITION BY event_type ORDER BY rv) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM counts
+), thr AS (
+    SELECT event_type,
+           min(CASE WHEN cum >= (5 * n + 99) // 100 THEN rv END) AS lo,
+           min(CASE WHEN cum >= (95 * n + 99) // 100 THEN rv END) AS hi
+    FROM aug GROUP BY 1
+)
+SELECT b.event_id, b.event_type, b.rv AS value_r,
+       CASE WHEN b.rv < t.lo THEN t.lo
+            WHEN b.rv > t.hi THEN t.hi ELSE b.rv END AS value_w,
+       (b.rv < t.lo OR b.rv > t.hi) AS is_outlier,
+       t.lo AS winsor_lo, t.hi AS winsor_hi
+FROM base b JOIN thr t ON b.event_type = t.event_type
+"""
+
+
 def _q_session_stats(spark, sf_dir):
     """Per-session summaries (start/end/duration/counts/value sum) over
     the 8-hour-gap sessions — one map-side-combinable groupBy after the
@@ -4158,6 +4208,7 @@ _RAW_QUERIES = {
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
         "funnel_steps": _q_funnel_steps,
+        "winsorize": _q_winsorize,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
         "chunk_docs": _q_chunk_docs,
@@ -4251,6 +4302,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _ORACLE_SESSIONIZE,
         "session_stats": _ORACLE_SESSION_STATS,
         "funnel_steps": _ORACLE_FUNNEL_STEPS,
+        "winsorize": _ORACLE_WINSORIZE,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

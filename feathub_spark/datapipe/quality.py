@@ -406,3 +406,85 @@ def bigram_surprisal(
             F.round(F.avg("__s__"), 6).alias("avg_surprisal"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = None,
+    lower_pct: int = 5,
+    upper_pct: int = 95,
+    precision: int = 3,
+    out_col: str = None,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Robust outlier treatment: per-group EXACT percentile thresholds
+    (integer percent ranks, e.g. p5/p95), values clipped into
+    [lo, hi] (``out_col``, default ``<value_col>_w``) and flagged
+    (``flag_col``) — the standard winsorization gate before training on
+    heavy-tailed numeric features.
+
+    Same scale shape as :func:`quality_buckets`: values round to
+    ``precision`` dp so the per-(group, value) count table is BOUNDED
+    regardless of corpus size; thresholds come from cumulative-count
+    windows over that table (threshold = smallest value whose cumulative
+    count reaches ceil(pct*n/100), pure integer arithmetic) and attach
+    back by broadcast join — no per-group sort of corpus rows, no
+    approx_percentile nondeterminism.  Comparisons and clipping operate
+    on the ROUNDED value so the outcome is engine-exact.  NULL values
+    (and NULL groups when grouped) are dropped.
+
+    Adds: ``out_col``, ``flag_col``, ``winsor_lo``, ``winsor_hi``."""
+    if not (0 <= lower_pct < upper_pct <= 100):
+        raise ValueError("need 0 <= lower_pct < upper_pct <= 100")
+    out_col = out_col or f"{value_col}_w"
+    grp = group_col or "__g__"
+    base = df.filter(F.col(value_col).isNotNull())
+    if group_col:
+        base = base.filter(F.col(group_col).isNotNull())
+    else:
+        base = base.withColumn(grp, F.lit(0))
+    v = F.round(F.col(value_col).cast("double"), precision)
+    counts = base.groupBy(F.col(grp), v.alias("__v__")).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    wv = Window.partitionBy(grp).orderBy("__v__")
+    wg = Window.partitionBy(grp)
+    aug = counts.select(
+        grp,
+        "__v__",
+        F.sum("__c__").over(wv).alias("__cum__"),
+        F.sum("__c__").over(wg).alias("__n__"),
+    )
+    thresholds = aug.groupBy(grp).agg(
+        F.min(
+            F.when(
+                F.col("__cum__")
+                >= F.expr(f"({lower_pct} * __n__ + 99) div 100"),
+                F.col("__v__"),
+            )
+        ).alias("winsor_lo"),
+        F.min(
+            F.when(
+                F.col("__cum__")
+                >= F.expr(f"({upper_pct} * __n__ + 99) div 100"),
+                F.col("__v__"),
+            )
+        ).alias("winsor_hi"),
+    )
+    out = (
+        base.join(F.broadcast(thresholds), on=grp)
+        .withColumn(
+            out_col,
+            F.when(v < F.col("winsor_lo"), F.col("winsor_lo"))
+            .when(v > F.col("winsor_hi"), F.col("winsor_hi"))
+            .otherwise(v),
+        )
+        .withColumn(
+            flag_col,
+            (v < F.col("winsor_lo")) | (v > F.col("winsor_hi")),
+        )
+    )
+    if not group_col:
+        out = out.drop(grp)
+    return out

@@ -346,3 +346,38 @@ def test_token_kl_divergence_matches_python_model(spark):
     # identical corpora diverge by ~zero
     same = token_kl_divergence(df_a, df_a, "text").collect()[0]
     assert same["kl_ab"] == 0.0 and same["js"] == 0.0
+
+
+def test_winsorize_exact_thresholds(spark):
+    """p25/p75 on 1..100: thresholds land on exact integer ranks
+    (ceil semantics), clipping and flags follow the rounded value."""
+    from feathub_spark.datapipe.quality import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["id", "v"]
+    )
+    out = {
+        r.id: r
+        for r in winsorize(df, "v", lower_pct=25, upper_pct=75).collect()
+    }
+    assert len(out) == 100
+    lo, hi = out[1].winsor_lo, out[1].winsor_hi
+    assert (lo, hi) == (25.0, 75.0)
+    assert out[10].v_w == 25.0 and out[10].is_outlier
+    assert out[90].v_w == 75.0 and out[90].is_outlier
+    assert out[50].v_w == 50.0 and not out[50].is_outlier
+    # boundary values are inside (not outliers)
+    assert not out[25].is_outlier and not out[75].is_outlier
+    # grouped: each group gets its own thresholds
+    g = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 11)]
+        + [("b", float(10 * i)) for i in range(1, 11)],
+        ["g", "v"],
+    )
+    rows = winsorize(g, "v", group_col="g", lower_pct=10, upper_pct=90).collect()
+    th = {(r.g): (r.winsor_lo, r.winsor_hi) for r in rows}
+    assert th == {"a": (1.0, 9.0), "b": (10.0, 90.0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize(df, "v", lower_pct=50, upper_pct=40)
