@@ -709,6 +709,52 @@ def _q_sql_view(spark, sf_dir):
     return proc.get_table(built).to_dataframe()
 
 
+_TPCH_Q5_SQL = """
+SELECT n_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def _q_sql_view_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier revenue) through SqlFeatureView: a 6-table
+    join where Catalyst broadcast-joins the four dimension tables
+    (region/nation/supplier/customer) into the orders x lineitem fact
+    join and AQE re-plans at runtime — the multi-join planning surface
+    the single-table queries don't touch.  One SQL string serves both
+    engines."""
+    from feathub_spark import Schema, SqlFeatureView
+    from feathub_spark.common import types as t
+
+    proc = _processor(spark)
+    srcs = [
+        _parquet_source(n, sf_dir)
+        for n in ("customer", "orders", "lineitem", "supplier",
+                  "nation", "region")
+    ]
+    proc.registry.build_features(srcs)
+    for s in srcs:
+        proc.get_table(proc.registry.get_features(s.name))
+    view = SqlFeatureView(
+        name="tpch_q5_view",
+        sql_statement=_TPCH_Q5_SQL,
+        schema=Schema(
+            ["n_name", "revenue", "n_lineitems"],
+            [t.String, t.Float64, t.Int64],
+        ),
+    )
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe()
+
+
 def _q_udf_token_count(spark, sf_dir):
     from feathub_spark import DerivedFeatureView, Feature
     from feathub_spark.common import types as t
@@ -4177,6 +4223,7 @@ _RAW_QUERIES = {
         "sliding_filtered": _q_sliding_filtered,
         "sliding_tumbling_1d": _q_sliding_tumbling_1d,
         "sql_view_tpch_q1": _q_sql_view,
+        "sql_view_tpch_q5": _q_sql_view_q5,
         "udf_token_count": _q_udf_token_count,
         "datagen_seq": _q_datagen_seq,
         "dedup_exact": _q_dedup_exact,
@@ -4271,6 +4318,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_filtered": _ORACLE_SLIDING_FILTERED,
         "sliding_tumbling_1d": _ORACLE_SLIDING_TUMBLING_1D,
         "sql_view_tpch_q1": _TPCH_Q1_SQL,
+        "sql_view_tpch_q5": _TPCH_Q5_SQL,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
