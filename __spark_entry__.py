@@ -2960,6 +2960,65 @@ FROM base b JOIN thr t ON b.event_type = t.event_type
 """
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot diff: two deterministic variants of orders
+    (rows dropped on each side, priorities/prices perturbed on one) run
+    through ONE full-outer key join; only delta rows survive."""
+    from feathub_spark.datapipe.snapshots import diff_snapshots
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    old = orders.filter("o_orderkey % 7 != 0").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new = (
+        orders.filter("o_orderkey % 5 != 0")
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CASE WHEN o_orderkey % 13 = 0 THEN round(o_totalprice + 1.5, 2) "
+                "ELSE o_totalprice END"
+            ).alias("o_totalprice"),
+            F.expr(
+                "CASE WHEN o_orderkey % 11 = 0 THEN 'RUSH' "
+                "ELSE o_orderpriority END"
+            ).alias("o_orderpriority"),
+        )
+    )
+    return diff_snapshots(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
+    )
+
+
+_ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN round(o_totalprice + 1.5, 2)
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'RUSH'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 5 <> 0
+), j AS (
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                  OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                THEN 'changed' END AS change_type,
+           o.o_totalprice AS o_totalprice_old,
+           n.o_totalprice AS o_totalprice_new,
+           o.o_orderpriority AS o_orderpriority_old,
+           n.o_orderpriority AS o_orderpriority_new
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change_type, o_totalprice_old, o_orderpriority_old,
+       o_totalprice_new, o_orderpriority_new
+FROM j WHERE change_type IS NOT NULL
+"""
+
+
 def _q_session_stats(spark, sf_dir):
     """Per-session summaries (start/end/duration/counts/value sum) over
     the 8-hour-gap sessions — one map-side-combinable groupBy after the
@@ -4256,6 +4315,7 @@ _RAW_QUERIES = {
         "session_stats": _q_session_stats,
         "funnel_steps": _q_funnel_steps,
         "winsorize": _q_winsorize,
+        "snapshot_diff": _q_snapshot_diff,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
         "chunk_docs": _q_chunk_docs,
@@ -4351,6 +4411,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": _ORACLE_SESSION_STATS,
         "funnel_steps": _ORACLE_FUNNEL_STEPS,
         "winsorize": _ORACLE_WINSORIZE,
+        "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

@@ -1003,3 +1003,31 @@ def test_phrase_search_positions_and_repeats(spark):
 
     with _pytest.raises(ValueError):
         phrase_search(df, "text", "doc_id", "   ")
+
+
+def test_diff_snapshots_change_classes(spark):
+    from feathub_spark.datapipe.snapshots import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0), (5, "e", 50.0)],
+        ["k", "s", "v"],
+    )
+    out = {
+        r.k: r for r in diff_snapshots(old, new, ["k"]).collect()
+    }
+    # 1 removed; 2 unchanged (absent); 3 NULL->30 changed; 4 d->NULL
+    # changed; 5 added
+    assert set(out) == {1, 3, 4, 5}
+    assert out[1].change_type == "removed" and out[1].s_new is None
+    assert out[3].change_type == "changed" and out[3].v_old is None
+    assert out[3].v_new == 30.0
+    assert out[4].change_type == "changed" and out[4].s_new is None
+    assert out[5].change_type == "added" and out[5].s_old is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        diff_snapshots(old.select("k"), new.select("k"), ["k"])
