@@ -3019,6 +3019,64 @@ FROM j WHERE change_type IS NOT NULL
 """
 
 
+def _q_bloom_prune(spark, sf_dir):
+    """Bloom-filter join pruning: urgent-order keys fold into a 2^19-bit
+    broadcast filter; lineitem rows failing the k=3 membership test drop
+    at the scan (no shuffle, no join).  is_true_match exposes the false
+    positives; the oracle reproduces the EXACT surviving set (including
+    FPs) via the position-membership formulation."""
+    from feathub_spark.datapipe.bloom import bloom_filter_bits, bloom_prune
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    urgent = orders.filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
+    bloom = bloom_filter_bits(urgent, "o_orderkey", m_bits=1 << 19, k=3, seed=11)
+    pruned = bloom_prune(
+        li.select("l_orderkey", "l_linenumber"),
+        "l_orderkey", bloom, m_bits=1 << 19, k=3, seed=11,
+    )
+    flag = urgent.select(
+        F.col("o_orderkey").alias("__k__"), F.lit(True).alias("__t__")
+    )
+    return (
+        pruned.join(
+            F.broadcast(flag), pruned.l_orderkey == flag.__k__, "left"
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("__t__").isNotNull().alias("is_true_match"),
+        )
+    )
+
+
+_ORACLE_BLOOM_PRUNE = """
+WITH dimk AS (
+    SELECT DISTINCT o_orderkey AS k FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+), j3 AS (SELECT unnest(range(3)) AS j),
+set_bits AS (
+    SELECT DISTINCT
+        CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
+            CAST(11 + j AS VARCHAR)), 1, 8)) AS BIGINT) % 524288 AS pos
+    FROM dimk CROSS JOIN j3
+), probe AS (
+    SELECT lk.l_orderkey, j,
+        CAST(('0x' || substr(md5(CAST(lk.l_orderkey AS VARCHAR) || ':' ||
+            CAST(11 + j AS VARCHAR)), 1, 8)) AS BIGINT) % 524288 AS pos
+    FROM (SELECT DISTINCT l_orderkey FROM lineitem) lk CROSS JOIN j3
+), pass_keys AS (
+    SELECT l_orderkey
+    FROM probe p JOIN set_bits s ON p.pos = s.pos
+    GROUP BY 1 HAVING count(DISTINCT j) = 3
+)
+SELECT l.l_orderkey, l.l_linenumber, (d.k IS NOT NULL) AS is_true_match
+FROM lineitem l
+JOIN pass_keys p ON l.l_orderkey = p.l_orderkey
+LEFT JOIN dimk d ON l.l_orderkey = d.k
+"""
+
+
 def _q_session_stats(spark, sf_dir):
     """Per-session summaries (start/end/duration/counts/value sum) over
     the 8-hour-gap sessions — one map-side-combinable groupBy after the
@@ -4316,6 +4374,7 @@ _RAW_QUERIES = {
         "funnel_steps": _q_funnel_steps,
         "winsorize": _q_winsorize,
         "snapshot_diff": _q_snapshot_diff,
+        "bloom_prune": _q_bloom_prune,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
         "chunk_docs": _q_chunk_docs,
@@ -4412,6 +4471,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": _ORACLE_FUNNEL_STEPS,
         "winsorize": _ORACLE_WINSORIZE,
         "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
+        "bloom_prune": _ORACLE_BLOOM_PRUNE,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

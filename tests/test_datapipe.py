@@ -1031,3 +1031,29 @@ def test_diff_snapshots_change_classes(spark):
 
     with _pytest.raises(ValueError):
         diff_snapshots(old.select("k"), new.select("k"), ["k"])
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    from feathub_spark.datapipe.bloom import bloom_filter_bits, bloom_prune
+
+    keys = spark.range(200).select((F.col("id") * 3).alias("k"))
+    bloom = bloom_filter_bits(keys, "k", m_bits=1 << 13, k=3, seed=5)
+    probe = spark.range(1200).select(F.col("id").alias("k"))
+    kept = {
+        r.k
+        for r in bloom_prune(
+            probe, "k", bloom, m_bits=1 << 13, k=3, seed=5
+        ).collect()
+    }
+    true_set = {i * 3 for i in range(200)}
+    assert true_set <= kept          # NEVER a false negative
+    assert len(kept - true_set) < 120  # FP fraction stays sketch-sized
+    # a tiny filter degrades to false positives, never false negatives
+    tiny = bloom_filter_bits(keys, "k", m_bits=64, k=2, seed=5)
+    kept_tiny = {
+        r.k
+        for r in bloom_prune(
+            probe, "k", tiny, m_bits=64, k=2, seed=5
+        ).collect()
+    }
+    assert true_set <= kept_tiny

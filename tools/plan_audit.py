@@ -35,6 +35,7 @@ _BOUNDED_BNLJ_OK = {
     "hybrid_rrf",  # embeds bm25_search + brute-force query-set broadcasts
     "semantic_dedup",  # 1-row broadcast centroid array (bounded codebook)
     "cms_heavy_hitters",  # 1-row broadcast d*w sketch map (bounded grid)
+    "bloom_prune",  # 1-row broadcast bloom bit array (bounded m_bits)
 }
 
 
