@@ -3077,6 +3077,42 @@ LEFT JOIN dimk d ON l.l_orderkey = d.k
 """
 
 
+def _q_tokenize_ids(spark, sf_dir):
+    """Corpus-frequency vocab (top-20 by count desc, token asc) + text ->
+    integer-id arrays with OOV=0: TakeOrderedAndProject vocabulary cut,
+    bounded rank window, 1-row broadcast map encode."""
+    from feathub_spark.datapipe.text import tokenize_to_ids
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return tokenize_to_ids(df, "text", "doc_id", vocab_size=20)
+
+
+_ORACLE_TOKENIZE_IDS = """
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> '') AS tk
+    FROM documents
+), occ AS (
+    SELECT doc_id, tk[i] AS tok, i
+    FROM tk, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) s
+), vocab AS (
+    SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS INT)
+               AS tid
+    FROM (SELECT tok, count(*) AS c FROM occ GROUP BY 1)
+    ORDER BY c DESC, tok ASC LIMIT 20
+), enc AS (
+    SELECT o.doc_id, o.i, coalesce(v.tid, 0) AS tid
+    FROM occ o LEFT JOIN vocab v ON o.tok = v.tok
+)
+SELECT doc_id,
+       list(tid ORDER BY i) AS token_ids,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM enc GROUP BY doc_id
+"""
+
+
 def _q_session_stats(spark, sf_dir):
     """Per-session summaries (start/end/duration/counts/value sum) over
     the 8-hour-gap sessions — one map-side-combinable groupBy after the
@@ -4375,6 +4411,7 @@ _RAW_QUERIES = {
         "winsorize": _q_winsorize,
         "snapshot_diff": _q_snapshot_diff,
         "bloom_prune": _q_bloom_prune,
+        "tokenize_ids": _q_tokenize_ids,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
         "chunk_docs": _q_chunk_docs,
@@ -4472,6 +4509,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": _ORACLE_WINSORIZE,
         "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "bloom_prune": _ORACLE_BLOOM_PRUNE,
+        "tokenize_ids": _ORACLE_TOKENIZE_IDS,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

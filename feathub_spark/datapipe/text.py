@@ -711,3 +711,64 @@ def normalize_urls(
             f"ELSE `{url_col}` END"
         ),
     )
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 32768,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-frequency vocabulary + text -> integer-id encoding: the
+    tokenizer-artifact step before sequence packing (compose with
+    :func:`feathub_spark.datapipe.sampling.pack_sequences`).  Token ids
+    are 1..vocab_size assigned by (count DESC, token ASC) rank over the
+    corpus's own distribution; everything else encodes to the OOV id 0.
+
+    Scale shape: token counts are one map-side-combinable groupBy; the
+    vocabulary cut is orderBy+limit (TakeOrderedAndProject — parallel
+    partial top-k, no corpus-wide sort) and the id-rank window runs over
+    AT MOST vocab_size rows (corpus-size-independent by construction);
+    encoding is a per-row array transform against the 1-row broadcast
+    vocab map — the corpus is scanned twice (count pass + encode pass)
+    and never shuffled for the encode.
+
+    Returns (id_col, token_ids array<int>, n_tokens, n_oov)."""
+    toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    occ = ensure_parallelism(df).select(
+        F.explode(F.expr(toks)).alias("__tok__")
+    )
+    counts = (
+        occ.groupBy("__tok__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") >= F.lit(int(min_count)))
+    )
+    cut = counts.orderBy(
+        F.col("__c__").desc(), F.col("__tok__").asc()
+    ).limit(vocab_size)
+    w = Window.orderBy(F.col("__c__").desc(), F.col("__tok__").asc())
+    vmap = (
+        cut.withColumn("__tid__", F.row_number().over(w).cast("int"))
+        .agg(
+            F.expr(
+                "map_from_entries(collect_list(struct(__tok__, __tid__)))"
+            ).alias("__vm__")
+        )
+    )
+    ids = (
+        f"transform({toks}, t -> "
+        "coalesce(element_at(__vm__, t), CAST(0 AS INT)))"
+    )
+    return (
+        ensure_parallelism(df)
+        .crossJoin(F.broadcast(vmap))
+        .select(
+            F.col(id_col),
+            F.expr(ids).alias("token_ids"),
+            F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                f"CAST(size(filter({ids}, x -> x = 0)) AS BIGINT)"
+            ).alias("n_oov"),
+        )
+    )

@@ -1057,3 +1057,29 @@ def test_bloom_prune_no_false_negatives(spark):
         ).collect()
     }
     assert true_set <= kept_tiny
+
+
+def test_tokenize_to_ids_vocab_and_oov(spark):
+    from feathub_spark.datapipe.text import tokenize_to_ids
+
+    df = spark.createDataFrame(
+        [(0, "a b c a"), (1, "a x y"), (2, "B b q")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in tokenize_to_ids(df, "text", "doc_id", vocab_size=3).collect()
+    }
+    # counts: a=3, b=3 (case-folded), then c/q/x/y=1 -> tie-break
+    # alphabetical: a->1, b->2, c->3; rest OOV
+    assert out[0].token_ids == [1, 2, 3, 1] and out[0].n_oov == 0
+    assert out[1].token_ids == [1, 0, 0] and out[1].n_oov == 2
+    assert out[2].token_ids == [2, 2, 0] and out[2].n_oov == 1
+    assert out[1].n_tokens == 3
+    # min_count prunes singletons out of the vocab entirely
+    pruned = {
+        r.doc_id: r.token_ids
+        for r in tokenize_to_ids(
+            df, "text", "doc_id", vocab_size=10, min_count=2
+        ).collect()
+    }
+    assert pruned[0] == [1, 2, 0, 1]

@@ -36,6 +36,7 @@ _BOUNDED_BNLJ_OK = {
     "semantic_dedup",  # 1-row broadcast centroid array (bounded codebook)
     "cms_heavy_hitters",  # 1-row broadcast d*w sketch map (bounded grid)
     "bloom_prune",  # 1-row broadcast bloom bit array (bounded m_bits)
+    "tokenize_ids",  # 1-row broadcast vocab map (bounded vocab_size)
 }
 
 
