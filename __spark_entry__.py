@@ -3113,6 +3113,34 @@ FROM enc GROUP BY doc_id
 """
 
 
+def _q_key_skew(spark, sf_dir):
+    """Hot-key skew report for lineitem's join key: top-10 keys by row
+    count plus global skew_factor (max/mean) — the pre-shuffle diagnostic
+    behind the salted-window/chunked-as-of plan decisions."""
+    from feathub_spark.datapipe.profile import key_skew
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return key_skew(df, "l_orderkey", top_k=10)
+
+
+_ORACLE_KEY_SKEW = """
+WITH counts AS (
+    SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS n
+    FROM lineitem GROUP BY 1
+), totals AS (
+    SELECT CAST(sum(n) AS BIGINT) AS rws, count(*) AS kys, max(n) AS mx
+    FROM counts
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, k ASC) AS BIGINT) AS rank,
+       k AS key, n,
+       round(n / CAST(rws AS DOUBLE), 6) AS share,
+       rws AS n_rows, kys AS n_keys,
+       round(mx * kys / CAST(rws AS DOUBLE), 4) AS skew_factor
+FROM counts CROSS JOIN totals
+ORDER BY n DESC, k ASC LIMIT 10
+"""
+
+
 def _q_session_stats(spark, sf_dir):
     """Per-session summaries (start/end/duration/counts/value sum) over
     the 8-hour-gap sessions — one map-side-combinable groupBy after the
@@ -4412,6 +4440,7 @@ _RAW_QUERIES = {
         "snapshot_diff": _q_snapshot_diff,
         "bloom_prune": _q_bloom_prune,
         "tokenize_ids": _q_tokenize_ids,
+        "key_skew": _q_key_skew,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
         "chunk_docs": _q_chunk_docs,
@@ -4510,6 +4539,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "bloom_prune": _ORACLE_BLOOM_PRUNE,
         "tokenize_ids": _ORACLE_TOKENIZE_IDS,
+        "key_skew": _ORACLE_KEY_SKEW,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from feathub_spark.common.parallelism import ensure_parallelism
 
@@ -260,5 +260,57 @@ def cms_heavy_hitters(
         )
         .select(
             F.col("__tok__").alias("token"), "est_count", "exact_count"
+        )
+    )
+
+
+def key_skew(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnostic: the report to run BEFORE shuffling 100 TB
+    on a key — surfaces the hot keys that will serialize a sort-merge
+    join or over-window partition (and tells you whether to salt, use the
+    over-window time-chunk plan, or AQE skew-join hints).
+
+    One map-side-combinable groupBy builds per-key counts; the global
+    stats (rows, distinct keys, max) fold to one broadcast row; the hot
+    list is orderBy+limit (TakeOrderedAndProject, no corpus-wide sort)
+    with a rank window over AT MOST top_k rows.  skew_factor =
+    max_count / mean_count (1.0 = perfectly uniform); share = this key's
+    fraction of all rows.  NULL keys count as a (surfaced) key.
+
+    Returns top_k rows: (rank, key[string], n, share, n_rows, n_keys,
+    skew_factor)."""
+    counts = (
+        ensure_parallelism(df)
+        .groupBy(F.col(key_col).cast("string").alias("__k__"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    totals = counts.agg(
+        F.sum("__n__").alias("__rows__"),
+        F.count(F.lit(1)).alias("__keys__"),
+        F.max("__n__").alias("__max__"),
+    )
+    hot = counts.orderBy(
+        F.col("__n__").desc(), F.col("__k__").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("__n__").desc(), F.col("__k__").asc())
+    return (
+        hot.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            F.col("__k__").alias("key"),
+            F.col("__n__").alias("n"),
+            F.round(F.col("__n__") / F.col("__rows__"), 6).alias("share"),
+            F.col("__rows__").alias("n_rows"),
+            F.col("__keys__").alias("n_keys"),
+            F.round(
+                F.col("__max__") * F.col("__keys__")
+                / F.col("__rows__").cast("double"),
+                4,
+            ).alias("skew_factor"),
         )
     )

@@ -1083,3 +1083,16 @@ def test_tokenize_to_ids_vocab_and_oov(spark):
         ).collect()
     }
     assert pruned[0] == [1, 2, 0, 1]
+
+
+def test_key_skew_hot_key_report(spark):
+    from feathub_spark.datapipe.profile import key_skew
+
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew(df, "k", top_k=3).orderBy("rank").collect()
+    assert [r.key for r in out] == ["hot", "k0", "k1"]
+    assert out[0].n == 90 and out[0].share == 0.9
+    assert out[0].n_rows == 100 and out[0].n_keys == 11
+    # skew_factor = max / mean = 90 / (100/11)
+    assert out[0].skew_factor == round(90 * 11 / 100, 4)

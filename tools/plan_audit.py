@@ -37,6 +37,7 @@ _BOUNDED_BNLJ_OK = {
     "cms_heavy_hitters",  # 1-row broadcast d*w sketch map (bounded grid)
     "bloom_prune",  # 1-row broadcast bloom bit array (bounded m_bits)
     "tokenize_ids",  # 1-row broadcast vocab map (bounded vocab_size)
+    "key_skew",  # 1-row broadcast global-stats row
 }
 
 
