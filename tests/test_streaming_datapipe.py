@@ -242,3 +242,32 @@ def test_session_stats_matches_native_session_window(spark, tmp_path):
         for r in spark.sql("SELECT * FROM native_sessions").collect()
     }
     assert native_stream == mine
+
+
+def test_bloom_prune_stream_equals_batch(spark, tmp_path):
+    """The realistic bloom deployment: bits built in batch from
+    yesterday's keys, the membership test pruning today's STREAM at the
+    scan — stateless per-row once the 1-row bits table exists, so stream
+    output must equal batch output exactly (false positives included)."""
+    from feathub_spark.datapipe.bloom import bloom_filter_bits, bloom_prune
+
+    keys = spark.range(50).select((F.col("id") * 7).alias("k"))
+    bloom = bloom_filter_bits(keys, "k", m_bits=1 << 10, k=3, seed=9)
+
+    probe = spark.range(400).select(F.col("id").alias("k"))
+    expected = sorted(
+        r.k
+        for r in bloom_prune(
+            probe, "k", bloom, m_bits=1 << 10, k=3, seed=9
+        ).collect()
+    )
+
+    stream = _stream_of(spark, probe, tmp_path, "bloom")
+    _to_memory(
+        bloom_prune(stream, "k", bloom, m_bits=1 << 10, k=3, seed=9),
+        tmp_path,
+        "bloom_out",
+    )
+    got = sorted(r.k for r in spark.sql("SELECT k FROM bloom_out").collect())
+    assert got == expected
+    assert {i * 7 for i in range(50)} <= set(got)
