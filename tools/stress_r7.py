@@ -113,6 +113,103 @@ def main() -> None:
     timed("chunk_documents (~4KB docs)", chunk_documents(
         texts, "text", "doc_id", chunk_size=512, overlap=64
     ))
+
+    # ---- round-7 session-2 operators ----
+
+    from feathub_spark.datapipe.bloom import bloom_filter_bits, bloom_prune
+    from feathub_spark.datapipe.profile import (
+        cms_heavy_hitters,
+        hll_distinct,
+        key_skew,
+    )
+    from feathub_spark.datapipe.quality import winsorize
+    from feathub_spark.datapipe.retrieval import phrase_search
+    from feathub_spark.datapipe.sessions import funnel_steps
+    from feathub_spark.datapipe.similarity import semantic_dedup
+    from feathub_spark.datapipe.snapshots import diff_snapshots
+    from feathub_spark.datapipe.text import tokenize_to_ids
+
+    timed(
+        "hll_distinct (hot user col)",
+        hll_distinct(ev, "user_id", ["value"], p=8),
+    )
+    timed("key_skew (50%-hot key)", key_skew(ev, "user_id", top_k=10))
+    timed(
+        "winsorize hot group",
+        winsorize(ev, "value", group_col="user_id"),
+    )
+    timed(
+        "funnel hot user (50% of events)",
+        funnel_steps(
+            ev.withColumn(
+                "etype",
+                F.element_at(
+                    F.expr("array('view','click','buy','other')"),
+                    (F.col("event_id") % 4 + 1).cast("int"),
+                ),
+            ),
+            "user_id", "ts_us", "etype", ["view", "click", "buy"],
+        ),
+    )
+
+    # 2% of vectors are IDENTICAL -> one pathological semantic cell; the
+    # pair join inside that cell is |cell|^2 (the documented caveat)
+    dup_vecs = vecs.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 50 == 0,
+            F.expr(f"transform(sequence(1, {dims}), d -> CAST(1.0 AS DOUBLE))"),
+        ).otherwise(F.col("embedding")),
+    )
+    timed(
+        f"semantic_dedup ({n_vec} vecs, 2% identical)",
+        semantic_dedup(dup_vecs, "embedding", "vec_id",
+                       threshold=0.9, n_centroids=256),
+    )
+    release_caches()
+
+    phrase_docs = spark.range(2_000 * scale).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "repeat(concat('table hash join table hash scan ', "
+            "CAST(id AS STRING), ' '), 100)"
+        ).alias("text"),
+    )
+    timed(
+        "phrase_search (every doc, 200 hits/doc)",
+        phrase_search(phrase_docs, "text", "doc_id", "table hash"),
+    )
+    timed(
+        "cms_heavy_hitters (dense hit corpus)",
+        cms_heavy_hitters(phrase_docs, "text", d=4, w=1024, min_count=100),
+    )
+    timed(
+        "tokenize_to_ids (vocab 4096)",
+        tokenize_to_ids(phrase_docs, "text", "doc_id", vocab_size=4096),
+    )
+
+    keys10 = spark.range(50_000 * scale).select((F.col("id") * 3).alias("k"))
+    bloom = bloom_filter_bits(keys10, "k", m_bits=1 << 22, k=3)
+    timed(
+        f"bloom build+prune ({50_000 * scale} keys, 4M bits)",
+        bloom_prune(
+            spark.range(200_000 * scale).select(F.col("id").alias("k")),
+            "k", bloom, m_bits=1 << 22, k=3,
+        ),
+    )
+
+    old_snap = spark.range(100_000 * scale).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+    ).filter("k % 7 != 0")
+    new_snap = spark.range(100_000 * scale).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 11 == 0, -1).otherwise(F.col("id") % 1000)
+        .alias("v"),
+    ).filter("k % 5 != 0")
+    timed(
+        f"diff_snapshots ({100_000 * scale} keys)",
+        diff_snapshots(old_snap, new_snap, ["k"], ["v"]),
+    )
     release_caches()
 
 
