@@ -3878,6 +3878,33 @@ FROM (
 """
 
 
+def _q_mmr_rerank(spark, sf_dir):
+    """MMR diversified rerank of exact-cosine top-20 candidates (4 query
+    vectors): greedy lam*rel - (1-lam)*max-sim-to-selected.  The greedy
+    recurrence has no relational/SQL form, so this is rows-only with the
+    selection pinned by a golden in-test replica (test_datapipe.py)."""
+    from feathub_spark.datapipe.retrieval import mmr_rerank
+    from feathub_spark.datapipe.similarity import brute_force_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id").isin([5, 17, 99, 123]))
+    cands = brute_force_topk(
+        emb, queries, "embedding", "vec_id", k=20
+    ).select(
+        "query_id", F.col("neighbor_id").alias("item_id"),
+        F.col("cosine").alias("rel"),
+    )
+    with_vecs = cands.join(
+        emb.select(
+            F.col("vec_id").alias("item_id"), F.col("embedding").alias("vec")
+        ),
+        on="item_id",
+    )
+    return mmr_rerank(
+        with_vecs, "query_id", "item_id", "rel", "vec", k=5, lam=0.7
+    )
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     """Hybrid search: reciprocal-rank fusion of the BM25 keyword ranking
     (documents) and the exact cosine ANN ranking (embeddings; the
@@ -4441,6 +4468,7 @@ _RAW_QUERIES = {
         "bloom_prune": _q_bloom_prune,
         "tokenize_ids": _q_tokenize_ids,
         "key_skew": _q_key_skew,
+        "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
         "chunk_docs": _q_chunk_docs,

@@ -216,3 +216,106 @@ def phrase_search(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.min("__anchor__").cast("bigint").alias("first_pos"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_id_col: str,
+    item_id_col: str,
+    rel_col: str,
+    vec_col: str,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    1998) of a per-query candidate list — the rerank stage after
+    BM25/ANN retrieval: greedily select k items maximizing
+
+        lam * relevance - (1 - lam) * max_cosine(item, already_selected)
+
+    so near-duplicate hits don't crowd the result page.  Ties break on
+    the smaller item id; scores round to 6 dp before comparison so the
+    selection is float-order deterministic.
+
+    This is one of the engine's few sanctioned Python stages: the greedy
+    argmax recurrence (each pick depends on every previous pick) has no
+    relational form.  It runs as applyInPandas over per-QUERY groups —
+    the candidate set per query is BOUNDED by the upstream retriever's k,
+    so the grouped pandas task is O(k * |candidates| * dims) on a
+    handful of rows regardless of corpus size, and queries parallelize
+    across the shuffle.  (Cf. PythonUdfTransform's Arrow batching — same
+    rationale, dataframe_builder.py.)
+
+    Returns (query_id_col, item_id_col, mmr_rank, mmr_score)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{query_id_col} long, {item_id_col} long, "
+        "mmr_rank long, mmr_score double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        qid = pdf[query_id_col].iloc[0]
+        items = pdf[item_id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype="float64")
+        vecs = np.array(
+            [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+        )
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        n = len(items)
+        selected = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k:
+            best = None
+            best_score = None
+            for i in remaining:
+                if selected:
+                    pen = float(
+                        max(unit[i] @ unit[j] for j in selected)
+                    )
+                else:
+                    pen = 0.0
+                score = round(lam * rel[i] - (1 - lam) * pen, 6)
+                if (
+                    best is None
+                    or score > best_score
+                    or (score == best_score and items[i] < items[best])
+                ):
+                    best, best_score = i, score
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                query_id_col: [qid] * len(selected),
+                item_id_col: [items[i] for i in selected],
+                "mmr_rank": list(range(1, len(selected) + 1)),
+                "mmr_score": [
+                    round(
+                        lam * rel[i]
+                        - (1 - lam)
+                        * (
+                            0.0
+                            if rank == 0
+                            else float(
+                                max(
+                                    unit[i] @ unit[j]
+                                    for j in selected[:rank]
+                                )
+                            )
+                        ),
+                        6,
+                    )
+                    for rank, i in enumerate(selected)
+                ],
+            }
+        )
+
+    return (
+        ensure_parallelism(candidates)
+        .groupBy(query_id_col)
+        .applyInPandas(_mmr, schema=out_schema)
+    )

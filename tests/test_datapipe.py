@@ -1096,3 +1096,76 @@ def test_key_skew_hot_key_report(spark):
     assert out[0].n_rows == 100 and out[0].n_keys == 11
     # skew_factor = max / mean = 90 / (100/11)
     assert out[0].skew_factor == round(90 * 11 / 100, 4)
+
+
+def test_mmr_rerank_golden_and_diversity(spark):
+    """Golden check vs an independent in-test greedy implementation, plus
+    the semantic property: lam=1 is pure relevance order, and at
+    moderate lam an exact duplicate of the top hit is demoted below a
+    less-relevant-but-novel item."""
+    import math
+    import random
+
+    from feathub_spark.datapipe.retrieval import mmr_rerank
+
+    rnd = random.Random(7)
+    rows = []
+    vecs = {}
+    for q in range(3):
+        for i in range(8):
+            v = [rnd.gauss(0, 1) for _ in range(8)]
+            vecs[(q, i)] = v
+            rows.append((q, i, round(rnd.random(), 3), v))
+    df = spark.createDataFrame(rows, ["query_id", "item_id", "rel", "vec"])
+
+    def golden(q, k, lam):
+        cands = [(i, r, v) for (qq, i, r, v) in
+                 [(row[0], row[1], row[2], row[3]) for row in rows] if qq == q]
+        def unit(v):
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            return [x / n for x in v]
+        cands = [(i, r, unit(v)) for i, r, v in cands]
+        sel, rem, out = [], list(range(len(cands))), []
+        while rem and len(sel) < k:
+            best, bs = None, None
+            for ix in rem:
+                i, r, v = cands[ix]
+                pen = max((sum(a * b for a, b in zip(v, cands[jx][2]))
+                           for jx in sel), default=0.0)
+                s = round(lam * r - (1 - lam) * pen, 6)
+                if best is None or s > bs or (s == bs and i < cands[best][0]):
+                    best, bs = ix, s
+            sel.append(best)
+            rem.remove(best)
+            out.append((cands[best][0], len(sel), bs))
+        return out
+
+    got = mmr_rerank(df, "query_id", "item_id", "rel", "vec",
+                     k=4, lam=0.6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(
+            (r.item_id, r.mmr_rank, r.mmr_score))
+    for q in range(3):
+        assert sorted(by_q[q], key=lambda t: t[1]) == golden(q, 4, 0.6)
+
+    # duplicate demotion: item 1 is an exact copy of top item 0
+    dup = spark.createDataFrame(
+        [
+            (0, 0, 1.0, [1.0, 0.0]),
+            (0, 1, 0.99, [1.0, 0.0]),   # duplicate of 0, almost as relevant
+            (0, 2, 0.30, [0.0, 1.0]),   # novel
+        ],
+        ["query_id", "item_id", "rel", "vec"],
+    )
+    order = [r.item_id for r in sorted(
+        mmr_rerank(dup, "query_id", "item_id", "rel", "vec",
+                   k=3, lam=0.5).collect(),
+        key=lambda r: r.mmr_rank)]
+    assert order == [0, 2, 1]
+    # lam=1 -> pure relevance
+    order_rel = [r.item_id for r in sorted(
+        mmr_rerank(dup, "query_id", "item_id", "rel", "vec",
+                   k=3, lam=1.0).collect(),
+        key=lambda r: r.mmr_rank)]
+    assert order_rel == [0, 1, 2]

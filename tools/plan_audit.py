@@ -38,6 +38,7 @@ _BOUNDED_BNLJ_OK = {
     "bloom_prune",  # 1-row broadcast bloom bit array (bounded m_bits)
     "tokenize_ids",  # 1-row broadcast vocab map (bounded vocab_size)
     "key_skew",  # 1-row broadcast global-stats row
+    "mmr_rerank",  # brute-force candidate stage (broadcast query set)
 }
 
 
