@@ -271,3 +271,100 @@ def test_bloom_prune_stream_equals_batch(spark, tmp_path):
     got = sorted(r.k for r in spark.sql("SELECT k FROM bloom_out").collect())
     assert got == expected
     assert {i * 7 for i in range(50)} <= set(got)
+
+
+def test_stateful_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel == batch funnel on shuffled out-of-order arrival:
+    the greedy chain is an online algorithm, so with watermark buffering
+    the final streaming emission per key must equal the batch fold."""
+    import os
+    import random
+    import time as _time
+
+    from feathub_spark.datapipe.sessions import funnel_steps
+    from feathub_spark.streaming.stateful_funnel import stateful_funnel
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                f"u{rnd.randrange(8)}",
+                rnd.choice(["view", "click", "buy", "other"]),
+                rnd.randrange(1, 2000),
+            )
+        )
+    batch = spark.createDataFrame(rows, "k string, tp string, t long")
+
+    # batch truth (millis as the time unit)
+    expected = {
+        r.k: (r.n_steps, list(r.step_ts))
+        for r in funnel_steps(
+            batch.withColumn("ms", F.col("t") * 1000),
+            "k", "ms", "tp", ["view", "click", "buy"],
+        ).collect()
+    }
+
+    # shuffled files, sentinel last to flush the watermark
+    d = str(tmp_path / "funnel_in")
+    os.makedirs(d)
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    now = _time.time()
+
+    def _stamp(sub, ts):
+        # the file stream source orders by PART-FILE mtime, not directory
+        for root, _, files in os.walk(os.path.join(d, sub)):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (ts, ts))
+
+    third = len(shuffled) // 3 + 1
+    for i in range(3):
+        spark.createDataFrame(
+            shuffled[i * third : (i + 1) * third], "k string, tp string, t long"
+        ).coalesce(1).write.parquet(os.path.join(d, f"f{i}"))
+        _stamp(f"f{i}", now + 10 * i)
+    # the sentinel must be a FUNNEL-TYPE event: the operator prunes other
+    # types and Catalyst pushes that filter below the watermark node, so
+    # only funnel-type events advance the watermark (documented liveness
+    # contract)
+    spark.createDataFrame(
+        [("zz", "view", 1_000_000)], "k string, tp string, t long"
+    ).coalesce(1).write.parquet(os.path.join(d, "f9"))
+    _stamp("f9", now + 100)
+
+    stream = (
+        spark.readStream.schema("k string, tp string, t long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "*"))
+        .withColumn("__ts__", F.timestamp_seconds(F.col("t")))
+        .withWatermark("__ts__", "2000 seconds")
+    )
+    out = stateful_funnel(stream, "k", "tp", ["view", "click", "buy"],
+                          event_time_col="__ts__")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_rows = [
+        r for r in spark.sql("SELECT * FROM funnel_stream").collect()
+        if r.k != "zz"
+    ]
+    got = {}
+    for r in got_rows:
+        cur = got.get(r.k)
+        if cur is None or r.n_steps > cur[0]:
+            got[r.k] = (r.n_steps, list(r.step_ts))
+    # streaming step_ts are millis; batch used ms = t*1000 too
+    assert got == expected
+    # every advance emitted exactly once per step level
+    per_key_levels = {}
+    for r in got_rows:
+        per_key_levels.setdefault(r.k, []).append(r.n_steps)
+    for k, levels in per_key_levels.items():
+        assert sorted(levels) == list(range(1, max(levels) + 1))
