@@ -3113,6 +3113,39 @@ FROM enc GROUP BY doc_id
 """
 
 
+def _q_json_features(spark, sf_dir):
+    """Typed JSON feature extraction from events.props (with 1-in-97
+    payloads corrupted in-flight): malformed JSON, missing fields, and
+    NULLs all land as NULL columns — PERMISSIVE from_json, pure Catalyst,
+    no UDF."""
+    from feathub_spark.datapipe.text import parse_json_features
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        F.expr(
+            "CASE WHEN event_id % 97 = 0 THEN 'not json' ELSE props END"
+        ).alias("props"),
+    )
+    return parse_json_features(ev, "props", "k BIGINT, tag STRING").select(
+        "event_id", "k", "tag"
+    )
+
+
+_ORACLE_JSON_FEATURES = """
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN event_id % 97 = 0 THEN 'not json' ELSE props END AS p
+    FROM events
+)
+SELECT event_id,
+       CAST(json_extract(CASE WHEN p IS NOT NULL AND json_valid(p)
+                              THEN p END, '$.k') AS BIGINT) AS k,
+       json_extract_string(CASE WHEN p IS NOT NULL AND json_valid(p)
+                                THEN p END, '$.tag') AS tag
+FROM ev
+"""
+
+
 def _q_key_skew(spark, sf_dir):
     """Hot-key skew report for lineitem's join key: top-10 keys by row
     count plus global skew_factor (max/mean) — the pre-shuffle diagnostic
@@ -4468,6 +4501,7 @@ _RAW_QUERIES = {
         "bloom_prune": _q_bloom_prune,
         "tokenize_ids": _q_tokenize_ids,
         "key_skew": _q_key_skew,
+        "json_features": _q_json_features,
         "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
@@ -4568,6 +4602,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prune": _ORACLE_BLOOM_PRUNE,
         "tokenize_ids": _ORACLE_TOKENIZE_IDS,
         "key_skew": _ORACLE_KEY_SKEW,
+        "json_features": _ORACLE_JSON_FEATURES,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

@@ -788,3 +788,36 @@ def tokenize_to_ids(
             F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
         )
     )
+
+
+def parse_json_features(
+    df: DataFrame,
+    json_col: str,
+    field_schema: str,
+    prefix: str = "",
+) -> DataFrame:
+    """Typed feature extraction from a JSON-string column — the parse-side
+    complement of the DSL's JSON_STRING builtin: ``field_schema`` is a
+    Spark DDL fragment ("k BIGINT, tag STRING, nested STRUCT<x: DOUBLE>")
+    and each top-level field lands as its own typed column (optionally
+    ``prefix``-ed).  Malformed JSON, missing fields, and type-mismatched
+    values all yield NULL (PERMISSIVE from_json) — one corrupt payload
+    never aborts a corpus-scale parse, mirroring the multimodal decoders'
+    on_error='null' stance.
+
+    Pure Catalyst (JVM JacksonParser, whole-stage codegen compatible): a
+    single from_json per row, no UDF, no shuffle.  Input columns pass
+    through."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    struct = _parse_datatype_string(f"struct<{field_schema}>")
+    names = [f.name for f in struct.fields]
+    parsed = F.from_json(F.col(json_col), struct)
+    return (
+        df.withColumn("__j__", parsed)
+        .select(
+            "*",
+            *[F.col(f"__j__.`{n}`").alias(f"{prefix}{n}") for n in names],
+        )
+        .drop("__j__")
+    )

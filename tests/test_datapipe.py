@@ -1169,3 +1169,31 @@ def test_mmr_rerank_golden_and_diversity(spark):
                    k=3, lam=1.0).collect(),
         key=lambda r: r.mmr_rank)]
     assert order_rel == [0, 1, 2]
+
+
+def test_parse_json_features_permissive(spark):
+    from feathub_spark.datapipe.text import parse_json_features
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "tag": "a", "nested": {"x": 1.5}}'),
+            (2, '{"k": 7}'),
+            (3, "not json"),
+            (4, None),
+            (5, '{"k": "wrongtype"}'),
+        ],
+        ["id", "props"],
+    )
+    out = {
+        r.id: r
+        for r in parse_json_features(
+            df, "props", "k BIGINT, tag STRING, nested STRUCT<x: DOUBLE>",
+            prefix="p_",
+        ).collect()
+    }
+    assert out[1].p_k == 5 and out[1].p_tag == "a" and out[1].p_nested.x == 1.5
+    assert out[2].p_k == 7 and out[2].p_tag is None
+    assert out[3].p_k is None          # malformed -> NULL, row survives
+    assert out[4].p_k is None          # NULL payload
+    assert out[5].p_k is None          # type mismatch -> NULL
+    assert "props" in out[1].asDict()  # input passes through
