@@ -3146,6 +3146,45 @@ FROM ev
 """
 
 
+def _q_negative_samples(spark, sf_dir):
+    """Consistent-hash-ring negative sampling: 4 deterministic uniform
+    negatives per query vector (ring successor of md5 probe positions) —
+    one bucket equi-join + a broadcast per-bucket-minimum summary for the
+    wrap/miss path; oracle is the LATERAL ring-successor formulation."""
+    from feathub_spark.datapipe.sampling import ring_negative_samples
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id").isin([5, 17, 99])).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return ring_negative_samples(
+        emb, queries, "vec_id", "query_id", k=4, seed=11
+    ).select(
+        "query_id", F.col("slot").cast("bigint").alias("slot"),
+        "neg_id", "neg_hash",
+    )
+
+
+_ORACLE_NEGATIVE_SAMPLES = f"""
+WITH items AS (
+    SELECT vec_id AS iid,
+           {_H32.format(col='vec_id', seed=11)} AS ih
+    FROM embeddings
+), slots AS (
+    SELECT q, j,
+           CAST(('0x' || substr(md5(CAST(q AS VARCHAR) || '#' ||
+               CAST(j AS VARCHAR) || ':11'), 1, 8)) AS BIGINT) AS sh
+    FROM (SELECT CAST(unnest([5, 17, 99]) AS BIGINT) AS q) qs
+    CROSS JOIN (SELECT unnest(range(4)) AS j) js
+)
+SELECT s.q AS query_id, s.j AS slot, n.iid AS neg_id, n.ih AS neg_hash
+FROM slots s, LATERAL (
+    SELECT iid, ih FROM items
+    ORDER BY (ih >= s.sh) DESC, ih ASC, iid ASC LIMIT 1
+) n
+"""
+
+
 def _q_key_skew(spark, sf_dir):
     """Hot-key skew report for lineitem's join key: top-10 keys by row
     count plus global skew_factor (max/mean) — the pre-shuffle diagnostic
@@ -4502,6 +4541,7 @@ _RAW_QUERIES = {
         "tokenize_ids": _q_tokenize_ids,
         "key_skew": _q_key_skew,
         "json_features": _q_json_features,
+        "negative_samples": _q_negative_samples,
         "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
@@ -4603,6 +4643,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_ids": _ORACLE_TOKENIZE_IDS,
         "key_skew": _ORACLE_KEY_SKEW,
         "json_features": _ORACLE_JSON_FEATURES,
+        "negative_samples": _ORACLE_NEGATIVE_SAMPLES,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

@@ -283,3 +283,112 @@ def assign_splits(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return out.withColumn(split_col, split).drop("__k__", "__f__")
+
+
+def ring_negative_samples(
+    corpus: DataFrame,
+    queries: DataFrame,
+    item_id_col: str,
+    query_id_col: str,
+    k: int = 5,
+    seed: int = 0,
+    exclude: DataFrame = None,
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training
+    via a CONSISTENT HASH RING: corpus items sit on a 32-bit md5 ring;
+    each (query, slot j) probes position hash32(query + '#' + j) and
+    takes the ring SUCCESSOR (smallest item hash >= probe, wrapping) —
+    uniform-in-expectation negatives, reproducible in any engine, and
+    never a corpus-per-query ranking.
+
+    Plan shape: ONE equi-join on the ring bucket (high ``bucket_bits``
+    bits) resolves almost every slot; slots whose bucket holds no
+    successor resolve against a BROADCAST per-bucket-minimum summary
+    (<= 2^bucket_bits rows, corpus-size-independent) — so the corpus
+    shuffles once on the bucket id and the wrap/miss path never rescans
+    it.  Pass ``exclude`` (query_id, item_id accidental-positive pairs)
+    to anti-join collisions out; a query then yields < k negatives
+    (rare at corpus scale; probe extra slots upstream if exact-k
+    matters).
+
+    Returns (query_id_col, slot, neg_id, neg_hash)."""
+    n_buckets = 1 << bucket_bits
+    width = (1 << 32) // n_buckets
+
+    items = ensure_parallelism(corpus).select(
+        F.col(item_id_col).alias("__iid__"),
+        hash32(item_id_col, seed).alias("__ih__"),
+    ).withColumn("__ib__", F.expr(f"__ih__ div {width}"))
+
+    slots = (
+        queries.select(F.col(query_id_col).alias("__qid__"))
+        .distinct()
+        .select(
+            "__qid__", F.explode(F.expr(f"sequence(0, {k - 1})")).alias("slot")
+        )
+        .withColumn(
+            "__probe__", F.concat(F.col("__qid__").cast("string"),
+                                  F.lit("#"), F.col("slot").cast("string"))
+        )
+        .withColumn("__sh__", hash32("__probe__", seed))
+        .withColumn("__sb__", F.expr(f"__sh__ div {width}"))
+        .drop("__probe__")
+    )
+
+    # main pass: successor within the slot's own bucket
+    hit = (
+        slots.join(items, slots.__sb__ == items.__ib__, "left")
+        .filter(F.col("__ih__") >= F.col("__sh__"))
+        .groupBy("__qid__", "slot", "__sh__", "__sb__")
+        .agg(F.min(F.struct("__ih__", "__iid__")).alias("__best__"))
+    )
+    resolved = hit.select(
+        "__qid__", "slot",
+        F.col("__best__.__iid__").alias("neg_id"),
+        F.col("__best__.__ih__").alias("neg_hash"),
+    )
+
+    # miss pass: successor lives in a LATER non-empty bucket (or wraps to
+    # the first) — resolved against the broadcast per-bucket minima
+    summary = (
+        items.groupBy("__ib__")
+        .agg(F.min(F.struct("__ih__", "__iid__")).alias("__m__"))
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(__ib__, __m__.__ih__ AS h, "
+                "__m__.__iid__ AS iid)))"
+            ).alias("__summ__")
+        )
+    )
+    pick = (
+        "coalesce("
+        "filter(__summ__, e -> e.__ib__ > __sb__)[0], "
+        "__summ__[0])"
+    )
+    misses = (
+        slots.join(
+            hit.select("__qid__", "slot").withColumn("__hit__", F.lit(True)),
+            on=["__qid__", "slot"], how="left",
+        )
+        .filter(F.col("__hit__").isNull())
+        .crossJoin(F.broadcast(summary))
+        .withColumn("__pick__", F.expr(pick))
+        .select(
+            "__qid__", "slot",
+            F.col("__pick__.iid").alias("neg_id"),
+            F.col("__pick__.h").alias("neg_hash"),
+        )
+    )
+    out = resolved.unionByName(misses).withColumnRenamed(
+        "__qid__", query_id_col
+    )
+    if exclude is not None:
+        out = out.join(
+            exclude.select(
+                F.col(query_id_col), F.col(item_id_col).alias("neg_id")
+            ),
+            on=[query_id_col, "neg_id"],
+            how="left_anti",
+        )
+    return out

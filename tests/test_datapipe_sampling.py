@@ -779,3 +779,44 @@ def test_normalize_urls_rules(spark):
     assert got[4] == "not a url"
     assert got[5] == "https://a.b/"
     assert got[6] == "http://h/p?a=0&a=1"
+
+
+def test_ring_negative_samples_successor_semantics(spark):
+    """Every slot must resolve to the exact ring successor (smallest item
+    hash >= probe hash, wrapping to the global minimum) — verified
+    against a Python replica of the md5 ring, including the wrap path
+    and positive exclusion."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.sampling import ring_negative_samples
+
+    def h32(x, seed):
+        return int(
+            hashlib.md5(f"{x}:{seed}".encode()).hexdigest()[:8], 16
+        )
+
+    items = [i * 3 for i in range(40)]
+    corpus = spark.createDataFrame([(i,) for i in items], ["item"])
+    queries = spark.createDataFrame([(7,), (9,)], ["q"])
+    # tiny buckets force plenty of miss-path resolutions
+    out = ring_negative_samples(
+        corpus, queries, "item", "q", k=6, seed=5, bucket_bits=3
+    ).collect()
+    assert len(out) == 12
+    ring = sorted((h32(i, 5), i) for i in items)
+    for r in out:
+        probe = h32(f"{r.q}#{r.slot}", 5)
+        succ = next((e for e in ring if e[0] >= probe), ring[0])
+        assert (r.neg_hash, r.neg_id) == succ
+    # exclusion drops accidental positives
+    excl = spark.createDataFrame(
+        [(r.q, r.neg_id) for r in out[:3]], ["q", "item"]
+    )
+    kept = ring_negative_samples(
+        corpus, queries, "item", "q", k=6, seed=5, bucket_bits=3,
+        exclude=excl,
+    ).collect()
+    dropped = {(r.q, r.neg_id) for r in out[:3]}
+    assert {(r.q, r.neg_id) for r in kept}.isdisjoint(dropped)

@@ -39,6 +39,7 @@ _BOUNDED_BNLJ_OK = {
     "tokenize_ids",  # 1-row broadcast vocab map (bounded vocab_size)
     "key_skew",  # 1-row broadcast global-stats row
     "mmr_rerank",  # brute-force candidate stage (broadcast query set)
+    "negative_samples",  # 1-row broadcast per-bucket-minimum ring summary
 }
 
 
