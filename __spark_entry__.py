@@ -3185,6 +3185,48 @@ FROM slots s, LATERAL (
 """
 
 
+def _q_resample_ffill(spark, sf_dir):
+    """Daily-grid resampling with forward fill for 31 users: one row per
+    user per day carrying the latest event value and its staleness —
+    single-shuffle union+last_value, no grid-to-events join."""
+    from feathub_spark.datapipe.resample import resample_ffill
+
+    ev = _events_with_micros(spark, sf_dir).filter("user_id <= 30")
+    return resample_ffill(
+        ev, "user_id", "ts_us", ["value"],
+        step_us=86_400_000_000, id_col="event_id",
+    )
+
+
+_ORACLE_RESAMPLE_FFILL = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS tu, value
+    FROM events WHERE user_id <= 30
+), b AS (
+    SELECT user_id,
+           ((min(tu) + 86399999999) // 86400000000) * 86400000000 AS glo,
+           max(tu) AS ghi
+    FROM e GROUP BY 1
+), g AS (
+    SELECT user_id, unnest(range(glo, ghi + 1, 86400000000)) AS gu
+    FROM b WHERE glo <= ghi
+)
+SELECT g.user_id, g.gu AS grid_us, v.value,
+       g.gu - l.tu AS staleness_us
+FROM g
+LEFT JOIN LATERAL (
+    SELECT tu FROM e
+    WHERE e.user_id = g.user_id AND e.tu <= g.gu
+    ORDER BY tu DESC, event_id DESC LIMIT 1
+) l ON TRUE
+LEFT JOIN LATERAL (
+    SELECT value FROM e
+    WHERE e.user_id = g.user_id AND e.tu <= g.gu AND e.value IS NOT NULL
+    ORDER BY tu DESC, event_id DESC LIMIT 1
+) v ON TRUE
+"""
+
+
 def _q_key_skew(spark, sf_dir):
     """Hot-key skew report for lineitem's join key: top-10 keys by row
     count plus global skew_factor (max/mean) — the pre-shuffle diagnostic
@@ -4542,6 +4584,7 @@ _RAW_QUERIES = {
         "key_skew": _q_key_skew,
         "json_features": _q_json_features,
         "negative_samples": _q_negative_samples,
+        "resample_ffill": _q_resample_ffill,
         "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
@@ -4644,6 +4687,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew": _ORACLE_KEY_SKEW,
         "json_features": _ORACLE_JSON_FEATURES,
         "negative_samples": _ORACLE_NEGATIVE_SAMPLES,
+        "resample_ffill": _ORACLE_RESAMPLE_FFILL,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

@@ -162,3 +162,44 @@ def test_funnel_steps_greedy_chain(spark):
 
     with _pytest.raises(ValueError):
         funnel_steps(df, "user_id", "ts_us", "event_type", [])
+
+
+def test_resample_ffill_grid_and_staleness(spark):
+    from feathub_spark.datapipe.resample import resample_ffill
+
+    rows = [
+        ("a", 15, 1, 1.0),
+        ("a", 22, 2, 2.0),
+        ("a", 22, 3, None),    # same ts, higher id, NULL value
+        ("a", 40, 4, 3.0),
+        ("b", 5, 5, 9.0),      # lone early event: no grid point <= last
+    ]
+    df = spark.createDataFrame(rows, ["k", "tu", "eid", "v"])
+    out = {
+        (r.k, r.grid_us): (r.v, r.staleness_us)
+        for r in resample_ffill(
+            df, "k", "tu", ["v"], step_us=10, id_col="eid"
+        ).collect()
+    }
+    # grid 20: last event ts15 -> v=1.0, staleness 5
+    # grid 30: last event is (22, id3, NULL); staleness from IT (8) but v
+    #          forward-fills the latest NON-NULL observation (2.0)
+    # grid 40: exact-tie event included
+    assert out == {
+        ("a", 20): (1.0, 5),
+        ("a", 30): (2.0, 8),
+        ("a", 40): (3.0, 0),
+    }
+    # explicit bounds extend the grid past the last event
+    ext = {
+        r.grid_us: (r.v, r.staleness_us)
+        for r in resample_ffill(
+            df.filter("k = 'b'"), "k", "tu", ["v"],
+            step_us=10, start_us=0, end_us=30, id_col="eid",
+        ).collect()
+    }
+    assert ext == {0: (None, None), 10: (9.0, 5), 20: (9.0, 15), 30: (9.0, 25)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample_ffill(df, "k", "tu", ["v"], step_us=0)
