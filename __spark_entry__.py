@@ -3227,6 +3227,71 @@ LEFT JOIN LATERAL (
 """
 
 
+def _q_validate_rules(spark, sf_dir):
+    """Declarative expectation gate over lineitem in ONE aggregate pass:
+    not-null, range, accepted-values, composite uniqueness (which the
+    synthetic data genuinely violates), and min-rows — long-format
+    pass/fail report."""
+    from feathub_spark.datapipe.profile import validate_rules
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return validate_rules(
+        df,
+        [
+            {"rule": "not_null", "column": "l_orderkey"},
+            {"rule": "range", "column": "l_quantity", "lo": 1, "hi": 50},
+            {"rule": "accepted_values", "column": "l_returnflag",
+             "values": ["A", "N", "R"]},
+            {"rule": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+            {"rule": "min_rows", "n": 1000},
+        ],
+    )
+
+
+_ORACLE_VALIDATE_RULES = """
+WITH s AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+           sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                      OR l_quantity > 50 THEN 1 ELSE 0 END) AS v1,
+           sum(CASE WHEN l_returnflag IS NULL
+                      OR l_returnflag NOT IN ('A', 'N', 'R')
+                    THEN 1 ELSE 0 END) AS v2,
+           sum(CASE WHEN l_orderkey IS NOT NULL
+                     AND l_linenumber IS NOT NULL THEN 1 ELSE 0 END) AS d3,
+           count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                                AND l_linenumber IS NOT NULL
+                               THEN (l_orderkey, l_linenumber) END) AS nd3
+    FROM lineitem
+)
+SELECT CAST(0 AS BIGINT) AS rule_id, 'not_null' AS rule,
+       'l_orderkey' AS column, CAST(n AS BIGINT) AS n_rows,
+       CAST(v0 AS BIGINT) AS n_violations,
+       round(CAST(v0 AS DOUBLE) / n, 6) AS viol_frac,
+       (CAST(v0 AS DOUBLE) / n <= 0.0) AS passed FROM s
+UNION ALL
+SELECT 1, 'range', 'l_quantity', n, CAST(v1 AS BIGINT),
+       round(CAST(v1 AS DOUBLE) / n, 6), CAST(v1 AS DOUBLE) / n <= 0.0
+FROM s
+UNION ALL
+SELECT 2, 'accepted_values', 'l_returnflag', n, CAST(v2 AS BIGINT),
+       round(CAST(v2 AS DOUBLE) / n, 6), CAST(v2 AS DOUBLE) / n <= 0.0
+FROM s
+UNION ALL
+SELECT 3, 'unique', 'l_orderkey,l_linenumber', n, CAST(d3 - nd3 AS BIGINT),
+       round(CAST(d3 - nd3 AS DOUBLE) / d3, 6),
+       CAST(d3 - nd3 AS DOUBLE) / d3 <= 0.0
+FROM s
+UNION ALL
+SELECT 4, 'min_rows', '', n,
+       CAST(CASE WHEN n >= 1000 THEN 0 ELSE 1000 - n END AS BIGINT),
+       round(CAST(CASE WHEN n >= 1000 THEN 0 ELSE 1000 - n END AS DOUBLE)
+             / n, 6),
+       n >= 1000
+FROM s
+"""
+
+
 def _q_key_skew(spark, sf_dir):
     """Hot-key skew report for lineitem's join key: top-10 keys by row
     count plus global skew_factor (max/mean) — the pre-shuffle diagnostic
@@ -4585,6 +4650,7 @@ _RAW_QUERIES = {
         "json_features": _q_json_features,
         "negative_samples": _q_negative_samples,
         "resample_ffill": _q_resample_ffill,
+        "validate_rules": _q_validate_rules,
         "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
@@ -4688,6 +4754,7 @@ def oracle_sql() -> dict[str, str]:
         "json_features": _ORACLE_JSON_FEATURES,
         "negative_samples": _ORACLE_NEGATIVE_SAMPLES,
         "resample_ffill": _ORACLE_RESAMPLE_FFILL,
+        "validate_rules": _ORACLE_VALIDATE_RULES,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

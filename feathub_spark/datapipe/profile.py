@@ -322,3 +322,102 @@ def key_skew(
             ).alias("skew_factor"),
         )
     )
+
+
+def validate_rules(df: DataFrame, rules) -> DataFrame:
+    """Declarative data-quality gate: evaluate a list of expectation
+    rules in ONE wide aggregate pass and return a long-format report —
+    the pre-training validation step a pipeline fails fast on.
+
+    Rule shapes (dicts):
+      {"rule": "not_null", "column": c, "max_frac": 0.0}
+      {"rule": "range", "column": c, "lo": x, "hi": y, "max_frac": 0.0}
+      {"rule": "accepted_values", "column": c, "values": [...],
+       "max_frac": 0.0}
+      {"rule": "unique", "columns": [c, ...]}   # non-null rows must be
+                                                # pairwise distinct
+      {"rule": "min_rows", "n": N}
+
+    Violation fractions are over all rows (unique: over non-null rows);
+    ``passed`` compares against ``max_frac`` (default 0).  Everything is
+    conditional sums + count-distincts inside a single groupBy-less
+    aggregate — no per-rule scan, no collect.
+
+    Returns (rule_id, rule, column, n_rows, n_violations, viol_frac,
+    passed)."""
+    rules = list(rules)
+    if not rules:
+        raise ValueError("at least one rule required")
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        if kind == "not_null":
+            aggs.append(
+                F.sum(
+                    F.when(F.col(r["column"]).isNull(), 1).otherwise(0)
+                ).alias(f"__v{i}__")
+            )
+        elif kind == "range":
+            c = F.col(r["column"])
+            bad = c.isNull() | (c < F.lit(r["lo"])) | (c > F.lit(r["hi"]))
+            aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"__v{i}__"))
+        elif kind == "accepted_values":
+            c = F.col(r["column"])
+            bad = c.isNull() | ~c.isin(list(r["values"]))
+            aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"__v{i}__"))
+        elif kind == "unique":
+            cols = [F.col(c) for c in r["columns"]]
+            nn = cols[0].isNotNull()
+            for c in cols[1:]:
+                nn = nn & c.isNotNull()
+            aggs.append(
+                (
+                    F.sum(F.when(nn, 1).otherwise(0))
+                    - F.countDistinct(*cols)
+                ).alias(f"__v{i}__")
+            )
+            aggs.append(
+                F.sum(F.when(nn, 1).otherwise(0)).alias(f"__d{i}__")
+            )
+        elif kind == "min_rows":
+            pass  # needs only __n__
+        else:
+            raise ValueError(f"unknown rule kind: {kind}")
+    wide = ensure_parallelism(df).agg(*aggs)
+
+    structs = []
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        col = r.get("column") or ",".join(r.get("columns", []))
+        max_frac = float(r.get("max_frac", 0.0))
+        if kind == "min_rows":
+            viol = f"CASE WHEN __n__ >= {int(r['n'])} THEN 0 " \
+                   f"ELSE {int(r['n'])} - __n__ END"
+            denom = "__n__"
+            passed = f"__n__ >= {int(r['n'])}"
+        elif kind == "unique":
+            viol = f"`__v{i}__`"
+            denom = f"`__d{i}__`"
+            passed = (
+                f"CASE WHEN `__d{i}__` = 0 THEN TRUE ELSE "
+                f"CAST(`__v{i}__` AS DOUBLE) / `__d{i}__` <= {max_frac} END"
+            )
+        else:
+            viol = f"`__v{i}__`"
+            denom = "__n__"
+            passed = (
+                f"CASE WHEN __n__ = 0 THEN TRUE ELSE "
+                f"CAST(`__v{i}__` AS DOUBLE) / __n__ <= {max_frac} END"
+            )
+        structs.append(
+            f"named_struct('rule_id', CAST({i} AS BIGINT), "
+            f"'rule', '{kind}', 'column', '{col}', "
+            f"'n_rows', CAST(__n__ AS BIGINT), "
+            f"'n_violations', CAST({viol} AS BIGINT), "
+            f"'viol_frac', CASE WHEN {denom} = 0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE round(CAST({viol} AS DOUBLE) / {denom}, 6) END, "
+            f"'passed', {passed})"
+        )
+    return wide.select(
+        F.explode(F.expr(f"array({', '.join(structs)})")).alias("__r__")
+    ).select("__r__.*")

@@ -381,3 +381,45 @@ def test_winsorize_exact_thresholds(spark):
 
     with _pytest.raises(ValueError):
         winsorize(df, "v", lower_pct=50, upper_pct=40)
+
+
+def test_validate_rules_report(spark):
+    from feathub_spark.datapipe.profile import validate_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, 60.0, "A"),       # range violation
+            (None, 20.0, "X"),    # null key + bad value
+            (1, None, "N"),       # dup key + null quantity (range viol)
+        ],
+        ["k", "q", "flag"],
+    )
+    out = {
+        r.rule: r
+        for r in validate_rules(
+            df,
+            [
+                {"rule": "not_null", "column": "k"},
+                {"rule": "range", "column": "q", "lo": 0, "hi": 50,
+                 "max_frac": 0.6},
+                {"rule": "accepted_values", "column": "flag",
+                 "values": ["A", "N", "R"]},
+                {"rule": "unique", "columns": ["k"]},
+                {"rule": "min_rows", "n": 10},
+            ],
+        ).collect()
+    }
+    assert out["not_null"].n_violations == 1 and not out["not_null"].passed
+    # NULL q and 60.0 both violate range, but max_frac=0.6 tolerates 2/4
+    assert out["range"].n_violations == 2 and out["range"].passed
+    assert out["accepted_values"].n_violations == 1
+    # 3 non-null keys, 2 distinct -> 1 duplicate
+    assert out["unique"].n_violations == 1 and not out["unique"].passed
+    assert out["min_rows"].n_violations == 6 and not out["min_rows"].passed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate_rules(df, [])
+    with _pytest.raises(ValueError):
+        validate_rules(df, [{"rule": "nope", "column": "k"}])
