@@ -1462,6 +1462,68 @@ def _q_lsh_ann(spark, sf_dir):
     )
 
 
+def _q_lsh_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH (Lv et al. 2007): each query band also probes all
+    Hamming-distance-1 buckets — higher recall from the SAME corpus
+    index; the oracle replicates the probe expansion bit for bit."""
+    from feathub_spark.datapipe.similarity import lsh_topk
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = df.filter(F.col("vec_id") < 20)
+    return lsh_topk(
+        df, queries_df, "embedding", "vec_id", k=5, dims=None,
+        weight_fn="lcg", query_probes=4,
+    )
+
+
+_ORACLE_LSH_ANN_MULTIPROBE = """
+WITH base AS (
+    SELECT vec_id, embedding,
+           list_transform(range(0, 16), p ->
+             CASE WHEN list_aggregate(
+                 list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) *
+                        (CAST((1103515245 * (p * 4096 + (i - 1) + 7) + 12345)
+                              % 2147483648 AS DOUBLE) / 1073741824.0 - 1.0)),
+                 'sum') > 0 THEN 1 ELSE 0 END) AS bits
+    FROM embeddings
+), banded AS (
+    SELECT vec_id, bd.band,
+           array_to_string(bits[bd.band * 4 + 1 : bd.band * 4 + 4], '') AS bucket
+    FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bd
+), probes AS (
+    SELECT vec_id, band,
+           CASE WHEN f = 0 THEN bucket ELSE
+             substr(bucket, 1, f - 1) ||
+             (CASE WHEN substr(bucket, f, 1) = '0' THEN '1' ELSE '0' END) ||
+             substr(bucket, f + 1) END AS bucket
+    FROM banded CROSS JOIN (SELECT unnest(range(0, 5)) AS f) fs
+    WHERE vec_id < 20
+), cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM probes q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+    WHERE c.vec_id <> q.vec_id
+), scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           round(
+             list_aggregate(list_transform(range(1, len(qe.embedding) + 1),
+                 i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+           6) AS cosine
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from feathub_spark.datapipe.dedup import dedup_clusters, ngram_jaccard_pairs
 
@@ -4634,6 +4696,7 @@ _RAW_QUERIES = {
         "over_collect_list": _q_over_collect_list,
         "token_metrics": _q_token_metrics,
         "lsh_ann": _q_lsh_ann,
+        "lsh_ann_multiprobe": _q_lsh_ann_multiprobe,
         "dedup_clusters": _q_dedup_clusters,
         "ivf_ann": _q_ivf_ann,
         "ivf_ann_trained": _q_ivf_ann_trained,
@@ -4734,6 +4797,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _ORACLE_MINHASH_DEDUP,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
         "lsh_ann": _ORACLE_LSH_ANN,
+        "lsh_ann_multiprobe": _ORACLE_LSH_ANN_MULTIPROBE,
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
         "multimodal_real": _ORACLE_MULTIMODAL_REAL,
         "resize_plan": _ORACLE_RESIZE_PLAN,

@@ -1197,3 +1197,46 @@ def test_parse_json_features_permissive(spark):
     assert out[4].p_k is None          # NULL payload
     assert out[5].p_k is None          # type mismatch -> NULL
     assert "props" in out[1].asDict()  # input passes through
+
+
+def test_lsh_multiprobe_recall_superset(spark):
+    """Multi-probe candidates are a strict superset of the home-bucket
+    candidates (same index), so per-query results can only improve."""
+    import math
+    import random
+
+    from feathub_spark.datapipe.similarity import lsh_topk
+
+    rnd = random.Random(3)
+    dims = 16
+
+    def vec(seed_vec=None, noise=0.0):
+        v = (
+            [rnd.gauss(0, 1) for _ in range(dims)]
+            if seed_vec is None
+            else [x + rnd.gauss(0, noise) for x in seed_vec]
+        )
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = vec()
+    rows = [(0, base)] + [(i, vec(base, 0.08)) for i in range(1, 5)] + [
+        (i, vec()) for i in range(5, 60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    plain = {
+        r.neighbor_id
+        for r in lsh_topk(
+            df, q, "embedding", "vec_id", k=10, planes=16, bands=2, dims=dims
+        ).collect()
+    }
+    multi = {
+        r.neighbor_id
+        for r in lsh_topk(
+            df, q, "embedding", "vec_id", k=10, planes=16, bands=2,
+            dims=dims, query_probes=8,
+        ).collect()
+    }
+    assert plain <= multi          # same index, more probes -> superset
+    assert multi & {1, 2, 3, 4}    # finds the planted near-duplicates
