@@ -3289,6 +3289,38 @@ LEFT JOIN LATERAL (
 """
 
 
+def _q_rank_normalize(spark, sf_dir):
+    """Percentile-rank transform of event values per event_type: ties
+    share the cumulative percentile; bounded rounded-value count table +
+    broadcast lookup, no per-group corpus sort."""
+    from feathub_spark.datapipe.quality import rank_normalize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return rank_normalize(
+        ev.select("event_id", "event_type", "value"),
+        "value", group_col="event_type",
+    ).select("event_id", "event_type", "value", "value_pctile")
+
+
+_ORACLE_RANK_NORMALIZE = """
+WITH base AS (
+    SELECT event_id, event_type, value,
+           round(CAST(value AS DOUBLE), 3) AS rv
+    FROM events WHERE value IS NOT NULL
+), counts AS (
+    SELECT event_type, rv, count(*) AS c FROM base GROUP BY 1, 2
+), aug AS (
+    SELECT event_type, rv,
+           round(sum(c) OVER (PARTITION BY event_type ORDER BY rv)
+                 / CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE),
+                 6) AS value_pctile
+    FROM counts
+)
+SELECT b.event_id, b.event_type, b.value, a.value_pctile
+FROM base b JOIN aug a ON b.event_type = a.event_type AND b.rv = a.rv
+"""
+
+
 def _q_validate_rules(spark, sf_dir):
     """Declarative expectation gate over lineitem in ONE aggregate pass:
     not-null, range, accepted-values, composite uniqueness (which the
@@ -4714,6 +4746,7 @@ _RAW_QUERIES = {
         "negative_samples": _q_negative_samples,
         "resample_ffill": _q_resample_ffill,
         "validate_rules": _q_validate_rules,
+        "rank_normalize": _q_rank_normalize,
         "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
@@ -4819,6 +4852,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": _ORACLE_NEGATIVE_SAMPLES,
         "resample_ffill": _ORACLE_RESAMPLE_FFILL,
         "validate_rules": _ORACLE_VALIDATE_RULES,
+        "rank_normalize": _ORACLE_RANK_NORMALIZE,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

@@ -488,3 +488,61 @@ def winsorize(
     if not group_col:
         out = out.drop(grp)
     return out
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = None,
+    precision: int = 3,
+    out_col: str = None,
+) -> DataFrame:
+    """Percentile-rank normalization of a numeric feature, optionally per
+    group: out = (# values <= v) / n over the group — the rank transform
+    that makes heavy-tailed features comparable across groups (and the
+    continuous counterpart of :func:`quality_buckets`).
+
+    Same bounded shape as winsorize/quality_buckets: values round to
+    ``precision`` dp, the per-(group, value) count table carries
+    cumulative counts (BOUNDED by signal range x 10^precision, not
+    corpus size), and rows pick up their percentile by broadcast join —
+    no per-group corpus sort, exact integer arithmetic until the one
+    final division (rounded to 6 dp).  Ties share a percentile (the
+    cumulative count through the tied value).  NULL values (and NULL
+    groups when grouped) are dropped.
+
+    Adds ``out_col`` (default ``<value_col>_pctile``) in (0, 1]."""
+    out_col = out_col or f"{value_col}_pctile"
+    grp = group_col or "__g__"
+    base = df.filter(F.col(value_col).isNotNull())
+    if group_col:
+        base = base.filter(F.col(group_col).isNotNull())
+    else:
+        base = base.withColumn(grp, F.lit(0))
+    v = F.round(F.col(value_col).cast("double"), precision)
+    counts = base.groupBy(F.col(grp), v.alias("__v__")).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    wv = Window.partitionBy(grp).orderBy("__v__")
+    wg = Window.partitionBy(grp)
+    aug = counts.select(
+        grp,
+        "__v__",
+        F.round(
+            F.sum("__c__").over(wv) / F.sum("__c__").over(wg).cast("double"),
+            6,
+        ).alias(out_col),
+    )
+    lut = aug.select(
+        F.col(grp).alias("__ag__"), "__v__", out_col
+    )
+    out = (
+        base.join(
+            F.broadcast(lut),
+            on=[F.col(grp) == F.col("__ag__"), v == F.col("__v__")],
+        )
+        .drop("__ag__", "__v__")
+    )
+    if not group_col:
+        out = out.drop(grp)
+    return out

@@ -423,3 +423,26 @@ def test_validate_rules_report(spark):
         validate_rules(df, [])
     with _pytest.raises(ValueError):
         validate_rules(df, [{"rule": "nope", "column": "k"}])
+
+
+def test_rank_normalize_percentiles(spark):
+    from feathub_spark.datapipe.quality import rank_normalize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 20, 20, 30, 40])],
+        ["id", "v"],
+    )
+    out = {r.id: r.v_pctile for r in rank_normalize(df, "v").collect()}
+    # cumulative through ties: 10->0.2, 20->0.6 (both), 30->0.8, 40->1.0
+    assert out == {0: 0.2, 1: 0.6, 2: 0.6, 3: 0.8, 4: 1.0}
+    g = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 100.0), ("b", 200.0)], ["g", "v"]
+    )
+    gout = {
+        (r.g, r.v): r.v_pctile
+        for r in rank_normalize(g, "v", group_col="g").collect()
+    }
+    assert gout == {
+        ("a", 1.0): 0.5, ("a", 2.0): 1.0,
+        ("b", 100.0): 0.5, ("b", 200.0): 1.0,
+    }
