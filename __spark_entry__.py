@@ -1571,6 +1571,75 @@ SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def _q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank centrality over the near-duplicate pair
+    graph (3 rounds, UNIT-scaled bigints, floor division throughout) —
+    the canonical-copy scoring companion to dedup_clusters; the oracle
+    unrolls the identical integer rounds in SQL."""
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
+    from feathub_spark.datapipe.graph import pagerank
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
+    )
+    return pagerank(pairs, "id_a", "id_b", iterations=3)
+
+
+_ORACLE_PAGERANK = """
+WITH grams AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 3 THEN
+             list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])
+           ELSE [array_to_string(tk, ' ')] END AS gs
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+          FROM documents)
+), inv AS (
+    SELECT doc_id, unnest(gs) AS gram FROM grams
+), co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT co.id_a, co.id_b
+    FROM co
+    JOIN grams ga ON ga.doc_id = co.id_a
+    JOIN grams gb ON gb.doc_id = co.id_b
+    WHERE round(CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common), 6) >= 0.2
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), nodes AS (
+    SELECT DISTINCT s AS id FROM edges
+    UNION SELECT DISTINCT d FROM edges
+), deg AS (
+    SELECT s AS id, count(*) AS dg FROM edges GROUP BY 1
+), r0 AS (
+    SELECT id, CAST(1000000 AS BIGINT) AS ru FROM nodes
+), r1 AS (
+    SELECT n.id, CAST(150000 + (85 * coalesce(c.sm, 0)) // 100 AS BIGINT) AS ru
+    FROM nodes n LEFT JOIN (
+        SELECT e.d AS id, sum(r0.ru // dg.dg) AS sm
+        FROM edges e JOIN r0 ON r0.id = e.s JOIN deg dg ON dg.id = e.s
+        GROUP BY e.d) c ON c.id = n.id
+), r2 AS (
+    SELECT n.id, CAST(150000 + (85 * coalesce(c.sm, 0)) // 100 AS BIGINT) AS ru
+    FROM nodes n LEFT JOIN (
+        SELECT e.d AS id, sum(r1.ru // dg.dg) AS sm
+        FROM edges e JOIN r1 ON r1.id = e.s JOIN deg dg ON dg.id = e.s
+        GROUP BY e.d) c ON c.id = n.id
+), r3 AS (
+    SELECT n.id, CAST(150000 + (85 * coalesce(c.sm, 0)) // 100 AS BIGINT) AS ru
+    FROM nodes n LEFT JOIN (
+        SELECT e.d AS id, sum(r2.ru // dg.dg) AS sm
+        FROM edges e JOIN r2 ON r2.id = e.s JOIN deg dg ON dg.id = e.s
+        GROUP BY e.d) c ON c.id = n.id
+)
+SELECT id, ru AS rank_units, round(ru / 1000000.0, 6) AS rank FROM r3
+"""
+
+
 def _q_multimodal_meta(spark, sf_dir):
     """The Arrow mapInPandas plumbing runs for real; the deterministic fake
     decoder derives metadata from the md5 content digest, which DuckDB can
@@ -4730,6 +4799,7 @@ _RAW_QUERIES = {
         "lsh_ann": _q_lsh_ann,
         "lsh_ann_multiprobe": _q_lsh_ann_multiprobe,
         "dedup_clusters": _q_dedup_clusters,
+        "pagerank": _q_pagerank,
         "ivf_ann": _q_ivf_ann,
         "ivf_ann_trained": _q_ivf_ann_trained,
         "pq_ann": _q_pq_ann,
@@ -4827,6 +4897,7 @@ def oracle_sql() -> dict[str, str]:
         "over_collect_list": _ORACLE_OVER_COLLECT_LIST,
         "token_metrics": _ORACLE_TOKEN_METRICS,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
+        "pagerank": _ORACLE_PAGERANK,
         "minhash_dedup": _ORACLE_MINHASH_DEDUP,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
         "lsh_ann": _ORACLE_LSH_ANN,

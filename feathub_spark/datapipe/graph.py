@@ -1,0 +1,99 @@
+"""Graph centrality over similarity graphs — PageRank in EXACT integer
+arithmetic, so the fixed-iteration result reproduces bit-for-bit in any
+SQL engine (float PageRank is summation-order-dependent; integer
+micro-units with floor division are not).
+
+Motivation in this engine: near-duplicate detection emits a PAIR GRAPH
+(minhash/jaccard/simhash/winnowing candidates).  Connected components
+(dedup.dedup_clusters) answer "which rows are copies of each other";
+centrality answers "which copy is the CANONICAL one" — the most-linked
+version of a boilerplate-heavy page is usually the original — giving a
+principled alternative to min-id/longest-text survivor rules.
+
+Scale shape: each iteration is one join of the rank table onto the edge
+list plus one groupBy on the destination — the standard distributed
+PageRank round (contributions combine map-side; a hot node's in-edges
+shuffle to one reducer key, the usual power-law caveat).  The driver
+loop is control flow only; `localCheckpoint` truncates lineage each
+round like dedup_clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from feathub_spark.common.parallelism import ensure_parallelism
+
+# initial mass per node, in integer units (1.0 == UNIT)
+UNIT = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    directed: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list, exact to the last
+    integer unit: ranks live in UNIT-scaled bigints, each round computes
+
+        r'(v) = (100 - damping_pct) * UNIT / 100
+                + damping_pct * sum_u floor(r(u) / outdeg(u)) / 100
+
+    with floor division throughout — no float ever enters, so engines
+    agree exactly and the oracle can unroll the same rounds in SQL.
+    Undirected inputs (default) contribute along both directions.
+    Nodes are the ids appearing in the edge list; with ``directed=True``
+    a pure sink (no out-edges) keeps receiving mass but leaks its own
+    (the classic simplification — add self-loops upstream if that
+    matters for your graph).
+
+    Returns (id, rank_units bigint, rank double = units / UNIT)."""
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = ensure_parallelism(edges).select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg__"))
+    base = int((100 - damping_pct) * UNIT) // 100
+
+    ranks = nodes.withColumn("rank_units", F.lit(UNIT).cast("bigint"))
+    for _ in range(int(iterations)):
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .join(deg, on="src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank_units div __deg__").alias("__c__"),
+            )
+            .groupBy("id")
+            .agg(F.sum("__c__").alias("__in__"))
+        )
+        ranks = (
+            nodes.join(contrib, on="id", how="left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__in__, 0)) div 100"
+                    )
+                ).cast("bigint").alias("rank_units"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.withColumn(
+        "rank", F.round(F.col("rank_units") / F.lit(float(UNIT)), 6)
+    )

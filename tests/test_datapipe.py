@@ -1240,3 +1240,36 @@ def test_lsh_multiprobe_recall_superset(spark):
     }
     assert plain <= multi          # same index, more probes -> superset
     assert multi & {1, 2, 3, 4}    # finds the planted near-duplicates
+
+
+def test_pagerank_integer_exact(spark):
+    """Star hub outranks leaves; disconnected pair keeps unit mass; a
+    Python integer replica reproduces every unit exactly."""
+    from feathub_spark.datapipe.graph import pagerank
+
+    pairs = [(0, i) for i in range(1, 5)] + [(5, 6)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.id: r.rank_units for r in pagerank(df, iterations=3).collect()}
+
+    # exact integer replica
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = {n for e in edges for n in e}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += r[s] // deg[s]
+        r = {n: 150_000 + (85 * inc[n]) // 100 for n in nodes}
+    assert got == r
+    assert got[0] > got[1]          # hub dominates
+    assert got[5] == got[6] == 1_000_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(df, damping_pct=0)
