@@ -210,6 +210,49 @@ def main() -> None:
         f"diff_snapshots ({100_000 * scale} keys)",
         diff_snapshots(old_snap, new_snap, ["k"], ["v"]),
     )
+
+    from feathub_spark.datapipe.graph import pagerank
+    from feathub_spark.datapipe.quality import rank_normalize
+    from feathub_spark.datapipe.resample import resample_ffill
+    from feathub_spark.datapipe.profile import validate_rules
+    from feathub_spark.datapipe.sampling import ring_negative_samples
+
+    # power-law-ish graph: node 0 touches 10% of edges (hot hub)
+    n_edges = 50_000 * scale
+    g = spark.range(n_edges).select(
+        F.when(F.col("id") % 10 == 0, 0).otherwise(F.col("id") % 4997)
+        .alias("id_a"),
+        (F.col("id") * 31 % 4999).alias("id_b"),
+    ).filter("id_a != id_b")
+    timed(f"pagerank 3 rounds ({n_edges} edges, hot hub)",
+          pagerank(g, iterations=3))
+
+    timed("rank_normalize hot group",
+          rank_normalize(ev, "value", group_col="user_id"))
+    timed(
+        "resample_ffill hot key (hourly grid)",
+        resample_ffill(ev, "user_id", "ts_us", ["value"],
+                       step_us=3_600_000_000, id_col="event_id"),
+    )
+    timed(
+        "validate_rules (5 rules, one pass)",
+        validate_rules(ev, [
+            {"rule": "not_null", "column": "user_id"},
+            {"rule": "range", "column": "value", "lo": 0, "hi": 9},
+            {"rule": "accepted_values", "column": "user_id",
+             "values": list(range(97))},
+            {"rule": "unique", "columns": ["event_id"]},
+            {"rule": "min_rows", "n": 1000},
+        ]),
+    )
+    timed(
+        f"ring_negative_samples (1000 queries x 8 over {5_000 * scale} items)",
+        ring_negative_samples(
+            vecs.select("vec_id"),
+            spark.range(1000).select(F.col("id").alias("q")),
+            "vec_id", "q", k=8,
+        ),
+    )
     release_caches()
 
 
