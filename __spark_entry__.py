@@ -3390,6 +3390,63 @@ FROM base b JOIN aug a ON b.event_type = a.event_type AND b.rv = a.rv
 """
 
 
+def _q_robust_zscore(spark, sf_dir):
+    """Median/MAD robust z-scores for event values per event_type: exact
+    lower medians from the bounded count table (two passes), |z| > 3.5
+    flags — the skew-immune outlier detector."""
+    from feathub_spark.datapipe.quality import robust_zscore
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return robust_zscore(
+        ev.select("event_id", "event_type", "value"),
+        "value", group_col="event_type",
+    ).select("event_id", "event_type", "value", "value_rz", "is_outlier")
+
+
+_ORACLE_ROBUST_ZSCORE = """
+WITH base AS (
+    SELECT event_id, event_type, value,
+           round(CAST(value AS DOUBLE), 3) AS rv
+    FROM events WHERE value IS NOT NULL
+), c1 AS (
+    SELECT event_type, rv, count(*) AS c FROM base GROUP BY 1, 2
+), a1 AS (
+    SELECT event_type, rv,
+           sum(c) OVER (PARTITION BY event_type ORDER BY rv) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM c1
+), med AS (
+    SELECT event_type,
+           min(CASE WHEN cum >= (n + 1) // 2 THEN rv END) AS m
+    FROM a1 GROUP BY 1
+), wm AS (
+    SELECT b.*, med.m,
+           round(abs(b.rv - med.m), 3) AS dv
+    FROM base b JOIN med ON b.event_type = med.event_type
+), c2 AS (
+    SELECT event_type, dv, count(*) AS c FROM wm GROUP BY 1, 2
+), a2 AS (
+    SELECT event_type, dv,
+           sum(c) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM c2
+), mad AS (
+    SELECT event_type,
+           min(CASE WHEN cum >= (n + 1) // 2 THEN dv END) AS md
+    FROM a2 GROUP BY 1
+), z AS (
+    SELECT wm.event_id, wm.event_type, wm.value,
+           CASE WHEN mad.md > 0 THEN
+             round((wm.rv - wm.m)
+                   / (CAST('1.4826' AS DOUBLE) * mad.md), 6) END AS value_rz
+    FROM wm JOIN mad ON wm.event_type = mad.event_type
+)
+SELECT event_id, event_type, value, value_rz,
+       coalesce(abs(value_rz) > 3.5, FALSE) AS is_outlier
+FROM z
+"""
+
+
 def _q_validate_rules(spark, sf_dir):
     """Declarative expectation gate over lineitem in ONE aggregate pass:
     not-null, range, accepted-values, composite uniqueness (which the
@@ -4817,6 +4874,7 @@ _RAW_QUERIES = {
         "resample_ffill": _q_resample_ffill,
         "validate_rules": _q_validate_rules,
         "rank_normalize": _q_rank_normalize,
+        "robust_zscore": _q_robust_zscore,
         "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
@@ -4924,6 +4982,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_ffill": _ORACLE_RESAMPLE_FFILL,
         "validate_rules": _ORACLE_VALIDATE_RULES,
         "rank_normalize": _ORACLE_RANK_NORMALIZE,
+        "robust_zscore": _ORACLE_ROBUST_ZSCORE,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

@@ -546,3 +546,92 @@ def rank_normalize(
     if not group_col:
         out = out.drop(grp)
     return out
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = None,
+    precision: int = 3,
+    z_threshold: float = 3.5,
+    out_col: str = None,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Median/MAD robust z-score per group — the outlier detector that a
+    single corrupt batch cannot skew the way it skews mean/stddev:
+
+        z = (v - median) / (1.4826 * MAD),
+        MAD = median(|v - median|)
+
+    (1.4826 makes MAD consistent with sigma under normality; |z| >
+    ``z_threshold`` flags the row, the classic 3.5 cut of Iglewicz &
+    Hoaglin 1993).  Both medians are EXACT lower medians computed by the
+    engine's bounded count-table method (values round to ``precision``
+    dp; cumulative counts; threshold = position ceil(n/2)) — two bounded
+    aggregation passes + broadcast joins, no per-group sort, no
+    approx_percentile.  Groups with MAD = 0 yield NULL z (flag false).
+    NULL values (and NULL groups when grouped) are dropped.
+
+    Adds ``out_col`` (default ``<value_col>_rz``) and ``flag_col``."""
+    out_col = out_col or f"{value_col}_rz"
+    grp = group_col or "__g__"
+    base = df.filter(F.col(value_col).isNotNull())
+    if group_col:
+        base = base.filter(F.col(group_col).isNotNull())
+    else:
+        base = base.withColumn(grp, F.lit(0))
+    v = F.round(F.col(value_col).cast("double"), precision)
+
+    def _median_of(rows: DataFrame, col) -> DataFrame:
+        counts = rows.groupBy(F.col(grp), col.alias("__v__")).agg(
+            F.count(F.lit(1)).alias("__c__")
+        )
+        wv = Window.partitionBy(grp).orderBy("__v__")
+        wg = Window.partitionBy(grp)
+        aug = counts.select(
+            grp,
+            "__v__",
+            F.sum("__c__").over(wv).alias("__cum__"),
+            F.sum("__c__").over(wg).alias("__n__"),
+        )
+        return aug.groupBy(grp).agg(
+            F.min(
+                F.when(
+                    F.col("__cum__") >= F.expr("(__n__ + 1) div 2"),
+                    F.col("__v__"),
+                )
+            ).alias("__med__")
+        )
+
+    med = _median_of(base, v).withColumnRenamed(grp, "__mg__")
+    with_med = base.join(
+        F.broadcast(med), F.col(grp) == F.col("__mg__")
+    ).drop("__mg__")
+    dev = F.round(F.abs(v - F.col("__med__")), precision)
+    mad = (
+        _median_of(with_med, dev)
+        .withColumnRenamed("__med__", "__mad__")
+        .withColumnRenamed(grp, "__ag__")
+    )
+    z = F.when(
+        F.col("__mad__") > 0,
+        F.round(
+            (v - F.col("__med__")) / (F.lit(1.4826) * F.col("__mad__")), 6
+        ),
+    )
+    out = (
+        with_med.join(F.broadcast(mad), F.col(grp) == F.col("__ag__"))
+        .drop("__ag__")
+        .withColumn(out_col, z)
+        .withColumn(
+            flag_col,
+            F.coalesce(
+                F.abs(F.col(out_col)) > F.lit(float(z_threshold)),
+                F.lit(False),
+            ),
+        )
+        .drop("__med__", "__mad__")
+    )
+    if not group_col:
+        out = out.drop(grp)
+    return out

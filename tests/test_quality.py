@@ -446,3 +446,32 @@ def test_rank_normalize_percentiles(spark):
         ("a", 1.0): 0.5, ("a", 2.0): 1.0,
         ("b", 100.0): 0.5, ("b", 200.0): 1.0,
     }
+
+
+def test_robust_zscore_outlier_immunity(spark):
+    from feathub_spark.datapipe.quality import robust_zscore
+
+    vals = [10.0] * 5 + [11.0] * 5 + [9.0] * 5 + [100.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    out = {r.id: r for r in robust_zscore(df, "v").collect()}
+    # median 10, MAD 1 -> z(100) = 90 / 1.4826
+    assert out[15].is_outlier and abs(out[15].v_rz - 90 / 1.4826) < 1e-3
+    assert not any(out[i].is_outlier for i in range(15))
+    # constant group: MAD = 0 -> NULL z, never flagged
+    const = spark.createDataFrame([(i, 5.0) for i in range(4)], ["id", "v"])
+    rows = robust_zscore(const, "v").collect()
+    assert all(r.v_rz is None and not r.is_outlier for r in rows)
+    # grouped: each group judged on its own spread
+    g = spark.createDataFrame(
+        [("a", float(x)) for x in [1, 2, 3, 2, 1, 50]]
+        + [("b", float(x)) for x in [100, 200, 300, 200, 100]],
+        ["g", "v"],
+    )
+    got = {
+        (r.g, r.v): r.is_outlier
+        for r in robust_zscore(g, "v", group_col="g").collect()
+    }
+    assert got[("a", 50.0)] is True
+    assert got[("b", 300.0)] is False
