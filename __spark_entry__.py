@@ -3390,6 +3390,53 @@ FROM base b JOIN aug a ON b.event_type = a.event_type AND b.rv = a.rv
 """
 
 
+def _q_token_pmi(spark, sf_dir):
+    """Top-25 adjacent-token collocations by PMI (min pair count 5):
+    vocab-bounded count tables, 1-row broadcast totals,
+    TakeOrderedAndProject ranking."""
+    from feathub_spark.datapipe.text import token_pmi
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return token_pmi(df, "text", top_k=25, min_count=5)
+
+
+_ORACLE_TOKEN_PMI = """
+WITH tk AS (
+    SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> '') AS tk
+    FROM documents
+), uni AS (
+    SELECT t AS tok, count(*) AS cu
+    FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY 1
+), bi AS (
+    SELECT a, b, count(*) AS cb FROM (
+        SELECT tk[i] AS a, tk[i + 1] AS b
+        FROM tk, LATERAL (SELECT unnest(range(1, len(tk))) AS i) s
+        WHERE len(tk) >= 2
+    ) GROUP BY 1, 2 HAVING count(*) >= 5
+), nu AS (SELECT CAST(sum(cu) AS BIGINT) AS v FROM uni),
+nb AS (
+    SELECT CAST(sum(CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END)
+                AS BIGINT) AS v
+    FROM tk
+), scored AS (
+    SELECT bi.a || ' ' || bi.b AS gram, bi.cb AS n_pair,
+           round(log2((CAST(bi.cb AS DOUBLE) / nb.v) /
+                 ((CAST(ua.cu AS DOUBLE) / nu.v) *
+                  (CAST(ub.cu AS DOUBLE) / nu.v))), 6) AS pmi
+    FROM bi
+    JOIN uni ua ON ua.tok = bi.a
+    JOIN uni ub ON ub.tok = bi.b
+    CROSS JOIN nu CROSS JOIN nb
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, gram ASC) AS BIGINT)
+           AS rank,
+       gram, n_pair, pmi
+FROM scored
+ORDER BY pmi DESC, gram ASC LIMIT 25
+"""
+
+
 def _q_robust_zscore(spark, sf_dir):
     """Median/MAD robust z-scores for event values per event_type: exact
     lower medians from the bounded count table (two passes), |z| > 3.5
@@ -4875,6 +4922,7 @@ _RAW_QUERIES = {
         "validate_rules": _q_validate_rules,
         "rank_normalize": _q_rank_normalize,
         "robust_zscore": _q_robust_zscore,
+        "token_pmi": _q_token_pmi,
         "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
@@ -4983,6 +5031,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_rules": _ORACLE_VALIDATE_RULES,
         "rank_normalize": _ORACLE_RANK_NORMALIZE,
         "robust_zscore": _ORACLE_ROBUST_ZSCORE,
+        "token_pmi": _ORACLE_TOKEN_PMI,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

@@ -821,3 +821,85 @@ def parse_json_features(
         )
         .drop("__j__")
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: top-``top_k`` adjacent token pairs by pointwise
+    mutual information,
+
+        pmi(a, b) = log2( (c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)) )
+
+    over the corpus's own unigram/bigram counts — the standard
+    phrase-discovery signal (high-PMI pairs are units like "new york";
+    ``min_count`` suppresses the unstable singleton tail that dominates
+    raw PMI).
+
+    Plan shape: one tokenize pass feeds BOTH count tables
+    (map-side-combinable groupBys over vocab-bounded keys, never corpus
+    rows); the three corpus totals attach as 1-row broadcasts; the
+    ranking is orderBy+limit (TakeOrderedAndProject) with a rank window
+    over <= top_k rows.  PMI rounds to 6 dp; ties break on the gram.
+
+    Returns (rank, gram, n_pair, pmi)."""
+    toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    base = ensure_parallelism(df).select(F.expr(toks).alias("__tk__"))
+    uni = (
+        base.select(F.explode("__tk__").alias("__t__"))
+        .groupBy("__t__")
+        .agg(F.count(F.lit(1)).alias("__cu__"))
+    )
+    bi_expr = (
+        "CASE WHEN size(__tk__) >= 2 THEN transform("
+        "sequence(1, size(__tk__) - 1), "
+        "i -> struct(element_at(__tk__, i) AS a, "
+        "element_at(__tk__, i + 1) AS b)) "
+        "ELSE array() END"
+    )
+    bi = (
+        base.select(F.explode(F.expr(bi_expr)).alias("__p__"))
+        .groupBy(F.col("__p__.a").alias("__a__"), F.col("__p__.b").alias("__b__"))
+        .agg(F.count(F.lit(1)).alias("__cb__"))
+        .filter(F.col("__cb__") >= F.lit(int(min_count)))
+    )
+    n_uni = uni.agg(F.sum("__cu__").alias("__nu__"))
+    # bigram total over ALL pairs (pre-min_count) — the true denominator
+    n_bi = (
+        base.select(
+            F.expr(
+                "CASE WHEN size(__tk__) >= 2 "
+                "THEN size(__tk__) - 1 ELSE 0 END"
+            ).alias("__k__")
+        ).agg(F.sum("__k__").alias("__nb__"))
+    )
+    ua = uni.select(F.col("__t__").alias("__a__"), F.col("__cu__").alias("__ca__"))
+    ub = uni.select(F.col("__t__").alias("__b__"), F.col("__cu__").alias("__cbu__"))
+    # unigram joins stay planner-chosen (web-scale vocab is NOT a safe
+    # broadcast; AQE broadcasts them when they actually are small)
+    scored = (
+        bi.join(ua, on="__a__")
+        .join(ub, on="__b__")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "__a__", "__b__").alias("gram"),
+            F.col("__cb__").alias("n_pair"),
+            F.round(
+                F.expr(
+                    "log2((CAST(__cb__ AS DOUBLE) / __nb__) / "
+                    "((CAST(__ca__ AS DOUBLE) / __nu__) * "
+                    "(CAST(__cbu__ AS DOUBLE) / __nu__)))"
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    cut = scored.orderBy(F.col("pmi").desc(), F.col("gram").asc()).limit(top_k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("gram").asc())
+    return cut.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("rank", "gram", "n_pair", "pmi")

@@ -1273,3 +1273,24 @@ def test_pagerank_integer_exact(spark):
 
     with _pytest.raises(ValueError):
         pagerank(df, damping_pct=0)
+
+
+def test_token_pmi_collocations(spark):
+    import math
+
+    from feathub_spark.datapipe.text import token_pmi
+
+    rows = [("new york is nice",)] * 4 + [("york new haven",)] * 2
+    df = spark.createDataFrame(rows, ["text"])
+    out = {r.gram: r for r in token_pmi(df, "text", min_count=2).collect()}
+    # 'new york' occurs 4x; uni: new=6, york=6; bigrams total 4*3+2*2=16
+    r = out["new york"]
+    assert r.n_pair == 4
+    expect = math.log2((4 / 16) / ((6 / 22) * (6 / 22)))
+    assert abs(r.pmi - round(expect, 6)) < 1e-6
+    # min_count suppresses singletons entirely
+    assert all(v.n_pair >= 2 for v in out.values())
+    # ranks are dense from 1
+    assert sorted(v.rank for v in out.values()) == list(
+        range(1, len(out) + 1)
+    )

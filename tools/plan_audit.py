@@ -40,6 +40,7 @@ _BOUNDED_BNLJ_OK = {
     "key_skew",  # 1-row broadcast global-stats row
     "mmr_rerank",  # brute-force candidate stage (broadcast query set)
     "negative_samples",  # 1-row broadcast per-bucket-minimum ring summary
+    "token_pmi",  # 1-row broadcast corpus totals (N_uni, N_bi)
 }
 
 
