@@ -3390,6 +3390,38 @@ FROM base b JOIN aug a ON b.event_type = a.event_type AND b.rv = a.rv
 """
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: 50
+    orders drawn proportional to o_totalprice via deterministic
+    exponential ranks (-ln(u)/w, md5 uniforms) — TakeOrderedAndProject,
+    no reservoir, no corpus sort."""
+    from feathub_spark.datapipe.sampling import weighted_sample
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return weighted_sample(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_orderkey", "o_totalprice", k=50, seed=13,
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE = f"""
+WITH scored AS (
+    SELECT o_orderkey, o_totalprice,
+           round(-ln(({_H32.format(col='o_orderkey', seed=13)} + 1)
+                     / 4294967296.0)
+                 / CAST(o_totalprice AS DOUBLE), 9) AS sample_key
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+), cut AS (
+    SELECT * FROM scored ORDER BY sample_key ASC, o_orderkey ASC LIMIT 50
+)
+SELECT o_orderkey, o_totalprice, sample_key,
+       CAST(row_number() OVER (ORDER BY sample_key ASC, o_orderkey ASC)
+            AS BIGINT) AS rank
+FROM cut
+"""
+
+
 def _q_token_pmi(spark, sf_dir):
     """Top-25 adjacent-token collocations by PMI (min pair count 5):
     vocab-bounded count tables, 1-row broadcast totals,
@@ -4923,6 +4955,7 @@ _RAW_QUERIES = {
         "rank_normalize": _q_rank_normalize,
         "robust_zscore": _q_robust_zscore,
         "token_pmi": _q_token_pmi,
+        "weighted_sample": _q_weighted_sample,
         "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
@@ -5032,6 +5065,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_normalize": _ORACLE_RANK_NORMALIZE,
         "robust_zscore": _ORACLE_ROBUST_ZSCORE,
         "token_pmi": _ORACLE_TOKEN_PMI,
+        "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

@@ -392,3 +392,38 @@ def ring_negative_samples(
             how="left_anti",
         )
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential ranks
+    (Efraimidis & Spirakis 2006): every row draws the deterministic
+    uniform u = (hash32(id, seed) + 1) / 2^32 and competes on key =
+    -ln(u) / w — the k smallest keys are exactly a weight-proportional
+    sample without replacement, with no sequential reservoir and no
+    second pass (the distributed form of weighted reservoir sampling).
+
+    Keys round to 9 dp with an id tiebreak so the selection is
+    deterministic and engine-reproducible; rows with NULL or
+    non-positive weight never qualify.  The cut is orderBy+limit
+    (TakeOrderedAndProject — parallel partial top-k, no corpus sort);
+    the rank window runs over <= k rows.
+
+    Returns (id_col, weight_col, sample_key, rank)."""
+    w = F.col(weight_col).cast("double")
+    base = ensure_parallelism(df).filter(w.isNotNull() & (w > 0))
+    u = (hash32(id_col, seed) + F.lit(1)) / F.lit(HASH_SPACE)
+    key = F.round(-F.log(u) / w, 9)
+    scored = base.select(
+        F.col(id_col), F.col(weight_col), key.alias("sample_key")
+    )
+    cut = scored.orderBy(
+        F.col("sample_key").asc(), F.col(id_col).asc()
+    ).limit(k)
+    rw = Window.orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+    return cut.withColumn("rank", F.row_number().over(rw).cast("bigint"))

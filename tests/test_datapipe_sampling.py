@@ -820,3 +820,40 @@ def test_ring_negative_samples_successor_semantics(spark):
     ).collect()
     dropped = {(r.q, r.neg_id) for r in out[:3]}
     assert {(r.q, r.neg_id) for r in kept}.isdisjoint(dropped)
+
+
+def test_weighted_sample_proportionality(spark):
+    """Heavy rows dominate the sample, the keys replicate the A-ES
+    formula exactly, and zero/NULL weights never qualify."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.sampling import weighted_sample
+
+    rows = (
+        [(i, 1000.0) for i in range(20)]            # heavy
+        + [(i, 1.0) for i in range(100, 400)]       # light
+        + [(998, 0.0), (999, None)]                 # never sampled
+    )
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample(df, "id", "w", k=25, seed=4).collect()
+    assert len(out) == 25
+    ids = [r.id for r in out]
+    assert 998 not in ids and 999 not in ids
+    # with 1000:1 weights, nearly every heavy row is drawn
+    assert sum(1 for i in ids if i < 20) >= 15
+    # keys replicate the formula
+    for r in out[:5]:
+        u = (
+            int(hashlib.md5(f"{r.id}:4".encode()).hexdigest()[:8], 16) + 1
+        ) / 4294967296.0
+        assert abs(r.sample_key - round(-math.log(u) / r.w, 9)) < 1e-9
+    # ranks dense and ordered by key
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, 26))
+    assert all(
+        by_rank[i].sample_key <= by_rank[i + 1].sample_key
+        for i in range(24)
+    )
