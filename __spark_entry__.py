@@ -3390,6 +3390,45 @@ FROM base b JOIN aug a ON b.event_type = a.event_type AND b.rv = a.rv
 """
 
 
+def _q_merge_aggregates(spark, sf_dir):
+    """Incremental aggregate maintenance: the per-user (count, cent-sum,
+    max) table materialized over events before Jan 16 is merged with the
+    RAW delta (Jan 16 onward) — one delta groupBy + one co-keyed outer
+    join, history never rescanned.  The oracle recomputes from scratch:
+    merged == recomputed is the correctness statement."""
+    from feathub_spark.datapipe.snapshots import merge_aggregates
+
+    ev = _events_with_micros(spark, sf_dir).select(
+        "user_id", "ts_us",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vcents"),
+    )
+    cutoff = 1705363200000000  # 2024-01-16 00:00:00 UTC in micros
+    specs = {
+        "n_events": ("count", "vcents"),
+        "total_cents": ("sum", "vcents"),
+        "max_cents": ("max", "vcents"),
+    }
+    hist = ev.filter(F.col("ts_us") < cutoff)
+    prev = hist.groupBy("user_id").agg(
+        F.count("vcents").alias("n_events"),
+        F.sum("vcents").alias("total_cents"),
+        F.max("vcents").alias("max_cents"),
+    )
+    delta = ev.filter(F.col("ts_us") >= cutoff)
+    return merge_aggregates(prev, delta, ["user_id"], specs)
+
+
+_ORACLE_MERGE_AGGREGATES = """
+SELECT user_id,
+       count(CAST(round(value * 100) AS BIGINT)) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+FROM events
+GROUP BY user_id
+"""
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sampling without replacement: 50
     orders drawn proportional to o_totalprice via deterministic
@@ -4956,6 +4995,7 @@ _RAW_QUERIES = {
         "robust_zscore": _q_robust_zscore,
         "token_pmi": _q_token_pmi,
         "weighted_sample": _q_weighted_sample,
+        "merge_aggregates": _q_merge_aggregates,
         "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
@@ -5066,6 +5106,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_zscore": _ORACLE_ROBUST_ZSCORE,
         "token_pmi": _ORACLE_TOKEN_PMI,
         "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
+        "merge_aggregates": _ORACLE_MERGE_AGGREGATES,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

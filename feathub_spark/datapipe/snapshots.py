@@ -77,3 +77,62 @@ def diff_snapshots(
             *[f"{c}_new" for c in compare_cols],
         )
     )
+
+
+def merge_aggregates(
+    prev: DataFrame,
+    delta: DataFrame,
+    key_cols,
+    agg_specs,
+) -> DataFrame:
+    """Incremental maintenance of a per-key aggregate table: fold RAW
+    ``delta`` rows into yesterday's materialized ``prev`` aggregates
+    without rescanning history — the reason a 100 TB nightly job can be
+    a delta-sized job instead (pairs with :func:`diff_snapshots` for
+    finding the delta).
+
+    ``agg_specs`` maps output column -> (kind, value_col) with kind in
+    {'count', 'sum', 'min', 'max'} — the distributive aggregates, which
+    are exactly the ones mergeable from partials (avg = merged sum /
+    merged count; for mergeable distinct counts see
+    ``profile.hll_distinct``'s register tables).  ``prev`` must carry
+    the same output columns from the previous run (an empty/missing key
+    contributes identity: 0 for count/sum, NULL-skipping for min/max).
+    For float sums prefer integer units upstream (exactness is what
+    makes merged == recomputed verifiable).
+
+    Plan: ONE groupBy over the delta + ONE co-keyed full-outer join with
+    prev — cost scales with |delta| + |touched keys|, never with
+    history.
+
+    Returns (*key_cols, *agg_specs)."""
+    key_cols = list(key_cols)
+    aggs = []
+    for out, (kind, col) in agg_specs.items():
+        if kind == "count":
+            aggs.append(F.count(F.col(col)).alias(out))
+        elif kind == "sum":
+            aggs.append(F.sum(F.col(col)).alias(out))
+        elif kind == "min":
+            aggs.append(F.min(F.col(col)).alias(out))
+        elif kind == "max":
+            aggs.append(F.max(F.col(col)).alias(out))
+        else:
+            raise ValueError(f"unmergeable agg kind: {kind}")
+    d = ensure_parallelism(delta).groupBy(*key_cols).agg(*aggs)
+    p = prev.select(
+        *key_cols, *[F.col(o).alias(f"__p_{o}__") for o in agg_specs]
+    )
+    j = p.join(d, on=key_cols, how="full_outer")
+    merged = []
+    for out, (kind, _) in agg_specs.items():
+        a, b = F.col(f"__p_{out}__"), F.col(out)
+        if kind in ("count", "sum"):
+            zero = F.lit(0).cast("bigint") if kind == "count" else F.lit(0)
+            m = F.coalesce(a, zero) + F.coalesce(b, zero)
+        elif kind == "min":
+            m = F.least(a, b)
+        else:
+            m = F.greatest(a, b)
+        merged.append(m.alias(out))
+    return j.select(*key_cols, *merged)

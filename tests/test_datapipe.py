@@ -1294,3 +1294,55 @@ def test_token_pmi_collocations(spark):
     assert sorted(v.rank for v in out.values()) == list(
         range(1, len(out) + 1)
     )
+
+
+def test_merge_aggregates_equals_recompute(spark):
+    import random
+
+    from feathub_spark.datapipe.snapshots import merge_aggregates
+
+    rnd = random.Random(9)
+    rows = [
+        (f"k{rnd.randrange(8)}", rnd.randrange(-50, 100)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    specs = {
+        "n": ("count", "v"),
+        "s": ("sum", "v"),
+        "mn": ("min", "v"),
+        "mx": ("max", "v"),
+    }
+    full = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    hist = df.filter("v % 3 != 0")
+    delta = df.filter("v % 3 = 0")
+    prev = hist.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+    )
+    merged = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in merge_aggregates(prev, delta, ["k"], specs).collect()
+    }
+    assert merged == full
+    # delta-only keys appear; history-only keys survive untouched
+    prev2 = spark.createDataFrame(
+        [("old", 2, 10, 1, 9)], "k string, n long, s long, mn long, mx long"
+    )
+    d2 = spark.createDataFrame([("new", 5)], "k string, v long")
+    out = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in merge_aggregates(prev2, d2, ["k"], specs).collect()
+    }
+    assert out == {"old": (2, 10, 1, 9), "new": (1, 5, 5, 5)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_aggregates(prev2, d2, ["k"], {"a": ("avg", "v")})
