@@ -51,6 +51,8 @@ def pagerank(
     matters for your graph).
 
     Returns (id, rank_units bigint, rank double = units / UNIT)."""
+    from feathub_spark.common.caching import register_cache
+
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     e = ensure_parallelism(edges).select(
@@ -60,7 +62,15 @@ def pagerank(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.distinct()
+    # the edge list feeds nodes, degrees, AND every iteration's join — an
+    # expensive upstream (e.g. ngram-jaccard pair generation) would
+    # otherwise recompute iterations+2 times, and lazily-cached subplans
+    # still race when the final action schedules the consuming stages
+    # concurrently, so materialize EAGERLY (this operator is iterative —
+    # it runs driver-side control flow anyway, like dedup_clusters).
+    # Caller releases via release_caches().
+    e = register_cache(e.distinct())
+    e.count()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
