@@ -1,0 +1,89 @@
+"""Curated namespace for the training-data / corpus-processing operators.
+
+Modules stay importable individually (``from feathub_spark.datapipe.dedup
+import exact_dedup``); this package root re-exports the most-used entry
+points so pipelines can read ``from feathub_spark.datapipe import ...``.
+Everything here is lazy DataFrame -> DataFrame; operators that persist a
+shared intermediate do so through ``feathub_spark.common.caching`` —
+call ``release_caches()`` after consuming results.
+"""
+
+from feathub_spark.datapipe.bloom import bloom_filter_bits, bloom_prune
+from feathub_spark.datapipe.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    select_survivors,
+    simhash_pairs,
+)
+from feathub_spark.datapipe.graph import pagerank
+from feathub_spark.datapipe.profile import (
+    cms_heavy_hitters,
+    hll_distinct,
+    key_skew,
+    numeric_histogram,
+    profile_columns,
+    validate_rules,
+)
+from feathub_spark.datapipe.quality import (
+    quality_buckets,
+    rank_normalize,
+    robust_zscore,
+    token_surprisal,
+    winsorize,
+)
+from feathub_spark.datapipe.resample import resample_ffill
+from feathub_spark.datapipe.retrieval import (
+    bm25_search,
+    mmr_rerank,
+    phrase_search,
+    rrf_fuse,
+)
+from feathub_spark.datapipe.sampling import (
+    assign_shards,
+    assign_splits,
+    pack_sequences,
+    ring_negative_samples,
+    stratified_sample,
+    temperature_sample,
+    weighted_sample,
+)
+from feathub_spark.datapipe.sessions import funnel_steps, session_stats, sessionize
+from feathub_spark.datapipe.similarity import (
+    brute_force_topk,
+    cluster_balanced_sample,
+    ivf_pq_topk,
+    ivf_topk,
+    lsh_topk,
+    pq_topk,
+    semantic_dedup,
+    train_ivf_codebook,
+)
+from feathub_spark.datapipe.snapshots import diff_snapshots, merge_aggregates
+from feathub_spark.datapipe.text import (
+    analyze_documents,
+    normalize_text,
+    parse_json_features,
+    pii_scrub,
+    token_pmi,
+    tokenize_to_ids,
+)
+
+__all__ = [
+    "analyze_documents", "assign_shards", "assign_splits",
+    "bloom_filter_bits", "bloom_prune", "bm25_search", "brute_force_topk",
+    "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",
+    "diff_snapshots", "exact_dedup", "funnel_steps", "hll_distinct",
+    "ivf_pq_topk", "ivf_topk", "key_skew", "lsh_topk",
+    "merge_aggregates", "minhash_lsh_pairs", "mmr_rerank",
+    "ngram_jaccard_pairs", "normalize_text", "numeric_histogram",
+    "pack_sequences", "pagerank", "parse_json_features", "phrase_search",
+    "pii_scrub", "pq_topk", "profile_columns", "quality_buckets",
+    "rank_normalize", "resample_ffill", "ring_negative_samples",
+    "robust_zscore", "rrf_fuse", "select_survivors", "semantic_dedup",
+    "session_stats", "sessionize", "simhash_pairs", "stratified_sample",
+    "temperature_sample", "token_pmi", "token_surprisal",
+    "tokenize_to_ids", "train_ivf_codebook", "validate_rules",
+    "weighted_sample", "winsorize",
+]
