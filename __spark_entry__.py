@@ -3390,6 +3390,38 @@ FROM base b JOIN aug a ON b.event_type = a.event_type AND b.rv = a.rv
 """
 
 
+def _q_weighted_sample_grouped(spark, sf_dir):
+    """Per-event_type weighted sampling (10 events per type, weight =
+    value) through the salted two-stage rank — hot groups never rank in
+    one task; oracle is the per-group ORDER BY/QUALIFY formulation."""
+    from feathub_spark.datapipe.sampling import weighted_sample
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return weighted_sample(
+        ev.select("event_id", "event_type", "value"),
+        "event_id", "value", k=10, seed=21, group_col="event_type",
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE_GROUPED = f"""
+WITH scored AS (
+    SELECT event_id, value, event_type,
+           round(-ln(({_H32.format(col='event_id', seed=21)} + 1)
+                     / 4294967296.0)
+                 / CAST(value AS DOUBLE), 9) AS sample_key
+    FROM events
+    WHERE value IS NOT NULL AND value > 0 AND event_type IS NOT NULL
+)
+SELECT event_id, value, event_type, sample_key,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY sample_key ASC, event_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= 10
+"""
+
+
 def _q_merge_aggregates(spark, sf_dir):
     """Incremental aggregate maintenance: the per-user (count, cent-sum,
     max) table materialized over events before Jan 16 is merged with the
@@ -4996,6 +5028,7 @@ _RAW_QUERIES = {
         "token_pmi": _q_token_pmi,
         "weighted_sample": _q_weighted_sample,
         "merge_aggregates": _q_merge_aggregates,
+        "weighted_sample_grouped": _q_weighted_sample_grouped,
         "mmr_rerank": _q_mmr_rerank,
         "quality_buckets": _q_quality_buckets,
         "decayed_sum": _q_decayed_sum,
@@ -5107,6 +5140,7 @@ def oracle_sql() -> dict[str, str]:
         "token_pmi": _ORACLE_TOKEN_PMI,
         "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "merge_aggregates": _ORACLE_MERGE_AGGREGATES,
+        "weighted_sample_grouped": _ORACLE_WEIGHTED_SAMPLE_GROUPED,
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "decayed_sum": _ORACLE_DECAYED_SUM,
         "chunk_docs": _ORACLE_CHUNK_DOCS,

@@ -400,6 +400,7 @@ def weighted_sample(
     weight_col: str,
     k: int = 100,
     seed: int = 0,
+    group_col: str = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement via exponential ranks
     (Efraimidis & Spirakis 2006): every row draws the deterministic
@@ -410,20 +411,32 @@ def weighted_sample(
 
     Keys round to 9 dp with an id tiebreak so the selection is
     deterministic and engine-reproducible; rows with NULL or
-    non-positive weight never qualify.  The cut is orderBy+limit
-    (TakeOrderedAndProject — parallel partial top-k, no corpus sort);
-    the rank window runs over <= k rows.
+    non-positive weight never qualify.  Ungrouped, the cut is
+    orderBy+limit (TakeOrderedAndProject — parallel partial top-k, no
+    corpus sort) and the rank window runs over <= k rows.  With
+    ``group_col`` the cut takes k rows PER GROUP via the salted
+    two-stage rank (rank within (group, salt) first, then over the
+    <= n_salts*k survivors) — a hot group never funnels through one
+    task.
 
-    Returns (id_col, weight_col, sample_key, rank)."""
+    Returns (id_col, weight_col[, group_col], sample_key, rank)."""
     w = F.col(weight_col).cast("double")
     base = ensure_parallelism(df).filter(w.isNotNull() & (w > 0))
+    if group_col:
+        base = base.filter(F.col(group_col).isNotNull())
     u = (hash32(id_col, seed) + F.lit(1)) / F.lit(HASH_SPACE)
     key = F.round(-F.log(u) / w, 9)
-    scored = base.select(
-        F.col(id_col), F.col(weight_col), key.alias("sample_key")
+    cols = [F.col(id_col), F.col(weight_col)] + (
+        [F.col(group_col)] if group_col else []
     )
-    cut = scored.orderBy(
-        F.col("sample_key").asc(), F.col(id_col).asc()
-    ).limit(k)
-    rw = Window.orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+    scored = base.select(*cols, key.alias("sample_key"))
+    order = [F.col("sample_key").asc(), F.col(id_col).asc()]
+    if group_col:
+        from feathub_spark.datapipe.similarity import _two_stage_topk
+
+        return _two_stage_topk(
+            scored, k, order, group_col=group_col, item_col=id_col
+        )
+    cut = scored.orderBy(*order).limit(k)
+    rw = Window.orderBy(*order)
     return cut.withColumn("rank", F.row_number().over(rw).cast("bigint"))

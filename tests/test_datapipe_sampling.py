@@ -857,3 +857,32 @@ def test_weighted_sample_proportionality(spark):
         by_rank[i].sample_key <= by_rank[i + 1].sample_key
         for i in range(24)
     )
+
+
+def test_weighted_sample_grouped_two_stage(spark):
+    """Grouped mode takes k per group via the salted two-stage rank and
+    equals the single-window formulation exactly."""
+    import hashlib
+    import math
+
+    from feathub_spark.datapipe.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 7), f"g{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, w double, g string")
+    out = weighted_sample(df, "id", "w", k=5, seed=2, group_col="g").collect()
+    assert len(out) == 15
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    # reference: full single-window ranking per group
+    def key(i, w):
+        u = (int(hashlib.md5(f"{i}:2".encode()).hexdigest()[:8], 16) + 1) \
+            / 4294967296.0
+        return round(-math.log(u) / w, 9)
+    for g, rs in by_g.items():
+        cands = sorted(
+            ((key(i, w), i) for i, w, gg in rows if gg == g),
+        )[:5]
+        got = sorted((r.sample_key, r.id) for r in rs)
+        assert got == cands
+        assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5]
