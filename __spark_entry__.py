@@ -755,6 +755,96 @@ def _q_sql_view_q5(spark, sf_dir):
     return proc.get_table(built).to_dataframe()
 
 
+_TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q_sql_view_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority top-k) through SqlFeatureView: a
+    selective dimension filter (c_mktsegment) that Catalyst should
+    broadcast into the orders x lineitem join, then agg + global top-10 —
+    planned as TakeOrderedAndProject, never a full sort.  The testdata
+    orders table has no o_shippriority, so o_orderpriority stands in; the
+    ORDER BY carries l_orderkey so the LIMIT boundary is deterministic
+    across engines.  One SQL string serves Spark and the DuckDB oracle."""
+    from feathub_spark import Schema, SqlFeatureView
+    from feathub_spark.common import types as t
+
+    proc = _processor(spark)
+    srcs = [
+        _parquet_source(n, sf_dir) for n in ("customer", "orders", "lineitem")
+    ]
+    proc.registry.build_features(srcs)
+    for s in srcs:
+        proc.get_table(proc.registry.get_features(s.name))
+    view = SqlFeatureView(
+        name="tpch_q3_view",
+        sql_statement=_TPCH_Q3_SQL,
+        schema=Schema(
+            ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"],
+            [t.Int64, t.Float64, t.Timestamp, t.String],
+        ),
+    )
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe()
+
+
+_TPCH_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def _q_sql_view_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer) through SqlFeatureView: a
+    HAVING-subquery membership test that Spark plans as a left-semi join
+    against the pre-aggregated lineitem (threshold 250 fits the synthetic
+    quantity distribution; the spec's 300 selects nothing here), then a
+    5-key re-aggregation and top-100.  Exercises IN-subquery planning the
+    other SQL views don't.  ORDER BY carries o_orderkey so the LIMIT
+    boundary is deterministic across engines."""
+    from feathub_spark import Schema, SqlFeatureView
+    from feathub_spark.common import types as t
+
+    proc = _processor(spark)
+    srcs = [
+        _parquet_source(n, sf_dir) for n in ("customer", "orders", "lineitem")
+    ]
+    proc.registry.build_features(srcs)
+    for s in srcs:
+        proc.get_table(proc.registry.get_features(s.name))
+    view = SqlFeatureView(
+        name="tpch_q18_view",
+        sql_statement=_TPCH_Q18_SQL,
+        schema=Schema(
+            ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+             "o_totalprice", "sum_qty"],
+            [t.String, t.Int64, t.Int64, t.Timestamp, t.Float64, t.Float64],
+        ),
+    )
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe()
+
+
 def _q_udf_token_count(spark, sf_dir):
     from feathub_spark import DerivedFeatureView, Feature
     from feathub_spark.common import types as t
@@ -3235,12 +3325,18 @@ WITH tk AS (
 ), enc AS (
     SELECT o.doc_id, o.i, coalesce(v.tid, 0) AS tid
     FROM occ o LEFT JOIN vocab v ON o.tok = v.tok
+), agg AS (
+    SELECT doc_id,
+           list(tid ORDER BY i) AS token_ids,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM enc GROUP BY doc_id
 )
-SELECT doc_id,
-       list(tid ORDER BY i) AS token_ids,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-FROM enc GROUP BY doc_id
+SELECT d.doc_id,
+       coalesce(a.token_ids, CAST([] AS INTEGER[])) AS token_ids,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
@@ -3745,7 +3841,7 @@ def _q_quality_buckets(spark, sf_dir):
     ).select("doc_id", "lang", "avg_surprisal", "bucket")
 
 
-_ORACLE_QUALITY_BUCKETS = """
+_ORACLE_QUALITY_BUCKETS = r"""
 WITH toks AS (
     SELECT doc_id, unnest(list_filter(
         string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
@@ -3945,7 +4041,7 @@ def _q_bigram_surprisal(spark, sf_dir):
     return bigram_surprisal(df, "text", "doc_id", lam=0.75)
 
 
-_ORACLE_BIGRAM_SURPRISAL = """
+_ORACLE_BIGRAM_SURPRISAL = r"""
 WITH toks AS (
     SELECT doc_id, list_filter(
         string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
@@ -4035,7 +4131,7 @@ def _q_corpus_drift(spark, sf_dir):
     )
 
 
-_ORACLE_CORPUS_DRIFT = """
+_ORACLE_CORPUS_DRIFT = r"""
 WITH ta AS (
     SELECT tok, count(*) AS na FROM (
         SELECT unnest(list_filter(
@@ -4381,7 +4477,7 @@ def _q_bm25_search(spark, sf_dir):
     return bm25_search(docs, queries, "text", "doc_id", k=5)
 
 
-_ORACLE_BM25_SEARCH = """
+_ORACLE_BM25_SEARCH = r"""
 WITH toks AS (
     SELECT doc_id, list_filter(
         string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
@@ -4482,7 +4578,7 @@ def _q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([bm, ann], k=10)
 
 
-_ORACLE_HYBRID_RRF = """
+_ORACLE_HYBRID_RRF = r"""
 WITH toks AS (
     SELECT doc_id, list_filter(
         string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
@@ -4966,6 +5062,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _RAW_QUERIES = {
+        "bloom_prune": _q_bloom_prune,
+        "tokenize_ids": _q_tokenize_ids,
+        "key_skew": _q_key_skew,
+        "json_features": _q_json_features,
+        "negative_samples": _q_negative_samples,
+        "resample_ffill": _q_resample_ffill,
+        "validate_rules": _q_validate_rules,
+        "rank_normalize": _q_rank_normalize,
+        "robust_zscore": _q_robust_zscore,
+        "token_pmi": _q_token_pmi,
+        "weighted_sample": _q_weighted_sample,
+        "merge_aggregates": _q_merge_aggregates,
+        "weighted_sample_grouped": _q_weighted_sample_grouped,
+        "mmr_rerank": _q_mmr_rerank,
+        "quality_buckets": _q_quality_buckets,
+        "decayed_sum": _q_decayed_sum,
+        "chunk_docs": _q_chunk_docs,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "interval_join": _q_interval_join,
+        "corpus_drift": _q_corpus_drift,
+        "dataset_split": _q_dataset_split,
+        "price_histogram": _q_price_histogram,
+        "profile_stats": _q_profile_stats,
+        "hll_distinct": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "phrase_search": _q_phrase_search,
+        "frame_sample_real": _q_frame_sample_real,
+        "url_normalize": _q_url_normalize,
+        "bm25_search": _q_bm25_search,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "dup_passages": _q_dup_passages,
+        "temperature_sample": _q_temperature_sample,
+        "normalize_text": _q_normalize_text,
+        "remove_dup_passages": _q_remove_dup_passages,
+        "remove_dup_passages_fast": _q_remove_dup_passages_fast,
+        "index_match_fast": _q_index_match_fast,
+        "token_surprisal": _q_token_surprisal,
+        "video_meta": _q_video_meta,
+        "video_meta_v1": _q_video_meta_v1,
+        "multimodal_tolerant": _q_multimodal_tolerant,
+        "cluster_sample": _q_cluster_sample,
+        "semantic_dedup": _q_semantic_dedup,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "domain_filter": _q_domain_filter,
+        "text_signals": _q_text_signals,
+        "index_match": _q_index_match,
+        "compression_ratio": _q_compression_ratio,
+        "sql_view_tpch_q3": _q_sql_view_q3,
+        "sql_view_tpch_q18": _q_sql_view_q18,
+        "pit_join": _q_pit_join,
         "expr_filter": _q_expr_filter,
         "scalar_funcs": _q_scalar_funcs,
         "over_cumulative": _q_over_cumulative,
@@ -4974,7 +5120,6 @@ _RAW_QUERIES = {
         "over_rows_limit": _q_over_rows_limit,
         "over_filtered": _q_over_filtered,
         "over_first_last": _q_over_first_last,
-        "pit_join": _q_pit_join,
         "sliding_2d_1d": _q_sliding_2d_1d,
         "sliding_value_counts": _q_sliding_value_counts,
         "sliding_filtered": _q_sliding_filtered,
@@ -5016,36 +5161,6 @@ _RAW_QUERIES = {
         "funnel_steps": _q_funnel_steps,
         "winsorize": _q_winsorize,
         "snapshot_diff": _q_snapshot_diff,
-        "bloom_prune": _q_bloom_prune,
-        "tokenize_ids": _q_tokenize_ids,
-        "key_skew": _q_key_skew,
-        "json_features": _q_json_features,
-        "negative_samples": _q_negative_samples,
-        "resample_ffill": _q_resample_ffill,
-        "validate_rules": _q_validate_rules,
-        "rank_normalize": _q_rank_normalize,
-        "robust_zscore": _q_robust_zscore,
-        "token_pmi": _q_token_pmi,
-        "weighted_sample": _q_weighted_sample,
-        "merge_aggregates": _q_merge_aggregates,
-        "weighted_sample_grouped": _q_weighted_sample_grouped,
-        "mmr_rerank": _q_mmr_rerank,
-        "quality_buckets": _q_quality_buckets,
-        "decayed_sum": _q_decayed_sum,
-        "chunk_docs": _q_chunk_docs,
-        "bigram_surprisal": _q_bigram_surprisal,
-        "interval_join": _q_interval_join,
-        "corpus_drift": _q_corpus_drift,
-        "dataset_split": _q_dataset_split,
-        "price_histogram": _q_price_histogram,
-        "profile_stats": _q_profile_stats,
-        "hll_distinct": _q_hll_distinct,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "phrase_search": _q_phrase_search,
-        "frame_sample_real": _q_frame_sample_real,
-        "url_normalize": _q_url_normalize,
-        "bm25_search": _q_bm25_search,
-        "hybrid_rrf": _q_hybrid_rrf,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
@@ -5056,24 +5171,7 @@ _RAW_QUERIES = {
         "repetition_signals": _q_repetition_signals,
         "contamination": _q_contamination,
         "select_survivors": _q_select_survivors,
-        "dup_passages": _q_dup_passages,
-        "temperature_sample": _q_temperature_sample,
-        "normalize_text": _q_normalize_text,
-        "remove_dup_passages": _q_remove_dup_passages,
-        "remove_dup_passages_fast": _q_remove_dup_passages_fast,
-        "index_match_fast": _q_index_match_fast,
-        "token_surprisal": _q_token_surprisal,
-        "video_meta": _q_video_meta,
-        "video_meta_v1": _q_video_meta_v1,
-        "multimodal_tolerant": _q_multimodal_tolerant,
-        "cluster_sample": _q_cluster_sample,
-        "semantic_dedup": _q_semantic_dedup,
-        "boilerplate_lines": _q_boilerplate_lines,
-        "domain_filter": _q_domain_filter,
-        "text_signals": _q_text_signals,
-        "index_match": _q_index_match,
-        "compression_ratio": _q_compression_ratio,
-    }
+}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5093,6 +5191,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_tumbling_1d": _ORACLE_SLIDING_TUMBLING_1D,
         "sql_view_tpch_q1": _TPCH_Q1_SQL,
         "sql_view_tpch_q5": _TPCH_Q5_SQL,
+        "sql_view_tpch_q3": _TPCH_Q3_SQL,
+        "sql_view_tpch_q18": _TPCH_Q18_SQL,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,

@@ -388,7 +388,10 @@ def validate_rules(df: DataFrame, rules) -> DataFrame:
     structs = []
     for i, r in enumerate(rules):
         kind = r["rule"]
-        col = r.get("column") or ",".join(r.get("columns", []))
+        # escaped for interpolation into the named_struct SQL literal
+        col = (r.get("column") or ",".join(r.get("columns", []))).replace(
+            "'", "''"
+        )
         max_frac = float(r.get("max_frac", 0.0))
         if kind == "min_rows":
             viol = f"CASE WHEN __n__ >= {int(r['n'])} THEN 0 " \

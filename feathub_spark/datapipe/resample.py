@@ -40,8 +40,12 @@ def resample_ffill(
     with event time <= the grid instant (ties: the event at exactly the
     grid instant wins; among same-timestamp events the one with the
     largest ``id_col`` — pass it whenever timestamps can collide, or the
-    pick is sort-order-dependent) and ``staleness_us`` = grid - that
-    event's time.  Grid points before a key's first event yield NULLs.
+    pick is sort-order-dependent) and ``staleness_us`` = grid minus the
+    time of the key's latest event at/before the grid instant (the last
+    *observation*, regardless of column: if that event's value is NULL,
+    the carried value comes from an older event but staleness still
+    measures from the newer observation).  Grid points before a key's
+    first event yield NULLs.
 
     Returns (key_col, grid_us, *value_cols, staleness_us)."""
     step_us = int(step_us)

@@ -246,12 +246,22 @@ def mmr_rerank(
     across the shuffle.  (Cf. PythonUdfTransform's Arrow batching — same
     rationale, dataframe_builder.py.)
 
-    Returns (query_id_col, item_id_col, mmr_rank, mmr_score)."""
+    Returns (query_id_col, item_id_col, mmr_rank, mmr_score); the id
+    columns keep whatever types the candidates frame carries (string,
+    int, ... — copied from candidates.schema, not assumed)."""
     import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    out_schema = (
-        f"{query_id_col} long, {item_id_col} long, "
-        "mmr_rank long, mmr_score double"
+    in_fields = {f.name: f for f in candidates.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(
+                query_id_col, in_fields[query_id_col].dataType, True
+            ),
+            StructField(item_id_col, in_fields[item_id_col].dataType, True),
+            StructField("mmr_rank", LongType(), True),
+            StructField("mmr_score", DoubleType(), True),
+        ]
     )
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -285,20 +285,57 @@ def _write_redis(df: DataFrame, sink, descriptor) -> None:
     df.foreachPartition(write_partition)
 
 
-def _write_prometheus(df: DataFrame, sink) -> None:
+def _push_prometheus_partition(
+    rows, host_url: str, job_name: str, prom_mod=None
+) -> None:
+    """Build one registry from an iterator of Rows and push it under a
+    per-partition grouping key.  Runs on executors inside
+    foreachPartition; ``prom_mod`` is injectable for tests."""
+    if prom_mod is None:
+        import prometheus_client as prom_mod  # noqa: F811
+
+    registry = prom_mod.CollectorRegistry()
+    gauges = {}
+    any_row = False
+    for row in rows:
+        any_row = True
+        for col, val in row.asDict().items():
+            if isinstance(val, (int, float)):
+                if col not in gauges:
+                    gauges[col] = prom_mod.Gauge(col, col, registry=registry)
+                gauges[col].set(val)  # last row in the partition wins
+    if not any_row:
+        return
     try:
-        from prometheus_client import CollectorRegistry, Gauge, push_to_gateway
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+    except Exception:
+        pid = 0
+    prom_mod.push_to_gateway(
+        host_url,
+        job=job_name,
+        grouping_key={"partition": str(pid)},
+        registry=registry,
+    )
+
+
+def _write_prometheus(df: DataFrame, sink) -> None:
+    """Per-partition push to the gateway — no driver-side collect(), so a
+    metric view with a high-cardinality group key never funnels through
+    the driver.  Each non-empty partition pushes its own metric group
+    (grouping_key partition=<id>); within a partition the last row wins
+    per metric, matching the previous single-process behavior."""
+    try:
+        import prometheus_client  # noqa: F401
     except ImportError as e:
         raise PlanError(
             "PrometheusSink requires 'prometheus_client', which is not installed."
         ) from e
-    registry = CollectorRegistry()
-    rows = df.collect()
-    gauges = {}
-    for row in rows:
-        for col, val in row.asDict().items():
-            if isinstance(val, (int, float)):
-                if col not in gauges:
-                    gauges[col] = Gauge(col, col, registry=registry)
-                gauges[col].set(val)  # last row wins per metric
-    push_to_gateway(sink.host_url, job=sink.job_name, registry=registry)
+    host_url, job_name = sink.host_url, sink.job_name
+
+    def push_partition(rows):
+        _push_prometheus_partition(rows, host_url, job_name)
+
+    df.foreachPartition(push_partition)

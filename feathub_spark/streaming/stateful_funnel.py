@@ -86,6 +86,13 @@ def stateful_funnel(
         else:
             chain, pending = [], []
 
+        if len(chain) == m:
+            # Terminal: the funnel already completed for this key.  Don't
+            # buffer the new events and don't re-arm the timeout — state
+            # stays at the bounded m-element chain (needed to suppress
+            # re-emission if more events arrive), never grows.
+            return
+
         for pdf in pdf_iter:
             for row in pdf.itertuples(index=False):
                 pending.append([int(row[1]), row[2]])
@@ -105,8 +112,14 @@ def stateful_funnel(
                     list(key) + [len(chain), list(chain), ms]
                 )
 
+        if len(chain) == m:
+            # Completed this batch: drop buffered events (nothing can
+            # advance any more) and stop re-arming the timeout so the key
+            # is never woken again; the m-element chain alone remains.
+            pending = []
         state.update((json.dumps(chain), json.dumps(pending)))
-        state.setTimeoutTimestamp(max(wm + 1, 1))
+        if len(chain) < m:
+            state.setTimeoutTimestamp(max(wm + 1, 1))
 
         if emissions:
             yield pd.DataFrame(

@@ -312,3 +312,54 @@ def test_redis_sink_requires_client(spark):
         pass
     with pytest.raises(PlanError, match="redis"):
         insert_into_sink(df, sink, desc)
+
+
+def test_prometheus_partition_push_records_gauges():
+    """_push_prometheus_partition (the foreachPartition body) builds one
+    registry per partition — last row wins per metric — and pushes it
+    under a partition grouping key; verified against a recording
+    pushgateway fake, no driver collect anywhere."""
+    from pyspark.sql import Row
+
+    from feathub_spark.processors.spark.source_sink_utils import (
+        _push_prometheus_partition,
+    )
+
+    pushes = []
+
+    class FakeGauge:
+        def __init__(self, name, doc, registry=None):
+            self.value = None
+            registry.gauges[name] = self
+
+        def set(self, v):
+            self.value = v
+
+    class FakeRegistry:
+        def __init__(self):
+            self.gauges = {}
+
+    class Prom:
+        CollectorRegistry = FakeRegistry
+        Gauge = FakeGauge
+
+        @staticmethod
+        def push_to_gateway(url, job, grouping_key, registry):
+            pushes.append(
+                (
+                    url,
+                    job,
+                    grouping_key,
+                    {k: g.value for k, g in registry.gauges.items()},
+                )
+            )
+
+    rows = [Row(metric_a=1.5, name="x"), Row(metric_a=2.5, name="y")]
+    _push_prometheus_partition(rows, "http://gw:9091", "jobx", prom_mod=Prom)
+    assert pushes == [
+        ("http://gw:9091", "jobx", {"partition": "0"}, {"metric_a": 2.5})
+    ]
+
+    pushes.clear()
+    _push_prometheus_partition([], "http://gw:9091", "jobx", prom_mod=Prom)
+    assert pushes == []  # empty partition: no push at all
