@@ -19,7 +19,7 @@ memoized subplans — reference §4 rows 1, 2, 7).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import pandas as pd
 
@@ -78,11 +78,17 @@ class SparkDataFrameBuilder:
         self._spark = spark
         self._registry = registry
         self._built: Dict[str, DataFrame] = {}
-        # Opt-in hot-key mitigation: unbounded decomposable over-windows use
-        # the two-phase chunked plan (evaluate_salted_over_window); as-of
-        # joins use the analogous time-chunked fill (_chunked_asof_fill).
+        # Hot-key mitigation: unbounded decomposable over-windows use the
+        # two-phase chunked plan (evaluate_salted_over_window); as-of joins
+        # use the analogous time-chunked fill (_chunked_asof_fill).
+        # Accepts an explicit chunk_ms int, or "auto"/AutoSalt to let the
+        # skew probe pick per descriptor (skew_probe.py).
         self._salt_chunk_ms = over_window_salt_chunk_ms
         self._asof_salt_chunk_ms = asof_salt_chunk_ms
+        self._skew_probe_cache: Dict[object, Optional[int]] = {}
+        # (descriptor kind, keys, chosen chunk_ms or None) — plan tests
+        # assert the auto probe picked the salted plan on skewed input.
+        self.salt_decisions: list = []
 
     # -- public ----------------------------------------------------------
     def build(self, descriptor: TableDescriptor) -> DataFrame:
@@ -219,6 +225,8 @@ class SparkDataFrameBuilder:
                 valid_time_ms=valid_time_ms,
                 defaults=defaults,
                 salt_chunk_ms=self._asof_salt_chunk_ms,
+                probe_cache=self._skew_probe_cache,
+                decisions=self.salt_decisions,
             )
             for out_name, key in map_entries.items():
                 df = df.withColumn(out_name, F.col(out_name)[F.lit(key)])
@@ -243,18 +251,28 @@ class SparkDataFrameBuilder:
                     AggFunc.MAX, AggFunc.ROW_NUMBER)
                 for f_ in fields
             )
-            saltable = (
-                self._salt_chunk_ms is not None
-                and desc.limit is None
-                and decomposable
-            )
-            if saltable and desc.window_size_ms is None:
-                df = evaluate_salted_over_window(
-                    df, desc, fields, self._salt_chunk_ms
+            chunk_ms = None
+            if self._salt_chunk_ms is not None and desc.limit is None and decomposable:
+                from feathub_spark.processors.spark.skew_probe import (
+                    resolve_salt_chunk_ms,
                 )
-            elif saltable and desc.window_size_ms <= self._salt_chunk_ms:
+
+                chunk_ms = resolve_salt_chunk_ms(
+                    self._salt_chunk_ms,
+                    df,
+                    desc.group_by_keys,
+                    EVENT_TIME_COL,
+                    window_ms=desc.window_size_ms,
+                    cache=self._skew_probe_cache,
+                )
+            self.salt_decisions.append(
+                ("over_window", desc.group_by_keys, chunk_ms)
+            )
+            if chunk_ms is not None and desc.window_size_ms is None:
+                df = evaluate_salted_over_window(df, desc, fields, chunk_ms)
+            elif chunk_ms is not None and desc.window_size_ms <= chunk_ms:
                 df = evaluate_salted_bounded_over_window(
-                    df, desc, fields, self._salt_chunk_ms
+                    df, desc, fields, chunk_ms
                 )
             else:
                 df = evaluate_over_window(df, desc, fields)

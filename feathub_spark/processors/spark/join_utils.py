@@ -120,7 +120,9 @@ def temporal_join(
     right_fields: Dict[str, str],
     valid_time_ms: Optional[int] = None,
     defaults: Optional[Dict[str, object]] = None,
-    salt_chunk_ms: Optional[int] = None,
+    salt_chunk_ms=None,
+    probe_cache: Optional[dict] = None,
+    decisions: Optional[list] = None,
 ) -> DataFrame:
     """As-of join ``right_fields`` (output column -> right column) onto left.
 
@@ -129,7 +131,11 @@ def temporal_join(
     Both inputs must carry the EVENT_TIME_COL metadata column.
 
     ``salt_chunk_ms`` opts into the hot-key-safe time-chunked plan (module
-    docstring); results are identical up to right-timestamp ties.
+    docstring); results are identical up to right-timestamp ties.  An int
+    is used as-is; ``"auto"`` / an AutoSalt policy runs the plan-time skew
+    probe over the unioned stream (skew_probe.py) and salts only when a
+    hot key is detected.  ``probe_cache`` memoizes probe verdicts;
+    ``decisions`` (if given) receives ("asof", keys, chunk_ms_or_None).
     """
     keys = list(keys)
     left_cols = left.columns
@@ -153,6 +159,14 @@ def temporal_join(
     )
 
     unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
+    if salt_chunk_ms is not None and not isinstance(salt_chunk_ms, int):
+        from feathub_spark.processors.spark.skew_probe import resolve_salt_chunk_ms
+
+        salt_chunk_ms = resolve_salt_chunk_ms(
+            salt_chunk_ms, unioned, keys, EVENT_TIME_COL, cache=probe_cache
+        )
+    if decisions is not None:
+        decisions.append(("asof", tuple(keys), salt_chunk_ms))
     if salt_chunk_ms is None:
         w = (
             Window.partitionBy(*keys)

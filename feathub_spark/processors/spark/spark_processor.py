@@ -54,15 +54,21 @@ class SparkProcessor:
         self,
         spark: SparkSession,
         registry: Optional[LocalRegistry] = None,
-        over_window_salt_chunk_ms: Optional[int] = None,
-        asof_salt_chunk_ms: Optional[int] = None,
+        over_window_salt_chunk_ms=None,
+        asof_salt_chunk_ms=None,
     ) -> None:
         self.spark = spark
         self.registry = registry or LocalRegistry()
-        # hot-key mitigation for unbounded over-windows and as-of joins
-        # (docs/SCALE.md)
+        # Hot-key mitigation for unbounded over-windows and as-of joins
+        # (docs/SCALE.md).  Each accepts an explicit chunk_ms int, or
+        # "auto" / an AutoSalt policy: the plan-time skew probe
+        # (skew_probe.py) then picks the salted plan only when it detects a
+        # hot key worth splitting.
         self.over_window_salt_chunk_ms = over_window_salt_chunk_ms
         self.asof_salt_chunk_ms = asof_salt_chunk_ms
+        # salt decisions from the most recent get_table() compile — plan
+        # tests read this to assert which physical strategy was chosen.
+        self.last_salt_decisions: list = []
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         try:
             spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -83,6 +89,7 @@ class SparkProcessor:
             self.asof_salt_chunk_ms,
         )
         df = builder.build_with_event_time(descriptor)
+        self.last_salt_decisions = builder.salt_decisions
 
         if start_datetime is not None or end_datetime is not None:
             # event_time >= start AND event_time < end
