@@ -35,6 +35,7 @@ def pagerank(
     iterations: int = 3,
     damping_pct: int = 85,
     directed: bool = False,
+    handle_sinks: str = "leak",
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list, exact to the last
     integer unit: ranks live in UNIT-scaled bigints, each round computes
@@ -46,21 +47,37 @@ def pagerank(
     agree exactly and the oracle can unroll the same rounds in SQL.
     Undirected inputs (default) contribute along both directions.
     Nodes are the ids appearing in the edge list; with ``directed=True``
-    a pure sink (no out-edges) keeps receiving mass but leaks its own
-    (the classic simplification — add self-loops upstream if that
-    matters for your graph).
+    a pure sink (no out-edges) keeps receiving mass but, under the default
+    ``handle_sinks="leak"``, loses its own each round (the classic
+    simplification).  ``handle_sinks="self_loop"`` instead adds a self-loop
+    to every sink before iterating, so a sink retains (its damped share of)
+    its own mass — the standard dangling-node fix expressed as edges, still
+    exact-integer and still SQL-reproducible (the oracle adds the same
+    self-loops).  With ``directed=False`` every node has out-edges by
+    construction, so the option is a no-op there.
 
     Returns (id, rank_units bigint, rank double = units / UNIT)."""
     from feathub_spark.common.caching import register_cache
 
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
+    if handle_sinks not in ("leak", "self_loop"):
+        raise ValueError(f"unknown handle_sinks: {handle_sinks!r}")
     e = ensure_parallelism(edges).select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
     if not directed:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    elif handle_sinks == "self_loop":
+        sinks = (
+            e.select(F.col("dst").alias("id"))
+            .distinct()
+            .join(e.select(F.col("src").alias("id")).distinct(), on="id", how="left_anti")
+        )
+        e = e.unionByName(
+            sinks.select(F.col("id").alias("src"), F.col("id").alias("dst"))
         )
     # the edge list feeds nodes, degrees, AND every iteration's join — an
     # expensive upstream (e.g. ngram-jaccard pair generation) would

@@ -103,6 +103,102 @@ def _let1(bound_expr: str, var: str, body: str) -> str:
     return f"element_at(transform(array({bound_expr}), {var} -> {body}), 1)"
 
 
+def _poly_gram_hashes_np(text, gram_len):
+    """Vectorized dual-31-bit polynomial gram hashes — bit-identical to the
+    ``hash_fn="poly"`` SQL fold in :func:`_gram_hashes_sql` (same constants,
+    same per-step modulus), but ~100x faster: Catalyst evaluates
+    higher-order lambdas interpreted (one virtual call per char per
+    position), while this folds all positions at once with ``gram_len``
+    numpy passes.  utf-32 decode yields the same code points as the SQL
+    ``split('') -> ascii`` extraction."""
+    import numpy as np
+
+    if text is None:
+        return None
+    c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    n = c.size - gram_len + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    ha = np.full(n, 7, dtype=np.int64)
+    hb = np.full(n, 13, dtype=np.int64)
+    for j in range(gram_len):
+        seg = c[j : j + n]
+        ha = (ha * 1103515245 + seg) % _M31
+        hb = (hb * 69069 + seg) % _M31
+    return ha * 2147483648 + hb
+
+
+def _winnow_select_np(fp, window: int, positions: bool):
+    """Window-min winnow selection over a gram-hash int64 array, matching
+    the SQL fold value-for-value: first-occurrence distinct order
+    (= array_distinct) and first-position min ties (= array_position)."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if fp is None or fp.size == 0:
+        return []
+    w_eff = min(window, fp.size)
+    sw = sliding_window_view(fp, w_eff)
+    mins = sw.min(axis=1)
+    if not positions:
+        # pd.unique preserves first-occurrence order = array_distinct
+        return pd.unique(mins).tolist()
+    idx = sw.argmin(axis=1)  # first min index = array_position tie rule
+    pos = (np.arange(sw.shape[0]) + idx + 1).tolist()
+    pairs = dict.fromkeys(zip(mins.tolist(), pos))
+    return [{"fp": f, "pos": p} for f, p in pairs]
+
+
+_WINNOW_RET = {
+    True: "array<struct<fp: bigint, pos: int>>",
+    False: "array<bigint>",
+}
+
+
+def _winnow_poly_arrow_udf(gram_len: int, window: int, positions: bool):
+    """Scalar pandas_udf computing the winnow selection for the "poly"
+    hash entirely in numpy (gram hashes + sliding-window min), matching
+    the SQL path value-for-value including first-occurrence distinct order
+    and first-position min ties.  Scalar (not mapInPandas) so only the
+    text column crosses the Arrow boundary — the rest of the row stays
+    JVM-side and the plan stays narrow (no shuffle)."""
+
+    def one(text):
+        return _winnow_select_np(
+            _poly_gram_hashes_np(text, gram_len), window, positions
+        )
+
+    @F.pandas_udf(_WINNOW_RET[positions])
+    def winnow(texts):
+        return texts.apply(one)
+
+    return winnow
+
+
+def _winnow_min_arrow_udf(window: int, positions: bool):
+    """Scalar pandas_udf doing ONLY the window-min selection over a
+    PRECOMPUTED gram-hash array column.  Used for hash_fn="xxhash64":
+    the hash itself is a whole-stage-codegen JVM intrinsic worth keeping,
+    but the slice/array_min selection fold is an interpreted higher-order
+    lambda (O(n*window) virtual calls per doc) — numpy's sliding-window
+    min replaces exactly that part, value-identical."""
+    import numpy as np
+
+    def one(gh):
+        if gh is None:
+            return []
+        return _winnow_select_np(
+            np.asarray(gh, dtype=np.int64), window, positions
+        )
+
+    @F.pandas_udf(_WINNOW_RET[positions])
+    def winnow(hash_arrays):
+        return hash_arrays.apply(one)
+
+    return winnow
+
+
 def _winnow_sql(gram_hashes_expr: str, window: int) -> str:
     """Distinct window-min fingerprints over the gram-hash array.
 
@@ -128,14 +224,54 @@ def winnow_fingerprints(
     gram_len: int = 20,
     window: int = 8,
     hash_fn: str = "xxhash64",
+    impl: str = "auto",
 ) -> DataFrame:
     """Append ``__fps__``: array<bigint> of distinct winnowing fingerprints.
 
     Any two documents sharing a substring of >= ``window + gram_len - 1``
     characters share at least one fingerprint value.  Narrow per-row
-    compute only — no shuffle."""
+    compute only — no shuffle.
+
+    ``impl``: "auto"/"arrow" pick the vectorized Arrow winnow (bit-identical
+    to the SQL fold, ~4-10x faster — Catalyst evaluates higher-order
+    lambdas interpreted): full-numpy for "poly", JVM gram hashing + numpy
+    window-min for "xxhash64".  "sql" forces the pure-Catalyst fold
+    (test_passages.py pins their equality)."""
+    return _winnow_col(
+        df, text_col, gram_len, window, hash_fn, impl,
+        positions=False, out_col="__fps__",
+    )
+
+
+def _winnow_col(
+    df: DataFrame,
+    text_col: str,
+    gram_len: int,
+    window: int,
+    hash_fn: str,
+    impl: str,
+    positions: bool,
+    out_col: str,
+) -> DataFrame:
+    """Shared dispatch: append the winnow-selection column via the SQL fold
+    or one of the value-identical Arrow fast paths (docstring of
+    :func:`winnow_fingerprints`)."""
+    if impl not in ("auto", "sql", "arrow"):
+        raise ValueError(f"unknown passages impl: {impl!r}")
+    df = ensure_parallelism(df)
+    if impl != "sql" and hash_fn == "poly":
+        udf = _winnow_poly_arrow_udf(gram_len, window, positions)
+        return df.withColumn(out_col, udf(F.col(text_col)))
+    if impl != "sql" and hash_fn == "xxhash64":
+        udf = _winnow_min_arrow_udf(window, positions)
+        gh = F.expr(_gram_hashes_sql(text_col, gram_len, hash_fn))
+        return df.withColumn(out_col, udf(gh))
+    if positions:
+        return df.withColumn(
+            out_col, F.expr(_winnow_positions_sql(text_col, gram_len, window, hash_fn))
+        )
     sel = _winnow_sql(_gram_hashes_sql(text_col, gram_len, hash_fn), window)
-    return ensure_parallelism(df).withColumn("__fps__", F.expr(sel))
+    return df.withColumn(out_col, F.expr(sel))
 
 
 def winnow_fingerprint_positions(
@@ -145,6 +281,7 @@ def winnow_fingerprint_positions(
     gram_len: int = 20,
     window: int = 8,
     hash_fn: str = "xxhash64",
+    impl: str = "auto",
 ) -> DataFrame:
     """Append ``__fpp__``: array<struct<fp:bigint, pos:int>> of distinct
     (fingerprint, 1-based gram position) selections — the position-carrying
@@ -152,6 +289,15 @@ def winnow_fingerprint_positions(
     selection covers characters [pos, pos + gram_len - 1].  Within a
     window, ties on the min hash resolve to the FIRST position
     (deterministic)."""
+    return _winnow_col(
+        df, text_col, gram_len, window, hash_fn, impl,
+        positions=True, out_col="__fpp__",
+    )
+
+
+def _winnow_positions_sql(
+    text_col: str, gram_len: int, window: int, hash_fn: str
+) -> str:
     w_eff = f"least({window}, size(gh))"
     per_window = _let1(
         f"slice(gh, w, {w_eff})",
@@ -170,8 +316,7 @@ def winnow_fingerprint_positions(
         f"sequence(1, size(gh) - {w_eff} + 1), "
         f"w -> {per_window})) END"
     )
-    sel = _let1(_gram_hashes_sql(text_col, gram_len, hash_fn), "gh", body)
-    return ensure_parallelism(df).withColumn("__fpp__", F.expr(sel))
+    return _let1(_gram_hashes_sql(text_col, gram_len, hash_fn), "gh", body)
 
 
 def remove_duplicate_passages(

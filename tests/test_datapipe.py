@@ -1275,6 +1275,48 @@ def test_pagerank_integer_exact(spark):
         pagerank(df, damping_pct=0)
 
 
+def test_pagerank_directed_sink_handling(spark):
+    """Directed chain 0->1->2: under "leak" the sink (2) discards its own
+    mass each round; "self_loop" adds 2->2 so it keeps the damped share.
+    Both checked against exact integer replicas."""
+    from feathub_spark.datapipe.graph import pagerank
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
+
+    def replica(edges, iters=3):
+        nodes = {n for e in edges for n in e}
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = {n: 1_000_000 for n in nodes}
+        for _ in range(iters):
+            inc = {n: 0 for n in nodes}
+            for s, d in edges:
+                inc[d] += r[s] // deg[s]
+            r = {n: 150_000 + (85 * inc[n]) // 100 for n in nodes}
+        return r
+
+    leak = {
+        r.id: r.rank_units
+        for r in pagerank(df, iterations=3, directed=True).collect()
+    }
+    assert leak == replica([(0, 1), (1, 2)])
+
+    looped = {
+        r.id: r.rank_units
+        for r in pagerank(
+            df, iterations=3, directed=True, handle_sinks="self_loop"
+        ).collect()
+    }
+    assert looped == replica([(0, 1), (1, 2), (2, 2)])
+    assert looped[2] > leak[2]  # the sink now retains damped self-mass
+
+    with _pytest.raises(ValueError):
+        pagerank(df, directed=True, handle_sinks="bounce")
+
+
 def test_token_pmi_collocations(spark):
     import math
 

@@ -473,3 +473,41 @@ def test_remove_boilerplate_lines_randomized(spark, seed, min_docs):
         ).collect()
     }
     assert got == exp
+
+
+@pytest.mark.parametrize("hash_fn", ["poly", "xxhash64"])
+@pytest.mark.parametrize("positions", [False, True])
+def test_arrow_winnow_matches_sql_bit_for_bit(spark, positions, hash_fn):
+    """The vectorized Arrow winnow path (impl='arrow') must reproduce the
+    Catalyst SQL fold exactly — values, order, position tie-breaks, NULL and
+    short-text handling, and non-ASCII code points."""
+    from feathub_spark.datapipe.passages import winnow_fingerprint_positions
+
+    rnd = random.Random(99)
+    alpha = "abcde fgh\nij" + "éü中𝄞"  # multibyte + astral-plane code point
+    docs = [
+        (0, None),
+        (1, ""),
+        (2, "tiny"),
+        (3, "exactly8"),  # len == gram_len
+        (4, "x" * 40),  # all-equal hashes: min ties in every window
+        (5, "éü中𝄞éü中𝄞éü中𝄞éü中𝄞"),
+    ] + [
+        (10 + i, "".join(rnd.choice(alpha) for _ in range(rnd.randrange(0, 120))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fn = winnow_fingerprint_positions if positions else winnow_fingerprints
+    kw = dict(gram_len=8, window=4, hash_fn=hash_fn)
+    col = "__fpp__" if positions else "__fps__"
+    sql = {r["doc_id"]: r[col] for r in fn(df, "text", "doc_id", impl="sql", **kw).collect()}
+    arrow = {r["doc_id"]: r[col] for r in fn(df, "text", "doc_id", impl="arrow", **kw).collect()}
+    assert arrow == sql
+
+
+def test_impl_validation(spark):
+    df = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="impl"):
+        winnow_fingerprints(df, "text", "doc_id", impl="nope")
+    with pytest.raises(ValueError, match="hash_fn"):
+        winnow_fingerprints(df, "text", "doc_id", hash_fn="md5")
