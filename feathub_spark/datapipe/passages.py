@@ -128,6 +128,118 @@ def _poly_gram_hashes_np(text, gram_len):
     return ha * 2147483648 + hb
 
 
+def _xxh64_np(data, lengths, seed: int = 42):
+    """Vectorized XXH64 over rows of a (n, maxlen) uint8 matrix with
+    per-row byte lengths.  Bit-identical to Spark's ``xxhash64`` function
+    (Catalyst XXH64, default seed 42, a faithful implementation of the
+    public xxHash spec) — pinned against it by a randomized fuzz test in
+    test_passages.py including multibyte/astral-plane tails.  uint64
+    arithmetic wraps mod 2^64 exactly like the JVM longs."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    n, maxlen = data.shape
+    rows = np.arange(n)
+    bl = lengths.astype(np.int64)
+
+    def read_le(off, nbytes):
+        # little-endian word at per-row byte offset; masked rows read
+        # clipped garbage that np.where discards
+        idx = np.clip(off[:, None] + np.arange(nbytes), 0, max(maxlen - 1, 0))
+        vals = data[rows[:, None], idx].astype(np.uint64)
+        return (vals << (np.arange(nbytes, dtype=np.uint64) * np.uint64(8))).sum(
+            axis=1, dtype=np.uint64
+        )
+
+    mask64 = (1 << 64) - 1
+    h = np.full(n, (seed + int(P5)) & mask64, dtype=np.uint64)
+
+    big = bl >= 32
+    nstripes = (bl // 32).astype(np.int64)
+    if big.any():
+        # scalar uint64 ops warn on wraparound (array ops don't) — wrap in
+        # Python ints, which are exact, then cast once
+        v1 = np.full(n, (seed + int(P1) + int(P2)) & mask64, dtype=np.uint64)
+        v2 = np.full(n, (seed + int(P2)) & mask64, dtype=np.uint64)
+        v3 = np.full(n, seed & mask64, dtype=np.uint64)
+        v4 = np.full(n, (seed - int(P1)) & mask64, dtype=np.uint64)
+        lanes = [v1, v2, v3, v4]
+        for k in range(int(nstripes.max())):
+            m = nstripes > k
+            for lane in range(4):
+                x = read_le(np.full(n, k * 32 + lane * 8), 8)
+                v = lanes[lane]
+                lanes[lane] = np.where(m, rotl(v + x * P2, 31) * P1, v)
+        v1, v2, v3, v4 = lanes
+        hb = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in lanes:
+            hb = (hb ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+        h = np.where(big, hb, h)
+
+    h = h + bl.astype(np.uint64)
+    p = np.where(big, nstripes * 32, 0)
+    for _ in range(3):  # tail < 32 bytes -> at most three 8-byte words
+        m = (p + 8) <= bl
+        if not m.any():
+            break
+        k1 = rotl(read_le(p, 8) * P2, 31) * P1
+        h = np.where(m, rotl(h ^ k1, 27) * P1 + P4, h)
+        p = np.where(m, p + 8, p)
+    m = (p + 4) <= bl
+    if m.any():
+        h = np.where(m, rotl(h ^ (read_le(p, 4) * P1), 23) * P2 + P3, h)
+        p = np.where(m, p + 4, p)
+    for _ in range(3):  # at most three trailing bytes
+        m = p < bl
+        if not m.any():
+            break
+        b = data[rows, np.clip(p, 0, max(maxlen - 1, 0))].astype(np.uint64)
+        h = np.where(m, rotl(h ^ (b * P5), 11) * P1, h)
+        p = np.where(m, p + 1, p)
+    h ^= h >> np.uint64(33)
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _xxh64_gram_hashes_np(text, gram_len):
+    """Per-position xxhash64 gram hashes, bit-identical to the SQL
+    ``xxhash64(substr(text, i, gram_len))`` (Spark hashes the substring's
+    UTF-8 bytes) but O(chars * gram_bytes) instead of the O(chars^2)
+    byte-seeking that per-position ``substr`` costs on UTF8String."""
+    import numpy as np
+
+    if text is None:
+        return None
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = cp.size - gram_len + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    clen = (
+        1 + (cp >= 0x80).astype(np.int64) + (cp >= 0x800) + (cp >= 0x10000)
+    )
+    off = np.zeros(cp.size + 1, dtype=np.int64)
+    np.cumsum(clen, out=off[1:])
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    starts = off[:n]
+    bl = off[gram_len : gram_len + n] - starts
+    idx = np.clip(starts[:, None] + np.arange(int(bl.max())), 0, b.size - 1)
+    return _xxh64_np(b[idx], bl).view(np.int64)
+
+
+_GRAM_HASHES_NP = {"poly": _poly_gram_hashes_np, "xxhash64": _xxh64_gram_hashes_np}
+
+
 def _winnow_select_np(fp, window: int, positions: bool):
     """Window-min winnow selection over a gram-hash int64 array, matching
     the SQL fold value-for-value: first-occurrence distinct order
@@ -156,45 +268,21 @@ _WINNOW_RET = {
 }
 
 
-def _winnow_poly_arrow_udf(gram_len: int, window: int, positions: bool):
-    """Scalar pandas_udf computing the winnow selection for the "poly"
-    hash entirely in numpy (gram hashes + sliding-window min), matching
-    the SQL path value-for-value including first-occurrence distinct order
-    and first-position min ties.  Scalar (not mapInPandas) so only the
-    text column crosses the Arrow boundary — the rest of the row stays
-    JVM-side and the plan stays narrow (no shuffle)."""
+def _winnow_arrow_udf(gram_len: int, window: int, positions: bool, hash_fn: str):
+    """Scalar pandas_udf computing the winnow selection entirely in numpy
+    (vectorized gram hashes + sliding-window min), matching the SQL path
+    value-for-value including first-occurrence distinct order and
+    first-position min ties.  Scalar (not mapInPandas) so only the text
+    column crosses the Arrow boundary — the rest of the row stays JVM-side
+    and the plan stays narrow (no shuffle)."""
+    gram_hashes = _GRAM_HASHES_NP[hash_fn]
 
     def one(text):
-        return _winnow_select_np(
-            _poly_gram_hashes_np(text, gram_len), window, positions
-        )
+        return _winnow_select_np(gram_hashes(text, gram_len), window, positions)
 
     @F.pandas_udf(_WINNOW_RET[positions])
     def winnow(texts):
         return texts.apply(one)
-
-    return winnow
-
-
-def _winnow_min_arrow_udf(window: int, positions: bool):
-    """Scalar pandas_udf doing ONLY the window-min selection over a
-    PRECOMPUTED gram-hash array column.  Used for hash_fn="xxhash64":
-    the hash itself is a whole-stage-codegen JVM intrinsic worth keeping,
-    but the slice/array_min selection fold is an interpreted higher-order
-    lambda (O(n*window) virtual calls per doc) — numpy's sliding-window
-    min replaces exactly that part, value-identical."""
-    import numpy as np
-
-    def one(gh):
-        if gh is None:
-            return []
-        return _winnow_select_np(
-            np.asarray(gh, dtype=np.int64), window, positions
-        )
-
-    @F.pandas_udf(_WINNOW_RET[positions])
-    def winnow(hash_arrays):
-        return hash_arrays.apply(one)
 
     return winnow
 
@@ -232,10 +320,11 @@ def winnow_fingerprints(
     characters share at least one fingerprint value.  Narrow per-row
     compute only — no shuffle.
 
-    ``impl``: "auto"/"arrow" pick the vectorized Arrow winnow (bit-identical
-    to the SQL fold, ~4-10x faster — Catalyst evaluates higher-order
-    lambdas interpreted): full-numpy for "poly", JVM gram hashing + numpy
-    window-min for "xxhash64".  "sql" forces the pure-Catalyst fold
+    ``impl``: "auto"/"arrow" pick the vectorized Arrow winnow — numpy gram
+    hashing + sliding-window min, bit-identical to the SQL fold for both
+    hash functions and ~3-10x faster (Catalyst evaluates higher-order
+    lambdas interpreted, and per-position ``substr`` byte-seeks are
+    O(chars^2) on UTF8String).  "sql" forces the pure-Catalyst fold
     (test_passages.py pins their equality)."""
     return _winnow_col(
         df, text_col, gram_len, window, hash_fn, impl,
@@ -259,13 +348,9 @@ def _winnow_col(
     if impl not in ("auto", "sql", "arrow"):
         raise ValueError(f"unknown passages impl: {impl!r}")
     df = ensure_parallelism(df)
-    if impl != "sql" and hash_fn == "poly":
-        udf = _winnow_poly_arrow_udf(gram_len, window, positions)
+    if impl != "sql" and hash_fn in _GRAM_HASHES_NP:
+        udf = _winnow_arrow_udf(gram_len, window, positions, hash_fn)
         return df.withColumn(out_col, udf(F.col(text_col)))
-    if impl != "sql" and hash_fn == "xxhash64":
-        udf = _winnow_min_arrow_udf(window, positions)
-        gh = F.expr(_gram_hashes_sql(text_col, gram_len, hash_fn))
-        return df.withColumn(out_col, udf(gh))
     if positions:
         return df.withColumn(
             out_col, F.expr(_winnow_positions_sql(text_col, gram_len, window, hash_fn))

@@ -511,3 +511,40 @@ def test_impl_validation(spark):
         winnow_fingerprints(df, "text", "doc_id", impl="nope")
     with pytest.raises(ValueError, match="hash_fn"):
         winnow_fingerprints(df, "text", "doc_id", hash_fn="md5")
+
+
+def test_numpy_xxh64_matches_spark_exactly(spark):
+    """_xxh64_gram_hashes_np must reproduce Spark's xxhash64(substr(...))
+    bit-for-bit for every position — fuzzed over lengths that cross every
+    algorithm boundary (empty tail, 4-byte tail, 8-byte words, >=32-byte
+    stripes) and over 1/2/3/4-byte UTF-8 code points."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.passages import _xxh64_gram_hashes_np
+
+    rnd = random.Random(4242)
+    alpha = "abcdefgh ijklmnop" + "é߿ࠀ中𝄞𐍈"
+    texts = []
+    # gram byte lengths from 3 (3 ASCII) up past 32 (12 astral chars = 48B)
+    for glen in (3, 7, 8, 9, 12, 31, 32, 33, 40):
+        for _ in range(6):
+            texts.append(
+                ("".join(rnd.choice(alpha) for _ in range(rnd.randrange(glen, glen + 60))), glen)
+            )
+    texts += [("", 5), ("ab", 5), ("𝄞" * 20, 8)]
+
+    for i, (t, glen) in enumerate(texts):
+        df = spark.createDataFrame([(t,)], ["text"])
+        exp = df.select(
+            F.expr(
+                f"CASE WHEN length(text) >= {glen} THEN "
+                f"transform(sequence(1, length(text) - {glen} + 1), "
+                f"i -> xxhash64(substr(text, i, {glen}))) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            ).alias("h")
+        ).first()["h"]
+        got = _xxh64_gram_hashes_np(t, glen)
+        assert got.tolist() == list(exp), (i, t[:40], glen)
+    assert _xxh64_gram_hashes_np(None, 5) is None
