@@ -845,6 +845,187 @@ def _q_sql_view_q18(spark, sf_dir):
     return proc.get_table(built).to_dataframe()
 
 
+def _tpch_sql_view(spark, sf_dir, view_name, sql, cols, dtypes, tables):
+    """Shared TPC-H-through-SqlFeatureView scaffold: register the parquet
+    sources as temp views, wrap one SQL string (served verbatim to both
+    Spark and the DuckDB oracle) in a SqlFeatureView, return its table."""
+    from feathub_spark import Schema, SqlFeatureView
+
+    proc = _processor(spark)
+    srcs = [_parquet_source(n, sf_dir) for n in tables]
+    proc.registry.build_features(srcs)
+    for s in srcs:
+        proc.get_table(proc.registry.get_features(s.name))
+    view = SqlFeatureView(
+        name=view_name, sql_statement=sql, schema=Schema(cols, dtypes)
+    )
+    built = proc.registry.build_features([view])[0]
+    return proc.get_table(built).to_dataframe()
+
+
+_TPCH_Q6_SQL = """
+SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q_sql_view_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure-scan query — every
+    predicate must reach the parquet reader as a pushed filter and the
+    scan must prune to 4 columns; plan-asserted in test_plan_hygiene."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q6_view", _TPCH_Q6_SQL,
+        ["revenue", "n_items"], [t.Float64, t.Int64], ["lineitem"],
+    )
+
+
+_TPCH_Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def _q_sql_view_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item ranking): fact-fact join under a quarter
+    date filter, two broadcast dims, 4-key agg, top-20 planned as
+    TakeOrderedAndProject.  c_custkey in the ORDER BY makes the LIMIT
+    boundary deterministic across engines."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q10_view", _TPCH_Q10_SQL,
+        ["c_custkey", "c_name", "revenue", "acctbal", "n_name"],
+        [t.Int64, t.String, t.Float64, t.Float64, t.String],
+        ["customer", "orders", "lineitem", "nation"],
+    )
+
+
+_TPCH_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) AS c_orders
+GROUP BY c_count
+"""
+
+
+def _q_sql_view_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join that
+    must preserve zero-order customers, then a re-aggregation over the
+    aggregate — the double-groupBy shape (testdata has no o_comment, so
+    the spec's comment filter is dropped)."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q13_view", _TPCH_Q13_SQL,
+        ["c_count", "custdist"], [t.Int64, t.Int64],
+        ["customer", "orders"],
+    )
+
+
+_TPCH_Q14_SQL = """
+SELECT round(100.00 * round(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+             / round(SUM(l_extendedprice * (1 - l_discount)), 2), 4)
+           AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def _q_sql_view_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional aggregation over a
+    broadcast part join.  Both SUMs round to cents BEFORE the ratio so the
+    engines' different float summation orders cannot flip the 4-decimal
+    result."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q14_view", _TPCH_Q14_SQL,
+        ["promo_revenue_pct", "n_items"], [t.Float64, t.Int64],
+        ["lineitem", "part"],
+    )
+
+
+_TPCH_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def _q_sql_view_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): a CTE referenced twice plus a scalar
+    subquery in the join predicate — the equality is on cents-rounded
+    revenue, so both engines agree on the max and its members exactly."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q15_view", _TPCH_Q15_SQL,
+        ["s_suppkey", "s_name", "total_revenue"],
+        [t.Int64, t.String, t.Float64],
+        ["lineitem", "supplier"],
+    )
+
+
+_TPCH_Q19_SQL = """
+SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def _q_sql_view_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): disjunctive multi-attribute join
+    predicates — the OR-of-ANDs shape that exercises predicate pushdown
+    through a join where only the p_partkey equality is usable as the join
+    key (testdata has no p_container, so the container arm is dropped)."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q19_view", _TPCH_Q19_SQL,
+        ["revenue", "n_items"], [t.Float64, t.Int64],
+        ["lineitem", "part"],
+    )
+
+
 def _q_udf_token_count(spark, sf_dir):
     from feathub_spark import DerivedFeatureView, Feature
     from feathub_spark.common import types as t
@@ -5171,6 +5352,12 @@ _RAW_QUERIES = {
         "repetition_signals": _q_repetition_signals,
         "contamination": _q_contamination,
         "select_survivors": _q_select_survivors,
+        "sql_view_tpch_q6": _q_sql_view_q6,
+        "sql_view_tpch_q10": _q_sql_view_q10,
+        "sql_view_tpch_q13": _q_sql_view_q13,
+        "sql_view_tpch_q14": _q_sql_view_q14,
+        "sql_view_tpch_q15": _q_sql_view_q15,
+        "sql_view_tpch_q19": _q_sql_view_q19,
 }
 
 
@@ -5193,6 +5380,12 @@ def oracle_sql() -> dict[str, str]:
         "sql_view_tpch_q5": _TPCH_Q5_SQL,
         "sql_view_tpch_q3": _TPCH_Q3_SQL,
         "sql_view_tpch_q18": _TPCH_Q18_SQL,
+        "sql_view_tpch_q6": _TPCH_Q6_SQL,
+        "sql_view_tpch_q10": _TPCH_Q10_SQL,
+        "sql_view_tpch_q13": _TPCH_Q13_SQL,
+        "sql_view_tpch_q14": _TPCH_Q14_SQL,
+        "sql_view_tpch_q15": _TPCH_Q15_SQL,
+        "sql_view_tpch_q19": _TPCH_Q19_SQL,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,

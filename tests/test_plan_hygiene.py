@@ -230,3 +230,31 @@ def test_token_surprisal_has_no_global_window(client):
         if "windowspecdefinition" in line:
             raise AssertionError(f"unexpected Window in plan:\n{line}")
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_scan_pushdown_and_pruning(client):
+    """Q6 is the pure-scan query: every predicate must reach the parquet
+    reader and the scan must read only the 4 referenced columns."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["sql_view_tpch_q6"](
+        client.spark, "/root/testdata/sf0.001"
+    )
+    plan = _formatted_plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1].splitlines()[0]
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_returnflag", "l_partkey", "l_tax"):
+        assert col not in read_schema, read_schema
+
+
+def test_tpch_q10_topk_is_take_ordered(client):
+    """Q10's LIMIT 20 must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global sort of the aggregate."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["sql_view_tpch_q10"](
+        client.spark, "/root/testdata/sf0.001"
+    )
+    plan = _formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
