@@ -212,12 +212,74 @@ def _xxh64_np(data, lengths, seed: int = 42):
     return h
 
 
+def _xxh64_np_uniform(data, seed: int = 42):
+    """XXH64 over rows of a (n, L) uint8 matrix where EVERY row has length
+    L — the pure-ASCII gram case, where gram byte windows are fixed-width.
+    Straight-line (no per-row masks, contiguous column slices instead of
+    fancy-index gathers), same values as :func:`_xxh64_np`."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    n, L = data.shape
+    shifts = np.arange(8, dtype=np.uint64) * np.uint64(8)
+
+    def read_le(o, nb):
+        v = data[:, o : o + nb].astype(np.uint64)
+        return (v << shifts[:nb]).sum(axis=1, dtype=np.uint64)
+
+    mask64 = (1 << 64) - 1
+    if L >= 32:
+        v1 = np.full(n, (seed + int(P1) + int(P2)) & mask64, dtype=np.uint64)
+        v2 = np.full(n, (seed + int(P2)) & mask64, dtype=np.uint64)
+        v3 = np.full(n, seed & mask64, dtype=np.uint64)
+        v4 = np.full(n, (seed - int(P1)) & mask64, dtype=np.uint64)
+        lanes = [v1, v2, v3, v4]
+        for k in range(L // 32):
+            for lane in range(4):
+                x = read_le(k * 32 + lane * 8, 8)
+                lanes[lane] = rotl(lanes[lane] + x * P2, 31) * P1
+        v1, v2, v3, v4 = lanes
+        h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in lanes:
+            h = (h ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+        p = (L // 32) * 32
+    else:
+        h = np.full(n, (seed + int(P5)) & mask64, dtype=np.uint64)
+        p = 0
+    h = h + np.uint64(L)
+    while L - p >= 8:
+        k1 = rotl(read_le(p, 8) * P2, 31) * P1
+        h = rotl(h ^ k1, 27) * P1 + P4
+        p += 8
+    if L - p >= 4:
+        h = rotl(h ^ (read_le(p, 4) * P1), 23) * P2 + P3
+        p += 4
+    while p < L:
+        h = rotl(h ^ (data[:, p].astype(np.uint64) * P5), 11) * P1
+        p += 1
+    h ^= h >> np.uint64(33)
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
 def _xxh64_gram_hashes_np(text, gram_len):
     """Per-position xxhash64 gram hashes, bit-identical to the SQL
     ``xxhash64(substr(text, i, gram_len))`` (Spark hashes the substring's
     UTF-8 bytes) but O(chars * gram_bytes) instead of the O(chars^2)
     byte-seeking that per-position ``substr`` costs on UTF8String."""
     import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
 
     if text is None:
         return None
@@ -225,12 +287,14 @@ def _xxh64_gram_hashes_np(text, gram_len):
     n = cp.size - gram_len + 1
     if n <= 0:
         return np.empty(0, dtype=np.int64)
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if b.size == cp.size:  # pure ASCII: fixed-width byte windows, no gather
+        return _xxh64_np_uniform(sliding_window_view(b, gram_len)).view(np.int64)
     clen = (
         1 + (cp >= 0x80).astype(np.int64) + (cp >= 0x800) + (cp >= 0x10000)
     )
     off = np.zeros(cp.size + 1, dtype=np.int64)
     np.cumsum(clen, out=off[1:])
-    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     starts = off[:n]
     bl = off[gram_len : gram_len + n] - starts
     idx = np.clip(starts[:, None] + np.arange(int(bl.max())), 0, b.size - 1)

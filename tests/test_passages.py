@@ -526,14 +526,16 @@ def test_numpy_xxh64_matches_spark_exactly(spark):
 
     rnd = random.Random(4242)
     alpha = "abcdefgh ijklmnop" + "é߿ࠀ中𝄞𐍈"
+    ascii_alpha = "abcdefgh ijklmnop"  # exercises the uniform-width path
     texts = []
     # gram byte lengths from 3 (3 ASCII) up past 32 (12 astral chars = 48B)
     for glen in (3, 7, 8, 9, 12, 31, 32, 33, 40):
-        for _ in range(6):
-            texts.append(
-                ("".join(rnd.choice(alpha) for _ in range(rnd.randrange(glen, glen + 60))), glen)
-            )
-    texts += [("", 5), ("ab", 5), ("𝄞" * 20, 8)]
+        for a in (alpha, ascii_alpha):
+            for _ in range(3):
+                texts.append(
+                    ("".join(rnd.choice(a) for _ in range(rnd.randrange(glen, glen + 60))), glen)
+                )
+    texts += [("", 5), ("ab", 5), ("𝄞" * 20, 8), ("x" * 80, 36)]
 
     for i, (t, glen) in enumerate(texts):
         df = spark.createDataFrame([(t,)], ["text"])
