@@ -323,6 +323,47 @@ def _q_over_salted_1h(spark, sf_dir):
     return _round2(df, "sum_1h")
 
 
+def _q_over_auto_salt_1h(spark, sf_dir):
+    """The AUTO-salted bounded over-window: salt_chunk_ms is an AutoSalt
+    policy, so the plan-time skew probe (skew_probe.py) measures the
+    key/time distribution and picks the chunk size itself (thresholds set
+    so the probe always salts here — the point is driving probe + salted
+    plan end-to-end through the correctness gate).  Shares over_range_1h's
+    oracle: the salted plan must be hash-identical to the standard
+    RANGE-frame plan."""
+    from feathub_spark import Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+    from feathub_spark.processors.spark.skew_probe import AutoSalt
+
+    df = _events_over_view(
+        spark,
+        sf_dir,
+        [
+            Feature(
+                "sum_1h",
+                transform=OverWindowTransform(
+                    "value", "SUM", window_size=timedelta(hours=1), group_by_keys=["user_id"]
+                ),
+            ),
+            Feature(
+                "max_1h",
+                transform=OverWindowTransform(
+                    "value", "MAX", window_size=timedelta(hours=1), group_by_keys=["user_id"]
+                ),
+            ),
+            Feature(
+                "cnt_1h",
+                transform=OverWindowTransform(
+                    "value", "COUNT", window_size=timedelta(hours=1), group_by_keys=["user_id"]
+                ),
+            ),
+        ],
+        "over_auto_salt_view",
+        salt_chunk_ms=AutoSalt(threshold=1.0, min_hot_rows=1),
+    ).select("event_id", "user_id", "sum_1h", "max_1h", "cnt_1h")
+    return _round2(df, "sum_1h")
+
+
 def _q_over_rows_limit(spark, sf_dir):
     from feathub_spark import Feature
     from feathub_spark.feature_views.transforms import OverWindowTransform
@@ -5358,6 +5399,7 @@ _RAW_QUERIES = {
         "sql_view_tpch_q14": _q_sql_view_q14,
         "sql_view_tpch_q15": _q_sql_view_q15,
         "sql_view_tpch_q19": _q_sql_view_q19,
+        "over_auto_salt_1h": _q_over_auto_salt_1h,
 }
 
 
@@ -5386,6 +5428,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_view_tpch_q14": _TPCH_Q14_SQL,
         "sql_view_tpch_q15": _TPCH_Q15_SQL,
         "sql_view_tpch_q19": _TPCH_Q19_SQL,
+        "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
