@@ -4772,6 +4772,25 @@ def _q_mmr_rerank(spark, sf_dir):
     )
 
 
+def _q_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer trained on the corpus's own word-frequency table
+    (Sennrich subword merges, deterministic lexicographic tie-break) then
+    applied back to every document.  The iterative merge loop has no
+    relational/SQL form, so this is rows-only with the trainer AND encoder
+    pinned against a pure-Python reference implementation plus a
+    reassembly property (tests/test_bpe.py)."""
+    from feathub_spark.datapipe.bpe import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = bpe_train(docs, "text", n_merges=10, lowercase=True)
+    out = bpe_encode(docs, "text", merges, lowercase=True)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     """Hybrid search: reciprocal-rank fusion of the BM25 keyword ranking
     (documents) and the exact cosine ANN ranking (embeddings; the
@@ -5400,6 +5419,7 @@ _RAW_QUERIES = {
         "sql_view_tpch_q15": _q_sql_view_q15,
         "sql_view_tpch_q19": _q_sql_view_q19,
         "over_auto_salt_1h": _q_over_auto_salt_1h,
+        "bpe_tokenize": _q_bpe_tokenize,
 }
 
 

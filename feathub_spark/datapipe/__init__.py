@@ -34,6 +34,11 @@ from feathub_spark.datapipe.quality import (
     winsorize,
 )
 from feathub_spark.datapipe.resample import resample_ffill
+from feathub_spark.datapipe.bpe import (
+    bpe_encode,
+    bpe_train,
+    word_frequencies,
+)
 from feathub_spark.datapipe.retrieval import (
     bm25_search,
     mmr_rerank,
@@ -76,6 +81,7 @@ __all__ = [
     "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",
     "diff_snapshots", "exact_dedup", "funnel_steps", "hll_distinct",
     "ivf_pq_topk", "ivf_topk", "key_skew", "lsh_topk",
+    "bpe_encode", "bpe_train", "word_frequencies",
     "merge_aggregates", "minhash_lsh_pairs", "mmr_rerank",
     "ngram_jaccard_pairs", "normalize_text", "numeric_histogram",
     "pack_sequences", "pagerank", "parse_json_features", "phrase_search",
