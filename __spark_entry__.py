@@ -1232,6 +1232,50 @@ def _q_minhash_dedup(spark, sf_dir):
     return minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5)
 
 
+def _q_minhash_index_match(spark, sf_dir):
+    """Incremental near-dup ingest: even doc_ids are the 'historical'
+    corpus materialized as an LSH bucket index (band, bucket, doc_id,
+    shingles); odd doc_ids are the new shard, signature-hashed once and
+    checked via one (band, bucket) equi-join + exact-Jaccard verification.
+    The oracle computes ALL cross (odd x even) pairs with exact shingle
+    Jaccard >= 0.5 — LSH recall is total at these settings on this corpus
+    (same evidence as minhash_dedup), so the output is exact."""
+    from feathub_spark.datapipe.dedup import match_minhash_index, minhash_index
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    index = minhash_index(df.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+    return match_minhash_index(
+        df.filter(F.col("doc_id") % 2 == 1), index, "text", "doc_id",
+        threshold=0.5,
+    )
+
+
+_ORACLE_MINHASH_INDEX_MATCH = """
+WITH grams AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 3 THEN
+             list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])
+           ELSE [array_to_string(tk, ' ')] END AS gs
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+          FROM documents)
+), inv AS (
+    SELECT doc_id, unnest(gs) AS gram FROM grams
+), co AS (
+    SELECT n.doc_id AS new_id, o.doc_id AS match_id, count(*) AS common
+    FROM inv n JOIN inv o ON n.gram = o.gram
+    WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+    GROUP BY n.doc_id, o.doc_id
+)
+SELECT co.new_id, co.match_id,
+       round(CAST(common AS DOUBLE) / (len(gn.gs) + len(go.gs) - common), 6) AS jaccard
+FROM co
+JOIN grams gn ON gn.doc_id = co.new_id
+JOIN grams go ON go.doc_id = co.match_id
+WHERE CAST(common AS DOUBLE) / (len(gn.gs) + len(go.gs) - common) >= 0.5
+"""
+
+
 def _q_simhash_pairs(spark, sf_dir):
     """Simhash near-dup pairs, oracle-checked end to end: the portable
     polynomial token hash makes the fingerprint reproducible in DuckDB, and
@@ -5420,6 +5464,7 @@ _RAW_QUERIES = {
         "sql_view_tpch_q19": _q_sql_view_q19,
         "over_auto_salt_1h": _q_over_auto_salt_1h,
         "bpe_tokenize": _q_bpe_tokenize,
+        "minhash_index_match": _q_minhash_index_match,
 }
 
 
@@ -5449,6 +5494,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_view_tpch_q15": _TPCH_Q15_SQL,
         "sql_view_tpch_q19": _TPCH_Q19_SQL,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
+        "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,

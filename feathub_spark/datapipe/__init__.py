@@ -12,6 +12,8 @@ from feathub_spark.datapipe.bloom import bloom_filter_bits, bloom_prune
 from feathub_spark.datapipe.dedup import (
     dedup_clusters,
     exact_dedup,
+    match_minhash_index,
+    minhash_index,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     select_survivors,
@@ -82,7 +84,8 @@ __all__ = [
     "diff_snapshots", "exact_dedup", "funnel_steps", "hll_distinct",
     "ivf_pq_topk", "ivf_topk", "key_skew", "lsh_topk",
     "bpe_encode", "bpe_train", "word_frequencies",
-    "merge_aggregates", "minhash_lsh_pairs", "mmr_rerank",
+    "match_minhash_index", "merge_aggregates", "minhash_index",
+    "minhash_lsh_pairs", "mmr_rerank",
     "ngram_jaccard_pairs", "normalize_text", "numeric_histogram",
     "pack_sequences", "pagerank", "parse_json_features", "phrase_search",
     "pii_scrub", "pq_topk", "profile_columns", "quality_buckets",

@@ -166,17 +166,9 @@ def minhash_lsh_pairs(
         shingles_col="__sh__",
     ))
     shingles = sigs.select("__id__", "__sh__")
-    banded = sigs.select(
-        F.col("__id__"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, "
-                f"xxhash64(array_join(slice(__minhash__, b * {rows_per_band} + 1, "
-                f"{rows_per_band}), ',')) AS bucket))"
-            )
-        ).alias("bb"),
-    ).select("__id__", F.col("bb.band"), F.col("bb.bucket"))
+    banded = _banded_buckets(
+        sigs.select("__id__", "__minhash__"), bands, rows_per_band
+    )
 
     candidates = (
         _bucket_pairs(banded, ["band", "bucket"], "struct(__id__)")
@@ -208,6 +200,121 @@ def minhash_lsh_pairs(
         pairs.withColumn("jaccard", F.expr(jac))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _banded_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(__id__, band, bucket) from a ``__minhash__`` signature column —
+    one bucket key per band, the LSH collision unit shared by
+    :func:`minhash_lsh_pairs` and the incremental index."""
+    return sigs.select(
+        F.col("__id__"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                f"xxhash64(array_join(slice(__minhash__, b * {rows_per_band} + 1, "
+                f"{rows_per_band}), ',')) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("__id__", F.col("bb.band"), F.col("bb.bucket"))
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Materializable LSH bucket index (``band``, ``bucket``, ``doc_id``,
+    ``shingles``) for INCREMENTAL near-dup detection: build it over the
+    historical corpus once, write it out (bucketed by (band, bucket) so
+    the per-ingest candidate join needs no index-side shuffle), then check
+    every new shard with :func:`match_minhash_index` — only the shard is
+    signature-hashed per ingest.
+
+    The shingle array rides along per (doc, band) row so verification
+    needs no second table; for band counts where that duplication bites
+    at scale, store ``shingles`` in a separate doc-keyed table and join it
+    in at verify time instead.  All parameters must match between index
+    build and match calls — bucket keys are a function of them."""
+    rows_per_band = num_hashes // bands
+    with_shingles = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id__"),
+        F.expr(_shingles_sql(text_col, shingle_k)).alias("__sh__"),
+    )
+    sigs = minhash_signatures(
+        with_shingles, text_col, "__id__", num_hashes, shingle_k, seed,
+        shingles_col="__sh__",
+    )
+    return (
+        _banded_buckets(sigs.select("__id__", "__minhash__"), bands, rows_per_band)
+        .join(sigs.select("__id__", "__sh__"), on="__id__")
+        .select(
+            "band", "bucket",
+            F.col("__id__").alias("doc_id"),
+            F.col("__sh__").alias("shingles"),
+        )
+    )
+
+
+def match_minhash_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup check: (``new_id``, ``match_id``, ``jaccard``)
+    for every NEW document whose exact shingle Jaccard against an indexed
+    document is >= ``threshold``, with candidates generated by LSH bucket
+    collisions against ``index`` (a table from :func:`minhash_index`; same
+    num_hashes/bands/shingle_k/seed required).
+
+    Plan: the new shard is tokenized + signature-hashed once (narrow,
+    cached); candidates come from ONE equi-join on (band, bucket) — the
+    historical corpus is never re-hashed; verification joins the shard's
+    own shingles with the candidate rows' stored shingles (already on the
+    candidate row — zero extra index access).  Same recall caveat as all
+    banded LSH: a true pair colliding in no band is missed, so size
+    bands/rows-per-band for the target threshold."""
+    rows_per_band = num_hashes // bands
+    with_shingles = ensure_parallelism(new_df).select(
+        F.col(id_col).alias("__id__"),
+        F.expr(_shingles_sql(text_col, shingle_k)).alias("__sh__"),
+    )
+    sigs = register_cache(minhash_signatures(
+        with_shingles, text_col, "__id__", num_hashes, shingle_k, seed,
+        shingles_col="__sh__",
+    ))
+    banded = _banded_buckets(sigs.select("__id__", "__minhash__"), bands, rows_per_band)
+    cands = (
+        banded.join(index, on=["band", "bucket"])
+        .select(F.col("__id__").alias("new_id"), "doc_id", "shingles")
+        .dropDuplicates(["new_id", "doc_id"])
+    )
+    jac = (
+        "CAST(size(array_intersect(__sh__, shingles)) AS DOUBLE) / "
+        "size(array_union(__sh__, shingles))"
+    )
+    return (
+        cands.join(
+            sigs.select(F.col("__id__").alias("new_id"), "__sh__"), on="new_id"
+        )
+        .withColumn("jaccard", F.expr(jac))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "new_id",
+            F.col("doc_id").alias("match_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     )
 
 

@@ -39,6 +39,49 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(r.jaccard >= 0.4 for r in pairs)
 
 
+def test_minhash_index_incremental_match(docs, spark):
+    """Index the 'historical' half, match the 'new' half against it: the
+    matches must be exactly the cross (new x indexed) subset of the full
+    batch near-dup pairs at the same parameters, with identical jaccard
+    values; a re-ingested exact replica matches at 1.0."""
+    from feathub_spark.datapipe.dedup import (
+        match_minhash_index,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    kw = dict(num_hashes=64, bands=16, shingle_k=2, seed=42)
+    old = docs.filter(F.col("doc_id") <= 2)
+    new = docs.filter(F.col("doc_id") >= 3)
+    index = minhash_index(old, "text", "doc_id", **kw)
+    got = {
+        (r["new_id"], r["match_id"]): r["jaccard"]
+        for r in match_minhash_index(
+            new, index, "text", "doc_id", threshold=0.4, **kw
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.4, **kw
+        ).collect()
+    }
+    exp = {(b, a): j for (a, b), j in full.items() if a <= 2 and b >= 3}
+    assert got == exp
+
+    # a re-ingested exact replica of doc 0 must match it at jaccard 1.0
+    replica = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    hits = match_minhash_index(
+        replica, index, "text", "doc_id", threshold=0.9, **kw
+    ).collect()
+    assert {(r["new_id"], r["match_id"], r["jaccard"]) for r in hits} == {
+        (100, 0, 1.0), (100, 1, 1.0)
+    }
+
+
 def test_ngram_jaccard_exact(docs):
     from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
 
