@@ -4835,6 +4835,45 @@ def _q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def _q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) write-layout key over two lineitem measures — the
+    multi-column clustering that makes parquet min/max skipping prune on
+    EITHER predicate column.  The rank scaling and bit interleave are pure
+    +/*/FLOOR/% arithmetic generated by one shared builder
+    (datapipe/layout.py), so the oracle evaluates the IDENTICAL expression
+    in DuckDB."""
+    from feathub_spark.datapipe.layout import zorder_key
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return zorder_key(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
+        ["l_extendedprice", "l_quantity"],
+        bits=16,
+    ).select("l_orderkey", "l_linenumber", "zorder_key")
+
+
+def _oracle_zorder_key_sql() -> str:
+    from feathub_spark.datapipe.layout import (
+        zorder_bit_interleave_sql,
+        zorder_scale_sql,
+    )
+
+    scaled = [
+        zorder_scale_sql("l_extendedprice", "__lo0__", "__hi0__", 16),
+        zorder_scale_sql("l_quantity", "__lo1__", "__hi1__", 16),
+    ]
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       {zorder_bit_interleave_sql(scaled, 16)} AS zorder_key
+FROM lineitem CROSS JOIN (
+    SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS __lo0__,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS __hi0__,
+           CAST(MIN(l_quantity) AS DOUBLE) AS __lo1__,
+           CAST(MAX(l_quantity) AS DOUBLE) AS __hi1__
+    FROM lineitem) stats
+"""
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     """Hybrid search: reciprocal-rank fusion of the BM25 keyword ranking
     (documents) and the exact cosine ANN ranking (embeddings; the
@@ -5465,6 +5504,7 @@ _RAW_QUERIES = {
         "over_auto_salt_1h": _q_over_auto_salt_1h,
         "bpe_tokenize": _q_bpe_tokenize,
         "minhash_index_match": _q_minhash_index_match,
+        "zorder_key": _q_zorder_key,
 }
 
 
@@ -5495,6 +5535,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_view_tpch_q19": _TPCH_Q19_SQL,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
+        "zorder_key": _oracle_zorder_key_sql(),
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,

@@ -41,6 +41,10 @@ from feathub_spark.datapipe.bpe import (
     bpe_train,
     word_frequencies,
 )
+from feathub_spark.datapipe.layout import (
+    zorder_key,
+    zorder_layout,
+)
 from feathub_spark.datapipe.retrieval import (
     bm25_search,
     mmr_rerank,
@@ -85,7 +89,7 @@ __all__ = [
     "ivf_pq_topk", "ivf_topk", "key_skew", "lsh_topk",
     "bpe_encode", "bpe_train", "word_frequencies",
     "match_minhash_index", "merge_aggregates", "minhash_index",
-    "minhash_lsh_pairs", "mmr_rerank",
+    "minhash_lsh_pairs", "mmr_rerank", "zorder_key", "zorder_layout",
     "ngram_jaccard_pairs", "normalize_text", "numeric_histogram",
     "pack_sequences", "pagerank", "parse_json_features", "phrase_search",
     "pii_scrub", "pq_topk", "profile_columns", "quality_buckets",

@@ -1,0 +1,119 @@
+"""Z-order (Morton-curve) write layout for multi-column data skipping.
+
+Parquet/Delta/Iceberg readers prune files and row groups with per-column
+min/max statistics; a table sorted by ONE column skips well on that column
+only.  Interleaving the bits of several rank-scaled columns (the Z-order /
+Morton curve — the technique behind Delta Lake's OPTIMIZE ZORDER BY and
+Iceberg's sort-order z-ordering) keeps rows that are close in EVERY
+dimension close in the file order, so min/max pruning works for predicates
+on any of the participating columns at once.
+
+Plan shape:
+- per-column min/max is ONE 1-row aggregate broadcast back (the same
+  broadcast-scalar pattern as bm25/temperature_sample — never a window);
+- the rank scaling + bit interleave are pure arithmetic on that row
+  (FLOOR/%/* only, so ONE generated SQL string evaluates identically in
+  Spark and any ANSI engine — the oracle runs the same expression);
+- the layout itself is repartitionByRange on the key + an intra-partition
+  sort: a single range-exchange, exactly what a sort-based write requires
+  anyway, and the range boundaries are sampled so skew in the z-key space
+  spreads evenly.
+
+At 100 TB this runs once per written partition of the table; the z-key is
+never stored (recomputed at rewrite), so it adds zero bytes on disk.
+No reference counterpart: feathub delegates file layout to the engines;
+this is beyond-reference capability for the lakehouse write path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from feathub_spark.common.parallelism import ensure_parallelism
+
+
+def zorder_bit_interleave_sql(scaled_cols: Sequence[str], bits: int) -> str:
+    """Unrolled Morton interleave of ``len(scaled_cols)`` non-negative
+    integer expressions, ``bits`` bits each, as pure +/*/FLOOR/% arithmetic
+    (no shift operators — Spark spells them shiftleft() while DuckDB uses
+    <<; arithmetic is the portable common ground, and every intermediate
+    stays exact below 2^53 for bits*cols <= 42)."""
+    n = len(scaled_cols)
+    if n * bits > 42:
+        raise ValueError(
+            f"bits * cols = {n * bits} exceeds the 42-bit exact-double "
+            f"budget; lower bits (got {bits} x {n} cols)"
+        )
+    terms = []
+    for j in range(bits):
+        for i, c in enumerate(scaled_cols):
+            # bit j of column i, placed at interleaved position n*j + i
+            terms.append(
+                f"(CAST(FLOOR(({c}) / {1 << j}) AS BIGINT) % 2) "
+                f"* {1 << (n * j + i)}"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_scale_sql(col: str, lo: str, hi: str, bits: int) -> str:
+    """Rank-scale ``col`` into [0, 2^bits): (v - min) / (max - min) over
+    the corpus, floored to a bucket, NULLs and degenerate (min == max)
+    columns landing in bucket 0.  Exact-double arithmetic, identical in
+    any ANSI engine."""
+    top = (1 << bits) - 1
+    return (
+        f"COALESCE(CAST(FLOOR((CAST({col} AS DOUBLE) - {lo}) * {top} "
+        f"/ NULLIF(CAST({hi} AS DOUBLE) - {lo}, 0.0)) AS BIGINT), 0)"
+    )
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    out_col: str = "zorder_key",
+) -> DataFrame:
+    """Append ``out_col``: the Z-order key over ``cols`` (numeric), each
+    rank-scaled to ``bits`` bits against the corpus min/max.  One 1-row
+    min/max aggregate broadcast back; everything else is narrow
+    arithmetic."""
+    cols = list(cols)
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo{i}__"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi{i}__"))
+    stats = df.agg(*aggs)
+    out = ensure_parallelism(df).crossJoin(F.broadcast(stats))
+    scaled = [
+        zorder_scale_sql(f"`{c}`", f"__lo{i}__", f"__hi{i}__", bits)
+        for i, c in enumerate(cols)
+    ]
+    out = out.withColumn(
+        out_col, F.expr(zorder_bit_interleave_sql(scaled, bits))
+    )
+    drop = [f"__lo{i}__" for i in range(len(cols))] + [
+        f"__hi{i}__" for i in range(len(cols))
+    ]
+    return out.drop(*drop)
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_partitions: Optional[int] = None,
+    bits: int = 16,
+) -> DataFrame:
+    """Cluster ``df`` for writing: range-partition on the Z-order key over
+    ``cols`` and sort within partitions, then drop the key.  Each output
+    file then covers a compact hyper-rectangle of the key space, so
+    parquet min/max skipping prunes on ANY of ``cols``.  One range
+    exchange (sampled boundaries absorb z-key skew) + local sort."""
+    keyed = zorder_key(df, cols, bits=bits, out_col="__z__")
+    parted = (
+        keyed.repartitionByRange(num_partitions, "__z__")
+        if num_partitions
+        else keyed.repartitionByRange("__z__")
+    )
+    return parted.sortWithinPartitions("__z__").drop("__z__")

@@ -41,6 +41,7 @@ _BOUNDED_BNLJ_OK = {
     "mmr_rerank",  # brute-force candidate stage (broadcast query set)
     "negative_samples",  # 1-row broadcast per-bucket-minimum ring summary
     "token_pmi",  # 1-row broadcast corpus totals (N_uni, N_bi)
+    "zorder_key",  # 1-row broadcast per-column min/max stats
 }
 
 
