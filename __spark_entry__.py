@@ -1893,6 +1893,21 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """The same near-dup clustering through the alternating
+    large-star/small-star CC algorithm (O(log n) rounds — the safe plan
+    for pathological duplicate CHAINS where label propagation's
+    O(diameter) rounds starve).  Shares dedup_clusters' oracle: the two
+    algorithms must be hash-identical."""
+    from feathub_spark.datapipe.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
+    )
+    return dedup_clusters(pairs, algorithm="star")
+
+
 _ORACLE_DEDUP_CLUSTERS = """
 WITH RECURSIVE
 grams AS (
@@ -5505,6 +5520,7 @@ _RAW_QUERIES = {
         "bpe_tokenize": _q_bpe_tokenize,
         "minhash_index_match": _q_minhash_index_match,
         "zorder_key": _q_zorder_key,
+        "dedup_clusters_star": _q_dedup_clusters_star,
 }
 
 
@@ -5536,6 +5552,7 @@ def oracle_sql() -> dict[str, str]:
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),
+        "dedup_clusters_star": _ORACLE_DEDUP_CLUSTERS,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,

@@ -626,19 +626,31 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document gets
     the smallest reachable id as ``cluster_id`` (the canonical survivor).
 
-    Iterative min-label propagation — the standard large-graph approach
-    (alternating small-star/large-star is the published refinement): each
-    round every node adopts the minimum label among itself and its
-    neighbors; converges in O(component diameter) rounds.  Each round is one
-    shuffle; intermediate results are localCheckpointed so the plan does not
-    grow unboundedly.  Raises ``RuntimeError`` if a component's diameter
-    exceeds ``max_iterations`` (unconverged labels would silently split one
-    component into several) — raise the limit for pathologically long
-    duplicate chains."""
+    ``algorithm="label"`` (default): iterative min-label propagation —
+    each round every node adopts the minimum label among itself and its
+    neighbors; ONE shuffle per round but O(component diameter) rounds, the
+    right trade for near-dup graphs (components are dense and shallow).
+    ``algorithm="star"``: alternating large-star/small-star (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond") — more
+    shuffles per round but O(log n) rounds, the safe choice when a
+    pathological duplicate CHAIN (diameter ~ component size, e.g.
+    near-identical versioned pages) would starve label propagation.
+    Results are identical; test_datapipe.py pins both on random graphs
+    and a 300-link chain.
+
+    Intermediate results are localCheckpointed so the plan does not grow
+    unboundedly.  Raises ``RuntimeError`` on non-convergence within
+    ``max_iterations`` (unconverged labels would silently split one
+    component into several)."""
+    if algorithm == "star":
+        return _dedup_clusters_star(pairs, id_a, id_b, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown dedup_clusters algorithm: {algorithm!r}")
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -685,9 +697,106 @@ def dedup_clusters(
         raise RuntimeError(
             f"dedup_clusters did not converge within {max_iterations} "
             "iterations (a connected component's diameter exceeds the "
-            "limit); raise max_iterations"
+            "limit); raise max_iterations or use algorithm='star'"
         )
     return labels
+
+
+def _dedup_clusters_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iterations: int
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (docstring of
+    :func:`dedup_clusters`).  Invariant carried between rounds: the edge
+    set is oriented larger -> smaller (a > b) and distinct.
+
+    - large-star: for each node u (over the symmetrized edges) with
+      neighbor set N, connect every STRICTLY LARGER neighbor v > u to
+      m = min({u} ∪ N) — long chains collapse towards minima
+      logarithmically;
+    - small-star: for each node u over the (a > b)-oriented edges with
+      smaller-neighbor set N, connect u and every v ∈ N to min(N) —
+      flattens local trees into stars.
+
+    Converged when a full round leaves the oriented edge set unchanged.
+    The per-round check is one (count, sum-of-edge-hashes) aggregate —
+    two shuffle-less jobs cheaper than set subtraction — and only a
+    MATCHING fingerprint triggers the exact two-way exceptAll
+    confirmation, so a hash collision can cost one extra confirm job but
+    never a wrong answer.  Every node's final cluster is its direct
+    neighbor minimum (the star root), or itself for roots/isolated ids."""
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    e = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+            F.least(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(e)
+    converged = False
+    for _ in range(max_iterations):
+        sym = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+            e.select(F.col("b").alias("s"), F.col("a").alias("d"))
+        )
+        nmin = sym.groupBy("s").agg(F.min("d").alias("__m__"))
+        large = (
+            sym.join(nmin, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(
+                F.col("d").alias("a"),
+                F.least(F.col("s"), F.col("__m__")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        small_min = large.groupBy("a").agg(F.min("b").alias("__m__"))
+        new_e = (
+            large.join(small_min, "a")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("x"), F.col("__m__").alias("y")),
+                        F.struct(F.col("b").alias("x"), F.col("__m__").alias("y")),
+                    )
+                ).alias("__e__")
+            )
+            .select(F.col("__e__.x").alias("a"), F.col("__e__.y").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = _fingerprint(new_e)
+        unchanged = new_fp == fp and (
+            new_e.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new_e).limit(1).count() == 0
+        )
+        e, fp = new_e, new_fp
+        if unchanged:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters(algorithm='star') did not converge within "
+            f"{max_iterations} rounds; raise max_iterations"
+        )
+    roots = e.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("__root__"))
+    return nodes.join(roots, "id", "left").select(
+        "id", F.coalesce(F.col("__root__"), F.col("id")).alias("cluster_id")
+    )
 
 
 def select_survivors(

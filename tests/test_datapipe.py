@@ -39,6 +39,42 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(r.jaccard >= 0.4 for r in pairs)
 
 
+def test_dedup_clusters_star_equals_label(spark):
+    """Both CC algorithms must produce identical clusters on random
+    graphs (including singleton pairs and multiple components)."""
+    import random
+
+    from feathub_spark.datapipe.dedup import dedup_clusters
+
+    rnd = random.Random(23)
+    pairs = {(rnd.randrange(0, 60), rnd.randrange(0, 60)) for _ in range(70)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    label = {r["id"]: r["cluster_id"]
+             for r in dedup_clusters(df, algorithm="label").collect()}
+    star = {r["id"]: r["cluster_id"]
+            for r in dedup_clusters(df, algorithm="star").collect()}
+    assert star == label
+
+    with pytest.raises(ValueError):
+        dedup_clusters(df, algorithm="turbo")
+
+
+def test_dedup_clusters_star_handles_long_chain(spark):
+    """A 300-link duplicate chain: label propagation needs ~300 rounds
+    (raises at the default 20), the star alternation converges in
+    O(log n) and labels the whole chain with its minimum."""
+    from feathub_spark.datapipe.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="star"):
+        dedup_clusters(df, algorithm="label")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup_clusters(df, algorithm="star", max_iterations=20).collect()}
+    assert got == {i: 0 for i in range(301)}
+
+
 def test_minhash_index_incremental_match(docs, spark):
     """Index the 'historical' half, match the 'new' half against it: the
     matches must be exactly the cross (new x indexed) subset of the full
