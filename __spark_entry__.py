@@ -4850,6 +4850,21 @@ def _q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def _q_pca_whiten(spark, sf_dir):
+    """Whitened 16-dim PCA of the embedding corpus — the standard
+    decorrelation step before PQ/OPQ indexing.  Moments reduce per
+    partition to (count, sum, X^T.X) rows; the d x d eigendecomposition is
+    driver-side (d=64, never data-sized) with a deterministic sign fix.
+    The eigensolve has no SQL form, so rows-only, with the whole pipeline
+    pinned against single-machine numpy PCA (tests/test_decompose.py)."""
+    from feathub_spark.datapipe.decompose import pca_project
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return pca_project(
+        emb, "embedding", k=16, whiten=True, round_to=6
+    ).select("vec_id", F.col("pca").alias("pca_whitened"))
+
+
 def _q_zorder_key(spark, sf_dir):
     """Z-order (Morton) write-layout key over two lineitem measures — the
     multi-column clustering that makes parquet min/max skipping prune on
@@ -5521,6 +5536,7 @@ _RAW_QUERIES = {
         "minhash_index_match": _q_minhash_index_match,
         "zorder_key": _q_zorder_key,
         "dedup_clusters_star": _q_dedup_clusters_star,
+        "pca_whiten": _q_pca_whiten,
 }
 
 

@@ -41,6 +41,10 @@ from feathub_spark.datapipe.bpe import (
     bpe_train,
     word_frequencies,
 )
+from feathub_spark.datapipe.decompose import (
+    fit_pca,
+    pca_project,
+)
 from feathub_spark.datapipe.layout import (
     zorder_key,
     zorder_layout,
@@ -85,7 +89,7 @@ __all__ = [
     "analyze_documents", "assign_shards", "assign_splits",
     "bloom_filter_bits", "bloom_prune", "bm25_search", "brute_force_topk",
     "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",
-    "diff_snapshots", "exact_dedup", "funnel_steps", "hll_distinct",
+    "diff_snapshots", "exact_dedup", "fit_pca", "pca_project", "funnel_steps", "hll_distinct",
     "ivf_pq_topk", "ivf_topk", "key_skew", "lsh_topk",
     "bpe_encode", "bpe_train", "word_frequencies",
     "match_minhash_index", "merge_aggregates", "minhash_index",
