@@ -368,3 +368,52 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
         per_key_levels.setdefault(r.k, []).append(r.n_steps)
     for k, levels in per_key_levels.items():
         assert sorted(levels) == list(range(1, max(levels) + 1))
+
+
+def test_match_minhash_index_streaming_foreachbatch(spark, tmp_path):
+    """Document-level near-dup analog of the winnow-index streaming test:
+    NEW documents stream in and are LSH-checked per micro-batch against a
+    STATIC minhash index; results must equal the batch run."""
+    from feathub_spark.datapipe.dedup import match_minhash_index, minhash_index
+
+    hist = spark.createDataFrame(
+        [(i, f"historical document number {i} sharing a long boilerplate body "
+             f"of common words repeated across the corpus") for i in range(6)],
+        "doc_id long, text string",
+    )
+    new_rows = [
+        (100, "historical document number 3 sharing a long boilerplate body "
+              "of common words repeated across the corpus"),  # exact replica
+        (101, "entirely novel content nothing indexed before here at all "
+              "with its own fresh words"),
+    ]
+    new_batch = spark.createDataFrame(new_rows, "doc_id long, text string")
+    kw = dict(num_hashes=64, bands=16, shingle_k=2, seed=42)
+    index = minhash_index(hist, "text", "doc_id", **kw)
+
+    expected = {
+        (r["new_id"], r["match_id"]): r["jaccard"]
+        for r in match_minhash_index(
+            new_batch, index, "text", "doc_id", threshold=0.5, **kw
+        ).collect()
+    }
+    assert (100, 3) in expected and expected[(100, 3)] == 1.0
+    assert not any(n == 101 for n, _ in expected)
+
+    got = {}
+
+    def handle(bdf, _bid):
+        for r in match_minhash_index(
+            bdf, index, "text", "doc_id", threshold=0.5, **kw
+        ).collect():
+            got[(r["new_id"], r["match_id"])] = r["jaccard"]
+
+    stream = _stream_of(spark, new_batch, tmp_path, "mh_idx")
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck_mh_idx"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert got == expected
