@@ -4850,6 +4850,34 @@ def _q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def _q_approx_quantiles(spark, sf_dir):
+    """Mergeable GK quantile sketch (Spark's percentile_approx — per-
+    partition sketches merge map-side, one shuffle, never a global sort).
+    accuracy=1e6 >= row count at every test SF, where the sketch is EXACT
+    and equals DuckDB's quantile_disc; at 100 TB the identical plan keeps
+    the documented rows/accuracy rank-error bound instead."""
+    from feathub_spark.datapipe.profile import approx_quantiles
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return approx_quantiles(
+        li, ["l_extendedprice", "l_quantity"],
+        [0.01, 0.25, 0.5, 0.75, 0.99], accuracy=1_000_000,
+    )
+
+
+_ORACLE_APPROX_QUANTILES = """
+WITH q AS (
+    SELECT quantile_disc(l_extendedprice, [0.01, 0.25, 0.5, 0.75, 0.99]) AS qe,
+           quantile_disc(l_quantity, [0.01, 0.25, 0.5, 0.75, 0.99]) AS qq
+    FROM lineitem
+), probs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS prob,
+             unnest([1, 2, 3, 4, 5]) AS i)
+SELECT 'l_extendedprice' AS "column", prob, qe[i] AS value FROM q, probs
+UNION ALL
+SELECT 'l_quantity' AS "column", prob, qq[i] AS value FROM q, probs
+"""
+
+
 def _q_pca_whiten(spark, sf_dir):
     """Whitened 16-dim PCA of the embedding corpus — the standard
     decorrelation step before PQ/OPQ indexing.  Moments reduce per
@@ -5537,6 +5565,7 @@ _RAW_QUERIES = {
         "zorder_key": _q_zorder_key,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "pca_whiten": _q_pca_whiten,
+        "approx_quantiles": _q_approx_quantiles,
 }
 
 
@@ -5569,6 +5598,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),
         "dedup_clusters_star": _ORACLE_DEDUP_CLUSTERS,
+        "approx_quantiles": _ORACLE_APPROX_QUANTILES,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,

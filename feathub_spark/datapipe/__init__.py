@@ -21,6 +21,7 @@ from feathub_spark.datapipe.dedup import (
 )
 from feathub_spark.datapipe.graph import pagerank
 from feathub_spark.datapipe.profile import (
+    approx_quantiles,
     cms_heavy_hitters,
     hll_distinct,
     key_skew,
@@ -89,7 +90,7 @@ __all__ = [
     "analyze_documents", "assign_shards", "assign_splits",
     "bloom_filter_bits", "bloom_prune", "bm25_search", "brute_force_topk",
     "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",
-    "diff_snapshots", "exact_dedup", "fit_pca", "pca_project", "funnel_steps", "hll_distinct",
+    "diff_snapshots", "approx_quantiles", "exact_dedup", "fit_pca", "pca_project", "funnel_steps", "hll_distinct",
     "ivf_pq_topk", "ivf_topk", "key_skew", "lsh_topk",
     "bpe_encode", "bpe_train", "word_frequencies",
     "match_minhash_index", "merge_aggregates", "minhash_index",

@@ -424,3 +424,51 @@ def validate_rules(df: DataFrame, rules) -> DataFrame:
     return wide.select(
         F.explode(F.expr(f"array({', '.join(structs)})")).alias("__r__")
     ).select("__r__.*")
+
+
+def approx_quantiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float],
+    accuracy: int = 10_000,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Mergeable approximate quantiles via Spark's built-in
+    ``percentile_approx`` (a Greenwald-Khanna sketch — the engine-native
+    scale path: per-partition sketches merge map-side, ONE shuffle, no
+    global sort).  Rank error is bounded by ``rows / accuracy``, so at
+    test scale (rows <= accuracy) results are EXACT and equal DuckDB's
+    ``quantile_disc``; at 100 TB the same plan degrades gracefully to the
+    documented rank-error bound instead of an impossible full sort.
+
+    Returns long format (``by``..., ``column``, ``prob``, ``value``) —
+    one row per (group, column, probability).  ``by`` adds per-group
+    quantiles (same single-shuffle shape, keyed)."""
+    from functools import reduce
+
+    cols = list(cols)
+    by = list(by) if by else []
+    probs = [float(p) for p in probs]
+    aggs = [
+        F.percentile_approx(F.col(c).cast("double"), probs, accuracy).alias(c)
+        for c in cols
+    ]
+    base = (
+        ensure_parallelism(df).groupBy(*by).agg(*aggs) if by
+        else ensure_parallelism(df).agg(*aggs)
+    )
+    probs_arr = F.array(*[F.lit(p) for p in probs])
+    parts = []
+    for c in cols:
+        parts.append(
+            base.select(
+                *by,
+                F.lit(c).alias("column"),
+                F.posexplode(F.col(c)).alias("__i__", "value"),
+            )
+            .withColumn("prob", F.element_at(probs_arr, F.col("__i__") + 1))
+            .drop("__i__")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).select(
+        *by, "column", "prob", "value"
+    )

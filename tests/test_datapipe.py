@@ -1467,3 +1467,40 @@ def test_merge_aggregates_equals_recompute(spark):
 
     with _pytest.raises(ValueError):
         merge_aggregates(prev2, d2, ["k"], {"a": ("avg", "v")})
+
+
+def test_approx_quantiles_exact_at_full_accuracy(spark):
+    """With accuracy >= row count the GK sketch is exact and must equal
+    the discrete quantile (element at rank ceil(p*n)) — globally and per
+    group; at scale the same plan degrades to the rank-error bound."""
+    import math
+
+    from feathub_spark.datapipe.profile import approx_quantiles
+
+    vals = [(g, float(v)) for g in ("a", "b")
+            for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 97, 7][: 12 if g == "a" else 14]]
+    df = spark.createDataFrame(vals, "g string, v double").repartition(5)
+    probs = [0.1, 0.5, 0.9]
+
+    def disc(data, p):
+        s = sorted(data)
+        return s[max(int(math.ceil(p * len(s))) - 1, 0)]
+
+    got = {
+        (r["column"], r["prob"]): r["value"]
+        for r in approx_quantiles(df, ["v"], probs, accuracy=100000).collect()
+    }
+    allv = [v for _, v in vals]
+    for p in probs:
+        assert got[("v", p)] == disc(allv, p), p
+
+    grouped = {
+        (r["g"], r["prob"]): r["value"]
+        for r in approx_quantiles(
+            df, ["v"], probs, accuracy=100000, by=["g"]
+        ).collect()
+    }
+    for g in ("a", "b"):
+        data = [v for gg, v in vals if gg == g]
+        for p in probs:
+            assert grouped[(g, p)] == disc(data, p), (g, p)
