@@ -1,0 +1,134 @@
+"""10x stress for the round-8 operators (verify-skill rule: unit-scale
+plans can still be quadratic or single-task at 10x).  Prints wall seconds
+per case; linear-ish growth and no blow-up = pass.
+
+Usage: python tools/stress_r8.py [scale]   # default 10
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def timed(label, fn):
+    t0 = time.time()
+    out = fn()
+    print(f"{label:58s} {time.time() - t0:7.2f}s")
+    return out
+
+
+def main() -> None:
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from feathub_spark import default_spark_session
+    from feathub_spark.common.caching import release_caches
+
+    spark = default_spark_session("stress_r8", cpus=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    rnd = random.Random(3)
+
+    # --- corpus: 5k docs * scale, ~120 words each, 10% near-dup pairs ----
+    n_docs = 500 * scale
+    words = [f"w{i}" for i in range(5000)]
+    texts = []
+    for i in range(n_docs):
+        body = " ".join(rnd.choice(words) for _ in range(120))
+        texts.append((i, body))
+        if i % 10 == 0:
+            texts.append((n_docs + i, body + " tail variation " + words[i % 5000]))
+    docs = spark.createDataFrame(texts, "doc_id long, text string").repartition(16)
+    docs.persist().count()
+
+    from feathub_spark.datapipe.bpe import bpe_encode, bpe_train
+
+    merges = timed(
+        f"bpe_train 10 merges ({len(texts)} docs)",
+        lambda: bpe_train(docs, "text", n_merges=10),
+    )
+    timed(
+        "bpe_encode full corpus",
+        lambda: bpe_encode(docs, "text", merges)
+        .agg(F.sum("n_tokens")).first(),
+    )
+    release_caches()
+
+    from feathub_spark.datapipe.dedup import (
+        dedup_clusters,
+        match_minhash_index,
+        minhash_index,
+    )
+
+    old = docs.filter(F.col("doc_id") < n_docs)
+    new = docs.filter(F.col("doc_id") >= n_docs)
+    idx = minhash_index(old, "text", "doc_id")
+    timed(
+        f"minhash_index+match ({n_docs} hist, {len(texts) - n_docs} new)",
+        lambda: match_minhash_index(new, idx, "text", "doc_id", threshold=0.5)
+        .count(),
+    )
+    release_caches()
+
+    # --- star CC: hot hub + long chain, 10x edges ------------------------
+    hub = [(0, i) for i in range(1, 2000 * scale)]
+    chain = [(100_000 + i, 100_001 + i) for i in range(200)]
+    pairs = spark.createDataFrame(hub + chain, "id_a long, id_b long")
+    labels = timed(
+        f"dedup_clusters star (hub {2000 * scale} + chain 200)",
+        lambda: dedup_clusters(pairs, algorithm="star", max_iterations=25)
+        .agg(F.countDistinct("cluster_id")).first(),
+    )
+    assert labels[0] == 2, labels
+
+    from feathub_spark.datapipe.layout import zorder_layout
+
+    pts = spark.range(50_000 * scale).select(
+        (F.xxhash64("id") % 65536).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 65536).alias("y"),
+    )
+    timed(
+        f"zorder_layout ({50_000 * scale} rows, 32 parts)",
+        lambda: zorder_layout(pts, ["x", "y"], num_partitions=32)
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    from feathub_spark.datapipe.decompose import pca_project
+
+    emb = spark.range(10_000 * scale).select(
+        F.expr(
+            "transform(sequence(1, 64), j -> "
+            "CAST(xxhash64(id, j) % 1000 AS DOUBLE) / 250.0)"
+        ).alias("v")
+    )
+    timed(
+        f"pca_project whiten k=16 ({10_000 * scale} x 64)",
+        lambda: pca_project(emb, "v", k=16, whiten=True)
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    from feathub_spark.datapipe.profile import approx_quantiles
+
+    big = spark.range(1_000_000 * scale).select(
+        (F.xxhash64("id") % 100000).cast("double").alias("v"),
+        (F.col("id") % 7).alias("g"),
+    )
+    timed(
+        f"approx_quantiles per-group ({1_000_000 * scale} rows)",
+        lambda: approx_quantiles(
+            big, ["v"], [0.01, 0.5, 0.99], accuracy=10_000, by=["g"]
+        ).count(),
+    )
+    docs.unpersist()
+    release_caches()
+
+
+if __name__ == "__main__":
+    main()
