@@ -517,6 +517,108 @@ ASOF LEFT JOIN orders o
 """
 
 
+def _q_pit_join_expiry(spark, sf_dir):
+    """valid_time_interval expiry: joining a SlidingFeatureView with
+    empty-window output disabled, the joined daily SUM expires step_size
+    after its window_time and is replaced by the agg default (0 for SUM);
+    rows before any window remain NULL.  Converts the §2 expiry row from
+    unit-only to oracle-gated: DuckDB replays the daily windows, the ASOF
+    join, and the expiry CASE."""
+    from feathub_spark import DerivedFeatureView, Feature, SlidingFeatureView
+    from feathub_spark.feature_views.transforms import SlidingWindowTransform
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    right = SlidingFeatureView(
+        name="expiry_daily_view",
+        source=events,
+        features=[
+            Feature(
+                "daily_sum",
+                transform=SlidingWindowTransform(
+                    "value", "SUM", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["user_id"],
+                ),
+            ),
+        ],
+        enable_empty_window_output=False,
+        skip_same_window_output=False,
+    )
+    left = DerivedFeatureView(
+        name="expiry_join_view",
+        source=events,
+        features=["expiry_daily_view.daily_sum"],
+        keep_source_fields=True,
+    )
+    proc.registry.build_features([events, right])
+    built = proc.registry.build_features([left])[0]
+    df = proc.get_table(built).to_dataframe()
+    return df.select(
+        "event_id", "user_id",
+        F.round("daily_sum", 2).alias("daily_sum"),
+    )
+
+
+def _q_map_entry_join(spark, sf_dir):
+    """Map-entry lookup join — ``view.map_feature['key']`` joins a single
+    entry of a MAP-typed feature through the as-of machinery (reference
+    derived_feature_view.py:244-257).  The right view is the events table
+    itself, so the as-of self-join at equal (user_id, ts) — unique in the
+    testdata — matches each row's own map and the oracle reduces to the
+    entry's defining expression."""
+    from feathub_spark import DerivedFeatureView, Feature
+
+    proc = _processor(spark)
+    events = _parquet_source("events", sf_dir, keys=["user_id"], timestamp_field="ts")
+    right = DerivedFeatureView(
+        name="map_entry_right",
+        source=events,
+        features=[
+            Feature(
+                "val_map",
+                transform="MAP('raw', value, 'scaled', value * 2)",
+                keys=["user_id"],
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    left = DerivedFeatureView(
+        name="map_entry_left",
+        source=events,
+        features=["map_entry_right.val_map['scaled']"],
+        keep_source_fields=True,
+    )
+    proc.registry.build_features([events, right])
+    built = proc.registry.build_features([left])[0]
+    df = proc.get_table(built).to_dataframe()
+    return df.select(
+        "event_id", "user_id", F.round("val_map", 2).alias("scaled_value")
+    )
+
+
+_ORACLE_MAP_ENTRY_JOIN = """
+SELECT event_id, user_id, round(value * 2, 2) AS scaled_value
+FROM events
+"""
+
+
+_ORACLE_PIT_JOIN_EXPIRY = f"""
+WITH daily AS (
+    SELECT user_id,
+           ((epoch_ms(ts) // {MS_DAY}) + 1) * {MS_DAY} - 1 AS wt,
+           SUM(value) AS daily_sum
+    FROM events
+    GROUP BY user_id, (epoch_ms(ts) // {MS_DAY})
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN epoch_ms(e.ts) >= d.wt + {MS_DAY} THEN 0.0
+            ELSE round(d.daily_sum, 2) END AS daily_sum
+FROM events e
+ASOF LEFT JOIN daily d
+  ON e.user_id = d.user_id AND epoch_ms(e.ts) >= d.wt
+"""
+
+
 def _q_sliding_2d_1d(spark, sf_dir):
     from feathub_spark import Feature, SlidingFeatureView
     from feathub_spark.feature_views.transforms import SlidingWindowTransform
@@ -5566,6 +5668,8 @@ _RAW_QUERIES = {
         "dedup_clusters_star": _q_dedup_clusters_star,
         "pca_whiten": _q_pca_whiten,
         "approx_quantiles": _q_approx_quantiles,
+        "pit_join_expiry": _q_pit_join_expiry,
+        "map_entry_join": _q_map_entry_join,
 }
 
 
@@ -5599,6 +5703,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _oracle_zorder_key_sql(),
         "dedup_clusters_star": _ORACLE_DEDUP_CLUSTERS,
         "approx_quantiles": _ORACLE_APPROX_QUANTILES,
+        "pit_join_expiry": _ORACLE_PIT_JOIN_EXPIRY,
+        "map_entry_join": _ORACLE_MAP_ENTRY_JOIN,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
