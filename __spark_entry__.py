@@ -602,6 +602,39 @@ FROM events
 """
 
 
+def _q_lookup_join(spark, sf_dir):
+    """Processing-time lookup join (reference ``FOR SYSTEM_TIME AS OF
+    proctime`` against a KV store): the lookup table is the per-key
+    LATEST-row snapshot — exactly what an online store holds — and the
+    fact side broadcast-joins it without shuffling.  The oracle rebuilds
+    the same snapshot with max_by and replays the LEFT join."""
+    from feathub_spark.processors.spark.lookup_join import lookup_join
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    snap = events.groupBy("user_id").agg(
+        F.max_by("value", "ts").alias("latest_value"),
+        F.max_by("event_type", "ts").alias("latest_type"),
+    )
+    return lookup_join(
+        events.select("event_id", "user_id"), snap, ["user_id"]
+    ).select(
+        "event_id", "user_id",
+        F.round("latest_value", 2).alias("latest_value"), "latest_type",
+    )
+
+
+_ORACLE_LOOKUP_JOIN = """
+WITH snap AS (
+    SELECT user_id, max_by(value, ts) AS latest_value,
+           max_by(event_type, ts) AS latest_type
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, round(s.latest_value, 2) AS latest_value,
+       s.latest_type
+FROM events e LEFT JOIN snap s USING (user_id)
+"""
+
+
 _ORACLE_PIT_JOIN_EXPIRY = f"""
 WITH daily AS (
     SELECT user_id,
@@ -5670,6 +5703,7 @@ _RAW_QUERIES = {
         "approx_quantiles": _q_approx_quantiles,
         "pit_join_expiry": _q_pit_join_expiry,
         "map_entry_join": _q_map_entry_join,
+        "lookup_join": _q_lookup_join,
 }
 
 
@@ -5705,6 +5739,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles": _ORACLE_APPROX_QUANTILES,
         "pit_join_expiry": _ORACLE_PIT_JOIN_EXPIRY,
         "map_entry_join": _ORACLE_MAP_ENTRY_JOIN,
+        "lookup_join": _ORACLE_LOOKUP_JOIN,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
