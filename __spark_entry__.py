@@ -2077,6 +2077,57 @@ SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def _q_cluster_split(spark, sf_dir):
+    """Leakage-safe dataset split over NEAR-DUP CLUSTERS: documents are
+    clustered by exact n-gram Jaccard (dedup_clusters), singletons keep
+    their own id, and the train/valid/test hash is taken over the CLUSTER
+    id — so a held-out document can never be a near-copy of a training
+    document (the classic eval-contamination bug).  The oracle replays
+    the recursive connected components AND the md5 split ladder."""
+    from feathub_spark.datapipe.dedup import dedup_clusters, ngram_jaccard_pairs
+    from feathub_spark.datapipe.sampling import assign_splits
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
+    )
+    labels = dedup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    docs = (
+        df.select("doc_id")
+        .join(labels, on="doc_id", how="left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    out = assign_splits(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1},
+        seed=5, group_col="cluster_id",
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+def _oracle_cluster_split_sql() -> str:
+    # recursive CC identical to _ORACLE_DEDUP_CLUSTERS, then the same md5
+    # ladder as dataset_split but hashed over the CLUSTER id
+    cc = _ORACLE_DEDUP_CLUSTERS.strip().removeprefix("WITH RECURSIVE")
+    body, final = cc.rsplit("SELECT id, min(r) AS cluster_id FROM reach GROUP BY id", 1)
+    return f"""
+WITH RECURSIVE {body.rstrip()},
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+assigned AS (
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN f < 0.1 THEN 'test'
+            WHEN f < 0.9 THEN 'train'
+            ELSE 'valid' END AS split
+FROM (
+    SELECT doc_id, cluster_id,
+           {_H32.format(col='cluster_id', seed=5)} / 4294967296.0 AS f
+    FROM assigned
+)
+"""
+
+
 def _q_pagerank(spark, sf_dir):
     """Integer-exact PageRank centrality over the near-duplicate pair
     graph (3 rounds, UNIT-scaled bigints, floor division throughout) —
@@ -5704,6 +5755,7 @@ _RAW_QUERIES = {
         "pit_join_expiry": _q_pit_join_expiry,
         "map_entry_join": _q_map_entry_join,
         "lookup_join": _q_lookup_join,
+        "cluster_split": _q_cluster_split,
 }
 
 
@@ -5740,6 +5792,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_join_expiry": _ORACLE_PIT_JOIN_EXPIRY,
         "map_entry_join": _ORACLE_MAP_ENTRY_JOIN,
         "lookup_join": _ORACLE_LOOKUP_JOIN,
+        "cluster_split": _oracle_cluster_split_sql(),
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,

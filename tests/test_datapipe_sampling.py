@@ -886,3 +886,29 @@ def test_weighted_sample_grouped_two_stage(spark):
         got = sorted((r.sample_key, r.id) for r in rs)
         assert got == cands
         assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5]
+
+
+def test_cluster_split_no_leakage(spark):
+    """Composing dedup_clusters with assign_splits(group_col=cluster_id):
+    every member of a near-dup cluster must land in the SAME split."""
+    from feathub_spark.datapipe.dedup import dedup_clusters
+    from feathub_spark.datapipe.sampling import assign_splits
+
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 9), (9, 10), (3, 4)], ["id_a", "id_b"]
+    )
+    labels = dedup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    docs = spark.range(12).select(F.col("id").alias("doc_id")).join(
+        labels, "doc_id", "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    out = assign_splits(
+        docs, "doc_id", {"train": 0.6, "valid": 0.2, "test": 0.2},
+        seed=7, group_col="cluster_id",
+    ).collect()
+    per_cluster = {}
+    for r in out:
+        per_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_cluster.values()), per_cluster
+    assert len(out) == 12
