@@ -3025,6 +3025,37 @@ FROM fp f LEFT JOIN shared s USING (doc_id)
 """
 
 
+def _q_dup_passage_pairs(spark, sf_dir):
+    """Document pairs sharing winnowing fingerprints (candidate pairs for
+    passage-level dedup) from sorted posting lists — one shuffle, pairs
+    expand in-array, never an inverted-index self-join.  max_doc_freq=None
+    for exact recall so the oracle's exhaustive fingerprint join matches
+    deterministically (the capped mode is the scale default)."""
+    from feathub_spark.datapipe.passages import dup_passage_pairs
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dup_passage_pairs(
+        df, "text", "doc_id", gram_len=12, window=6,
+        min_shared=2, max_doc_freq=None, hash_fn="poly",
+    )
+
+
+def _oracle_dup_passage_pairs_sql() -> str:
+    # same winnow-fingerprint CTEs as _ORACLE_DUP_PASSAGES, then the
+    # exhaustive shared-fingerprint pair join
+    prefix = _ORACLE_DUP_PASSAGES.split("), ex AS")[0] + ")"
+    return prefix + """
+, ex AS (
+    SELECT doc_id, unnest(fps) AS fpv FROM fp
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fingerprints
+FROM ex a JOIN ex b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
 def _q_temperature_sample(spark, sf_dir):
     """Temperature-based source mixing (n_s^0.7 multilingual up/down-
     sampling): per-language keep rates derived in-plan, broadcast back,
@@ -5756,6 +5787,7 @@ _RAW_QUERIES = {
         "map_entry_join": _q_map_entry_join,
         "lookup_join": _q_lookup_join,
         "cluster_split": _q_cluster_split,
+        "dup_passage_pairs": _q_dup_passage_pairs,
 }
 
 
@@ -5793,6 +5825,7 @@ def oracle_sql() -> dict[str, str]:
         "map_entry_join": _ORACLE_MAP_ENTRY_JOIN,
         "lookup_join": _ORACLE_LOOKUP_JOIN,
         "cluster_split": _oracle_cluster_split_sql(),
+        "dup_passage_pairs": _oracle_dup_passage_pairs_sql(),
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
