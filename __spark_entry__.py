@@ -3056,6 +3056,41 @@ HAVING count(*) >= 2
 """
 
 
+def _q_quantile_sample(spark, sf_dir):
+    """Quantile-stratified sampling over a continuous signal (doc length):
+    equal-frequency bin thresholds from ONE GK-sketch aggregate (exact at
+    test accuracy) broadcast back, deterministic md5 membership against
+    per-bin rates — downsample the long tail without hand-picked cut
+    points.  The oracle replays thresholds (quantile_disc), binning, and
+    the md5 ladder."""
+    from feathub_spark.datapipe.sampling import quantile_stratified_sample
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = df.withColumn("text_len", F.length("text"))
+    out = quantile_stratified_sample(
+        df, "doc_id", "text_len", n_bins=4,
+        fractions=[1.0, 0.6, 0.3, 0.1], accuracy=1_000_000, seed=11,
+    )
+    return out.select("doc_id", F.col("value_bin").cast("bigint").alias("value_bin"))
+
+
+_ORACLE_QUANTILE_SAMPLE = f"""
+WITH t AS (
+    SELECT doc_id, CAST(length(text) AS DOUBLE) AS v FROM documents
+), th AS (
+    SELECT quantile_disc(v, [0.25, 0.5, 0.75]) AS q FROM t
+), binned AS (
+    SELECT doc_id,
+           len(list_filter(th.q, x -> t.v > x)) AS value_bin
+    FROM t, th
+)
+SELECT doc_id, value_bin
+FROM binned
+WHERE {_H32.format(col='doc_id', seed=11)} / 4294967296.0
+      < ([1.0, 0.6, 0.3, 0.1])[value_bin + 1]
+"""
+
+
 def _q_temperature_sample(spark, sf_dir):
     """Temperature-based source mixing (n_s^0.7 multilingual up/down-
     sampling): per-language keep rates derived in-plan, broadcast back,
@@ -5788,6 +5823,7 @@ _RAW_QUERIES = {
         "lookup_join": _q_lookup_join,
         "cluster_split": _q_cluster_split,
         "dup_passage_pairs": _q_dup_passage_pairs,
+        "quantile_sample": _q_quantile_sample,
 }
 
 
@@ -5826,6 +5862,7 @@ def oracle_sql() -> dict[str, str]:
         "lookup_join": _ORACLE_LOOKUP_JOIN,
         "cluster_split": _oracle_cluster_split_sql(),
         "dup_passage_pairs": _oracle_dup_passage_pairs_sql(),
+        "quantile_sample": _ORACLE_QUANTILE_SAMPLE,
         "udf_token_count": _ORACLE_UDF_TOKEN_COUNT,
         "datagen_seq": _ORACLE_DATAGEN_SEQ,
         "dedup_exact": _ORACLE_DEDUP_EXACT,

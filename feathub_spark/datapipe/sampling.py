@@ -24,7 +24,7 @@ state.  All computation is Catalyst expressions inside whole-stage codegen.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -74,6 +74,55 @@ def stratified_sample(
     for value, frac in sorted(fractions.items()):
         rate = F.when(F.col(group_col) == value, F.lit(float(frac))).otherwise(rate)
     return df.filter(hash_fraction(id_col, seed) < rate)
+
+
+def quantile_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    fraction: float = 0.1,
+    fractions: Optional[Sequence[float]] = None,
+    accuracy: int = 10_000,
+    seed: int = 0,
+    bin_col: str = "value_bin",
+) -> DataFrame:
+    """Stratified sampling over a CONTINUOUS column via equal-frequency
+    quantile bins — balance a skewed numeric signal (doc length, quality
+    score, perplexity) in the training mix without hand-picked cut
+    points.
+
+    Bin thresholds come from ONE percentile_approx aggregate (GK sketch —
+    mergeable, no global sort; exact when rows <= accuracy) broadcast
+    back onto the scan; row bin = number of thresholds strictly below the
+    value (NULLs land in bin 0).  Membership is the deterministic md5
+    hash fraction per row, compared against the bin's rate — ``fraction``
+    for every bin, or ``fractions[bin]`` per bin (len n_bins).  Appends
+    ``bin_col`` and filters; one aggregate + a narrow filtered scan.
+    Nested-sample property: raising a bin's rate strictly grows its
+    sample, as in :func:`stratified_sample`."""
+    if fractions is not None and len(fractions) != n_bins:
+        raise ValueError(
+            f"fractions must have n_bins={n_bins} entries, got {len(fractions)}"
+        )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    th = df.agg(
+        F.percentile_approx(
+            F.col(value_col).cast("double"), probs, accuracy
+        ).alias("__th__")
+    )
+    out = ensure_parallelism(df).crossJoin(F.broadcast(th)).withColumn(
+        bin_col,
+        F.expr(
+            f"size(filter(__th__, t -> CAST(`{value_col}` AS DOUBLE) > t))"
+        ),
+    )
+    if fractions is None:
+        rate = F.lit(float(fraction))
+    else:
+        rates_arr = F.array(*[F.lit(float(x)) for x in fractions])
+        rate = F.element_at(rates_arr, F.col(bin_col) + 1)
+    return out.filter(hash_fraction(id_col, seed) < rate).drop("__th__")
 
 
 def temperature_sample(

@@ -912,3 +912,55 @@ def test_cluster_split_no_leakage(spark):
         per_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
     assert all(len(s) == 1 for s in per_cluster.values()), per_cluster
     assert len(out) == 12
+
+
+def test_quantile_stratified_sample(spark):
+    """Equal-frequency bins from the exact-at-accuracy GK thresholds; a
+    pure-Python replica of the thresholds, binning, and md5 membership
+    must agree row-for-row; per-bin fractions apply; nested-sample
+    property holds."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from feathub_spark.datapipe.sampling import quantile_stratified_sample
+
+    rows = [(i, float((i * 37) % 101)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+
+    def h32(key, seed):
+        return int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:8], 16)
+
+    def disc(data, p):
+        s = sorted(data)
+        return s[max(int(math.ceil(p * len(s))) - 1, 0)]
+
+    vals = [v for _, v in rows]
+    th = [disc(vals, i / 4) for i in range(1, 4)]
+    fracs = [1.0, 0.5, 0.25, 0.1]
+
+    exp = {}
+    for i, v in rows:
+        b = sum(1 for t in th if v > t)
+        if h32(i, 9) / 4294967296.0 < fracs[b]:
+            exp[i] = b
+    got = {
+        r["id"]: r["value_bin"]
+        for r in quantile_stratified_sample(
+            df, "id", "v", n_bins=4, fractions=fracs, accuracy=100000, seed=9
+        ).collect()
+    }
+    assert got == exp
+    assert 0 < len(got) < len(rows)
+
+    # uniform-fraction mode is a subset-by-rate of the full table, and
+    # raising the rate strictly grows the sample (nested property)
+    small = {r["id"] for r in quantile_stratified_sample(
+        df, "id", "v", n_bins=4, fraction=0.2, accuracy=100000, seed=9).collect()}
+    big = {r["id"] for r in quantile_stratified_sample(
+        df, "id", "v", n_bins=4, fraction=0.6, accuracy=100000, seed=9).collect()}
+    assert small <= big
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        quantile_stratified_sample(df, "id", "v", n_bins=4, fractions=[1.0])

@@ -42,6 +42,7 @@ _BOUNDED_BNLJ_OK = {
     "negative_samples",  # 1-row broadcast per-bucket-minimum ring summary
     "token_pmi",  # 1-row broadcast corpus totals (N_uni, N_bi)
     "zorder_key",  # 1-row broadcast per-column min/max stats
+    "quantile_sample",  # 1-row broadcast GK bin-threshold array
 }
 
 
