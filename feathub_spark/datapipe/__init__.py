@@ -61,6 +61,7 @@ from feathub_spark.datapipe.sampling import (
     assign_splits,
     pack_sequences,
     ring_negative_samples,
+    quantile_stratified_sample,
     stratified_sample,
     temperature_sample,
     weighted_sample,
@@ -100,7 +101,8 @@ __all__ = [
     "pii_scrub", "pq_topk", "profile_columns", "quality_buckets",
     "rank_normalize", "resample_ffill", "ring_negative_samples",
     "robust_zscore", "rrf_fuse", "select_survivors", "semantic_dedup",
-    "session_stats", "sessionize", "simhash_pairs", "stratified_sample",
+    "quantile_stratified_sample", "session_stats", "sessionize",
+    "simhash_pairs", "stratified_sample",
     "temperature_sample", "token_pmi", "token_surprisal",
     "tokenize_to_ids", "train_ivf_codebook", "validate_rules",
     "weighted_sample", "winsorize",
