@@ -8,8 +8,10 @@
       -> near-duplicate pairs (n-gram Jaccard, posting-list candidates)
       -> connected-components clustering -> survivor selection
       -> benchmark-contamination filter (broadcast gram probe)
-      -> temperature source mixing -> deterministic sharding
-      -> sequence packing
+      -> temperature source mixing -> quantile-stratified length balance
+      -> leakage-safe cluster split (near-dups never straddle train/val)
+      -> BPE tokenizer trained on the surviving corpus
+      -> deterministic sharding -> sequence packing
 
 Every stage is a DataFrame transformation — the whole pipeline is one lazy
 plan per output, scales by partitioning (no driver-side loops), and each
@@ -27,7 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from feathub_spark import default_spark_session
-from feathub_spark.datapipe.dedup import ngram_jaccard_pairs, select_survivors
+from feathub_spark.datapipe.bpe import bpe_encode, bpe_train
+from feathub_spark.datapipe.dedup import (
+    dedup_clusters,
+    ngram_jaccard_pairs,
+    select_survivors,
+)
 from feathub_spark.datapipe.passages import remove_duplicate_passages
 from feathub_spark.datapipe.quality import (
     contamination_check,
@@ -36,7 +43,9 @@ from feathub_spark.datapipe.quality import (
 )
 from feathub_spark.datapipe.sampling import (
     assign_shards,
+    assign_splits,
     pack_sequences,
+    quantile_stratified_sample,
     temperature_sample,
 )
 from feathub_spark.datapipe.text import (
@@ -97,10 +106,42 @@ def main() -> None:
     )
     print(f"after contamination filter: {final_docs.count()}")
 
-    # 5. temperature source mixing -> deterministic shards -> packing
+    # 5. temperature source mixing + length balancing
     mixed = temperature_sample(
         final_docs, "doc_id", "lang", target_rows=300, alpha=0.7, seed=7
     )
+    mixed = quantile_stratified_sample(
+        mixed.withColumn("text_len", F.length("text")),
+        "doc_id", "text_len", n_bins=4,
+        fractions=[1.0, 1.0, 0.9, 0.7], seed=7,  # trim the longest tail
+    )
+
+    # 5b. leakage-safe split: hash over the near-dup CLUSTER, so held-out
+    # data is never a near-copy of training data
+    labels = dedup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    with_cluster = mixed.join(labels, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    # NOTE: a DIFFERENT seed than the sampling stages above — sampling kept
+    # only ids with hash_fraction(id, 7) below the keep rate, so re-using
+    # seed 7 here would never reach the upper (valid) band of the ladder
+    split = assign_splits(
+        with_cluster, "doc_id", {"train": 0.9, "valid": 0.1},
+        seed=13, group_col="cluster_id",
+    )
+    print("splits:", sorted(
+        (r["split"], r["n"]) for r in
+        split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    ))
+
+    # 5c. BPE tokenizer trained on the surviving training text
+    train_docs = split.filter(F.col("split") == "train")
+    merges = bpe_train(train_docs, "text", n_merges=10, lowercase=True)
+    encoded = bpe_encode(train_docs, "text", merges, lowercase=True)
+    print("bpe:", merges.count(), "merges;",
+          encoded.agg(F.sum("n_tokens")).collect()[0][0], "subword tokens")
+
+    # 6. deterministic shards -> packing
     sharded = assign_shards(mixed, "doc_id", n_shards=4, seed=7)
     packed = pack_sequences(
         mixed.withColumn("n_tok", token_count("text")),

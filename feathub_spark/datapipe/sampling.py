@@ -6,6 +6,14 @@ hex digits as a 32-bit integer) so results are reproducible run-to-run,
 engine-to-engine, and at any parallelism: no rand(), no partition-dependent
 state.  All computation is Catalyst expressions inside whole-stage codegen.
 
+COMPOSITION RULE: use a DIFFERENT seed for each dependent stage.  Every
+operator here decides membership by ``hash_fraction(id, seed) < rate``,
+so a stage fed by a sampler that used the SAME seed sees only the
+low-fraction ids — e.g. ``assign_splits(seed=7)`` after
+``temperature_sample(seed=7)`` can never populate the upper split band
+(the survivors all have f below the keep rate).  Distinct seeds make the
+stages' hash draws independent.
+
 - ``sample_by_hash``: keep a deterministic fraction of rows.
 - ``stratified_sample``: per-group fractions (corpus mixing: "keep 100% of
   'de', 30% of 'en'"), one scan, no shuffle.
