@@ -550,3 +550,33 @@ def test_numpy_xxh64_matches_spark_exactly(spark):
         got = _xxh64_gram_hashes_np(t, glen)
         assert got.tolist() == list(exp), (i, t[:40], glen)
     assert _xxh64_gram_hashes_np(None, 5) is None
+
+
+def test_numpy_xxh64_hypothesis_fuzz(spark):
+    """Property fuzz beyond the curated boundary cases: arbitrary unicode
+    text (all UTF-8 widths, any length) and gram lengths must reproduce
+    Spark's xxhash64 per position bit-for-bit."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.passages import _xxh64_gram_hashes_np
+
+    # surrogates excluded: not encodable to UTF-8 (Spark strings are UTF-8)
+    chars = st.characters(blacklist_categories=("Cs",))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=chars, max_size=90), st.integers(2, 40))
+    def check(text, glen):
+        exp = spark.createDataFrame([(text,)], ["t"]).select(
+            F.expr(
+                f"CASE WHEN length(t) >= {glen} THEN "
+                f"transform(sequence(1, length(t) - {glen} + 1), "
+                f"i -> xxhash64(substr(t, i, {glen}))) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            ).alias("h")
+        ).first()["h"]
+        got = _xxh64_gram_hashes_np(text, glen)
+        assert got.tolist() == list(exp), (repr(text), glen)
+
+    check()
