@@ -1202,6 +1202,267 @@ def _q_sql_view_q19(spark, sf_dir):
     )
 
 
+# The remaining TPC-H shapes, adapted where the driver testdata lacks a
+# spec column/table: partsupp does not exist (Q2/Q11/Q16/Q20 are
+# unportable), there are no l_commitdate/l_receiptdate/l_shipmode/
+# c_phone/ps_supplycost columns, and nations are named NATION_0..24.
+# Each adaptation keeps the query's PLAN SHAPE (the thing worth testing:
+# EXISTS semi-join, NOT EXISTS anti-join, nation self-join, correlated
+# scalar subquery, CASE pivot) and swaps only the predicate constants.
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def _q_sql_view_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking): EXISTS subquery that must plan
+    as a LEFT SEMI join, never a count-then-join (testdata has no
+    l_commitdate/l_receiptdate, so "late delivery" becomes "has a returned
+    item" — same semi-join shape, different constant)."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q4_view", _TPCH_Q4_SQL,
+        ["o_orderpriority", "order_count"], [t.String, t.Int64],
+        ["orders", "lineitem"],
+    )
+
+
+_TPCH_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(SUM(volume), 2) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+) AS shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def _q_sql_view_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): the nation SELF-join — the same dim
+    table enters twice under different aliases with a disjunctive
+    cross-pair predicate; both instances must broadcast."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q7_view", _TPCH_Q7_SQL,
+        ["supp_nation", "cust_nation", "l_year", "revenue"],
+        [t.String, t.String, t.Int64, t.Float64],
+        ["supplier", "lineitem", "orders", "customer", "nation"],
+    )
+
+
+_TPCH_Q8_SQL = """
+SELECT o_year,
+       round(round(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                            ELSE 0.0 END), 2)
+             / round(SUM(volume), 2), 4) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part, supplier, lineitem, orders, customer,
+         nation n1, nation n2, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+      AND p_type = 'ECONOMY'
+) AS all_nations
+GROUP BY o_year
+"""
+
+
+def _q_sql_view_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): the widest TPC-H join tree in the
+    testdata — 8 relations incl. a nation self-join and a region rollup —
+    with a conditional-share aggregate.  Both SUMs round to cents before
+    the ratio (Q14's determinism rule) so float summation order cannot
+    flip the 4-decimal share."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q8_view", _TPCH_Q8_SQL,
+        ["o_year", "mkt_share"], [t.Int64, t.Float64],
+        ["part", "supplier", "lineitem", "orders", "customer",
+         "nation", "region"],
+    )
+
+
+_TPCH_Q9_SQL = """
+SELECT nation, o_year, round(SUM(amount), 2) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount) AS amount
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+) AS profit
+GROUP BY nation, o_year
+"""
+
+
+def _q_sql_view_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): LIKE-filtered part dim driving a
+    5-way join, grouped by (nation, year).  Testdata has no
+    ps_supplycost, so profit degrades to discounted revenue — the join
+    tree and the non-sargable LIKE '%red%' filter (must still prune
+    part columns) are what's exercised."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q9_view", _TPCH_Q9_SQL,
+        ["nation", "o_year", "sum_profit"],
+        [t.String, t.Int64, t.Float64],
+        ["part", "supplier", "lineitem", "orders", "nation"],
+    )
+
+
+_TPCH_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       OR o_orderpriority = '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def _q_sql_view_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping priority pivot): CASE-pivot aggregation over a
+    fact-fact join where the grouping key comes from one side and the
+    pivoted attribute from the other (no l_shipmode in testdata, so
+    l_linestatus stands in as the group key)."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q12_view", _TPCH_Q12_SQL,
+        ["l_linestatus", "high_line_count", "low_line_count"],
+        [t.String, t.Int64, t.Int64],
+        ["orders", "lineitem"],
+    )
+
+
+_TPCH_Q17_SQL = """
+SELECT round(round(SUM(l_extendedprice), 2) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def _q_sql_view_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    subquery with an aggregate over the OUTER table — must decorrelate to
+    a per-part average joined back, not re-scan lineitem per row.
+    l_quantity is integer-valued, so 0.2*AVG is exact in both engines and
+    the `<` boundary cannot wobble (p_container doesn't exist; p_brand
+    alone selects the part subset)."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q17_view", _TPCH_Q17_SQL,
+        ["avg_yearly", "n_items"], [t.Float64, t.Int64],
+        ["lineitem", "part"],
+    )
+
+
+_TPCH_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+def _q_sql_view_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS +
+    NOT EXISTS double self-join on the fact table — semi-join AND
+    anti-join against lineitem with inequality correlation
+    (l2.l_suppkey <> l1.l_suppkey).  No commit/receipt dates in testdata,
+    so "this supplier was the sole offender" is keyed on l_returnflag
+    — identical plan shape."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q21_view", _TPCH_Q21_SQL,
+        ["s_name", "numwait"], [t.String, t.Int64],
+        ["supplier", "lineitem", "orders", "nation"],
+    )
+
+
+_TPCH_Q22_SQL = """
+SELECT cntrycode, COUNT(*) AS numcust, round(SUM(c_acctbal), 2) AS totacctbal
+FROM (
+    SELECT c_nationkey AS cntrycode, c_acctbal
+    FROM customer
+    WHERE c_nationkey IN (10, 11, 13, 17, 18, 20, 21)
+      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.00
+                         AND c_nationkey IN (10, 11, 13, 17, 18, 20, 21))
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+) AS custsale
+GROUP BY cntrycode
+"""
+
+
+def _q_sql_view_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): uncorrelated scalar subquery
+    (one-row broadcast) + NOT EXISTS anti-join.  Testdata has no c_phone,
+    so the country code is c_nationkey, and since every customer has at
+    least one order, "never ordered" becomes "no order since 2000" —
+    the anti-join shape is unchanged."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "tpch_q22_view", _TPCH_Q22_SQL,
+        ["cntrycode", "numcust", "totacctbal"],
+        [t.Int64, t.Int64, t.Float64],
+        ["customer", "orders"],
+    )
+
+
 def _q_udf_token_count(spark, sf_dir):
     from feathub_spark import DerivedFeatureView, Feature
     from feathub_spark.common import types as t
@@ -5824,6 +6085,14 @@ _RAW_QUERIES = {
         "cluster_split": _q_cluster_split,
         "dup_passage_pairs": _q_dup_passage_pairs,
         "quantile_sample": _q_quantile_sample,
+        "sql_view_tpch_q4": _q_sql_view_q4,
+        "sql_view_tpch_q7": _q_sql_view_q7,
+        "sql_view_tpch_q8": _q_sql_view_q8,
+        "sql_view_tpch_q9": _q_sql_view_q9,
+        "sql_view_tpch_q12": _q_sql_view_q12,
+        "sql_view_tpch_q17": _q_sql_view_q17,
+        "sql_view_tpch_q21": _q_sql_view_q21,
+        "sql_view_tpch_q22": _q_sql_view_q22,
 }
 
 
@@ -5852,6 +6121,14 @@ def oracle_sql() -> dict[str, str]:
         "sql_view_tpch_q14": _TPCH_Q14_SQL,
         "sql_view_tpch_q15": _TPCH_Q15_SQL,
         "sql_view_tpch_q19": _TPCH_Q19_SQL,
+        "sql_view_tpch_q4": _TPCH_Q4_SQL,
+        "sql_view_tpch_q7": _TPCH_Q7_SQL,
+        "sql_view_tpch_q8": _TPCH_Q8_SQL,
+        "sql_view_tpch_q9": _TPCH_Q9_SQL,
+        "sql_view_tpch_q12": _TPCH_Q12_SQL,
+        "sql_view_tpch_q17": _TPCH_Q17_SQL,
+        "sql_view_tpch_q21": _TPCH_Q21_SQL,
+        "sql_view_tpch_q22": _TPCH_Q22_SQL,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),
