@@ -82,7 +82,10 @@ def profile_columns(
         ]
     wide = ensure_parallelism(df).agg(*aggs)
     structs = ", ".join(
-        f"named_struct('column', '{c}', 'n_rows', __n__, "
+        # column names are interpolated into a SQL string literal —
+        # escape quotes so a name like a'b can't garble the expression
+        f"""named_struct('column', '{c.replace("'", "''")}', """
+        f"'n_rows', __n__, "
         f"'n_nulls', __n__ - `__nn_{c}__`, 'n_distinct', `__nd_{c}__`, "
         f"'min_value', `__mn_{c}__`, 'max_value', `__mx_{c}__`)"
         for c in cols
