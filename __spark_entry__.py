@@ -1463,6 +1463,81 @@ def _q_sql_view_q22(spark, sf_dir):
     )
 
 
+def _q_scd2_intervals(spark, sf_dir):
+    """SCD2 temporal table from the event stream: collapse each user's
+    event_type changes into validity intervals (valid_from, valid_to;
+    NULL = current) — the materialized dual of the point-in-time as-of
+    join.  Single shuffle on user_id; consecutive duplicates collapse
+    null-safely; event_id breaks timestamp ties."""
+    from feathub_spark.datapipe.scd import scd2_intervals
+
+    ev = _events_with_micros(spark, sf_dir)
+    return scd2_intervals(
+        ev, "user_id", "ts_us", "event_type", tie_cols="event_id"
+    )
+
+
+_ORACLE_SCD2_INTERVALS = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events
+), flags AS (
+    SELECT user_id, event_type, tu, event_id,
+           lag(event_type) OVER w AS prev,
+           row_number() OVER w AS rn
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+), changes AS (
+    SELECT user_id, event_type, tu, event_id
+    FROM flags WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, tu AS valid_from,
+       lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+           AS valid_to
+FROM changes
+"""
+
+# 2024-01-16 00:00:00 UTC — mid-span at every SF (events cover Jan 2024)
+_SCD2_SNAPSHOT_AT_US = 1_705_363_200_000_000
+
+
+def _q_scd2_snapshot(spark, sf_dir):
+    """Point-in-time reconstruction: every user's active event_type at one
+    instant, as a pushdown-friendly range filter over the SCD2 intervals
+    (zero-length tie intervals are correctly invisible)."""
+    from feathub_spark.datapipe.scd import scd2_intervals, scd2_snapshot
+
+    ev = _events_with_micros(spark, sf_dir)
+    iv = scd2_intervals(
+        ev, "user_id", "ts_us", "event_type", tie_cols="event_id"
+    )
+    return scd2_snapshot(iv, _SCD2_SNAPSHOT_AT_US).select(
+        "user_id", "event_type", "valid_from"
+    )
+
+
+_ORACLE_SCD2_SNAPSHOT = f"""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events
+), flags AS (
+    SELECT user_id, event_type, tu, event_id,
+           lag(event_type) OVER w AS prev,
+           row_number() OVER w AS rn
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+), changes AS (
+    SELECT user_id, event_type, tu, event_id
+    FROM flags WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+), intervals AS (
+    SELECT user_id, event_type, tu AS valid_from,
+           lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+               AS valid_to
+    FROM changes
+)
+SELECT user_id, event_type, valid_from
+FROM intervals
+WHERE valid_from <= {_SCD2_SNAPSHOT_AT_US}
+  AND (valid_to IS NULL OR valid_to > {_SCD2_SNAPSHOT_AT_US})
+"""
+
+
 def _q_udf_token_count(spark, sf_dir):
     from feathub_spark import DerivedFeatureView, Feature
     from feathub_spark.common import types as t
@@ -6093,6 +6168,8 @@ _RAW_QUERIES = {
         "sql_view_tpch_q17": _q_sql_view_q17,
         "sql_view_tpch_q21": _q_sql_view_q21,
         "sql_view_tpch_q22": _q_sql_view_q22,
+        "scd2_intervals": _q_scd2_intervals,
+        "scd2_snapshot": _q_scd2_snapshot,
 }
 
 
@@ -6129,6 +6206,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_view_tpch_q17": _TPCH_Q17_SQL,
         "sql_view_tpch_q21": _TPCH_Q21_SQL,
         "sql_view_tpch_q22": _TPCH_Q22_SQL,
+        "scd2_intervals": _ORACLE_SCD2_INTERVALS,
+        "scd2_snapshot": _ORACLE_SCD2_SNAPSHOT,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

@@ -37,6 +37,7 @@ from feathub_spark.datapipe.quality import (
     winsorize,
 )
 from feathub_spark.datapipe.resample import resample_ffill
+from feathub_spark.datapipe.scd import scd2_intervals, scd2_snapshot
 from feathub_spark.datapipe.bpe import (
     bpe_encode,
     bpe_train,
@@ -101,7 +102,8 @@ __all__ = [
     "pii_scrub", "pq_topk", "profile_columns", "quality_buckets",
     "rank_normalize", "resample_ffill", "ring_negative_samples",
     "robust_zscore", "rrf_fuse", "select_survivors", "semantic_dedup",
-    "quantile_stratified_sample", "session_stats", "sessionize",
+    "quantile_stratified_sample", "scd2_intervals", "scd2_snapshot",
+    "session_stats", "sessionize",
     "simhash_pairs", "stratified_sample",
     "temperature_sample", "token_pmi", "token_surprisal",
     "tokenize_to_ids", "train_ivf_codebook", "validate_rules",

@@ -1,0 +1,110 @@
+"""SCD2 temporal tables: collapse an append-only change log into
+slowly-changing-dimension validity intervals and reconstruct exact
+point-in-time snapshots from them.
+
+This is the materialized dual of the engine's point-in-time as-of join
+(processors/spark/join_utils.py): the as-of join answers "what was the
+value at each left-row's time" per probe, while an SCD2 table answers it
+for ANY time with a plain range filter — the right shape when one
+dimension is probed by many downstream queries.  The reference models
+this implicitly through its timestamped feature tables
+(/root/reference/python/feathub/table/table_descriptor.py keys+timestamp
+contract); here it's an explicit, materializable operator.
+
+Scale shape (100 TB): one hash shuffle on the key columns; both window
+passes and the interval close-out reuse that single exchange (the lead()
+runs on the already-partitioned change rows).  No joins, no driver
+collection.  Hot keys serialize within their window task exactly like
+over-windows — for power-law keys, bound the per-key change-row count
+upstream or use the salted over-window variants' chunking idea.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feathub_spark.common.parallelism import ensure_parallelism
+
+__all__ = ["scd2_intervals", "scd2_snapshot"]
+
+
+def _as_list(x: Union[str, Sequence[str], None]) -> list:
+    if x is None:
+        return []
+    return [x] if isinstance(x, str) else list(x)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    ts_col: str,
+    attr_cols: Union[str, Sequence[str]],
+    tie_cols: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Collapse a change log into SCD2 validity intervals.
+
+    Input: one row per observed state ``(keys..., ts, attrs...)`` —
+    an append-only event/CDC stream.  Output: one row per *distinct
+    consecutive state* with ``valid_from`` (the ts of the first event
+    carrying that state) and ``valid_to`` (the ts of the next state
+    change; NULL for the currently-open interval).  Consecutive rows
+    whose attributes are unchanged (null-safe comparison) are collapsed
+    into the earlier interval.
+
+    ``tie_cols`` break ordering ties for events sharing a timestamp; with
+    ties, earlier rows become zero-length ``[t, t)`` intervals that no
+    snapshot selects — the last row in tie order wins at time t, which is
+    the standard CDC convention.  Pass a unique event id for
+    deterministic results whenever timestamps can collide.
+
+    Columns: ``(*key_cols, *attr_cols, valid_from, valid_to)``.
+    """
+    keys = _as_list(key_cols)
+    attrs = _as_list(attr_cols)
+    ties = _as_list(tie_cols)
+    if not keys or not attrs:
+        raise ValueError("scd2_intervals needs key_cols and attr_cols")
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in ties]
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    changed = F.row_number().over(w) == 1
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+
+    changes = (
+        ensure_parallelism(df)
+        .select(*keys, *attrs, F.col(ts_col), *(c for c in ties))
+        .withColumn("__chg__", changed)
+        .filter(F.col("__chg__"))
+    )
+    # Same partition keys as the first window: the filtered rows are
+    # already hash-distributed by `keys`, so this window adds a sort but
+    # no second exchange.
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return changes.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    )
+
+
+def scd2_snapshot(
+    intervals: DataFrame,
+    at,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time snapshot of an SCD2 interval table: the rows whose
+    interval contains ``at`` (``valid_from <= at < valid_to``, open
+    intervals have NULL ``valid_to``).  A plain filter — it pushes down
+    to the scan, so a snapshot of a partitioned/z-ordered interval table
+    reads only the matching row groups."""
+    lit = F.lit(at)
+    return intervals.filter(
+        (F.col(valid_from_col) <= lit)
+        & (F.col(valid_to_col).isNull() | (F.col(valid_to_col) > lit))
+    )

@@ -1,0 +1,88 @@
+"""SCD2 interval builder + point-in-time snapshot: golden semantics,
+null-safe change detection, tie handling, and the single-exchange plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feathub_spark.datapipe.scd import scd2_intervals, scd2_snapshot
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_scd2_intervals_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 100, "A"), (1, 200, "A"), (1, 300, "B"),
+            (1, 400, "B"), (1, 500, "A"),
+            (3, 50, None), (3, 60, None), (3, 70, "Z"),
+        ],
+        "k long, ts long, v string",
+    )
+    iv = scd2_intervals(df, "k", "ts", "v")
+    assert _rows(iv) == {
+        (1, "A", 100, 300),
+        (1, "A", 500, None),
+        (1, "B", 300, 500),
+        (3, None, 50, 70),
+        (3, "Z", 70, None),
+    }
+
+
+def test_scd2_tie_rows_become_zero_length(spark):
+    df = spark.createDataFrame(
+        [(2, 100, 7, "X"), (2, 100, 8, "Y"), (2, 200, 9, "Y")],
+        "k long, ts long, eid long, v string",
+    )
+    iv = scd2_intervals(df, "k", "ts", "v", tie_cols="eid")
+    assert _rows(iv) == {(2, "X", 100, 100), (2, "Y", 100, None)}
+    # the zero-length [100,100) interval is invisible to every snapshot
+    assert _rows(scd2_snapshot(iv, 100).select("k", "v")) == {(2, "Y")}
+
+
+def test_scd2_multi_key_multi_attr(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10, "x", 1.0), ("a", 1, 20, "x", 2.0),
+            ("a", 1, 30, "x", 2.0), ("a", 2, 10, "y", 1.0),
+        ],
+        "k1 string, k2 long, ts long, v1 string, v2 double",
+    )
+    iv = scd2_intervals(df, ["k1", "k2"], "ts", ["v1", "v2"])
+    assert _rows(iv) == {
+        ("a", 1, "x", 1.0, 10, 20),
+        ("a", 1, "x", 2.0, 20, None),
+        ("a", 2, "y", 1.0, 10, None),
+    }
+
+
+def test_scd2_snapshot_boundaries(spark):
+    iv = spark.createDataFrame(
+        [(1, "A", 100, 300), (1, "B", 300, None)],
+        "k long, v string, valid_from long, valid_to long",
+    )
+    assert _rows(scd2_snapshot(iv, 99)) == set()
+    assert _rows(scd2_snapshot(iv, 100).select("v")) == {("A",)}
+    assert _rows(scd2_snapshot(iv, 299).select("v")) == {("A",)}
+    assert _rows(scd2_snapshot(iv, 300).select("v")) == {("B",)}
+
+
+def test_scd2_single_exchange_plan(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 40).alias("k"),
+        F.col("id").alias("ts"),
+        (F.col("id") % 3).cast("string").alias("v"),
+    )
+    iv = scd2_intervals(df, "k", "ts", "v")
+    plan = iv._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert iv.count() > 0
+
+
+def test_scd2_validation(spark):
+    df = spark.createDataFrame([(1, 1, "a")], "k long, ts long, v string")
+    with pytest.raises(ValueError):
+        scd2_intervals(df, [], "ts", "v")
+    with pytest.raises(ValueError):
+        scd2_intervals(df, "k", "ts", [])

@@ -126,6 +126,25 @@ def main() -> None:
             big, ["v"], [0.01, 0.5, 0.99], accuracy=10_000, by=["g"]
         ).count(),
     )
+    from feathub_spark.datapipe.scd import scd2_intervals, scd2_snapshot
+
+    # hot-key shape: 1 key holds 20% of the change log
+    n_ev = 1_000_000 * scale
+    log = spark.range(n_ev).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.xxhash64("id") % 10_000)
+        .alias("k"),
+        F.col("id").alias("ts"),
+        (F.xxhash64("id", F.lit(7)) % 4).cast("string").alias("v"),
+    )
+    iv = timed(
+        f"scd2_intervals hot-key ({n_ev} rows, 20% one key)",
+        lambda: scd2_intervals(log, "k", "ts", "v"),
+    )
+    timed(
+        "scd2_snapshot over those intervals",
+        lambda: scd2_snapshot(iv, n_ev // 2).count(),
+    )
     docs.unpersist()
     release_caches()
 
