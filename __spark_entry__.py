@@ -1514,6 +1514,46 @@ def _q_scd2_snapshot(spark, sf_dir):
     )
 
 
+def _q_importance_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023): per-doc average
+    unigram log-likelihood ratio of the target domain (lang='de') vs the
+    full pool, add-0.5 smoothing over the pooled vocabulary — the
+    domain-targeted data-selection score; compose with weighted_sample
+    for the paper's importance resampling."""
+    from feathub_spark.datapipe.quality import importance_weights
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return importance_weights(df, "text", "doc_id", "lang = 'de'")
+
+
+_ORACLE_IMPORTANCE_WEIGHTS = r"""
+WITH toks AS (
+    SELECT doc_id, (lang = 'de') AS is_tgt,
+           unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               t -> t <> '')) AS tok
+    FROM documents
+), counts AS (
+    SELECT tok, count(*) AS n_src,
+           sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS n_tgt
+    FROM toks GROUP BY tok
+), tot AS (
+    SELECT sum(n_src) AS tot_src, sum(n_tgt) AS tot_tgt,
+           count(*) AS v
+    FROM counts
+), ratio AS (
+    SELECT tok,
+           ln((n_tgt + 0.5) / (tot_tgt + 0.5 * v))
+         - ln((n_src + 0.5) / (tot_src + 0.5 * v)) AS lr
+    FROM counts, tot
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(r.lr), 6) AS importance_weight
+FROM toks t JOIN ratio r USING (tok)
+GROUP BY t.doc_id
+"""
+
+
 _ORACLE_SCD2_SNAPSHOT = f"""
 WITH e AS (
     SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events
@@ -6170,6 +6210,7 @@ _RAW_QUERIES = {
         "sql_view_tpch_q22": _q_sql_view_q22,
         "scd2_intervals": _q_scd2_intervals,
         "scd2_snapshot": _q_scd2_snapshot,
+        "importance_weights": _q_importance_weights,
 }
 
 
@@ -6208,6 +6249,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_view_tpch_q22": _TPCH_Q22_SQL,
         "scd2_intervals": _ORACLE_SCD2_INTERVALS,
         "scd2_snapshot": _ORACLE_SCD2_SNAPSHOT,
+        "importance_weights": _ORACLE_IMPORTANCE_WEIGHTS,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

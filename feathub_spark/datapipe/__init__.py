@@ -30,6 +30,7 @@ from feathub_spark.datapipe.profile import (
     validate_rules,
 )
 from feathub_spark.datapipe.quality import (
+    importance_weights,
     quality_buckets,
     rank_normalize,
     robust_zscore,
@@ -93,7 +94,7 @@ __all__ = [
     "bloom_filter_bits", "bloom_prune", "bm25_search", "brute_force_topk",
     "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",
     "diff_snapshots", "approx_quantiles", "exact_dedup", "fit_pca", "pca_project", "funnel_steps", "hll_distinct",
-    "ivf_pq_topk", "ivf_topk", "key_skew", "lsh_topk",
+    "importance_weights", "ivf_pq_topk", "ivf_topk", "key_skew", "lsh_topk",
     "bpe_encode", "bpe_train", "word_frequencies",
     "match_minhash_index", "merge_aggregates", "minhash_index",
     "minhash_lsh_pairs", "mmr_rerank", "zorder_key", "zorder_layout",

@@ -214,6 +214,83 @@ def token_surprisal(
     )
 
 
+def importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_expr: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights for domain-targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much more likely its tokens
+    are under the TARGET domain's unigram LM than under the full source
+    pool's, ``avg_t log(p_target(t) / p_source(t))`` with add-``alpha``
+    smoothing over the pooled vocabulary.  Select with any downstream
+    sampler — ``sampling.weighted_sample(weight_col='exp(w)')`` gives the
+    paper's Gumbel-top-k resampling, a plain threshold gives hard
+    selection.
+
+    ``target_expr`` is a SQL boolean over ``df``'s columns defining the
+    target subset (e.g. ``"lang = 'de'"`` or a quality-bucket predicate);
+    target rows ALSO count toward the source pool, matching the paper's
+    raw-pool formulation.
+
+    Plan shape (scale posture): same as :func:`token_surprisal` — one
+    map-side-combinable token count (vocab-sized, with a per-token target
+    sub-count), a 1-row broadcast of the (total_src, total_tgt, vocab)
+    triple, per-doc scoring via an equi-join on token + one groupBy(doc).
+    No windows over the vocab, no collect; the exploded projection is
+    persisted through ``common.caching`` — call ``release_caches()``
+    after the consuming action.
+
+    Returns (id_col, n_tokens, importance_weight) with the weight rounded
+    to 6 dp (absorbs cross-engine float summation noise).  Zero-token
+    documents drop out (inner join), like the other token-LM signals.
+    """
+    toks = (
+        f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    )
+    exploded = register_cache(
+        ensure_parallelism(df).select(
+            F.col(id_col),
+            F.explode(F.expr(toks)).alias("__tok__"),
+            F.expr(target_expr).cast("boolean").alias("__is_tgt__"),
+        )
+    )
+    counts = register_cache(
+        exploded.groupBy("__tok__").agg(
+            F.count(F.lit(1)).alias("__n_src__"),
+            F.sum(F.when(F.col("__is_tgt__"), 1).otherwise(0)).alias(
+                "__n_tgt__"
+            ),
+        )
+    )
+    totals = counts.alias("__c__").agg(
+        F.sum("__n_src__").alias("__tot_src__"),
+        F.sum("__n_tgt__").alias("__tot_tgt__"),
+        F.count(F.lit(1)).alias("__vocab__"),
+    )
+    a = F.lit(float(alpha))
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "__tok__",
+        (
+            F.log((F.col("__n_tgt__") + a)
+                  / (F.col("__tot_tgt__") + a * F.col("__vocab__")))
+            - F.log((F.col("__n_src__") + a)
+                    / (F.col("__tot_src__") + a * F.col("__vocab__")))
+        ).alias("__lr__"),
+    )
+    return (
+        exploded.join(ratio, on="__tok__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("__lr__"), 6).alias("importance_weight"),
+        )
+    )
+
+
 def compression_ratio(
     df: DataFrame,
     text_col: str = "text",

@@ -475,3 +475,47 @@ def test_robust_zscore_outlier_immunity(spark):
     }
     assert got[("a", 50.0)] is True
     assert got[("b", 300.0)] is False
+
+
+def test_importance_weights_golden(spark):
+    """Hand-computed DSIR weights on a 3-doc corpus: target tokens score
+    positive, off-target negative, and the exact smoothed log-ratios match
+    a first-principles Python replica."""
+    import math
+
+    from feathub_spark.common.caching import release_caches
+    from feathub_spark.datapipe.quality import importance_weights
+
+    docs = [
+        (1, "aa aa bb", True),   # target
+        (2, "bb cc", False),
+        (3, "aa cc cc", False),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, tgt boolean")
+    out = {
+        r.doc_id: r
+        for r in importance_weights(df, "text", "doc_id", "tgt").collect()
+    }
+    release_caches()
+
+    # replica: pooled vocab {aa,bb,cc}, alpha=0.5
+    src = Counter({"aa": 3, "bb": 2, "cc": 3})
+    tgt = Counter({"aa": 2, "bb": 1})
+    v, a = 3, 0.5
+    tot_s, tot_t = sum(src.values()), sum(tgt.values())
+
+    def lr(t):
+        return math.log((tgt[t] + a) / (tot_t + a * v)) - math.log(
+            (src[t] + a) / (tot_s + a * v)
+        )
+
+    for doc_id, text, _ in docs:
+        toks = text.split()
+        want = round(sum(lr(t) for t in toks) / len(toks), 6)
+        assert out[doc_id].n_tokens == len(toks)
+        assert abs(out[doc_id].importance_weight - want) < 1e-9, (
+            doc_id, out[doc_id].importance_weight, want,
+        )
+    # the pure-target doc outranks the pure-source docs
+    assert out[1].importance_weight > out[2].importance_weight
+    assert out[1].importance_weight > out[3].importance_weight
