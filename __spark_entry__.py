@@ -1526,6 +1526,56 @@ def _q_importance_weights(spark, sf_dir):
     return importance_weights(df, "text", "doc_id", "lang = 'de'")
 
 
+def _q_dedup_paragraphs(spark, sf_dir):
+    """Intra-document repeated-paragraph removal: the fixture's 40-char
+    prefix is planted as a paragraph before AND after the body, so every
+    document carries at least one within-doc duplicate; only the first
+    occurrence survives, order preserved, blanks always kept.  Pure
+    per-row Catalyst fold — zero shuffle."""
+    from feathub_spark.datapipe.passages import dedup_paragraphs
+
+    df = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select(
+        "doc_id",
+        F.expr(
+            "concat(substr(text, 1, 40), '\\n\\n', text, '\\n\\n', "
+            "substr(text, 1, 40))"
+        ).alias("text"),
+    )
+    return dedup_paragraphs(df, "text", "doc_id")
+
+
+_ORACLE_DEDUP_PARAGRAPHS = """
+WITH built AS (
+    SELECT doc_id,
+           substr(text, 1, 40) || chr(10) || chr(10) || text
+               || chr(10) || chr(10) || substr(text, 1, 40) AS t
+    FROM documents
+), sp AS (
+    SELECT doc_id, string_split(t, chr(10) || chr(10)) AS parts FROM built
+), paras AS (
+    SELECT doc_id, parts[i] AS p, i
+    FROM sp, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) s
+), keyed AS (
+    SELECT doc_id, p, i, trim(p) = '' AS blank, md5(trim(lower(p))) AS k
+    FROM paras
+), firsts AS (
+    SELECT doc_id, p, i,
+           CASE WHEN blank THEN TRUE
+                ELSE i = min(i) OVER (PARTITION BY doc_id, k) END AS keep
+    FROM keyed
+)
+SELECT doc_id,
+       coalesce(string_agg(p, chr(10) || chr(10) ORDER BY i)
+                    FILTER (WHERE keep), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_paragraphs,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM firsts
+GROUP BY doc_id
+"""
+
+
 _ORACLE_IMPORTANCE_WEIGHTS = r"""
 WITH toks AS (
     SELECT doc_id, (lang = 'de') AS is_tgt,
@@ -6211,6 +6261,7 @@ _RAW_QUERIES = {
         "scd2_intervals": _q_scd2_intervals,
         "scd2_snapshot": _q_scd2_snapshot,
         "importance_weights": _q_importance_weights,
+        "dedup_paragraphs": _q_dedup_paragraphs,
 }
 
 
@@ -6250,6 +6301,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_intervals": _ORACLE_SCD2_INTERVALS,
         "scd2_snapshot": _ORACLE_SCD2_SNAPSHOT,
         "importance_weights": _ORACLE_IMPORTANCE_WEIGHTS,
+        "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

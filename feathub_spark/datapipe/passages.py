@@ -706,6 +706,74 @@ def remove_boilerplate_lines(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    separator: str = "\n\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """INTRA-document repeated-paragraph removal: within each document,
+    keep only the FIRST occurrence of every paragraph (scraped pages often
+    repeat nav blocks, quoted replies, or template sections inside one
+    document — the within-doc complement of the cross-doc
+    :func:`remove_boilerplate_lines`).  Surviving paragraphs keep their
+    original order and original text; ``normalize=True`` compares
+    trimmed + lowercased content (the CCNet convention).  Blank/
+    whitespace-only paragraphs are never treated as duplicates — document
+    structure survives.
+
+    Plan shape: pure per-row Catalyst — a split + one aggregate() fold
+    over the document's own paragraph array, ZERO shuffle, whole-stage
+    pipeline-able, scales with executors only.  The seen-set is the
+    document's own distinct paragraph keys (array_contains per step:
+    O(p^2) per doc on paragraph COUNT, which is small even for huge docs).
+
+    Returns (id_col, clean_text, n_paragraphs, n_removed)."""
+    import re
+
+    def _sql_str(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    # split()'s pattern argument is a Java REGEX — quote the separator so
+    # '|', '.', '++' etc. split literally; the rejoin uses the raw literal
+    pat = _sql_str(re.escape(separator))
+    sep = _sql_str(separator)
+    key = "md5(trim(lower(s.p)))" if normalize else "md5(s.p)"
+    fold = f"""
+    aggregate(
+      transform(split(coalesce(`{text_col}`, ''), '{pat}', -1),
+                p -> struct(p AS p, {key.replace('s.p', 'p')} AS k,
+                            trim(p) = '' AS blank)),
+      struct(CAST(array() AS ARRAY<STRING>) AS seen,
+             CAST(array() AS ARRAY<STRING>) AS kept,
+             CAST(0 AS BIGINT) AS removed),
+      (a, s) -> IF(s.blank,
+                   struct(a.seen AS seen,
+                          array_append(a.kept, s.p) AS kept,
+                          a.removed AS removed),
+                   IF(array_contains(a.seen, s.k),
+                      struct(a.seen AS seen, a.kept AS kept,
+                             a.removed + CAST(1 AS BIGINT) AS removed),
+                      struct(array_append(a.seen, s.k) AS seen,
+                             array_append(a.kept, s.p) AS kept,
+                             a.removed AS removed))),
+      a -> struct(array_join(a.kept, '{sep}') AS clean_text,
+                  size(a.kept) + CAST(a.removed AS INT) AS n_paragraphs,
+                  a.removed AS n_removed)
+    )
+    """
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.expr(fold).alias("__d__"),
+    ).select(
+        id_col,
+        F.col("__d__.clean_text").alias("clean_text"),
+        F.col("__d__.n_paragraphs").cast("bigint").alias("n_paragraphs"),
+        F.col("__d__.n_removed").alias("n_removed"),
+    )
+
+
 def winnow_index(
     df: DataFrame,
     text_col: str,

@@ -580,3 +580,44 @@ def test_numpy_xxh64_hypothesis_fuzz(spark):
         assert got.tolist() == list(exp), (repr(text), glen)
 
     check()
+
+
+def test_dedup_paragraphs_semantics(spark):
+    from feathub_spark.datapipe.passages import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            # normalized dups ("hello" ~ "Hello", "World  " ~ "world"),
+            # blank paragraph preserved and never counted as dup
+            (1, "Hello\n\nworld\n\nhello\n\n\n\nWorld  \n\nnew"),
+            (2, None),
+            (3, ""),
+            (4, "same\n\nsame\n\nsame"),
+            (5, "only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_paragraphs(df, "text", "doc_id").collect()}
+    assert got[1].clean_text == "Hello\n\nworld\n\n\n\nnew"
+    assert (got[1].n_paragraphs, got[1].n_removed) == (6, 2)
+    assert got[2].clean_text == "" and got[2].n_removed == 0
+    assert got[3].clean_text == "" and got[3].n_paragraphs == 1
+    assert got[4].clean_text == "same" and got[4].n_removed == 2
+    assert got[5].clean_text == "only" and got[5].n_removed == 0
+
+    # normalize=False keeps case-variant paragraphs
+    raw = {r.doc_id: r for r in dedup_paragraphs(
+        df, "text", "doc_id", normalize=False).collect()}
+    assert raw[1].n_removed == 0
+
+    # custom separator
+    one = spark.createDataFrame([(9, "a|b|a|c")], "doc_id long, text string")
+    got9 = dedup_paragraphs(one, "text", "doc_id", separator="|").collect()[0]
+    assert got9.clean_text == "a|b|c" and got9.n_removed == 1
+
+    # zero shuffle: the whole operator is a per-row projection
+    plan = (
+        dedup_paragraphs(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
