@@ -417,3 +417,74 @@ def test_match_minhash_index_streaming_foreachbatch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert got == expected
+
+
+def test_stateful_scd2_matches_batch(spark, tmp_path):
+    """Streaming SCD2 == batch SCD2 on shuffled out-of-order arrival: the
+    stream's closed intervals must equal the batch builder's
+    valid_to-IS-NOT-NULL rows over the same completed prefix (the open
+    interval lives only in state; append mode cannot retract it)."""
+    import os
+    import random
+    import time as _time
+
+    from feathub_spark.datapipe.scd import scd2_intervals
+    from feathub_spark.streaming.stateful_scd2 import stateful_scd2
+
+    rnd = random.Random(23)
+    rows = []
+    used = set()
+    for _ in range(400):
+        k = f"u{rnd.randrange(8)}"
+        t = rnd.randrange(1, 5000)
+        while (k, t) in used:  # unique ts per key (documented contract)
+            t = rnd.randrange(1, 5000)
+        used.add((k, t))
+        rows.append((k, t, rnd.choice(["A", "B", "C", None])))
+    batch = spark.createDataFrame(rows, "k string, t long, v string")
+
+    # batch truth in millis, closed intervals only
+    expected = {
+        (r.k, r.v, r.valid_from * 1000, r.valid_to * 1000)
+        for r in scd2_intervals(batch, "k", "t", "v").collect()
+        if r.valid_to is not None
+    }
+
+    # shuffled multi-file arrival + a far-future sentinel to flush
+    d = str(tmp_path / "scd2_in")
+    os.makedirs(d)
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    now = _time.time()
+
+    def _stamp(sub, ts):
+        for root, _, files in os.walk(os.path.join(d, sub)):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (ts, ts))
+
+    third = len(shuffled) // 3 + 1
+    for i in range(3):
+        spark.createDataFrame(
+            shuffled[i * third : (i + 1) * third], "k string, t long, v string"
+        ).coalesce(1).write.parquet(os.path.join(d, f"f{i}"))
+        _stamp(f"f{i}", now + 10 * i)
+    spark.createDataFrame(
+        [("zz", 10_000_000, "A")], "k string, t long, v string"
+    ).coalesce(1).write.parquet(os.path.join(d, "f9"))
+    _stamp("f9", now + 100)
+
+    stream = (
+        spark.readStream.schema("k string, t long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "*"))
+        .withColumn("__ts__", F.timestamp_seconds(F.col("t")))
+        .withWatermark("__ts__", "5000 seconds")
+    )
+    out = stateful_scd2(stream, "k", "v", event_time_col="__ts__")
+    _to_memory(out, tmp_path, "scd2_stream")
+    got = {
+        (r.k, r.v, r.valid_from_ms, r.valid_to_ms)
+        for r in spark.sql("SELECT * FROM scd2_stream").collect()
+        if r.k != "zz"
+    }
+    assert got == expected
