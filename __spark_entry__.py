@@ -1526,6 +1526,62 @@ def _q_importance_weights(spark, sf_dir):
     return importance_weights(df, "text", "doc_id", "lang = 'de'")
 
 
+def _q_quantized_ann(spark, sf_dir):
+    """int8-quantized ANN: per-vector symmetric scalar quantization
+    (scale = max|v|/127, cosine is scale-invariant so the scales cancel),
+    then top-5 cosine in EXACT 64-bit integer arithmetic — zero float
+    accumulation anywhere in scoring, so Spark and DuckDB agree to the
+    bit before the final rounded division.  4x less shuffle/memory than
+    float32 at corpus scale."""
+    from feathub_spark.datapipe.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dq = quantize_embeddings(df, "embedding")
+    return quantized_topk(
+        dq, dq.filter(F.col("vec_id") < 20), "qvec", "vec_id", k=5
+    )
+
+
+_ORACLE_QUANTIZED_ANN = """
+WITH qz AS (
+    SELECT vec_id, embedding,
+           list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS s
+    FROM embeddings
+), enc AS (
+    SELECT vec_id,
+           CASE WHEN s = 0
+                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT))
+           END AS q
+    FROM qz
+), qset AS (
+    SELECT vec_id AS query_id, q AS qv FROM enc WHERE vec_id < 20
+), scored AS (
+    SELECT qs.query_id, e.vec_id AS neighbor_id,
+           round(CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+                     i -> qv[i] * e.q[i]), 'sum') AS DOUBLE)
+                 / (sqrt(CAST(list_aggregate(list_transform(qv, x -> x * x),
+                        'sum') AS DOUBLE))
+                  * sqrt(CAST(list_aggregate(list_transform(e.q, x -> x * x),
+                        'sum') AS DOUBLE))), 6) AS cosine,
+           list_aggregate(list_transform(qv, x -> x * x), 'sum') AS qn2,
+           list_aggregate(list_transform(e.q, x -> x * x), 'sum') AS cn2
+    FROM qset qs, enc e WHERE e.vec_id <> qs.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored WHERE qn2 > 0 AND cn2 > 0
+) WHERE rank <= 5
+"""
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """Intra-document repeated-paragraph removal: the fixture's 40-char
     prefix is planted as a paragraph before AND after the body, so every
@@ -6262,6 +6318,7 @@ _RAW_QUERIES = {
         "scd2_snapshot": _q_scd2_snapshot,
         "importance_weights": _q_importance_weights,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "quantized_ann": _q_quantized_ann,
 }
 
 
@@ -6302,6 +6359,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_snapshot": _ORACLE_SCD2_SNAPSHOT,
         "importance_weights": _ORACLE_IMPORTANCE_WEIGHTS,
         "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
+        "quantized_ann": _ORACLE_QUANTIZED_ANN,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

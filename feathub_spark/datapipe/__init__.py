@@ -76,6 +76,8 @@ from feathub_spark.datapipe.similarity import (
     ivf_topk,
     lsh_topk,
     pq_topk,
+    quantize_embeddings,
+    quantized_topk,
     semantic_dedup,
     train_ivf_codebook,
 )
@@ -101,6 +103,7 @@ __all__ = [
     "ngram_jaccard_pairs", "normalize_text", "numeric_histogram",
     "pack_sequences", "pagerank", "parse_json_features", "phrase_search",
     "pii_scrub", "pq_topk", "profile_columns", "quality_buckets",
+    "quantize_embeddings", "quantized_topk",
     "rank_normalize", "resample_ffill", "ring_negative_samples",
     "robust_zscore", "rrf_fuse", "select_survivors", "semantic_dedup",
     "quantile_stratified_sample", "scd2_intervals", "scd2_snapshot",

@@ -1504,3 +1504,54 @@ def test_approx_quantiles_exact_at_full_accuracy(spark):
         data = [v for gg, v in vals if gg == g]
         for p in probs:
             assert grouped[(g, p)] == disc(data, p), (g, p)
+
+
+def test_quantize_embeddings_and_quantized_topk(spark):
+    """int8 quantization semantics (per-vector scale, zero-vector code,
+    tinyint range) and integer-cosine top-k agreement with the exact
+    float ranking on well-separated vectors."""
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.95, 0.05, 0.0]),  # near 2
+        (4, [0.0, 0.0, 0.0, 0.0]),    # zero vector
+        (5, [-0.5, -0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dq = quantize_embeddings(df, "embedding")
+    got = {r.vec_id: r for r in dq.collect()}
+    assert got[0].qvec == [127, 0, 0, 0]
+    assert abs(got[0].qscale - 1.0 / 127) < 1e-12
+    assert got[4].qscale == 0.0 and got[4].qvec == [0, 0, 0, 0]
+    assert all(-127 <= x <= 127 for r in got.values() for x in r.qvec)
+    # scale round-trips: dequantized max |error| <= scale/2
+    for r in got.values():
+        orig = dict(rows)[r.vec_id]
+        for o, q in zip(orig, r.qvec):
+            assert abs(o - q * r.qscale) <= r.qscale / 2 + 1e-12
+
+    qs = dq.filter(F.col("vec_id").isin(0, 2))
+    top = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in quantized_topk(dq, qs, "qvec", "vec_id", k=2).collect()
+    }
+    assert top[(0, 1)] == 1 and top[(2, 1)] == 3
+    # zero vector never appears (NULL cosine dropped)
+    assert 4 not in set(top.values())
+    # matches the exact float ranking on this well-separated fixture
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(
+            df, df.filter(F.col("vec_id").isin(0, 2)), "embedding", "vec_id", k=2
+        ).collect()
+    }
+    assert top == exact
