@@ -1582,6 +1582,106 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def _q_hamming_ann(spark, sf_dir):
+    """1-bit binary ANN: sign bits packed 63-per-BIGINT-word (~32x
+    compression), top-10 by Hamming distance — every operation is 64-bit
+    integer (xor + bit_count + sum), bit-identical across engines."""
+    from feathub_spark.datapipe.similarity import (
+        binarize_embeddings,
+        hamming_topk,
+    )
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    db = binarize_embeddings(df, "embedding")
+    return hamming_topk(
+        db, db.filter(F.col("vec_id") < 20), "bvec", "vec_id", k=10
+    )
+
+
+_ORACLE_BINPACK = """
+    list_transform(range(0, CAST(ceil(len(embedding) / 63.0) AS BIGINT)), w ->
+      CAST(list_aggregate(list_transform(range(0, 63), j ->
+        CASE WHEN w * 63 + j < len(embedding)
+              AND CAST(embedding[CAST(w * 63 + j + 1 AS INT)] AS DOUBLE) > 0
+             THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
+        'sum') AS BIGINT))
+"""
+
+_ORACLE_HAMMING_ANN = f"""
+WITH packed AS (
+    SELECT vec_id, {_ORACLE_BINPACK} AS b FROM embeddings
+), qset AS (
+    SELECT vec_id AS query_id, b AS qb FROM packed WHERE vec_id < 20
+), scored AS (
+    SELECT qs.query_id, p.vec_id AS neighbor_id,
+           CAST(list_aggregate(list_transform(range(1, len(qb) + 1),
+               i -> bit_count(xor(qb[i], p.b[i]))), 'sum') AS BIGINT)
+               AS hamming
+    FROM qset qs, packed p WHERE p.vec_id <> qs.query_id
+)
+SELECT query_id, neighbor_id, rank, hamming FROM (
+    SELECT query_id, neighbor_id, hamming,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming ASC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
+def _q_binary_rerank_ann(spark, sf_dir):
+    """The production binary-prefilter pattern: Hamming top-50 over the
+    packed sign codes selects candidates (32x-compressed scan), exact
+    cosine reranks only those 50 per query.  Candidate selection and
+    rerank are both deterministic (integer Hamming + id ties; rounded
+    cosine + id ties), so the oracle replays the full two-phase plan."""
+    from feathub_spark.datapipe.similarity import binary_rerank_topk
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return binary_rerank_topk(
+        df, df.filter(F.col("vec_id") < 20), "embedding", "vec_id",
+        k=5, expand=10,
+    )
+
+
+_ORACLE_BINARY_RERANK_ANN = f"""
+WITH packed AS (
+    SELECT vec_id, embedding, {_ORACLE_BINPACK} AS b FROM embeddings
+), qset AS (
+    SELECT vec_id AS query_id, embedding AS qv, b AS qb
+    FROM packed WHERE vec_id < 20
+), ham AS (
+    SELECT qs.query_id, p.vec_id AS neighbor_id, p.embedding AS cv, qs.qv,
+           CAST(list_aggregate(list_transform(range(1, len(qb) + 1),
+               i -> bit_count(xor(qb[i], p.b[i]))), 'sum') AS BIGINT)
+               AS hamming
+    FROM qset qs, packed p WHERE p.vec_id <> qs.query_id
+), cands AS (
+    SELECT query_id, neighbor_id, cv, qv FROM (
+        SELECT query_id, neighbor_id, cv, qv,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY hamming ASC, neighbor_id ASC) AS hrank
+        FROM ham
+    ) WHERE hrank <= 50
+), scored AS (
+    SELECT query_id, neighbor_id,
+           round(
+             list_aggregate(list_transform(range(1, len(qv) + 1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(qv,
+                    x -> CAST(x AS DOUBLE) * x), 'sum'))
+              * sqrt(list_aggregate(list_transform(cv,
+                    x -> CAST(x AS DOUBLE) * x), 'sum'))), 6) AS cosine
+    FROM cands
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """Intra-document repeated-paragraph removal: the fixture's 40-char
     prefix is planted as a paragraph before AND after the body, so every
@@ -6319,6 +6419,8 @@ _RAW_QUERIES = {
         "importance_weights": _q_importance_weights,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "quantized_ann": _q_quantized_ann,
+        "hamming_ann": _q_hamming_ann,
+        "binary_rerank_ann": _q_binary_rerank_ann,
 }
 
 
@@ -6360,6 +6462,8 @@ def oracle_sql() -> dict[str, str]:
         "importance_weights": _ORACLE_IMPORTANCE_WEIGHTS,
         "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
         "quantized_ann": _ORACLE_QUANTIZED_ANN,
+        "hamming_ann": _ORACLE_HAMMING_ANN,
+        "binary_rerank_ann": _ORACLE_BINARY_RERANK_ANN,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

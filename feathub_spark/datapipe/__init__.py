@@ -70,8 +70,11 @@ from feathub_spark.datapipe.sampling import (
 )
 from feathub_spark.datapipe.sessions import funnel_steps, session_stats, sessionize
 from feathub_spark.datapipe.similarity import (
+    binarize_embeddings,
+    binary_rerank_topk,
     brute_force_topk,
     cluster_balanced_sample,
+    hamming_topk,
     ivf_pq_topk,
     ivf_topk,
     lsh_topk,
@@ -93,6 +96,7 @@ from feathub_spark.datapipe.text import (
 
 __all__ = [
     "analyze_documents", "assign_shards", "assign_splits",
+    "binarize_embeddings", "binary_rerank_topk", "hamming_topk",
     "bloom_filter_bits", "bloom_prune", "bm25_search", "brute_force_topk",
     "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",
     "diff_snapshots", "approx_quantiles", "exact_dedup", "fit_pca", "pca_project", "funnel_steps", "hll_distinct",

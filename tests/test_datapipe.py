@@ -1555,3 +1555,50 @@ def test_quantize_embeddings_and_quantized_topk(spark):
         ).collect()
     }
     assert top == exact
+
+
+def test_binarize_and_hamming_topk(spark):
+    """63-bit word packing round-trip, exact Hamming counts, and the
+    prefilter+rerank composition finding the true nearest neighbor."""
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.similarity import (
+        binarize_embeddings,
+        binary_rerank_topk,
+        hamming_topk,
+    )
+
+    # 70 dims forces 2 words (63 + 7)
+    def vec(bits):
+        return [1.0 if i in bits else -1.0 for i in range(70)]
+
+    rows = [
+        (0, vec({0, 62, 63, 69})),
+        (1, vec({0, 62, 63})),        # Hamming 1 from 0
+        (2, vec({5})),                # far
+        (3, vec(set(range(70)))),     # all positive
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    db = binarize_embeddings(df, "embedding")
+    got = {r.vec_id: list(r.bvec) for r in db.collect()}
+    assert len(got[0]) == 2
+    assert got[0][0] == (1 << 0) | (1 << 62)          # dims 0,62 in word 0
+    assert got[0][1] == (1 << 0) | (1 << 6)           # dims 63,69 -> bits 0,6
+    assert got[3] == [(1 << 63) - 1, (1 << 7) - 1]    # 63 + 7 bits set
+    assert all(w >= 0 for ws in got.values() for w in ws)  # sign bit clear
+
+    top = {
+        (r.query_id, r.rank): (r.neighbor_id, r.hamming)
+        for r in hamming_topk(
+            db, db.filter(F.col("vec_id") == 0), "bvec", "vec_id", k=3
+        ).collect()
+    }
+    assert top[(0, 1)] == (1, 1)     # vec 1 differs only in dim 69
+    assert top[(0, 2)] == (2, 5)     # vec 2: symmetric diff {0,5,62,63,69}
+    assert top[(0, 3)] == (3, 66)    # all-ones differs in the other 66 dims
+
+    rer = binary_rerank_topk(
+        df, df.filter(F.col("vec_id") == 0), "embedding", "vec_id",
+        k=1, expand=3,
+    ).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in rer] == [(0, 1, 1)]
