@@ -1514,6 +1514,24 @@ def _q_scd2_snapshot(spark, sf_dir):
     )
 
 
+def _q_scd2_merge(spark, sf_dir):
+    """Incremental SCD2 maintenance: intervals built from the first half
+    of January, the second half folded in as a delta — the oracle rebuilds
+    from the FULL log, so the gate proves incremental == full rebuild
+    (closed intervals untouched, only delta keys reworked)."""
+    from feathub_spark.datapipe.scd import scd2_intervals, scd2_merge
+
+    ev = _events_with_micros(spark, sf_dir)
+    pre = ev.filter(F.col("ts_us") <= _SCD2_SNAPSHOT_AT_US)
+    delta = ev.filter(F.col("ts_us") > _SCD2_SNAPSHOT_AT_US)
+    base = scd2_intervals(
+        pre, "user_id", "ts_us", "event_type", tie_cols="event_id"
+    )
+    return scd2_merge(
+        base, delta, "user_id", "ts_us", "event_type", tie_cols="event_id"
+    )
+
+
 def _q_importance_weights(spark, sf_dir):
     """DSIR-style importance weights (Xie et al. 2023): per-doc average
     unigram log-likelihood ratio of the target domain (lang='de') vs the
@@ -6421,6 +6439,7 @@ _RAW_QUERIES = {
         "quantized_ann": _q_quantized_ann,
         "hamming_ann": _q_hamming_ann,
         "binary_rerank_ann": _q_binary_rerank_ann,
+        "scd2_merge": _q_scd2_merge,
 }
 
 
@@ -6464,6 +6483,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_ann": _ORACLE_QUANTIZED_ANN,
         "hamming_ann": _ORACLE_HAMMING_ANN,
         "binary_rerank_ann": _ORACLE_BINARY_RERANK_ANN,
+        "scd2_merge": _ORACLE_SCD2_INTERVALS,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

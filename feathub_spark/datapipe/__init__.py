@@ -38,7 +38,7 @@ from feathub_spark.datapipe.quality import (
     winsorize,
 )
 from feathub_spark.datapipe.resample import resample_ffill
-from feathub_spark.datapipe.scd import scd2_intervals, scd2_snapshot
+from feathub_spark.datapipe.scd import scd2_intervals, scd2_merge, scd2_snapshot
 from feathub_spark.datapipe.bpe import (
     bpe_encode,
     bpe_train,
@@ -110,7 +110,8 @@ __all__ = [
     "quantize_embeddings", "quantized_topk",
     "rank_normalize", "resample_ffill", "ring_negative_samples",
     "robust_zscore", "rrf_fuse", "select_survivors", "semantic_dedup",
-    "quantile_stratified_sample", "scd2_intervals", "scd2_snapshot",
+    "quantile_stratified_sample", "scd2_intervals", "scd2_merge",
+    "scd2_snapshot",
     "session_stats", "sessionize",
     "simhash_pairs", "stratified_sample",
     "temperature_sample", "token_pmi", "token_surprisal",

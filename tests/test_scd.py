@@ -86,3 +86,44 @@ def test_scd2_validation(spark):
         scd2_intervals(df, [], "ts", "v")
     with pytest.raises(ValueError):
         scd2_intervals(df, "k", "ts", [])
+
+
+def test_scd2_merge_equals_full_rebuild(spark):
+    import random
+
+    from feathub_spark.datapipe.scd import scd2_intervals, scd2_merge
+
+    rnd = random.Random(5)
+    rows, used = [], set()
+    for _ in range(500):
+        k, t = rnd.randrange(12), rnd.randrange(1, 3000)
+        while (k, t) in used:
+            t = rnd.randrange(1, 3000)
+        used.add((k, t))
+        rows.append((k, t, rnd.choice(["A", "B", "C", None])))
+    cut = 1500
+    pre = spark.createDataFrame(
+        [r for r in rows if r[1] <= cut], "k long, ts long, v string"
+    )
+    dl = spark.createDataFrame(
+        [r for r in rows if r[1] > cut], "k long, ts long, v string"
+    )
+    full = spark.createDataFrame(rows, "k long, ts long, v string")
+
+    base = scd2_intervals(pre, "k", "ts", "v")
+    got = {tuple(r) for r in scd2_merge(base, dl, "k", "ts", "v").collect()}
+    want = {tuple(r) for r in scd2_intervals(full, "k", "ts", "v").collect()}
+    assert got == want
+
+    # late delta events (ts <= the open interval's start) are dropped
+    late = spark.createDataFrame([(0, 1, "Z")], "k long, ts long, v string")
+    fixed = scd2_intervals(full, "k", "ts", "v")
+    again = {tuple(r) for r in scd2_merge(fixed, late, "k", "ts", "v").collect()}
+    assert again == want
+
+    # brand-new keys in the delta appear with their own intervals
+    newk = spark.createDataFrame(
+        [(99, 10, "A"), (99, 20, "B")], "k long, ts long, v string"
+    )
+    m = {tuple(r) for r in scd2_merge(fixed, newk, "k", "ts", "v").collect()}
+    assert (99, "A", 10, 20) in m and (99, "B", 20, None) in m
