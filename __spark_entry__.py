@@ -1514,6 +1514,46 @@ def _q_scd2_snapshot(spark, sf_dir):
     )
 
 
+_TWA_START_US = 1_704_844_800_000_000  # 2024-01-10
+_TWA_END_US = 1_705_708_800_000_000    # 2024-01-20
+
+
+def _q_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average of the event value over a 10-day
+    window (TWAP semantics: last observation carried forward, durations
+    clipped to the window, coverage-weighted so late-first-seen keys
+    aren't diluted)."""
+    from feathub_spark.datapipe.resample import time_weighted_avg
+
+    ev = _events_with_micros(spark, sf_dir)
+    return time_weighted_avg(
+        ev, "user_id", "ts_us", "value", _TWA_START_US, _TWA_END_US,
+        tie_cols=["event_id"],
+    )
+
+
+_ORACLE_TIME_WEIGHTED_AVG = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v, event_id
+    FROM events WHERE epoch_us(ts) < {_TWA_END_US}
+), stepped AS (
+    SELECT user_id, v,
+           greatest(t, {_TWA_START_US}) AS lo,
+           least(coalesce(lead(t) OVER (PARTITION BY user_id
+                     ORDER BY t, event_id), {_TWA_END_US}),
+                 {_TWA_END_US}) AS hi
+    FROM e
+), c AS (
+    SELECT user_id, v, greatest(hi - lo, 0) AS dt FROM stepped
+)
+SELECT user_id, round(sum(v * dt) / sum(dt), 6) AS twa,
+       CAST(sum(dt) AS BIGINT) AS coverage_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM c WHERE dt > 0 AND v IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def _q_scd2_merge(spark, sf_dir):
     """Incremental SCD2 maintenance: intervals built from the first half
     of January, the second half folded in as a delta — the oracle rebuilds
@@ -6440,6 +6480,7 @@ _RAW_QUERIES = {
         "hamming_ann": _q_hamming_ann,
         "binary_rerank_ann": _q_binary_rerank_ann,
         "scd2_merge": _q_scd2_merge,
+        "time_weighted_avg": _q_time_weighted_avg,
 }
 
 
@@ -6484,6 +6525,7 @@ def oracle_sql() -> dict[str, str]:
         "hamming_ann": _ORACLE_HAMMING_ANN,
         "binary_rerank_ann": _ORACLE_BINARY_RERANK_ANN,
         "scd2_merge": _ORACLE_SCD2_INTERVALS,
+        "time_weighted_avg": _ORACLE_TIME_WEIGHTED_AVG,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

@@ -37,7 +37,7 @@ from feathub_spark.datapipe.quality import (
     token_surprisal,
     winsorize,
 )
-from feathub_spark.datapipe.resample import resample_ffill
+from feathub_spark.datapipe.resample import resample_ffill, time_weighted_avg
 from feathub_spark.datapipe.scd import scd2_intervals, scd2_merge, scd2_snapshot
 from feathub_spark.datapipe.bpe import (
     bpe_encode,
@@ -114,7 +114,7 @@ __all__ = [
     "scd2_snapshot",
     "session_stats", "sessionize",
     "simhash_pairs", "stratified_sample",
-    "temperature_sample", "token_pmi", "token_surprisal",
+    "temperature_sample", "time_weighted_avg", "token_pmi", "token_surprisal",
     "tokenize_to_ids", "train_ivf_codebook", "validate_rules",
     "weighted_sample", "winsorize",
 ]

@@ -120,3 +120,69 @@ def resample_ffill(
         *value_cols,
         (F.col("__tu__") - F.col("__last_ev__")).alias("staleness_us"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    start_us: int,
+    end_us: int,
+    tie_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Time-weighted average over ``[start_us, end_us)``: each event's
+    value holds until the key's next event (step-function/last-observation
+    semantics — the TWAP convention), durations clip to the window, and
+    the value in force AT ``start_us`` (the last event at/before it)
+    counts from ``start_us``.  The average weights by OBSERVED coverage
+    (``sum(v*dt)/sum(dt)``), so a key first observed mid-window isn't
+    diluted by the unobserved prefix; ``coverage_us`` reports how much of
+    the window the mean actually spans.
+
+    Plan shape: one hash shuffle on the key, one lead() window, one
+    groupBy — the same single-exchange family as scd2_intervals (the
+    step function IS an SCD2 interval table on a numeric attribute).
+    NULL values contribute no weighted mass but still close the previous
+    event's interval (a NULL observation means "unknown", not "carry the
+    old value harder").
+
+    Returns (key_col, twa, coverage_us, n_events) per key with any
+    in-window coverage; twa rounds to 6 dp."""
+    ties = list(tie_cols or [])
+    order = [F.col("__t__").asc()] + [F.col(c).asc() for c in ties]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    stepped = (
+        ensure_parallelism(df)
+        .filter(F.col(ts_us_col) < end_us)
+        .select(
+            key_col,
+            F.col(ts_us_col).alias("__t__"),
+            F.col(value_col).cast("double").alias("__v__"),
+            *ties,
+        )
+        .withColumn("__next__", F.lead("__t__").over(w))
+        .withColumn("__lo__", F.greatest(F.col("__t__"), F.lit(start_us)))
+        .withColumn(
+            "__hi__",
+            F.least(F.coalesce(F.col("__next__"), F.lit(end_us)),
+                    F.lit(end_us)),
+        )
+        .withColumn(
+            "__dt__",
+            F.greatest(F.col("__hi__") - F.col("__lo__"), F.lit(0)),
+        )
+    )
+    covered = stepped.filter(
+        (F.col("__dt__") > 0) & F.col("__v__").isNotNull()
+    )
+    return (
+        covered.groupBy(key_col)
+        .agg(
+            F.round(
+                F.sum(F.col("__v__") * F.col("__dt__")) / F.sum("__dt__"), 6
+            ).alias("twa"),
+            F.sum("__dt__").cast("bigint").alias("coverage_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )

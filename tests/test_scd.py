@@ -127,3 +127,26 @@ def test_scd2_merge_equals_full_rebuild(spark):
     )
     m = {tuple(r) for r in scd2_merge(fixed, newk, "k", "ts", "v").collect()}
     assert (99, "A", 10, 20) in m and (99, "B", 20, None) in m
+
+
+def test_time_weighted_avg_golden(spark):
+    """Hand-computed TWAP: window clipping, carry-forward at the window
+    start, NULL observations closing mass without contributing, and
+    events after the window excluded."""
+    from feathub_spark.datapipe.resample import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            (1, 100, 10.0), (1, 200, 20.0),   # 10 on [150,200), 20 on [200,300)
+            (2, 50, 5.0),                     # holds the whole window
+            (3, 120, None), (3, 180, 4.0),    # null -> no mass until 180
+            (4, 400, 9.0),                    # after the window: excluded
+        ],
+        "k long, ts long, v double",
+    )
+    out = {r.k: r for r in time_weighted_avg(df, "k", "ts", "v", 150, 300).collect()}
+    assert abs(out[1].twa - 2500 / 150) < 1e-6 and out[1].coverage_us == 150
+    assert out[2].twa == 5.0 and out[2].coverage_us == 150
+    assert out[3].twa == 4.0 and out[3].coverage_us == 120
+    assert 4 not in out
+    assert out[1].n_events == 2
