@@ -145,6 +145,84 @@ def main() -> None:
         "scd2_snapshot over those intervals",
         lambda: scd2_snapshot(iv, n_ev // 2).count(),
     )
+    from feathub_spark.datapipe.quality import importance_weights
+
+    timed(
+        f"importance_weights ({len(texts)} docs, 10% target)",
+        lambda: importance_weights(
+            docs.withColumn("tgt", F.col("doc_id") % 10 == 0),
+            "text", "doc_id", "tgt",
+        ).count(),
+    )
+    release_caches()
+
+    from feathub_spark.datapipe.passages import dedup_paragraphs
+
+    para_docs = docs.withColumn(
+        "text",
+        F.expr("concat(substr(text, 1, 60), '\\n\\n', text, '\\n\\n', "
+               "substr(text, 1, 60))"),
+    )
+    timed(
+        f"dedup_paragraphs ({len(texts)} docs, planted dups)",
+        lambda: dedup_paragraphs(para_docs, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    from feathub_spark.datapipe.similarity import (
+        binarize_embeddings,
+        hamming_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb2 = spark.range(20_000 * scale).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), j -> "
+            "CAST(xxhash64(id, j) % 1000 AS FLOAT) / 250.0)"
+        ).alias("embedding"),
+    )
+    dq = quantize_embeddings(emb2, "embedding")
+    timed(
+        f"quantized_topk 20q x {20_000 * scale} corpus",
+        lambda: quantized_topk(
+            dq, dq.filter(F.col("vec_id") < 20), "qvec", "vec_id", k=10
+        ).count(),
+    )
+    db = binarize_embeddings(emb2, "embedding")
+    timed(
+        f"hamming_topk 20q x {20_000 * scale} corpus",
+        lambda: hamming_topk(
+            db, db.filter(F.col("vec_id") < 20), "bvec", "vec_id", k=10
+        ).count(),
+    )
+
+    from feathub_spark.datapipe.resample import time_weighted_avg
+    from feathub_spark.datapipe.scd import scd2_intervals, scd2_merge
+
+    n_ev2 = 1_000_000 * scale
+    log2 = spark.range(n_ev2).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.xxhash64("id") % 10_000)
+        .alias("k"),
+        F.col("id").alias("ts"),
+        (F.xxhash64("id", F.lit(7)) % 4).cast("string").alias("v"),
+        (F.xxhash64("id", F.lit(9)) % 100).cast("double").alias("x"),
+    )
+    base = scd2_intervals(log2.filter(F.col("ts") <= n_ev2 // 2), "k", "ts", "v")
+    timed(
+        f"scd2_merge delta={n_ev2 // 2} onto base",
+        lambda: scd2_merge(
+            base, log2.filter(F.col("ts") > n_ev2 // 2), "k", "ts", "v"
+        ).count(),
+    )
+    timed(
+        f"time_weighted_avg ({n_ev2} events, hot key)",
+        lambda: time_weighted_avg(
+            log2, "k", "ts", "x", n_ev2 // 4, 3 * n_ev2 // 4
+        ).count(),
+    )
     docs.unpersist()
     release_caches()
 
