@@ -150,3 +150,51 @@ def test_time_weighted_avg_golden(spark):
     assert out[3].twa == 4.0 and out[3].coverage_us == 120
     assert 4 not in out
     assert out[1].n_events == 2
+
+
+def test_scd2_randomized_vs_python_model(spark):
+    """Randomized logs (duplicate timestamps, NULL attrs, single-event
+    keys) checked against a first-principles Python fold — the operator's
+    window formulation never gets to grade itself."""
+    import random
+
+    from feathub_spark.datapipe.scd import scd2_intervals
+
+    def model(rows):
+        by_key = {}
+        for k, ts, eid, v in rows:
+            by_key.setdefault(k, []).append((ts, eid, v))
+        out = set()
+        for k, evs in by_key.items():
+            evs.sort(key=lambda e: (e[0], e[1]))
+            changes = []
+            sentinel = object()
+            prev = sentinel
+            for ts, eid, v in evs:
+                if prev is sentinel or v != prev:
+                    changes.append((ts, v))
+                prev = v
+            for i, (ts, v) in enumerate(changes):
+                to = changes[i + 1][0] if i + 1 < len(changes) else None
+                out.add((k, v, ts, to))
+        return out
+
+    for seed in (1, 2, 3, 4, 5):
+        rnd = random.Random(seed)
+        rows = [
+            (
+                rnd.randrange(6),
+                rnd.randrange(1, 40),   # duplicate ts are common
+                i,                       # unique tie id
+                rnd.choice(["A", "B", None]),
+            )
+            for i in range(rnd.randrange(30, 120))
+        ]
+        df = spark.createDataFrame(rows, "k long, ts long, eid long, v string")
+        got = {
+            tuple(r)
+            for r in scd2_intervals(df, "k", "ts", "v", tie_cols="eid")
+            .select("k", "v", "valid_from", "valid_to")
+            .collect()
+        }
+        assert got == model(rows), f"seed={seed}"
