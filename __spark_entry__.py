@@ -1514,6 +1514,39 @@ def _q_scd2_snapshot(spark, sf_dir):
     )
 
 
+def _q_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy record linkage over distinct part names: candidates
+    share the noun (last word) as the blocking key, the length-band
+    prune and thresholded Levenshtein run inside each block, exact
+    distance <= 2 confirms — never an all-pairs cross product."""
+    from feathub_spark.datapipe.dedup import fuzzy_match_pairs
+
+    names = (
+        spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        .select("p_name")
+        .distinct()
+    )
+    return fuzzy_match_pairs(
+        names, "p_name", "p_name", max_distance=2,
+        block_expr="element_at(split(p_name, ' '), -1)",
+    )
+
+
+_ORACLE_FUZZY_MATCH = """
+WITH n AS (
+    SELECT DISTINCT p_name FROM part
+), b AS (
+    SELECT p_name, sp[len(sp)] AS blk
+    FROM (SELECT p_name, string_split(p_name, ' ') AS sp FROM n)
+)
+SELECT a.p_name AS id_a, c.p_name AS id_b,
+       CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS distance
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE abs(length(a.p_name) - length(c.p_name)) <= 2
+  AND levenshtein(a.p_name, c.p_name) <= 2
+"""
+
+
 _TWA_START_US = 1_704_844_800_000_000  # 2024-01-10
 _TWA_END_US = 1_705_708_800_000_000    # 2024-01-20
 
@@ -6481,6 +6514,7 @@ _RAW_QUERIES = {
         "binary_rerank_ann": _q_binary_rerank_ann,
         "scd2_merge": _q_scd2_merge,
         "time_weighted_avg": _q_time_weighted_avg,
+        "fuzzy_match": _q_fuzzy_match,
 }
 
 
@@ -6526,6 +6560,7 @@ def oracle_sql() -> dict[str, str]:
         "binary_rerank_ann": _ORACLE_BINARY_RERANK_ANN,
         "scd2_merge": _ORACLE_SCD2_INTERVALS,
         "time_weighted_avg": _ORACLE_TIME_WEIGHTED_AVG,
+        "fuzzy_match": _ORACLE_FUZZY_MATCH,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

@@ -12,6 +12,7 @@ from feathub_spark.datapipe.bloom import bloom_filter_bits, bloom_prune
 from feathub_spark.datapipe.dedup import (
     dedup_clusters,
     exact_dedup,
+    fuzzy_match_pairs,
     match_minhash_index,
     minhash_index,
     minhash_lsh_pairs,
@@ -99,7 +100,7 @@ __all__ = [
     "binarize_embeddings", "binary_rerank_topk", "hamming_topk",
     "bloom_filter_bits", "bloom_prune", "bm25_search", "brute_force_topk",
     "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",
-    "diff_snapshots", "approx_quantiles", "exact_dedup", "fit_pca", "pca_project", "funnel_steps", "hll_distinct",
+    "diff_snapshots", "approx_quantiles", "exact_dedup", "fuzzy_match_pairs", "fit_pca", "pca_project", "funnel_steps", "hll_distinct",
     "importance_weights", "ivf_pq_topk", "ivf_topk", "key_skew", "lsh_topk",
     "bpe_encode", "bpe_train", "word_frequencies",
     "match_minhash_index", "merge_aggregates", "minhash_index",

@@ -1602,3 +1602,50 @@ def test_binarize_and_hamming_topk(spark):
         k=1, expand=3,
     ).collect()
     assert [(r.query_id, r.neighbor_id, r.rank) for r in rer] == [(0, 1, 1)]
+
+
+def test_fuzzy_match_pairs(spark):
+    """Blocking recall contract, length-band prune, hot-block cap, and
+    exact Levenshtein confirmation."""
+    from feathub_spark.datapipe.dedup import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "jon smith"), (2, "john smith"),       # d=1, same block
+            (3, "jane smith"),                          # d(2)=3: too far
+            (4, "bob jones"), (5, "rob jones"),         # d=1
+            (6, "completely different"),
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_match_pairs(
+            df, "name", "id", max_distance=1,
+            block_expr="element_at(split(name, ' '), -1)",
+        ).collect()
+    }
+    assert got == {(1, 2, 1), (4, 5, 1)}
+
+    # default prefix blocking misses the jon/john pair? no — same 4-prefix
+    # "jon " vs "john": differs -> blocked apart (the documented trade)
+    pre = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_match_pairs(df, "name", "id", max_distance=1).collect()
+    }
+    assert (1, 2) not in pre
+
+    # hot-block cap drops the whole block (recall, never precision):
+    # "smith" holds 3 rows > cap 2, so its pair disappears; "jones" stays
+    capped = fuzzy_match_pairs(
+        df, "name", "id", max_distance=1,
+        block_expr="element_at(split(name, ' '), -1)",
+        max_block_size=2,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(4, 5)}
+    big = fuzzy_match_pairs(
+        df, "name", "id", max_distance=1,
+        block_expr="element_at(split(name, ' '), -1)",
+        max_block_size=1,
+    ).collect()
+    assert big == []
