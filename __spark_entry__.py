@@ -1514,6 +1514,72 @@ def _q_scd2_snapshot(spark, sf_dir):
     )
 
 
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over the event stream: users
+    cohorted by first-seen week, each (cohort, offset) cell = active
+    members / cohort size."""
+    from feathub_spark.datapipe.sessions import cohort_retention
+
+    ev = _events_with_micros(spark, sf_dir)
+    return cohort_retention(ev, "user_id", "ts_us", _WEEK_US)
+
+
+_ORACLE_COHORT_RETENTION = f"""
+WITH act AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch_us(ts) / {_WEEK_US}) AS BIGINT) AS p
+    FROM events
+), first AS (
+    SELECT user_id, min(p) AS c FROM act GROUP BY user_id
+), grid AS (
+    SELECT f.c AS cohort_period, a.p - f.c AS period_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT cohort_period, n_active AS n_cohort
+    FROM grid WHERE period_offset = 0
+)
+SELECT g.cohort_period, g.period_offset, g.n_active, s.n_cohort,
+       round(CAST(g.n_active AS DOUBLE) / s.n_cohort, 6) AS retention_rate
+FROM grid g JOIN sizes s USING (cohort_period)
+"""
+
+
+def _q_attribution(spark, sf_dir):
+    """Last-touch attribution: every purchase credited to the user's most
+    recent preceding click within 24h (NULL when unattributed, so funnel
+    leakage stays measurable)."""
+    from feathub_spark.datapipe.sessions import attribute_conversions
+
+    ev = _events_with_micros(spark, sf_dir)
+    return attribute_conversions(
+        ev, "user_id", "ts_us",
+        "event_type = 'purchase'", "event_type = 'click'",
+        lookback_us=24 * 3600 * 1_000_000, tie_cols=["event_id"],
+    )
+
+
+_ORACLE_ATTRIBUTION = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t, event_type, event_id FROM events
+), carried AS (
+    SELECT user_id, t, event_type,
+           max(CASE WHEN event_type = 'click' THEN t END)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS UNBOUNDED PRECEDING) AS lt
+    FROM e
+)
+SELECT user_id, t AS conversion_ts_us,
+       CASE WHEN t - lt <= 86400000000 THEN lt END AS touch_ts_us,
+       CASE WHEN t - lt <= 86400000000 THEN t - lt END AS lag_us
+FROM carried WHERE event_type = 'purchase'
+"""
+
+
 def _q_fuzzy_match(spark, sf_dir):
     """Blocked fuzzy record linkage over distinct part names: candidates
     share the noun (last word) as the blocking key, the length-band
@@ -6515,6 +6581,8 @@ _RAW_QUERIES = {
         "scd2_merge": _q_scd2_merge,
         "time_weighted_avg": _q_time_weighted_avg,
         "fuzzy_match": _q_fuzzy_match,
+        "cohort_retention": _q_cohort_retention,
+        "attribution": _q_attribution,
 }
 
 
@@ -6561,6 +6629,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_merge": _ORACLE_SCD2_INTERVALS,
         "time_weighted_avg": _ORACLE_TIME_WEIGHTED_AVG,
         "fuzzy_match": _ORACLE_FUZZY_MATCH,
+        "cohort_retention": _ORACLE_COHORT_RETENTION,
+        "attribution": _ORACLE_ATTRIBUTION,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

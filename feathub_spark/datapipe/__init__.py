@@ -69,7 +69,13 @@ from feathub_spark.datapipe.sampling import (
     temperature_sample,
     weighted_sample,
 )
-from feathub_spark.datapipe.sessions import funnel_steps, session_stats, sessionize
+from feathub_spark.datapipe.sessions import (
+    attribute_conversions,
+    cohort_retention,
+    funnel_steps,
+    session_stats,
+    sessionize,
+)
 from feathub_spark.datapipe.similarity import (
     binarize_embeddings,
     binary_rerank_topk,
@@ -97,6 +103,7 @@ from feathub_spark.datapipe.text import (
 
 __all__ = [
     "analyze_documents", "assign_shards", "assign_splits",
+    "attribute_conversions", "cohort_retention",
     "binarize_embeddings", "binary_rerank_topk", "hamming_topk",
     "bloom_filter_bits", "bloom_prune", "bm25_search", "brute_force_topk",
     "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",

@@ -162,3 +162,115 @@ def funnel_steps(
         )
         .filter(F.col("n_steps") >= F.lit(int(min_steps)))
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    period_us: int,
+) -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by the period of their
+    FIRST event (``floor(ts/period)``), and each (cohort, offset) cell
+    counts how many of that cohort's keys were active ``offset`` periods
+    later — the classic product-analytics retention triangle.
+    ``retention_rate`` divides by the cohort's size (its offset-0 active
+    count, which is every member by construction).
+
+    Plan shape: one groupBy(key) for first-period, one distinct over
+    (key, period) — both shuffle on the key and AQE coalesces them —
+    then a map-side-combinable count to the (cohort, offset) grid, which
+    is tiny (periods^2 / 2 cells).  The rate attaches via a
+    cohort-sized broadcast self-join, never a window over the grid.
+
+    Returns (cohort_period, period_offset, n_active, n_cohort,
+    retention_rate) with the rate rounded to 6 dp."""
+    per = F.floor(F.col(ts_us_col) / F.lit(int(period_us)))
+    base = ensure_parallelism(df).select(
+        F.col(key_col).alias("__k__"), per.alias("__p__")
+    )
+    first = base.groupBy("__k__").agg(F.min("__p__").alias("__c__"))
+    active = base.distinct()
+    grid = (
+        active.join(first, on="__k__")
+        .groupBy(
+            F.col("__c__").alias("cohort_period"),
+            (F.col("__p__") - F.col("__c__")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    sizes = grid.filter(F.col("period_offset") == 0).select(
+        "cohort_period", F.col("n_active").alias("n_cohort")
+    )
+    return grid.join(F.broadcast(sizes), on="cohort_period").select(
+        "cohort_period",
+        "period_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias(
+            "retention_rate"
+        ),
+    )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    conversion_expr: str,
+    touch_expr: str,
+    lookback_us: int = None,
+    tie_cols=None,
+) -> DataFrame:
+    """Last-touch attribution: every CONVERSION event (rows matching the
+    SQL boolean ``conversion_expr``) is attributed to the key's most
+    recent preceding TOUCH event (rows matching ``touch_expr``), if one
+    exists within ``lookback_us`` (unbounded when None).  A touch at the
+    same instant as the conversion counts (<=, the standard convention);
+    unattributed conversions come back with NULL touch columns so funnel
+    leakage is measurable.
+
+    Plan shape: one window per key ordered by time — last_value with
+    ignoreNulls carries the latest touch timestamp forward — then a
+    filter to conversions.  Single shuffle, no self-join.
+
+    Returns (key_col, conversion_ts_us, touch_ts_us, lag_us)."""
+    ties = list(tie_cols or [])
+    order = [F.col(ts_us_col).asc()] + [F.col(c).asc() for c in ties]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = ensure_parallelism(df).select(
+        key_col,
+        F.col(ts_us_col),
+        F.expr(conversion_expr).cast("boolean").alias("__conv__"),
+        F.expr(touch_expr).cast("boolean").alias("__touch__"),
+        *ties,
+    )
+    carried = base.withColumn(
+        "__last_touch__",
+        F.last(
+            F.when(F.col("__touch__"), F.col(ts_us_col)), ignorenulls=True
+        ).over(w),
+    )
+    out = carried.filter(F.col("__conv__")).withColumn(
+        "lag_us", F.col(ts_us_col) - F.col("__last_touch__")
+    )
+    if lookback_us is not None:
+        out = out.withColumn(
+            "__last_touch__",
+            F.when(
+                F.col("lag_us") <= int(lookback_us), F.col("__last_touch__")
+            ),
+        ).withColumn(
+            "lag_us",
+            F.when(F.col("lag_us") <= int(lookback_us), F.col("lag_us")),
+        )
+    return out.select(
+        key_col,
+        F.col(ts_us_col).alias("conversion_ts_us"),
+        F.col("__last_touch__").alias("touch_ts_us"),
+        "lag_us",
+    )

@@ -1649,3 +1649,50 @@ def test_fuzzy_match_pairs(spark):
         max_block_size=1,
     ).collect()
     assert big == []
+
+
+def test_cohort_retention_and_attribution_golden(spark):
+    from feathub_spark.datapipe.sessions import (
+        attribute_conversions,
+        cohort_retention,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (1, 15), (2, 7), (3, 12), (3, 25)], "k long, ts long"
+    )
+    got = {
+        (r.cohort_period, r.period_offset): (r.n_active, r.n_cohort,
+                                             r.retention_rate)
+        for r in cohort_retention(df, "k", "ts", 10).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1.0),   # u1, u2 first-seen in period 0
+        (0, 1): (1, 2, 0.5),   # only u1 returns in period 1
+        (1, 0): (1, 1, 1.0),   # u3's own cohort
+        (1, 1): (1, 1, 1.0),
+    }
+
+    ev = spark.createDataFrame(
+        [
+            (1, 100, "click"), (1, 200, "purchase"), (1, 300, "purchase"),
+            (2, 50, "purchase"),                       # never touched
+            (3, 10, "click"), (3, 500, "purchase"),    # lag 490
+        ],
+        "k long, ts long, tp string",
+    )
+    args = (ev, "k", "ts", "tp = 'purchase'", "tp = 'click'")
+    rows = {
+        (r.k, r.conversion_ts_us): (r.touch_ts_us, r.lag_us)
+        for r in attribute_conversions(*args).collect()
+    }
+    assert rows == {
+        (1, 200): (100, 100), (1, 300): (100, 200),
+        (2, 50): (None, None), (3, 500): (10, 490),
+    }
+    # lookback bounds attribution but keeps the conversion row
+    capped = {
+        (r.k, r.conversion_ts_us): (r.touch_ts_us, r.lag_us)
+        for r in attribute_conversions(*args, lookback_us=200).collect()
+    }
+    assert capped[(3, 500)] == (None, None)
+    assert capped[(1, 300)] == (100, 200)
