@@ -1514,6 +1514,84 @@ def _q_scd2_snapshot(spark, sf_dir):
     )
 
 
+def _q_transition_matrix(spark, sf_dir):
+    """First-order Markov transitions over per-user event sequences:
+    (from, to) counts and row-normalized probabilities — the
+    next-event-prediction summary; states^2 grid, corpus-independent."""
+    from feathub_spark.datapipe.sessions import transition_matrix
+
+    ev = _events_with_micros(spark, sf_dir)
+    return transition_matrix(
+        ev, "user_id", "ts_us", "event_type", tie_cols=["event_id"]
+    )
+
+
+_ORACLE_TRANSITION_MATRIX = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t, event_type, event_id FROM events
+), steps AS (
+    SELECT event_type AS f,
+           lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS nxt
+    FROM e
+), grid AS (
+    SELECT f AS from_state, nxt AS to_state,
+           CAST(count(*) AS BIGINT) AS n
+    FROM steps WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_state), 6)
+           AS p
+FROM grid
+"""
+
+
+def _q_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding of order priority against order
+    value: category (sum, count) aggregate broadcast back, own-label
+    excluded per row, additive smoothing toward the global mean — the
+    leakage-safe mean encoder."""
+    from feathub_spark.datapipe.encode import target_encode
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey",
+        "o_orderpriority",
+        # integer cents: category sums become EXACT, so the LOO ratio is
+        # bit-identical across engines (raw double sums wobbled the 6th
+        # decimal on 3 of 15k rows)
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # round_dp=None: integer-cents aggregates are exact and each scalar
+    # op is one correctly-rounded IEEE op, so the raw double is
+    # bit-identical across engines (engines' round() impls disagree on
+    # knife-edge 6th decimals — 3 of 15k rows flipped)
+    return target_encode(
+        df, "o_orderpriority", "cents", out_col="cents_te",
+        smoothing=20.0, round_dp=None,
+    ).select("o_orderkey", "o_orderpriority", "cents_te")
+
+
+_ORACLE_TARGET_ENCODE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), stats AS (
+    SELECT o_orderpriority AS c,
+           CAST(sum(cents) AS DOUBLE) AS csum,
+           CAST(count(*) AS DOUBLE) AS cn
+    FROM o WHERE o_orderpriority IS NOT NULL AND cents IS NOT NULL
+    GROUP BY 1
+), prior AS (
+    SELECT sum(csum) / sum(cn) AS gmean FROM stats
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       (s.csum - o.cents + 20.0 * p.gmean)
+           / (s.cn - 1.0 + 20.0) AS cents_te
+FROM o JOIN stats s ON o.o_orderpriority = s.c, prior p
+"""
+
+
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 
@@ -6583,6 +6661,8 @@ _RAW_QUERIES = {
         "fuzzy_match": _q_fuzzy_match,
         "cohort_retention": _q_cohort_retention,
         "attribution": _q_attribution,
+        "transition_matrix": _q_transition_matrix,
+        "target_encode": _q_target_encode,
 }
 
 
@@ -6631,6 +6711,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match": _ORACLE_FUZZY_MATCH,
         "cohort_retention": _ORACLE_COHORT_RETENTION,
         "attribution": _ORACLE_ATTRIBUTION,
+        "transition_matrix": _ORACLE_TRANSITION_MATRIX,
+        "target_encode": _ORACLE_TARGET_ENCODE,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

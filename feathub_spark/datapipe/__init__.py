@@ -69,12 +69,14 @@ from feathub_spark.datapipe.sampling import (
     temperature_sample,
     weighted_sample,
 )
+from feathub_spark.datapipe.encode import target_encode
 from feathub_spark.datapipe.sessions import (
     attribute_conversions,
     cohort_retention,
     funnel_steps,
     session_stats,
     sessionize,
+    transition_matrix,
 )
 from feathub_spark.datapipe.similarity import (
     binarize_embeddings,
@@ -122,7 +124,8 @@ __all__ = [
     "scd2_snapshot",
     "session_stats", "sessionize",
     "simhash_pairs", "stratified_sample",
-    "temperature_sample", "time_weighted_avg", "token_pmi", "token_surprisal",
+    "target_encode", "temperature_sample", "time_weighted_avg",
+    "token_pmi", "token_surprisal", "transition_matrix",
     "tokenize_to_ids", "train_ivf_codebook", "validate_rules",
     "weighted_sample", "winsorize",
 ]

@@ -274,3 +274,42 @@ def attribute_conversions(
         F.col("__last_touch__").alias("touch_ts_us"),
         "lag_us",
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    state_col: str,
+    tie_cols=None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    count every consecutive (state -> next_state) step within a key
+    (ordered by time, ties broken by ``tie_cols``) and normalize per
+    source state — the behavior-modeling summary behind next-event
+    prediction and anomaly scoring.
+
+    Plan shape: one lead() window per key (single shuffle), then a
+    map-side-combinable count to the (from, to) grid — states^2 cells,
+    corpus-size-independent — and the row normalization joins against a
+    broadcast of the states-sized totals.
+
+    Returns (from_state, to_state, n, p) with p rounded to 6 dp."""
+    ties = list(tie_cols or [])
+    order = [F.col(ts_us_col).asc()] + [F.col(c).asc() for c in ties]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    steps = (
+        ensure_parallelism(df)
+        .select(key_col, ts_us_col, F.col(state_col).alias("__s__"), *ties)
+        .withColumn("__next__", F.lead("__s__").over(w))
+        .filter(F.col("__next__").isNotNull())
+    )
+    grid = steps.groupBy(
+        F.col("__s__").alias("from_state"),
+        F.col("__next__").alias("to_state"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    totals = grid.groupBy("from_state").agg(F.sum("n").alias("__tot__"))
+    return grid.join(F.broadcast(totals), on="from_state").select(
+        "from_state", "to_state", "n",
+        F.round(F.col("n") / F.col("__tot__"), 6).alias("p"),
+    )

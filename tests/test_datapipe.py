@@ -1696,3 +1696,35 @@ def test_cohort_retention_and_attribution_golden(spark):
     }
     assert capped[(3, 500)] == (None, None)
     assert capped[(1, 300)] == (100, 200)
+
+
+def test_transition_matrix_and_target_encode_golden(spark):
+    from feathub_spark.datapipe.encode import target_encode
+    from feathub_spark.datapipe.sessions import transition_matrix
+
+    ev = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (2, 1, "a"), (2, 2, "b")],
+        "k long, ts long, s string",
+    )
+    got = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in transition_matrix(ev, "k", "ts", "s").collect()
+    }
+    # a->b twice (both users), b->a once (user 1); rows normalize per source
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+    df = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("x", 3.0), ("y", 10.0), (None, 5.0)],
+        "c string, y double",
+    )
+    enc = {
+        (r.c, r.y): r.c_te
+        for r in target_encode(df, "c", "y", smoothing=1.0).collect()
+    }
+    # global mean over non-null-cat rows = (1+2+3+10)/4 = 4
+    assert enc[("x", 1.0)] == 3.0          # (6-1 + 4)/(3-1+1)
+    assert enc[("y", 10.0)] == 4.0         # single row -> pure prior
+    assert enc[(None, 5.0)] == 4.0         # null category -> global mean
+    # no leakage: the encoded value never equals the row's own target
+    # when it is the category's only member
+    assert enc[("y", 10.0)] != 10.0
