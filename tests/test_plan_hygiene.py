@@ -258,3 +258,56 @@ def test_tpch_q10_topk_is_take_ordered(client):
     plan = _formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_new_shapes_plan_properties(client):
+    """The round-8 TPC-H additions must keep their claimed physical
+    shapes: EXISTS plans as a semi join (never count-then-join), NOT
+    EXISTS as an anti join, dims broadcast in the wide trees, and the
+    correlated Q17 subquery decorrelates to an aggregate+join (no
+    per-row re-scan)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    q4 = _formatted_plan(qs["sql_view_tpch_q4"](client.spark, sf))
+    assert "LeftSemi" in q4 or "left_semi" in q4.lower(), q4
+
+    q21 = _formatted_plan(qs["sql_view_tpch_q21"](client.spark, sf))
+    assert "LeftSemi" in q21 or "ExistenceJoin" in q21, q21
+    assert "LeftAnti" in q21 or "left_anti" in q21.lower(), q21
+
+    q22 = _formatted_plan(qs["sql_view_tpch_q22"](client.spark, sf))
+    assert "LeftAnti" in q22 or "left_anti" in q22.lower(), q22
+
+    # the 8-relation market-share tree: nation/region dims broadcast
+    q8 = _formatted_plan(qs["sql_view_tpch_q8"](client.spark, sf))
+    assert "BroadcastHashJoin" in q8, q8
+    assert "CartesianProduct" not in q8
+
+    # Q17's correlated avg decorrelates: one aggregate over lineitem
+    # joined back, not a nested-loop re-scan per row
+    q17 = _formatted_plan(qs["sql_view_tpch_q17"](client.spark, sf))
+    assert "CartesianProduct" not in q17
+    assert "BroadcastNestedLoop" not in q17
+    assert "HashAggregate" in q17
+
+
+def test_scd2_and_twa_single_exchange_family(client):
+    """scd2_intervals and time_weighted_avg claim the single-shuffle
+    window family: the second window pass / the groupBy must reuse the
+    key partitioning, never add a second hash exchange on the key."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    iv = _formatted_plan(qs["scd2_intervals"](client.spark, sf))
+    # one exchange from ensure_parallelism + one hash exchange for the
+    # key windows; the lead() pass must not re-shuffle
+    assert iv.count("Exchange hashpartitioning(user_id") <= 1, iv
+
+    twa = _formatted_plan(qs["time_weighted_avg"](client.spark, sf))
+    assert twa.count("Exchange hashpartitioning(user_id") <= 2, twa
+    assert "CartesianProduct" not in twa
