@@ -1463,6 +1463,56 @@ def _q_sql_view_q22(spark, sf_dir):
     )
 
 
+_SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       round(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+"""
+
+
+def _q_sql_view_running_total(spark, sf_dir):
+    """Analytic-SQL surface through SqlFeatureView: a per-customer
+    running revenue window.  Both engines accumulate in the same frame
+    order (unique o_orderkey tiebreak), so the running float sums agree
+    exactly at 2 dp."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "sql_running_total_view", _SQL_RUNNING_TOTAL,
+        ["o_custkey", "o_orderkey", "running_total"],
+        [t.Int64, t.Int64, t.Float64],
+        ["orders"],
+    )
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_sql_view_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP through SqlFeatureView: subtotal + grand-total
+    rows with grouping() markers disambiguating genuine NULL keys —
+    the OLAP aggregation-lattice surface."""
+    from feathub_spark.common import types as t
+
+    return _tpch_sql_view(
+        spark, sf_dir, "sql_rollup_view", _SQL_ROLLUP,
+        ["l_returnflag", "l_linestatus", "revenue", "n_items",
+         "g_rf", "g_ls"],
+        [t.String, t.String, t.Float64, t.Int64, t.Int64, t.Int64],
+        ["lineitem"],
+    )
+
+
 def _q_scd2_intervals(spark, sf_dir):
     """SCD2 temporal table from the event stream: collapse each user's
     event_type changes into validity intervals (valid_from, valid_to;
@@ -6663,6 +6713,8 @@ _RAW_QUERIES = {
         "attribution": _q_attribution,
         "transition_matrix": _q_transition_matrix,
         "target_encode": _q_target_encode,
+        "sql_view_running_total": _q_sql_view_running_total,
+        "sql_view_rollup": _q_sql_view_rollup,
 }
 
 
@@ -6713,6 +6765,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _ORACLE_ATTRIBUTION,
         "transition_matrix": _ORACLE_TRANSITION_MATRIX,
         "target_encode": _ORACLE_TARGET_ENCODE,
+        "sql_view_running_total": _SQL_RUNNING_TOTAL,
+        "sql_view_rollup": _SQL_ROLLUP,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),
