@@ -81,6 +81,30 @@ def test_stateless_datapipe_ops_stream_equals_batch(spark, tmp_path):
     assert "[EMAIL]" in got[1]["clean_text"] or "@" not in got[1]["clean_text"]
     assert got[1]["domains"] == ["spam.org"]
 
+    # dedup_paragraphs is per-row stateless too: stream == batch
+    from feathub_spark.datapipe.passages import dedup_paragraphs
+
+    def para_pipeline(df):
+        planted = df.select(
+            "doc_id",
+            F.expr(
+                "concat(substr(text, 1, 10), '\\n\\n', text, '\\n\\n', "
+                "substr(text, 1, 10))"
+            ).alias("text"),
+        )
+        return dedup_paragraphs(planted, "text", "doc_id")
+
+    p_expected = {r["doc_id"]: tuple(r) for r in para_pipeline(batch).collect()}
+    p_stream = _stream_of(spark, batch, tmp_path, "para")
+    _to_memory(para_pipeline(p_stream), tmp_path, "para_out")
+    p_got = {
+        r["doc_id"]: tuple(r)
+        for r in spark.sql("SELECT * FROM para_out").collect()
+    }
+    assert p_got == p_expected
+    # planted dup removed for non-empty docs (doc 3 is all-blank: kept)
+    assert p_got[1][3] >= 1 and p_got[2][3] >= 1 and p_got[3][3] == 0
+
 
 def test_match_against_index_streaming_foreachbatch(spark, tmp_path):
     """Incremental ingest dedup in streaming: NEW documents arrive as a
