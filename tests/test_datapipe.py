@@ -1728,3 +1728,91 @@ def test_transition_matrix_and_target_encode_golden(spark):
     # no leakage: the encoded value never equals the row's own target
     # when it is the category's only member
     assert enc[("y", 10.0)] != 10.0
+
+
+def test_fuzzy_match_randomized_vs_python_model(spark):
+    """Randomized strings vs a first-principles Python Levenshtein +
+    blocking model (the operator's thresholded-distance path never gets
+    to grade itself)."""
+    import random
+
+    from feathub_spark.datapipe.dedup import fuzzy_match_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    rnd = random.Random(17)
+    alpha = "abcd"
+    rows = [
+        (i, "".join(rnd.choice(alpha) for _ in range(rnd.randrange(3, 9))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.distance)
+            for r in fuzzy_match_pairs(
+                df, "s", "id", max_distance=d,
+                block_expr="substring(s, 1, 1)",
+            ).collect()
+        }
+        want = {
+            (a_id, b_id, lev(a, b))
+            for a_id, a in rows
+            for b_id, b in rows
+            if a_id < b_id and a[:1] == b[:1]
+            and abs(len(a) - len(b)) <= d and lev(a, b) <= d
+        }
+        assert got == want, f"max_distance={d}"
+
+
+def test_attribution_randomized_vs_python_model(spark):
+    import random
+
+    from feathub_spark.datapipe.sessions import attribute_conversions
+
+    rnd = random.Random(29)
+    rows, used = [], set()
+    for i in range(300):
+        k, t = rnd.randrange(10), rnd.randrange(1, 1000)
+        while (k, t) in used:
+            t = rnd.randrange(1, 1000)
+        used.add((k, t))
+        rows.append((k, t, rnd.choice(["touch", "conv", "other"])))
+    df = spark.createDataFrame(rows, "k long, ts long, tp string")
+
+    def model(lookback):
+        by_key = {}
+        for k, t, tp in rows:
+            by_key.setdefault(k, []).append((t, tp))
+        out = {}
+        for k, evs in by_key.items():
+            evs.sort()
+            last = None
+            for t, tp in evs:
+                if tp == "touch":
+                    last = t
+                if tp == "conv":
+                    ok = last is not None and (
+                        lookback is None or t - last <= lookback
+                    )
+                    out[(k, t)] = (last, t - last) if ok else (None, None)
+        return out
+
+    for lb in (None, 100):
+        got = {
+            (r.k, r.conversion_ts_us): (r.touch_ts_us, r.lag_us)
+            for r in attribute_conversions(
+                df, "k", "ts", "tp = 'conv'", "tp = 'touch'", lookback_us=lb
+            ).collect()
+        }
+        assert got == model(lb), f"lookback={lb}"
