@@ -5972,15 +5972,18 @@ def _q_bpe_tokenize(spark, sf_dir):
 def _q_approx_quantiles(spark, sf_dir):
     """Mergeable GK quantile sketch (Spark's percentile_approx — per-
     partition sketches merge map-side, one shuffle, never a global sort).
-    accuracy=1e6 >= row count at every test SF, where the sketch is EXACT
-    and equals DuckDB's quantile_disc; at 100 TB the identical plan keeps
-    the documented rows/accuracy rank-error bound instead."""
+    The permitted rank error is ceil(rows/accuracy): accuracy=1e8 keeps
+    it BELOW ONE RANK at every test SF (1e6 allowed a +-1-rank slip at
+    sf0.1's 600k rows and the p=0.01 cut actually took it), so the
+    sketch answer equals DuckDB's exact quantile_disc; at 100 TB the
+    identical plan keeps the documented rows/accuracy rank-error bound
+    instead."""
     from feathub_spark.datapipe.profile import approx_quantiles
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return approx_quantiles(
         li, ["l_extendedprice", "l_quantity"],
-        [0.01, 0.25, 0.5, 0.75, 0.99], accuracy=1_000_000,
+        [0.01, 0.25, 0.5, 0.75, 0.99], accuracy=100_000_000,
     )
 
 
