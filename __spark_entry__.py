@@ -1967,6 +1967,45 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def _q_cross_surprisal(spark, sf_dir):
+    """CCNet-style perplexity filter: every document scored under a
+    unigram LM trained on the ENGLISH subset only (the reference-domain
+    LM), add-0.5 smoothing with an OOV bucket — 'does this look like the
+    reference domain', the head/middle/tail signal."""
+    from feathub_spark.datapipe.quality import cross_surprisal
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return cross_surprisal(
+        df, df.filter(F.col("lang") == "en"), "text", "doc_id"
+    )
+
+
+_ORACLE_CROSS_SURPRISAL = r"""
+WITH ref AS (
+    SELECT unnest(list_filter(
+        string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+    FROM documents WHERE lang = 'en'
+), counts AS (
+    SELECT tok, count(*) AS n FROM ref GROUP BY tok
+), tot AS (
+    SELECT sum(n) AS totn, count(*) AS v FROM counts
+), dtoks AS (
+    SELECT doc_id, unnest(list_filter(
+        string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+    FROM documents
+), scored AS (
+    SELECT d.doc_id, c.n,
+           -log2((coalesce(c.n, 0) + 0.5) / (t.totn + 0.5 * (t.v + 1)))
+               AS surp
+    FROM dtoks d LEFT JOIN counts c USING (tok), tot t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(avg(surp), 6) AS avg_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """Intra-document repeated-paragraph removal: the fixture's 40-char
     prefix is planted as a paragraph before AND after the body, so every
@@ -6718,6 +6757,7 @@ _RAW_QUERIES = {
         "target_encode": _q_target_encode,
         "sql_view_running_total": _q_sql_view_running_total,
         "sql_view_rollup": _q_sql_view_rollup,
+        "cross_surprisal": _q_cross_surprisal,
 }
 
 
@@ -6770,6 +6810,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": _ORACLE_TARGET_ENCODE,
         "sql_view_running_total": _SQL_RUNNING_TOTAL,
         "sql_view_rollup": _SQL_ROLLUP,
+        "cross_surprisal": _ORACLE_CROSS_SURPRISAL,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

@@ -31,6 +31,7 @@ from feathub_spark.datapipe.profile import (
     validate_rules,
 )
 from feathub_spark.datapipe.quality import (
+    cross_surprisal,
     importance_weights,
     quality_buckets,
     rank_normalize,
@@ -105,7 +106,7 @@ from feathub_spark.datapipe.text import (
 
 __all__ = [
     "analyze_documents", "assign_shards", "assign_splits",
-    "attribute_conversions", "cohort_retention",
+    "attribute_conversions", "cohort_retention", "cross_surprisal",
     "binarize_embeddings", "binary_rerank_topk", "hamming_topk",
     "bloom_filter_bits", "bloom_prune", "bm25_search", "brute_force_topk",
     "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",

@@ -291,6 +291,70 @@ def importance_weights(
     )
 
 
+def cross_surprisal(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_text_col: str = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style perplexity filtering: score every document under a
+    unigram LM trained on a separate REFERENCE corpus (CCNet scores crawl
+    text against a Wikipedia LM) — ``avg_t -log2 p_ref(t)`` with
+    add-``alpha`` smoothing over the reference vocabulary plus one OOV
+    bucket, so out-of-reference tokens get the floor probability
+    ``alpha / (N + alpha*(V+1))`` instead of blowing up.  Unlike
+    :func:`token_surprisal` (the corpus's OWN LM), the reference never
+    sees the scored text — the signal is "does this look like the
+    reference domain", the head/middle/tail cut of CCNet.
+
+    Plan shape: one map-side-combinable token count over the REFERENCE
+    (vocab-sized), a 1-row (N, V) broadcast, a left join of the scored
+    corpus's exploded tokens against that LM (OOV = the null side), one
+    groupBy(doc).  Reference and scored corpus are each scanned once.
+
+    Returns (id_col, n_tokens, n_oov, avg_surprisal) — surprisal rounded
+    to 6 dp; zero-token documents drop out."""
+    ref_text_col = ref_text_col or text_col
+
+    def _toks(col):
+        return f"filter(split(trim(lower(`{col}`)), '\\\\s+'), t -> t <> '')"
+
+    ref_toks = ensure_parallelism(ref_df).select(
+        F.explode(F.expr(_toks(ref_text_col))).alias("__tok__")
+    )
+    counts = register_cache(
+        ref_toks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    totals = counts.alias("__c__").agg(
+        F.sum("__n__").alias("__tot__"),
+        F.count(F.lit(1)).alias("__vocab__"),
+    )
+    doc_toks = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("__tok__")
+    )
+    a = F.lit(float(alpha))
+    scored = (
+        doc_toks.join(counts, on="__tok__", how="left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__surp__",
+            -F.log2(
+                (F.coalesce(F.col("__n__"), F.lit(0)) + a)
+                / (F.col("__tot__") + a * (F.col("__vocab__") + 1))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("__n__").isNull().cast("int")).cast("bigint").alias(
+            "n_oov"
+        ),
+        F.round(F.avg("__surp__"), 6).alias("avg_surprisal"),
+    )
+
+
 def compression_ratio(
     df: DataFrame,
     text_col: str = "text",

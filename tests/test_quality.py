@@ -519,3 +519,37 @@ def test_importance_weights_golden(spark):
     # the pure-target doc outranks the pure-source docs
     assert out[1].importance_weight > out[2].importance_weight
     assert out[1].importance_weight > out[3].importance_weight
+
+
+def test_cross_surprisal_golden(spark):
+    """Hand-computed reference-LM scoring: known probabilities, OOV
+    bucket floor, zero-token drop, and the reference never seeing the
+    scored text."""
+    import math
+
+    from feathub_spark.common.caching import release_caches
+    from feathub_spark.datapipe.quality import cross_surprisal
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog")], "i long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "the cat"), (11, "zebra unknown"), (12, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in cross_surprisal(docs, ref, "text", "doc_id").collect()
+    }
+    release_caches()
+    # ref counts: the:2 cat:1 sat:1 dog:1 -> N=5, V=4; denom = 5 + 0.5*5
+    p_the, p_cat, p_oov = 2.5 / 7.5, 1.5 / 7.5, 0.5 / 7.5
+    assert out[10].n_oov == 0
+    assert abs(
+        out[10].avg_surprisal
+        - round((-math.log2(p_the) - math.log2(p_cat)) / 2, 6)
+    ) < 1e-9
+    assert out[11].n_oov == 2
+    assert abs(out[11].avg_surprisal - round(-math.log2(p_oov), 6)) < 1e-9
+    assert 12 not in out
+    # in-domain text scores lower surprisal than out-of-domain
+    assert out[10].avg_surprisal < out[11].avg_surprisal

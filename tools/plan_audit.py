@@ -30,6 +30,7 @@ _BOUNDED_BNLJ_OK = {
     "embedding_neardup", "minhash_dedup", "cluster_sample",
     "token_surprisal",  # 1-row corpus-total broadcast onto the vocab table
     "importance_weights",  # 1-row (tot_src, tot_tgt, vocab) broadcast
+    "cross_surprisal",  # 1-row reference-LM (N, V) broadcast
     "pq_ann",  # broadcast PQ codebook row + per-query LUTs (both bounded)
     "ivf_pq_ann",  # broadcast centroid array + PQ codebook rows (bounded)
     "quality_buckets",  # embeds token_surprisal's 1-row total broadcast
