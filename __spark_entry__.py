@@ -1967,6 +1967,59 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def _q_strip_html(spark, sf_dir):
+    """Regex HTML-to-text over planted crawl-style markup: script/style/
+    comment blocks dropped, block closers become newlines, entities
+    decoded (&amp; last), whitespace collapsed — pure per-row Catalyst,
+    zero shuffle."""
+    from feathub_spark.datapipe.text import strip_html
+
+    df = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select(
+        "doc_id",
+        F.expr(
+            "concat('<html><script>var x = 1;</script><h1>', "
+            "substr(text, 1, 20), '</h1><p>', text, "
+            "' &amp; more</p><!-- hidden --></html>')"
+        ).alias("text"),
+    )
+    return strip_html(df, "text", "doc_id").select("doc_id", "clean_text")
+
+
+_ORACLE_STRIP_HTML = r"""
+WITH built AS (
+    SELECT doc_id,
+           '<html><script>var x = 1;</script><h1>' || substr(text, 1, 20)
+           || '</h1><p>' || text || ' &amp; more</p><!-- hidden --></html>'
+               AS t
+    FROM documents
+), stripped AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(t,
+               '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr)\b[^>]*>', chr(10), 'g'),
+               '(?s)<[^>]+>', ' ', 'g') AS t
+    FROM built
+), decoded AS (
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+    FROM stripped
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '[ \t]+', ' ', 'g'),
+           ' ?\n ?', chr(10), 'g'),
+           '^\s+|\s+$', '', 'g') AS clean_text
+FROM decoded
+"""
+
+
 def _q_cross_surprisal(spark, sf_dir):
     """CCNet-style perplexity filter: every document scored under a
     unigram LM trained on the ENGLISH subset only (the reference-domain
@@ -6758,6 +6811,7 @@ _RAW_QUERIES = {
         "sql_view_running_total": _q_sql_view_running_total,
         "sql_view_rollup": _q_sql_view_rollup,
         "cross_surprisal": _q_cross_surprisal,
+        "strip_html": _q_strip_html,
 }
 
 
@@ -6811,6 +6865,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_view_running_total": _SQL_RUNNING_TOTAL,
         "sql_view_rollup": _SQL_ROLLUP,
         "cross_surprisal": _ORACLE_CROSS_SURPRISAL,
+        "strip_html": _ORACLE_STRIP_HTML,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

@@ -98,6 +98,7 @@ from feathub_spark.datapipe.snapshots import diff_snapshots, merge_aggregates
 from feathub_spark.datapipe.text import (
     analyze_documents,
     normalize_text,
+    strip_html,
     parse_json_features,
     pii_scrub,
     token_pmi,
@@ -124,7 +125,7 @@ __all__ = [
     "quantile_stratified_sample", "scd2_intervals", "scd2_merge",
     "scd2_snapshot",
     "session_stats", "sessionize",
-    "simhash_pairs", "stratified_sample",
+    "simhash_pairs", "stratified_sample", "strip_html",
     "target_encode", "temperature_sample", "time_weighted_avg",
     "token_pmi", "token_surprisal", "transition_matrix",
     "tokenize_to_ids", "train_ivf_codebook", "validate_rules",

@@ -903,3 +903,43 @@ def token_pmi(
     return cut.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).select("rank", "gram", "n_pair", "pmi")
+
+
+def strip_html(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Regex-based HTML-to-text for crawl cleanup: drops <script>/<style>
+    blocks and comments wholesale, replaces block-level closers and <br>
+    with newlines (so paragraph structure survives for the downstream
+    line/paragraph dedup passes), strips every remaining tag, decodes the
+    common entities (&amp; &lt; &gt; &quot; &#39; &nbsp;), and collapses
+    runs of spaces/tabs.  A regex pass, NOT a conforming HTML parser —
+    the right tool for corpus-scale boilerplate removal, not for DOM
+    fidelity (CDATA, nested comments, and malformed markup degrade
+    soft).  Pure per-row Catalyst regexp_replace chain: zero shuffle,
+    whole-stage codegen, &amp; decoded LAST so literal entity text can't
+    re-introduce tags.
+
+    Returns the input plus ``out_col``; NULL text stays NULL."""
+    c = F.col(text_col)
+    # case-insensitive (?i) and dotall (?s) apply per pattern
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr)\b[^>]*>", "\n"
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    # trim() strips spaces only — strip newline runs at the edges too
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return ensure_parallelism(df).withColumn(out_col, c)

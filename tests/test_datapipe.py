@@ -1816,3 +1816,34 @@ def test_attribution_randomized_vs_python_model(spark):
             ).collect()
         }
         assert got == model(lb), f"lookback={lb}"
+
+
+def test_strip_html_semantics(spark):
+    from feathub_spark.datapipe.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><head><style>p{color:red}</style>"
+                "<script>var x=1;</script></head><body><h1>Title</h1>"
+                "<p>Hello &amp; welcome to <b>the</b> page.</p>"
+                "<p>Second&nbsp;para &lt;tag&gt; &#39;q&#39;</p>"
+                "<!-- hidden --></body></html>"),
+            (2, None),
+            (3, "no markup at all"),
+            # double-encoded entities stay literal (&amp; decodes LAST)
+            (4, "&amp;lt;script&amp;gt; stays literal"),
+            (5, "a<br>b<br/>c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = strip_html(df, "text", "doc_id")
+    got = {r.doc_id: r.clean_text for r in out.collect()}
+    assert got[1] == ("Title\nHello & welcome to the page.\n"
+                      "Second para <tag> 'q'")
+    assert got[2] is None
+    assert got[3] == "no markup at all"
+    assert got[4] == "&lt;script&gt; stays literal"
+    assert got[5] == "a\nb\nc"
+    # zero shuffle: pure per-row projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
