@@ -1847,3 +1847,36 @@ def test_strip_html_semantics(spark):
     # zero shuffle: pure per-row projection
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_gemm_arrow_path_matches_sql(spark):
+    """impl='arrow' (salt-grouped numpy GEMM) must match the SQL fold:
+    int64 quantized scoring bit-identically; float scoring identically on
+    this fixture (pairwise vs sequential accumulation can only diverge
+    on last-ulp near-ties)."""
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = df.filter(F.col("vec_id") < 10)
+
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+         for r in brute_force_topk(df, qs, "embedding", "vec_id", k=5).collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+         for r in brute_force_topk(df, qs, "embedding", "vec_id", k=5,
+                                   impl="arrow").collect()}
+    assert a == b
+
+    dq = quantize_embeddings(df, "embedding")
+    qq = dq.filter(F.col("vec_id") < 10)
+    qa = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in quantized_topk(dq, qq, "qvec", "vec_id", k=5).collect()}
+    qb = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in quantized_topk(dq, qq, "qvec", "vec_id", k=5,
+                                  impl="arrow").collect()}
+    assert qa == qb
