@@ -1867,6 +1867,24 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def _q_quantized_ann_arrow(spark, sf_dir):
+    """The GEMM throughput path under the same oracle as quantized_ann:
+    int64 matrix products are exact arithmetic, so the salt-grouped numpy
+    scoring (applyInPandas, no driver collect) must hash-match the
+    Catalyst fold and DuckDB bit for bit."""
+    from feathub_spark.datapipe.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dq = quantize_embeddings(df, "embedding")
+    return quantized_topk(
+        dq, dq.filter(F.col("vec_id") < 20), "qvec", "vec_id", k=5,
+        impl="arrow",
+    )
+
+
 def _q_hamming_ann(spark, sf_dir):
     """1-bit binary ANN: sign bits packed 63-per-BIGINT-word (~32x
     compression), top-10 by Hamming distance — every operation is 64-bit
@@ -6812,6 +6830,7 @@ _RAW_QUERIES = {
         "sql_view_rollup": _q_sql_view_rollup,
         "cross_surprisal": _q_cross_surprisal,
         "strip_html": _q_strip_html,
+        "quantized_ann_arrow": _q_quantized_ann_arrow,
 }
 
 
@@ -6866,6 +6885,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_view_rollup": _SQL_ROLLUP,
         "cross_surprisal": _ORACLE_CROSS_SURPRISAL,
         "strip_html": _ORACLE_STRIP_HTML,
+        "quantized_ann_arrow": _ORACLE_QUANTIZED_ANN,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

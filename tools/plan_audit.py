@@ -24,6 +24,7 @@ _BOUNDED_BNLJ_OK = {
     "ngram_jaccard", "dedup_clusters", "select_survivors",
     "ann_topk", "ivf_ann", "ivf_ann_trained", "lsh_ann",
     "quantized_ann",  # broadcast query set (same shape as ann_topk)
+    "quantized_ann_arrow",  # 32-row salt broadcast replicating the query set
     "target_encode",  # 1-row global-prior broadcast
     "hamming_ann",  # broadcast bit-packed query set
     "binary_rerank_ann",  # broadcast query set, both phases
