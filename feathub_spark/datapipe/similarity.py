@@ -129,6 +129,7 @@ def _gemm_scored_topk(
     query_id_col: str,
     integer: bool,
     n_salts: int = 32,
+    mode: str = "cosine",
 ) -> DataFrame:
     """Arrow/numpy GEMM scoring for the brute-force family — the
     vectorized throughput path: the corpus hashes into ``n_salts``
@@ -143,6 +144,9 @@ def _gemm_scored_topk(
     GEMM accumulates pairwise where the SQL fold accumulates
     sequentially — cosines can differ in the last ulp, so float callers
     keep the SQL path for oracle checks and use this one for throughput.
+    ``mode="hamming"`` scores bit-packed sign codes with a vectorized
+    xor + uint8-LUT popcount (exact integers, ascending order) — also
+    value-identical to the SQL fold.
     """
     import numpy as np
     import pandas as pd
@@ -180,6 +184,8 @@ def _gemm_scored_topk(
         ]
     )
     np_t = np.int64 if integer else np.float64
+    _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    descending = mode == "cosine"
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qm = pdf[pdf["__is_q__"]]
@@ -190,28 +196,38 @@ def _gemm_scored_topk(
             )
         Q = np.stack(qm["__v__"].to_numpy()).astype(np_t)
         C = np.stack(cm["__v__"].to_numpy()).astype(np_t)
-        qn = np.sqrt((Q.astype(np.float64) ** 2).sum(axis=1))
-        cn = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
-        dots = (Q @ C.T).astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = dots / (qn[:, None] * cn[None, :])
+        if mode == "hamming":
+            # xor the words, popcount byte-wise via a 256-entry LUT —
+            # exact integers, identical to SQL bit_count
+            x = np.bitwise_xor(Q[:, None, :], C[None, :, :])
+            scores = _POP8[x.view(np.uint8).reshape(len(Q), len(C), -1)]                .sum(axis=-1, dtype=np.int64).astype(np.float64)
+        else:
+            qn = np.sqrt((Q.astype(np.float64) ** 2).sum(axis=1))
+            cn = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
+            dots = (Q @ C.T).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = dots / (qn[:, None] * cn[None, :])
         frames = []
         cid = cm["neighbor_id"].to_numpy()
         for i, qid in enumerate(qm["__qid_s__"].to_numpy()):
-            row = cos[i]
+            row = scores[i]
             ok = np.isfinite(row)
             idx = np.nonzero(ok)[0]
             if not len(idx):
                 continue
-            # local top-k (order by -score, id) — argpartition then sort
+            # local top-k (order by score, id) — argpartition then sort
             take = min(k, len(idx))
-            part = idx[np.argpartition(-row[idx], take - 1)[:take]]
+            key = -row[idx] if descending else row[idx]
+            part = idx[np.argpartition(key, take - 1)[:take]]
+            out_scores = (
+                np.round(row[part], 6) if mode == "cosine" else row[part]
+            )
             frames.append(
                 pd.DataFrame(
                     {
                         "__qid_s__": qid,
                         "neighbor_id": cid[part],
-                        "score": np.round(row[part], 6),
+                        "score": out_scores,
                     }
                 )
             )
@@ -224,18 +240,26 @@ def _gemm_scored_topk(
     local = tagged.groupBy("__salt__").applyInPandas(
         score_group, schema=out_schema
     )
+    score_name = "cosine" if mode == "cosine" else "hamming"
+    score_col = (
+        F.col("score") if mode == "cosine"
+        else F.col("score").cast("bigint")
+    )
     survivors = local.select(
         F.col("__qid_s__").cast(qid_t).alias("query_id"),
         "neighbor_id",
-        F.col("score").alias("cosine"),
+        score_col.alias(score_name),
     ).filter(F.col("neighbor_id") != F.col("query_id"))
+    order = (
+        F.col(score_name).desc() if descending else F.col(score_name).asc()
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        order, F.col("neighbor_id").asc()
     )
     return (
         survivors.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select("query_id", "neighbor_id", "rank", score_name)
     )
 
 
@@ -371,6 +395,7 @@ def hamming_topk(
     id_col: str,
     k: int = 10,
     query_id_col: str = None,
+    impl: str = "sql",
 ) -> DataFrame:
     """Top-k nearest by Hamming distance over bit-packed sign codes (from
     :func:`binarize_embeddings`): ``sum_w bit_count(q[w] XOR c[w])`` —
@@ -378,8 +403,17 @@ def hamming_topk(
     neighbor id.  Same plan shape as brute_force_topk: broadcast query
     set, single corpus scan, salted two-stage rank.
 
+    ``impl="arrow"`` scores with vectorized xor + LUT popcount
+    (_gemm_scored_topk mode="hamming") — exact integers, value-identical
+    to the SQL fold, pick by throughput.
+
     Returns (query_id, neighbor_id, rank, hamming)."""
     query_id_col = query_id_col or id_col
+    if impl == "arrow":
+        return _gemm_scored_topk(
+            corpus_b, queries_b, bvec_col, id_col, k, query_id_col,
+            integer=True, mode="hamming",
+        )
     q = queries_b.select(
         F.col(query_id_col).alias("query_id"),
         F.col(bvec_col).alias("__qb__"),

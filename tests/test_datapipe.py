@@ -1880,3 +1880,22 @@ def test_gemm_arrow_path_matches_sql(spark):
           for r in quantized_topk(dq, qq, "qvec", "vec_id", k=5,
                                   impl="arrow").collect()}
     assert qa == qb
+
+
+def test_hamming_arrow_path_matches_sql(spark):
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.similarity import (
+        binarize_embeddings,
+        hamming_topk,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    db = binarize_embeddings(df, "embedding")
+    qs = db.filter(F.col("vec_id") < 10)
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.hamming)
+         for r in hamming_topk(db, qs, "bvec", "vec_id", k=5).collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.hamming)
+         for r in hamming_topk(db, qs, "bvec", "vec_id", k=5,
+                               impl="arrow").collect()}
+    assert a == b
