@@ -3105,6 +3105,21 @@ FROM (
 """
 
 
+def _q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over the near-dup pair graph (oriented
+    wedge-closing — every triangle found once at its smallest vertex):
+    high counts mark tight copy-clusters, triangle-free nodes are the
+    LSH-false-positive suspects.  Same edge construction as pagerank."""
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
+    from feathub_spark.datapipe.graph import triangle_counts
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
+    )
+    return triangle_counts(pairs, "id_a", "id_b")
+
+
 def _q_pagerank(spark, sf_dir):
     """Integer-exact PageRank centrality over the near-duplicate pair
     graph (3 rounds, UNIT-scaled bigints, floor division throughout) —
@@ -3119,6 +3134,43 @@ def _q_pagerank(spark, sf_dir):
     )
     return pagerank(pairs, "id_a", "id_b", iterations=3)
 
+
+_ORACLE_TRIANGLE_COUNTS = """
+WITH grams AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 3 THEN
+             list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])
+           ELSE [array_to_string(tk, ' ')] END AS gs
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+          FROM documents)
+), inv AS (
+    SELECT doc_id, unnest(gs) AS gram FROM grams
+), co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT co.id_a, co.id_b
+    FROM co
+    JOIN grams ga ON ga.doc_id = co.id_a
+    JOIN grams gb ON gb.doc_id = co.id_b
+    WHERE round(CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common), 6) >= 0.2
+), e AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+), tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), corners AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+"""
 
 _ORACLE_PAGERANK = """
 WITH grams AS (
@@ -6831,6 +6883,7 @@ _RAW_QUERIES = {
         "cross_surprisal": _q_cross_surprisal,
         "strip_html": _q_strip_html,
         "quantized_ann_arrow": _q_quantized_ann_arrow,
+        "triangle_counts": _q_triangle_counts,
 }
 
 
@@ -6886,6 +6939,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_surprisal": _ORACLE_CROSS_SURPRISAL,
         "strip_html": _ORACLE_STRIP_HTML,
         "quantized_ann_arrow": _ORACLE_QUANTIZED_ANN,
+        "triangle_counts": _ORACLE_TRIANGLE_COUNTS,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

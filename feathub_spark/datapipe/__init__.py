@@ -20,7 +20,7 @@ from feathub_spark.datapipe.dedup import (
     select_survivors,
     simhash_pairs,
 )
-from feathub_spark.datapipe.graph import pagerank
+from feathub_spark.datapipe.graph import pagerank, triangle_counts
 from feathub_spark.datapipe.profile import (
     approx_quantiles,
     cms_heavy_hitters,

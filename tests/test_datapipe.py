@@ -1899,3 +1899,20 @@ def test_hamming_arrow_path_matches_sql(spark):
          for r in hamming_topk(db, qs, "bvec", "vec_id", k=5,
                                impl="arrow").collect()}
     assert a == b
+
+
+def test_triangle_counts_golden(spark):
+    from feathub_spark.datapipe.graph import triangle_counts
+
+    # K4 (every node in C(3,2)=3 triangles) + a pendant + one separate
+    # triangle with a duplicate reversed edge
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+             (6, 7), (7, 8), (6, 8), (8, 6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+    # self-loops are dropped, triangle-free graphs return empty
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 3)], "id_a long, id_b long"
+    )
+    assert triangle_counts(chain).count() == 0
