@@ -137,25 +137,51 @@ def triangle_counts(
     (safe to collapse), while triangle-free bridge nodes are often
     LSH false positives worth re-verifying.
 
-    Algorithm (the standard distributed formulation): orient every edge
-    low->high, join oriented edges on the shared low endpoint to form
-    wedges (u<v, u<w), and close each wedge against the oriented edge
-    set — every triangle {u<v<w} is found EXACTLY once, as the wedge at
-    its smallest vertex.  Per-node counts then credit all three corners.
-    Orientation bounds the join fan-out by the graph's degeneracy-ish
-    out-degree rather than raw degree (the reason this survives
-    power-law graphs; a raw-degree self-join explodes on hubs).
+    Algorithm (the standard distributed formulation, degree-ordered):
+    orient every edge from its lower-(degree, id) endpoint to the higher
+    one, join oriented edges on the shared source to form wedges, and
+    close each wedge against the oriented edge set — every triangle is
+    found EXACTLY once, at its minimum-(degree, id) corner.  Per-node
+    counts then credit all three corners.  DEGREE orientation (not id
+    order) is what bounds the wedge fan-out by the graph's degeneracy:
+    a hub's edges all point INTO it, so its quadratic wedge set never
+    materializes (an id-ordered variant explodes on any hub that drew a
+    small id — measured 100x wedge blow-up on a 20k-spoke star).
 
     Input rows are deduplicated and self-loops dropped.  Returns
     (node, n_triangles) for every node with >= 1 triangle."""
-    e = (
+    und = (
         ensure_parallelism(edges)
         .select(
-            F.least(F.col(id_a), F.col(id_b)).alias("u"),
-            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+            F.least(F.col(id_a), F.col(id_b)).alias("x"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("y"),
         )
-        .filter(F.col("u") < F.col("v"))
+        .filter(F.col("x") < F.col("y"))
         .distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("n"))
+        .unionAll(und.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        und.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")),
+                 on="x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")),
+              on="y")
+        .select(
+            F.when(
+                (F.col("dx") < F.col("dy"))
+                | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("y").alias("u"), F.col("x").alias("v"))
+            )
+            .alias("o")
+        )
+        .select("o.u", "o.v")
     )
     wedges = (
         e.alias("e1")
@@ -167,10 +193,12 @@ def triangle_counts(
             F.col("e2.v").alias("c"),
         )
     )
-    tris = wedges.join(
-        e.select(F.col("u").alias("b"), F.col("v").alias("c")),
-        on=["b", "c"],
+    # the closing edge may be degree-oriented either way between b and c;
+    # canonicalize to id order — wedges already have b < c by construction
+    closing = e.select(
+        F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
     )
+    tris = wedges.join(closing, on=["b", "c"])
     corners = (
         tris.select(F.col("a").alias("node"))
         .unionAll(tris.select(F.col("b").alias("node")))

@@ -223,6 +223,21 @@ def main() -> None:
             log2, "k", "ts", "x", n_ev2 // 4, 3 * n_ev2 // 4
         ).count(),
     )
+    from feathub_spark.datapipe.graph import triangle_counts
+
+    # hub graph: star center with 2k spokes * scale + ring closures; the
+    # oriented wedge join must NOT explode on the hub's raw degree
+    n_spokes = 2_000 * scale
+    star = spark.range(1, n_spokes).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    ring = spark.range(1, n_spokes - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    timed(
+        f"triangle_counts hub graph ({2 * n_spokes} edges)",
+        lambda: triangle_counts(star.unionByName(ring)).count(),
+    )
     docs.unpersist()
     release_caches()
 
