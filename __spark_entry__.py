@@ -3120,6 +3120,21 @@ def _q_triangle_counts(spark, sf_dir):
     return triangle_counts(pairs, "id_a", "id_b")
 
 
+def _q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficients over the near-dup pair graph:
+    2T/(d(d-1)) per node — cc~1 = clique-like copy cluster (collapse
+    safely), low cc = chain-shaped cluster where transitive merging may
+    over-collapse.  Degree-ordered triangle counting underneath."""
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
+    from feathub_spark.datapipe.graph import clustering_coefficients
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
+    )
+    return clustering_coefficients(pairs, "id_a", "id_b")
+
+
 def _q_pagerank(spark, sf_dir):
     """Integer-exact PageRank centrality over the near-duplicate pair
     graph (3 rounds, UNIT-scaled bigints, floor division throughout) —
@@ -3133,6 +3148,56 @@ def _q_pagerank(spark, sf_dir):
         df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
     )
     return pagerank(pairs, "id_a", "id_b", iterations=3)
+
+
+_ORACLE_CLUSTERING_COEFF = """
+WITH grams AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 3 THEN
+             list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])
+           ELSE [array_to_string(tk, ' ')] END AS gs
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+          FROM documents)
+), inv AS (
+    SELECT doc_id, unnest(gs) AS gram FROM grams
+), co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT co.id_a, co.id_b
+    FROM co
+    JOIN grams ga ON ga.doc_id = co.id_a
+    JOIN grams gb ON gb.doc_id = co.id_b
+    WHERE round(CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common), 6) >= 0.2
+), e AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+), tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), corners AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+), tcnt AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+), deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+    ) GROUP BY node
+)
+SELECT d.node, d.degree,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+           round(2.0 * coalesce(t.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6)
+       END AS clustering_coeff
+FROM deg d LEFT JOIN tcnt t USING (node)
+"""
 
 
 _ORACLE_TRIANGLE_COUNTS = """
@@ -6884,6 +6949,7 @@ _RAW_QUERIES = {
         "strip_html": _q_strip_html,
         "quantized_ann_arrow": _q_quantized_ann_arrow,
         "triangle_counts": _q_triangle_counts,
+        "clustering_coeff": _q_clustering_coeff,
 }
 
 
@@ -6940,6 +7006,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_html": _ORACLE_STRIP_HTML,
         "quantized_ann_arrow": _ORACLE_QUANTIZED_ANN,
         "triangle_counts": _ORACLE_TRIANGLE_COUNTS,
+        "clustering_coeff": _ORACLE_CLUSTERING_COEFF,
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),

@@ -20,7 +20,11 @@ from feathub_spark.datapipe.dedup import (
     select_survivors,
     simhash_pairs,
 )
-from feathub_spark.datapipe.graph import pagerank, triangle_counts
+from feathub_spark.datapipe.graph import (
+    clustering_coefficients,
+    pagerank,
+    triangle_counts,
+)
 from feathub_spark.datapipe.profile import (
     approx_quantiles,
     cms_heavy_hitters,
@@ -107,7 +111,8 @@ from feathub_spark.datapipe.text import (
 
 __all__ = [
     "analyze_documents", "assign_shards", "assign_splits",
-    "attribute_conversions", "cohort_retention", "cross_surprisal",
+    "attribute_conversions", "clustering_coefficients",
+    "cohort_retention", "cross_surprisal",
     "binarize_embeddings", "binary_rerank_topk", "hamming_topk",
     "bloom_filter_bits", "bloom_prune", "bm25_search", "brute_force_topk",
     "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",

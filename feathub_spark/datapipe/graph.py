@@ -207,3 +207,53 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Local clustering coefficient per node: ``2T / (d(d-1))`` — the
+    fraction of a node's neighbor pairs that are themselves connected.
+    On a near-dup graph, cc ~ 1 marks a clique-like copy cluster (safe
+    to collapse to one survivor) while low cc flags chain-shaped
+    clusters where transitive merging may over-collapse.
+
+    Composition of :func:`triangle_counts` (degree-ordered wedge
+    closing) with the degree table; degree-1 nodes have no neighbor
+    pairs and report NULL.  Returns (node, degree, n_triangles,
+    clustering_coeff) for every node, coefficient rounded to 6 dp."""
+    und = (
+        ensure_parallelism(edges)
+        .select(
+            F.least(F.col(id_a), F.col(id_b)).alias("x"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("y"),
+        )
+        .filter(F.col("x") < F.col("y"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("node"))
+        .unionAll(und.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = triangle_counts(und, "x", "y")
+    return (
+        deg.join(tri, on="node", how="left")
+        .withColumn(
+            "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0))
+        )
+        .withColumn(
+            "clustering_coeff",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.col("n_triangles")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ),
+        )
+    )

@@ -1916,3 +1916,20 @@ def test_triangle_counts_golden(spark):
         [(1, 2), (2, 3), (3, 3)], "id_a long, id_b long"
     )
     assert triangle_counts(chain).count() == 0
+
+
+def test_clustering_coefficients_golden(spark):
+    from feathub_spark.datapipe.graph import clustering_coefficients
+
+    # K4 (cc=1 for pure members), node 4 also holds a pendant (d=4, T=3
+    # -> 0.5), degree-1 pendant has no neighbor pairs -> NULL
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    assert got[4] == (4, 3, 0.5)
+    assert got[5] == (1, 0, None)
