@@ -148,8 +148,14 @@ def triangle_counts(
     materializes (an id-ordered variant explodes on any hub that drew a
     small id — measured 100x wedge blow-up on a 20k-spoke star).
 
-    Input rows are deduplicated and self-loops dropped.  Returns
+    Input rows are deduplicated and self-loops dropped.  The canonical
+    edge list is persisted through the ``common.caching`` contract (it
+    feeds the degree table, both wedge sides, and the closing join —
+    five scans of a possibly-expensive upstream pair generation
+    otherwise); call ``release_caches()`` after consuming.  Returns
     (node, n_triangles) for every node with >= 1 triangle."""
+    from feathub_spark.common.caching import register_cache
+
     und = (
         ensure_parallelism(edges)
         .select(
@@ -159,6 +165,7 @@ def triangle_counts(
         .filter(F.col("x") < F.col("y"))
         .distinct()
     )
+    und = register_cache(und)
     deg = (
         und.select(F.col("x").alias("n"))
         .unionAll(und.select(F.col("y").alias("n")))
@@ -222,8 +229,12 @@ def clustering_coefficients(
 
     Composition of :func:`triangle_counts` (degree-ordered wedge
     closing) with the degree table; degree-1 nodes have no neighbor
-    pairs and report NULL.  Returns (node, degree, n_triangles,
-    clustering_coeff) for every node, coefficient rounded to 6 dp."""
+    pairs and report NULL.  The canonical edge list goes through the
+    ``common.caching`` contract (call ``release_caches()`` after
+    consuming).  Returns (node, degree, n_triangles, clustering_coeff)
+    for every node, coefficient rounded to 6 dp."""
+    from feathub_spark.common.caching import register_cache
+
     und = (
         ensure_parallelism(edges)
         .select(
@@ -233,6 +244,7 @@ def clustering_coefficients(
         .filter(F.col("x") < F.col("y"))
         .distinct()
     )
+    und = register_cache(und)
     deg = (
         und.select(F.col("x").alias("node"))
         .unionAll(und.select(F.col("y").alias("node")))
