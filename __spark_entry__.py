@@ -4932,7 +4932,18 @@ def _q_tokenize_ids(spark, sf_dir):
     from feathub_spark.datapipe.text import tokenize_to_ids
 
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return tokenize_to_ids(df, "text", "doc_id", vocab_size=20)
+    out = tokenize_to_ids(df, "text", "doc_id", vocab_size=20)
+    # The driver's canonicalizer can't factorize list columns (the
+    # over_collect_list precedent) — project the id array to a canonical
+    # comma-joined string; the oracle mirrors with array_to_string.
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("token_ids").cast("array<string>"), ",").alias(
+            "token_ids"
+        ),
+        "n_tokens",
+        "n_oov",
+    )
 
 
 _ORACLE_TOKENIZE_IDS = """
@@ -4960,7 +4971,8 @@ WITH tk AS (
     FROM enc GROUP BY doc_id
 )
 SELECT d.doc_id,
-       coalesce(a.token_ids, CAST([] AS INTEGER[])) AS token_ids,
+       array_to_string(coalesce(a.token_ids, CAST([] AS INTEGER[])), ',')
+           AS token_ids,
        coalesce(a.n_tokens, 0) AS n_tokens,
        coalesce(a.n_oov, 0) AS n_oov
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
@@ -6237,9 +6249,15 @@ def _q_pca_whiten(spark, sf_dir):
     from feathub_spark.datapipe.decompose import pca_project
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return pca_project(
-        emb, "embedding", k=16, whiten=True, round_to=6
-    ).select("vec_id", F.col("pca").alias("pca_whitened"))
+    out = pca_project(emb, "embedding", k=16, whiten=True, round_to=6)
+    # joined-string projection so even the rows-only driver check can
+    # canonicalize (no raw array<> columns leave any registered query)
+    return out.select(
+        "vec_id",
+        F.array_join(F.col("pca").cast("array<string>"), ",").alias(
+            "pca_whitened"
+        ),
+    )
 
 
 def _q_zorder_key(spark, sf_dir):
@@ -6566,9 +6584,11 @@ def _q_domain_filter(spark, sf_dir):
     out = domain_blocklist_filter(
         df, "text", ["dom1.org", "extra0.net", "shop1.co.uk"]
     )
+    # array_join, not a raw array<string> column: the driver's
+    # canonicalizer can't factorize lists (over_collect_list precedent).
     return out.select(
         "doc_id",
-        url_domains("text").alias("domains"),
+        F.array_join(url_domains("text"), ",").alias("domains"),
         F.col("blocked").cast("boolean").alias("blocked"),
     )
 
@@ -6603,7 +6623,7 @@ WITH base AS (
                   ELSE array_to_string(p, '.') END))) AS domains
     FROM hosts
 )
-SELECT doc_id, domains,
+SELECT doc_id, array_to_string(domains, ',') AS domains,
        len(list_intersect(domains, ['dom1.org', 'extra0.net', 'shop1.co.uk'])) > 0
            AS blocked
 FROM doms
@@ -6793,8 +6813,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _RAW_QUERIES = {
-        "bloom_prune": _q_bloom_prune,
         "tokenize_ids": _q_tokenize_ids,
+        "domain_filter": _q_domain_filter,
+        "sql_view_tpch_q4": _q_sql_view_q4,
+        "sql_view_tpch_q6": _q_sql_view_q6,
+        "sql_view_tpch_q7": _q_sql_view_q7,
+        "sql_view_tpch_q8": _q_sql_view_q8,
+        "sql_view_tpch_q9": _q_sql_view_q9,
+        "sql_view_tpch_q10": _q_sql_view_q10,
+        "sql_view_tpch_q12": _q_sql_view_q12,
+        "sql_view_tpch_q13": _q_sql_view_q13,
+        "sql_view_tpch_q14": _q_sql_view_q14,
+        "sql_view_tpch_q15": _q_sql_view_q15,
+        "sql_view_tpch_q17": _q_sql_view_q17,
+        "sql_view_tpch_q19": _q_sql_view_q19,
+        "sql_view_tpch_q21": _q_sql_view_q21,
+        "sql_view_tpch_q22": _q_sql_view_q22,
+        "sql_view_running_total": _q_sql_view_running_total,
+        "sql_view_rollup": _q_sql_view_rollup,
+        "over_auto_salt_1h": _q_over_auto_salt_1h,
+        "minhash_index_match": _q_minhash_index_match,
+        "zorder_key": _q_zorder_key,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "approx_quantiles": _q_approx_quantiles,
+        "pit_join_expiry": _q_pit_join_expiry,
+        "map_entry_join": _q_map_entry_join,
+        "lookup_join": _q_lookup_join,
+        "cluster_split": _q_cluster_split,
+        "dup_passage_pairs": _q_dup_passage_pairs,
+        "quantile_sample": _q_quantile_sample,
+        "scd2_intervals": _q_scd2_intervals,
+        "scd2_snapshot": _q_scd2_snapshot,
+        "scd2_merge": _q_scd2_merge,
+        "importance_weights": _q_importance_weights,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "quantized_ann": _q_quantized_ann,
+        "hamming_ann": _q_hamming_ann,
+        "binary_rerank_ann": _q_binary_rerank_ann,
+        "quantized_ann_arrow": _q_quantized_ann_arrow,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "fuzzy_match": _q_fuzzy_match,
+        "cohort_retention": _q_cohort_retention,
+        "attribution": _q_attribution,
+        "transition_matrix": _q_transition_matrix,
+        "target_encode": _q_target_encode,
+        "cross_surprisal": _q_cross_surprisal,
+        "strip_html": _q_strip_html,
+        "triangle_counts": _q_triangle_counts,
+        "clustering_coeff": _q_clustering_coeff,
+        "char_entropy": _q_char_entropy,
+        "select_survivors": _q_select_survivors,
+        "bloom_prune": _q_bloom_prune,
         "key_skew": _q_key_skew,
         "json_features": _q_json_features,
         "negative_samples": _q_negative_samples,
@@ -6836,7 +6905,6 @@ _RAW_QUERIES = {
         "cluster_sample": _q_cluster_sample,
         "semantic_dedup": _q_semantic_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
-        "domain_filter": _q_domain_filter,
         "text_signals": _q_text_signals,
         "index_match": _q_index_match,
         "compression_ratio": _q_compression_ratio,
@@ -6895,61 +6963,13 @@ _RAW_QUERIES = {
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
         "pii_redact": _q_pii_redact,
-        "char_entropy": _q_char_entropy,
         "token_quantiles": _q_token_quantiles,
         "ngram_topk": _q_ngram_topk,
         "ngram_topk_global": _q_ngram_topk_global,
         "repetition_signals": _q_repetition_signals,
         "contamination": _q_contamination,
-        "select_survivors": _q_select_survivors,
-        "sql_view_tpch_q6": _q_sql_view_q6,
-        "sql_view_tpch_q10": _q_sql_view_q10,
-        "sql_view_tpch_q13": _q_sql_view_q13,
-        "sql_view_tpch_q14": _q_sql_view_q14,
-        "sql_view_tpch_q15": _q_sql_view_q15,
-        "sql_view_tpch_q19": _q_sql_view_q19,
-        "over_auto_salt_1h": _q_over_auto_salt_1h,
         "bpe_tokenize": _q_bpe_tokenize,
-        "minhash_index_match": _q_minhash_index_match,
-        "zorder_key": _q_zorder_key,
-        "dedup_clusters_star": _q_dedup_clusters_star,
         "pca_whiten": _q_pca_whiten,
-        "approx_quantiles": _q_approx_quantiles,
-        "pit_join_expiry": _q_pit_join_expiry,
-        "map_entry_join": _q_map_entry_join,
-        "lookup_join": _q_lookup_join,
-        "cluster_split": _q_cluster_split,
-        "dup_passage_pairs": _q_dup_passage_pairs,
-        "quantile_sample": _q_quantile_sample,
-        "sql_view_tpch_q4": _q_sql_view_q4,
-        "sql_view_tpch_q7": _q_sql_view_q7,
-        "sql_view_tpch_q8": _q_sql_view_q8,
-        "sql_view_tpch_q9": _q_sql_view_q9,
-        "sql_view_tpch_q12": _q_sql_view_q12,
-        "sql_view_tpch_q17": _q_sql_view_q17,
-        "sql_view_tpch_q21": _q_sql_view_q21,
-        "sql_view_tpch_q22": _q_sql_view_q22,
-        "scd2_intervals": _q_scd2_intervals,
-        "scd2_snapshot": _q_scd2_snapshot,
-        "importance_weights": _q_importance_weights,
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "quantized_ann": _q_quantized_ann,
-        "hamming_ann": _q_hamming_ann,
-        "binary_rerank_ann": _q_binary_rerank_ann,
-        "scd2_merge": _q_scd2_merge,
-        "time_weighted_avg": _q_time_weighted_avg,
-        "fuzzy_match": _q_fuzzy_match,
-        "cohort_retention": _q_cohort_retention,
-        "attribution": _q_attribution,
-        "transition_matrix": _q_transition_matrix,
-        "target_encode": _q_target_encode,
-        "sql_view_running_total": _q_sql_view_running_total,
-        "sql_view_rollup": _q_sql_view_rollup,
-        "cross_surprisal": _q_cross_surprisal,
-        "strip_html": _q_strip_html,
-        "quantized_ann_arrow": _q_quantized_ann_arrow,
-        "triangle_counts": _q_triangle_counts,
-        "clustering_coeff": _q_clustering_coeff,
 }
 
 

@@ -107,10 +107,20 @@ def scd2_merge(
     closed interval is immutable history), and open intervals of keys
     absent from the delta pass through untouched.
 
-    Append-only contract: a delta event at or before its key's open
+    Append-only contract: a delta event strictly BEFORE its key's open
     interval ``valid_from`` is LATE — it would rewrite closed history —
     and is dropped (mirroring the streaming operator's watermark
     contract).  Route late data through a full rebuild if it must count.
+    A delta event AT exactly ``valid_from`` is kept and tie-resolved
+    against the open interval's seed row: the seed carries NULL
+    ``tie_cols`` (NULLS FIRST), so the delta wins at that instant and the
+    seed state collapses to a zero-length ``[t, t)`` interval — exactly
+    what a full rebuild produces whenever new events' tie values sort
+    after existing ones (the monotone-event-id CDC convention).  With
+    non-monotone tie values, a full rebuild could instead keep the
+    ORIGINAL event at t (its real tie value is not stored on the
+    interval), so rebuild-identity is guaranteed only under monotone
+    ties.
 
     Plan shape: one shuffle of the (small) delta by key, one broadcast-
     friendly semi/anti split of the open intervals, and the interval
@@ -135,19 +145,27 @@ def scd2_merge(
     affected_open = open_iv.join(dkeys, on=keys, how="left_semi")
 
     # seed = the open interval replayed as the key's earliest event; late
-    # delta rows (ts <= seed ts) are dropped via the as-of inequality
+    # delta rows (ts < seed ts) are dropped, equal-ts rows are kept and
+    # win the tie against the seed's NULL tie_cols (see docstring)
     null_ties = [F.lit(None).cast(delta.schema[c].dataType).alias(c)
                  for c in ties]
     seed = affected_open.select(
         *keys, *attrs, F.col("valid_from").alias(ts_col), *null_ties
     )
+    # without tie_cols an equal-ts seed-vs-delta order would be
+    # nondeterministic, so equal-ts admission requires ties
+    cmp = (
+        F.col(ts_col) >= F.col("__seed_ts__")
+        if ties
+        else F.col(ts_col) > F.col("__seed_ts__")
+    )
     fresh = delta.join(
         affected_open.select(*keys, F.col("valid_from").alias("__seed_ts__")),
         on=keys,
         how="left",
-    ).filter(
-        F.col("__seed_ts__").isNull() | (F.col(ts_col) > F.col("__seed_ts__"))
-    ).select(*keys, *attrs, ts_col, *ties)
+    ).filter(F.col("__seed_ts__").isNull() | cmp).select(
+        *keys, *attrs, ts_col, *ties
+    )
 
     rebuilt = scd2_intervals(
         seed.unionByName(fresh), keys, ts_col, attrs, tie_cols=ties

@@ -209,25 +209,42 @@ def _gemm_scored_topk(
                 scores = dots / (qn[:, None] * cn[None, :])
         frames = []
         cid = cm["neighbor_id"].to_numpy()
+        # string view of corpus ids so the query's self row can be dropped
+        # BEFORE local truncation (it would otherwise always burn a top-k
+        # slot in its salt group and could evict the true k-th neighbor)
+        cid_s = np.array([str(x) for x in cid], dtype=object)
         for i, qid in enumerate(qm["__qid_s__"].to_numpy()):
             row = scores[i]
-            ok = np.isfinite(row)
+            if mode == "cosine":
+                # round BEFORE selection so the local cut and the global
+                # 6-dp window rank on the same key (unrounded selection
+                # can keep a different member of a rounded tie class)
+                row = np.round(row, 6)
+            ok = np.isfinite(row) & (cid_s != qid)
             idx = np.nonzero(ok)[0]
             if not len(idx):
                 continue
-            # local top-k (order by score, id) — argpartition then sort
-            take = min(k, len(idx))
+            # local top-k on (score, neighbor_id) — the same composite
+            # order the global window uses, so score ties at the boundary
+            # keep the LOWEST ids, value-identical to the SQL path.  Two
+            # stable argsorts instead of lexsort: cid may be object-dtyped
+            # (string ids).  k+1 candidates as defense in depth should the
+            # self row survive the string-equality drop (exotic id
+            # formatting); the global self-filter then still leaves k.
+            take = min(k + 1, len(idx))
             key = -row[idx] if descending else row[idx]
-            part = idx[np.argpartition(key, take - 1)[:take]]
-            out_scores = (
-                np.round(row[part], 6) if mode == "cosine" else row[part]
-            )
+            if take < len(idx):
+                by_id = np.argsort(cid[idx], kind="stable")
+                order = by_id[np.argsort(key[by_id], kind="stable")][:take]
+            else:
+                order = np.arange(len(idx))
+            part = idx[order]
             frames.append(
                 pd.DataFrame(
                     {
                         "__qid_s__": qid,
                         "neighbor_id": cid[part],
-                        "score": out_scores,
+                        "score": row[part],
                     }
                 )
             )
@@ -430,6 +447,10 @@ def hamming_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("hamming", F.expr(ham).cast("bigint"))
+        # NULL hamming (NULL or width-mismatched bvec: zip_with pads with
+        # null -> aggregate yields NULL) must be EXCLUDED — ascending sort
+        # is NULLS FIRST, which would rank such rows #1 for every query
+        .filter(F.col("hamming").isNotNull())
     )
     return _two_stage_topk(
         scored, k, [F.col("hamming").asc(), F.col("neighbor_id").asc()]

@@ -288,8 +288,8 @@ def _write_redis(df: DataFrame, sink, descriptor) -> None:
 def _push_prometheus_partition(
     rows, host_url: str, job_name: str, prom_mod=None
 ) -> None:
-    """Build one registry from an iterator of Rows and push it under a
-    per-partition grouping key.  Runs on executors inside
+    """Build one registry from an iterator of Rows and push it as the
+    job's single metric group.  Runs on an executor inside
     foreachPartition; ``prom_mod`` is injectable for tests."""
     if prom_mod is None:
         import prometheus_client as prom_mod  # noqa: F811
@@ -303,30 +303,23 @@ def _push_prometheus_partition(
             if isinstance(val, (int, float)):
                 if col not in gauges:
                     gauges[col] = prom_mod.Gauge(col, col, registry=registry)
-                gauges[col].set(val)  # last row in the partition wins
+                gauges[col].set(val)  # last row wins
     if not any_row:
         return
-    try:
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-    except Exception:
-        pid = 0
-    prom_mod.push_to_gateway(
-        host_url,
-        job=job_name,
-        grouping_key={"partition": str(pid)},
-        registry=registry,
-    )
+    prom_mod.push_to_gateway(host_url, job=job_name, registry=registry)
 
 
 def _write_prometheus(df: DataFrame, sink) -> None:
-    """Per-partition push to the gateway — no driver-side collect(), so a
-    metric view with a high-cardinality group key never funnels through
-    the driver.  Each non-empty partition pushes its own metric group
-    (grouping_key partition=<id>); within a partition the last row wins
-    per metric, matching the previous single-process behavior."""
+    """Executor-side push to the gateway — no driver-side collect().
+
+    A Prometheus gauge is one value per metric name, so the frame is
+    reduced to a single partition (repartition keeps the upstream stages
+    parallel; only the final push task is serial) and pushed as ONE
+    metric group: dashboards read a defined latest value, and a rerun
+    with different parallelism can never leave stale per-partition groups
+    behind on the Pushgateway.  The serial tail is not a scale ceiling:
+    the gateway ingests one value per metric name per push, so any frame
+    worth pushing is already a small aggregate."""
     try:
         import prometheus_client  # noqa: F401
     except ImportError as e:
@@ -337,5 +330,7 @@ def _write_prometheus(df: DataFrame, sink) -> None:
 
     def push_partition(rows):
         _push_prometheus_partition(rows, host_url, job_name)
+
+    df = df.repartition(1)
 
     df.foreachPartition(push_partition)

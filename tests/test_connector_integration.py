@@ -21,7 +21,7 @@ Gates:
   JDBC_URL=jdbc:...           JdbcSink append then JdbcSource scan
                               (JDBC_TABLE/JDBC_DRIVER/JDBC_USER/
                               JDBC_PASSWORD optional).
-  PROMETHEUS_GATEWAY=host:9091  PrometheusSink per-partition push.
+  PROMETHEUS_GATEWAY=host:9091  PrometheusSink single-group push.
 """
 
 from __future__ import annotations
@@ -192,7 +192,7 @@ def test_prometheus_sink_push(spark):
         PrometheusSink(host_url=gateway, job_name=job),
         None,
     )
-    # verify at least one partition group landed
+    # verify the job's single metric group landed
     import urllib.request
 
     body = urllib.request.urlopen(f"http://{gateway}/metrics").read().decode()

@@ -316,9 +316,10 @@ def test_redis_sink_requires_client(spark):
 
 def test_prometheus_partition_push_records_gauges():
     """_push_prometheus_partition (the foreachPartition body) builds one
-    registry per partition — last row wins per metric — and pushes it
-    under a partition grouping key; verified against a recording
-    pushgateway fake, no driver collect anywhere."""
+    registry — last row wins per metric — and pushes it as the job's
+    SINGLE metric group (the sink repartitions to 1 first, so reruns can
+    never leave stale per-partition groups on the gateway); verified
+    against a recording pushgateway fake, no driver collect anywhere."""
     from pyspark.sql import Row
 
     from feathub_spark.processors.spark.source_sink_utils import (
@@ -344,21 +345,14 @@ def test_prometheus_partition_push_records_gauges():
         Gauge = FakeGauge
 
         @staticmethod
-        def push_to_gateway(url, job, grouping_key, registry):
+        def push_to_gateway(url, job, registry):
             pushes.append(
-                (
-                    url,
-                    job,
-                    grouping_key,
-                    {k: g.value for k, g in registry.gauges.items()},
-                )
+                (url, job, {k: g.value for k, g in registry.gauges.items()})
             )
 
     rows = [Row(metric_a=1.5, name="x"), Row(metric_a=2.5, name="y")]
     _push_prometheus_partition(rows, "http://gw:9091", "jobx", prom_mod=Prom)
-    assert pushes == [
-        ("http://gw:9091", "jobx", {"partition": "0"}, {"metric_a": 2.5})
-    ]
+    assert pushes == [("http://gw:9091", "jobx", {"metric_a": 2.5})]
 
     pushes.clear()
     _push_prometheus_partition([], "http://gw:9091", "jobx", prom_mod=Prom)

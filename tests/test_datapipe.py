@@ -1882,6 +1882,70 @@ def test_gemm_arrow_path_matches_sql(spark):
     assert qa == qb
 
 
+def test_gemm_arrow_self_crowding_and_ties(spark):
+    """Round-8 advisor regressions for the GEMM path.
+
+    (a) Self-crowding: with n_salts=1 every true neighbor shares the salt
+    group with the query's own corpus row; the self row must be dropped
+    BEFORE local truncation or it evicts the true k-th neighbor and the
+    'exact top-k' contract breaks.
+    (b) Tie determinism: duplicated vectors produce exact score ties; the
+    local cut must keep the LOWEST neighbor ids (the global window's
+    composite order), not argpartition-arbitrary members.
+    """
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.similarity import (
+        _gemm_scored_topk,
+        hamming_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dq = quantize_embeddings(df, "embedding")
+    qq = dq.filter(F.col("vec_id") < 6)
+
+    sql = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+           for r in quantized_topk(dq, qq, "qvec", "vec_id", k=5).collect()}
+    one_salt = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in _gemm_scored_topk(
+            dq.select("vec_id", "qvec"), qq.select("vec_id", "qvec"),
+            "qvec", "vec_id", 5, "vec_id", integer=True, n_salts=1,
+        ).collect()
+    }
+    assert sql == one_salt
+
+    # (b) 40 rows, 4 distinct bit patterns -> dense exact-distance ties
+    pats = [[0, 0], [3, 0], [0, 7], [15, 1]]
+    rows = [(i, pats[i % 4]) for i in range(40)]
+    db = spark.createDataFrame(rows, "vec_id long, bvec array<bigint>")
+    qs = db.filter(F.col("vec_id") < 4)
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.hamming)
+         for r in hamming_topk(db, qs, "bvec", "vec_id", k=7).collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.hamming)
+         for r in hamming_topk(db, qs, "bvec", "vec_id", k=7,
+                               impl="arrow").collect()}
+    assert a == b
+
+
+def test_hamming_null_codes_excluded(spark):
+    """NULL / width-mismatched bvecs yield NULL hamming; ascending sort
+    is NULLS FIRST so they'd rank #1 for every query without the explicit
+    not-null guard (round-8 advisor)."""
+    from pyspark.sql import functions as F
+
+    from feathub_spark.datapipe.similarity import hamming_topk
+
+    rows = [(0, [0, 0]), (1, [1, 0]), (2, [3, 0]), (3, None), (4, [7])]
+    db = spark.createDataFrame(rows, "vec_id long, bvec array<bigint>")
+    qs = db.filter(F.col("vec_id") == 0)
+    out = hamming_topk(db, qs, "bvec", "vec_id", k=3).collect()
+    got = [(r.rank, r.neighbor_id, r.hamming) for r in out]
+    assert got == [(1, 1, 1), (2, 2, 2)]  # 3 and 4 excluded, not rank 1
+
+
 def test_hamming_arrow_path_matches_sql(spark):
     from pyspark.sql import functions as F
 

@@ -129,6 +129,50 @@ def test_scd2_merge_equals_full_rebuild(spark):
     assert (99, "A", 10, 20) in m and (99, "B", 20, None) in m
 
 
+def test_scd2_merge_equal_ts_delta_resolves_via_ties(spark):
+    """A delta event AT the open interval's valid_from is kept when
+    tie_cols are present and wins against the seed's NULL ties — matching
+    a full rebuild under monotone event ids (the round-8 advisor's
+    equal-ts identity gap).  Without tie_cols the equal-ts event is still
+    dropped (order would be nondeterministic)."""
+    from feathub_spark.datapipe.scd import scd2_intervals, scd2_merge
+
+    sch = "k long, ts long, eid long, v string"
+    base_log = [(0, 50, 0, "Z"), (0, 100, 1, "A")]
+    base = scd2_intervals(
+        spark.createDataFrame(base_log, sch), "k", "ts", "v", tie_cols="eid"
+    )
+    delta = spark.createDataFrame([(0, 100, 2, "B")], sch)
+    got = {
+        tuple(r)
+        for r in scd2_merge(
+            base, delta, "k", "ts", "v", tie_cols="eid"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in scd2_intervals(
+            spark.createDataFrame(base_log + [(0, 100, 2, "B")], sch),
+            "k", "ts", "v", tie_cols="eid",
+        ).collect()
+    }
+    assert got == want
+    assert (0, "B", 100, None) in got          # delta wins at t
+    assert (0, "A", 100, 100) in got           # seed state zero-length
+
+    # no tie_cols -> equal-ts delta treated as late, base unchanged
+    sch2 = "k long, ts long, v string"
+    base2 = scd2_intervals(
+        spark.createDataFrame([(0, 50, "Z"), (0, 100, "A")], sch2),
+        "k", "ts", "v",
+    )
+    delta2 = spark.createDataFrame([(0, 100, "B")], sch2)
+    got2 = {
+        tuple(r) for r in scd2_merge(base2, delta2, "k", "ts", "v").collect()
+    }
+    assert got2 == {tuple(r) for r in base2.collect()}
+
+
 def test_time_weighted_avg_golden(spark):
     """Hand-computed TWAP: window clipping, carry-forward at the window
     start, NULL observations closing mass without contributing, and

@@ -51,8 +51,34 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _driver_hostile_cols(df: pd.DataFrame) -> list:
+    """Columns the DRIVER's canonicalizer (plain sort_values, no
+    tuple-normalization) would die on: list/ndarray/dict values.  The
+    local replica must be STRICTER than the driver here — round 8 shipped
+    two red rows because this tool normalized lists that the driver
+    cannot."""
+    bad = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            probe = s.dropna().head(20)
+            if any(
+                isinstance(v, (list, dict, np.ndarray, tuple)) for v in probe
+            ):
+                bad.append(c)
+    return bad
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list:
     issues = []
+    for side, df in (("spark", spark_df), ("oracle", oracle_df)):
+        for c in _driver_hostile_cols(df):
+            issues.append(
+                f"driver-hostile {side} column {c!r} (list/map values — "
+                "project to a joined string before registering)"
+            )
+    if issues:
+        return issues
     if len(spark_df) != len(oracle_df):
         issues.append(f"rowcount spark={len(spark_df)} oracle={len(oracle_df)}")
     s_cols = sorted(spark_df.columns)
