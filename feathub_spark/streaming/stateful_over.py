@@ -147,9 +147,15 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
                     out_vals.append(v)
                 emissions.append(list(key) + [t0, p[1 + 2 * n_fields]] + out_vals)
 
-        if max_window is not None:
+        if max_window is not None and history:
+            # lazy grace-period prune (reference prunes only every
+            # maxWindow/10, SlidingWindowKeyedProcessFunction.java:76-105):
+            # O(1) staleness probe on the sorted history, O(n) rebuild only
+            # once per grace interval; grace-band rows are already outside
+            # every [t0 - w, t0] membership test, so emissions don't change
             horizon = wm - max_window
-            history = [r for r in history if r[0] >= horizon]
+            if history[0][0] < horizon - max(1, max_window // 10):
+                history = [r for r in history if r[0] >= horizon]
 
         if not history and not pending and max_window is not None:
             # fully drained (bounded windows, nothing buffered): drop the

@@ -221,10 +221,19 @@ def stateful_sliding_window(
                 last_wend = wend
                 wend += step_ms
 
-            # Keep exactly the rows a future window (> last_wend) can see.
-            if last_wend is not None:
+            # Keep the rows a future window (> last_wend) can see — but
+            # prune lazily: the reference prunes expired state only every
+            # maxWindow/10 (SlidingWindowKeyedProcessFunction.java:76-105),
+            # and the analog here skips the O(n) history rebuild until the
+            # oldest retained row is at least that grace past expiry.  The
+            # sorted history makes the staleness probe O(1); rows inside
+            # the grace band are already excluded from every window by the
+            # [wend - w, wend) membership test, so emissions are unchanged.
+            if last_wend is not None and history:
                 horizon = last_wend + step_ms - max_window
-                history = [r for r in history if r[0] >= horizon]
+                grace = max(step_ms, max_window // 10)
+                if history[0][0] < horizon - grace:
+                    history = [r for r in history if r[0] >= horizon]
 
         done = (
             last_wend is not None
