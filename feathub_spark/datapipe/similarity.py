@@ -1051,6 +1051,10 @@ def pq_topk(
         encoded.crossJoin(F.broadcast(lut))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc_dist", F.round(F.expr(score) / F.lit(1e6), 6))
+        # malformed external pq_codes (wrong length -> out-of-range
+        # element_at) yield NULL distance; ascending sort is NULLS FIRST,
+        # so exclude rather than rank them #1 (same guard as hamming_topk)
+        .filter(F.col("adc_dist").isNotNull())
     )
     return _two_stage_topk(
         scored, k, [F.col("adc_dist").asc(), F.col("neighbor_id").asc()]
@@ -1172,6 +1176,10 @@ def ivf_pq_topk(
         members.join(F.broadcast(probe_lut), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc_dist", F.round(F.expr(score) / F.lit(1e6), 6))
+        # malformed external pq_codes (wrong length -> out-of-range
+        # element_at) yield NULL distance; ascending sort is NULLS FIRST,
+        # so exclude rather than rank them #1 (same guard as hamming_topk)
+        .filter(F.col("adc_dist").isNotNull())
     )
     return _two_stage_topk(
         scored, k, [F.col("adc_dist").asc(), F.col("neighbor_id").asc()]
