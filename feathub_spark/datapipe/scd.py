@@ -101,26 +101,33 @@ def scd2_merge(
     tie_cols: Union[str, Sequence[str], None] = None,
 ) -> DataFrame:
     """Incrementally fold a new batch of change events into an existing
-    SCD2 interval table — the output is row-identical to rebuilding from
-    the full concatenated log (unit- and oracle-verified), but the work
-    touches only the DELTA's keys: closed intervals never change (a
-    closed interval is immutable history), and open intervals of keys
-    absent from the delta pass through untouched.
+    SCD2 interval table — under the append-only contract below the output
+    is row-identical to rebuilding from the full concatenated log (unit-
+    and oracle-verified, including randomized planted boundary events),
+    but the work touches only the DELTA's keys: closed intervals never
+    change (a closed interval is immutable history), and open intervals
+    of keys absent from the delta pass through untouched.
 
-    Append-only contract: a delta event strictly BEFORE its key's open
-    interval ``valid_from`` is LATE — it would rewrite closed history —
-    and is dropped (mirroring the streaming operator's watermark
-    contract).  Route late data through a full rebuild if it must count.
-    A delta event AT exactly ``valid_from`` is kept and tie-resolved
-    against the open interval's seed row: the seed carries NULL
-    ``tie_cols`` (NULLS FIRST), so the delta wins at that instant and the
-    seed state collapses to a zero-length ``[t, t)`` interval — exactly
-    what a full rebuild produces whenever new events' tie values sort
-    after existing ones (the monotone-event-id CDC convention).  With
-    non-monotone tie values, a full rebuild could instead keep the
-    ORIGINAL event at t (its real tie value is not stored on the
-    interval), so rebuild-identity is guaranteed only under monotone
-    ties.
+    Append-only contract: rebuild-identity requires every delta event to
+    be AT or AFTER its key's last observation in the base log.  The
+    interval table stores only ``valid_from`` — consecutive unchanged
+    observations collapse into one interval, so a delta landing INSIDE an
+    open interval's collapsed span (after ``valid_from`` but before a
+    later same-state observation) cannot be reconstructed from the table
+    alone; an append-only CDC log never produces such events.  A delta
+    event strictly BEFORE ``valid_from`` is LATE — it would rewrite
+    closed history — and is dropped (mirroring the streaming operator's
+    watermark contract); route late data through a full rebuild if it
+    must count.  A delta event AT exactly ``valid_from`` is kept when
+    ``tie_cols`` are present and tie-resolved against the open interval's
+    seed row: the seed carries NULL ``tie_cols`` (NULLS FIRST), so the
+    delta wins at that instant and the seed state collapses to a
+    zero-length ``[t, t)`` interval — exactly what a full rebuild
+    produces whenever new events' tie values sort after existing ones
+    (the monotone-event-id CDC convention).  With non-monotone tie
+    values a full rebuild could instead keep the ORIGINAL event at t
+    (its real tie value is not stored on the interval), so equal-ts
+    identity additionally assumes monotone ties.
 
     Plan shape: one shuffle of the (small) delta by key, one broadcast-
     friendly semi/anti split of the open intervals, and the interval

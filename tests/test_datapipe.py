@@ -1997,3 +1997,56 @@ def test_clustering_coefficients_golden(spark):
     assert got[3] == (3, 3, 1.0)
     assert got[4] == (4, 3, 0.5)
     assert got[5] == (1, 0, None)
+
+
+def test_gemm_arrow_randomized_vs_numpy_model(spark):
+    """Randomized adversarial GEMM conformance: duplicated vectors (dense
+    exact ties), query ids inside the corpus (self rows), tiny salt counts
+    (maximum self-crowding), and k larger than some salt groups — checked
+    against a first-principles numpy model of the documented contract
+    (order by score then neighbor id, self excluded, cosine at 6 dp).
+    The round-8 advisor found two real bugs in this path; this pins the
+    whole contract, not just the two fixtures."""
+    import random
+
+    import numpy as np
+
+    from feathub_spark.datapipe.similarity import _gemm_scored_topk
+
+    for seed, n_salts, k in ((11, 1, 4), (12, 3, 6), (13, 32, 3)):
+        rnd = random.Random(seed)
+        n, d = rnd.randrange(30, 60), 8
+        # few distinct patterns -> many exact duplicates and score ties
+        pats = [
+            [rnd.randrange(-3, 4) for _ in range(d)] for _ in range(5)
+        ]
+        vecs = [pats[i % len(pats)] for i in range(n)]
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, v array<bigint>")
+        qids = rnd.sample(range(n), 6)
+        qs = df.filter(F.col("vec_id").isin(qids))
+
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in _gemm_scored_topk(
+                df, qs, "v", "vec_id", k, "vec_id",
+                integer=True, n_salts=n_salts,
+            ).collect()
+        }
+
+        V = np.array(vecs, dtype=np.float64)
+        norms = np.sqrt((V ** 2).sum(axis=1))
+        want = {}
+        for q in qids:
+            if norms[q] == 0:
+                continue
+            scores = []
+            for c in range(n):
+                if c == q or norms[c] == 0:
+                    continue
+                cos = round(float(V[q] @ V[c] / (norms[q] * norms[c])), 6)
+                scores.append((-cos, c))
+            scores.sort()
+            for rank, (negcos, c) in enumerate(scores[:k], start=1):
+                want[(q, rank)] = (c, -negcos)
+        assert got == want, f"seed={seed} n_salts={n_salts} k={k}"

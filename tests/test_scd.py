@@ -242,3 +242,67 @@ def test_scd2_randomized_vs_python_model(spark):
             .collect()
         }
         assert got == model(rows), f"seed={seed}"
+
+
+def test_scd2_merge_randomized_rebuild_identity_with_ties(spark):
+    """Randomized merge-vs-rebuild identity under monotone tie ids —
+    including delta events planted AT exactly a key's append-only
+    frontier (its last observed ts — the round-8 advisor's equal-ts
+    gap).  The frontier may sit INSIDE the open interval when unchanged
+    observations collapsed, which is precisely the case a
+    valid_from-anchored fixture would miss.  Monotone eids make the
+    rebuild's tie order match the merge's seed-loses-ties rule, so the
+    two must be row-identical."""
+    import random
+
+    from feathub_spark.datapipe.scd import scd2_intervals, scd2_merge
+
+    sch = "k long, ts long, eid long, v string"
+    for seed in (21, 22, 23):
+        rnd = random.Random(seed)
+        rows, eid = [], 0
+        for _ in range(rnd.randrange(60, 140)):
+            rows.append(
+                (rnd.randrange(8), rnd.randrange(1, 200), eid,
+                 rnd.choice(["A", "B", "C", None]))
+            )
+            eid += 1
+        rows.sort(key=lambda r: (r[1], r[2]))
+        cut = rnd.randrange(60, 140)
+        pre = [r for r in rows if r[1] <= cut]
+        post = [r for r in rows if r[1] > cut]
+        # re-number eids so every delta eid sorts after every base eid
+        pre = [(k, t, i, v) for i, (k, t, _, v) in enumerate(pre)]
+        post = [
+            (k, t, len(pre) + i, v) for i, (k, t, _, v) in enumerate(post)
+        ]
+        base = scd2_intervals(
+            spark.createDataFrame(pre, sch), "k", "ts", "v", tie_cols="eid"
+        )
+        # plant equal-ts deltas ON the append-only frontier per key (the
+        # max observed ts, NOT valid_from: a delta inside a collapsed
+        # open-interval span is outside the documented contract)
+        frontier = {}
+        for k, t, _, _ in pre:
+            frontier[k] = max(frontier.get(k, t), t)
+        extra = [
+            (k, t, len(pre) + len(post) + j, "EQ")
+            for j, (k, t) in enumerate(sorted(frontier.items())[:3])
+        ]
+        delta = post + extra
+        got = {
+            tuple(r)
+            for r in scd2_merge(
+                base,
+                spark.createDataFrame(delta, sch),
+                "k", "ts", "v", tie_cols="eid",
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in scd2_intervals(
+                spark.createDataFrame(pre + delta, sch),
+                "k", "ts", "v", tie_cols="eid",
+            ).collect()
+        }
+        assert got == want, f"seed={seed}"
