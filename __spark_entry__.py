@@ -6812,6 +6812,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Window plan (the driver's CORRECTNESS gate records only the FIRST 50
+# entries): round 9 holds the 48 never-driver-checked queries + the two
+# repaired array-projection rows + two stale-since-r6 sentinels.  Round 10
+# should rotate slots 1-50 onto the oldest-checked §2-core queries
+# (everything last green in r6/r7: the over_*/sliding_* families,
+# expr_filter, pit_join, sql_view_tpch_q1/q5, udf_token_count, dedup/ANN
+# basics...) so cumulative driver coverage keeps cycling; keep the 5
+# rows-only queries (mmr_rerank, remove_dup_passages_fast,
+# index_match_fast, compression_ratio, bpe_tokenize, pca_whiten) behind
+# position 50 — they can never hash-match and waste verifiable slots.
 _RAW_QUERIES = {
         "tokenize_ids": _q_tokenize_ids,
         "domain_filter": _q_domain_filter,
