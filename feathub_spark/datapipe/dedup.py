@@ -71,6 +71,53 @@ def _shingles_sql(text_col: str, k: int) -> str:
     )
 
 
+# Java regex \s (no UNICODE_CHARACTER_CLASS): ASCII whitespace only —
+# \xa0 /   etc. are NOT separators, matching Spark's split('\\s+')
+_JAVA_WS = None  # compiled lazily so importing the module stays re-free
+
+
+def _shingles_py(text, k: int):
+    """Row twin of :func:`_shingles_sql` — byte-identical output
+    (fuzz-pinned in tests/test_datapipe.py::test_shingles_arrow_twin):
+    lower -> trim(' ') -> ASCII-\\s+ split -> drop empties -> first-
+    occurrence-distinct k-gram joins; NULL text -> [None], short texts
+    collapse to one all-token shingle ('' for empty input)."""
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        import re
+
+        _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+    if text is None:
+        return [None]
+    toks = [t for t in _JAVA_WS.split(text.lower().strip(" ")) if t]
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return list(dict.fromkeys(
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    ))
+
+
+def _shingles_col(text_col: str, k: int, impl: str = "auto"):
+    """Shingle column dispatch: the Arrow pandas-UDF twin by default
+    (Catalyst evaluates the per-position slice+array_join lambda
+    interpreted — measured ~5x slower than the Python row twin on the
+    documents fixture), ``impl="sql"`` forces the pure-Catalyst fold the
+    oracles re-derive.  Both produce identical values, so every caller is
+    oracle-checkable either way."""
+    if impl == "sql":
+        return F.expr(_shingles_sql(text_col, k))
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _sh(texts):
+        import pandas as pd
+
+        return pd.Series([_shingles_py(t, k) for t in texts])
+
+    return _sh(F.col(text_col))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -159,7 +206,7 @@ def minhash_lsh_pairs(
     # scale).
     with_shingles = ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"),
-        F.expr(_shingles_sql(text_col, shingle_k)).alias("__sh__"),
+        _shingles_col(text_col, shingle_k).alias("__sh__"),
     )
     sigs = register_cache(minhash_signatures(
         with_shingles, text_col, "__id__", num_hashes, shingle_k, seed,
@@ -244,7 +291,7 @@ def minhash_index(
     rows_per_band = num_hashes // bands
     with_shingles = ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"),
-        F.expr(_shingles_sql(text_col, shingle_k)).alias("__sh__"),
+        _shingles_col(text_col, shingle_k).alias("__sh__"),
     )
     sigs = minhash_signatures(
         with_shingles, text_col, "__id__", num_hashes, shingle_k, seed,
@@ -288,7 +335,7 @@ def match_minhash_index(
     rows_per_band = num_hashes // bands
     with_shingles = ensure_parallelism(new_df).select(
         F.col(id_col).alias("__id__"),
-        F.expr(_shingles_sql(text_col, shingle_k)).alias("__sh__"),
+        _shingles_col(text_col, shingle_k).alias("__sh__"),
     )
     sigs = register_cache(minhash_signatures(
         with_shingles, text_col, "__id__", num_hashes, shingle_k, seed,
@@ -351,7 +398,7 @@ def ngram_jaccard_pairs(
     # sizes) — tokenize once and persist the narrow projection.
     grams = register_cache(ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"),
-        F.expr(_shingles_sql(text_col, n)).alias("__grams__"),
+        _shingles_col(text_col, n).alias("__grams__"),
     ))
     sizes = grams.select("__id__", F.size("__grams__").alias("__n__"))
     inverted = grams.select(

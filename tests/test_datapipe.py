@@ -2050,3 +2050,45 @@ def test_gemm_arrow_randomized_vs_numpy_model(spark):
             for rank, (negcos, c) in enumerate(scores[:k], start=1):
                 want[(q, rank)] = (c, -negcos)
         assert got == want, f"seed={seed} n_salts={n_salts} k={k}"
+
+
+def test_shingles_arrow_twin(spark):
+    """The pandas shingle twin must be byte-identical to the Catalyst
+    fold — ASCII-only \\s splitting (\\xa0 is NOT a separator), trim of
+    0x20 only, unicode lowercase incl. final-sigma / dotted-I expansion,
+    first-occurrence distinct order, NULL -> [None], short/empty
+    collapse."""
+    import random
+
+    from feathub_spark.datapipe.dedup import _shingles_col, _shingles_sql
+
+    rnd = random.Random(77)
+    alphabet = list("abc XYZ \t\n\x0b\f\r") + [
+        "\xa0", " ", "İ", "ß", "ẞ", "Σ", "ΟΣ", "é", "漢", "🙂", "'",
+        '"', "\\", "`", "0", ".",
+    ]
+    texts = [None, "", " ", "   ", "a", "a b", "\t\n", "\xa0", "ΣΑΣ ΟΣ Σ"]
+    texts += [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    for k in (1, 2, 3, 5):
+        got = {
+            r.i: r.g
+            for r in df.select(
+                "i", _shingles_col("t", k).alias("g")
+            ).collect()
+        }
+        want = {
+            r.i: r.g
+            for r in df.select(
+                "i", F.expr(_shingles_sql("t", k)).alias("g")
+            ).collect()
+        }
+        assert got == want, (
+            k,
+            [(i, texts[i], got[i], want[i]) for i in got if got[i] != want[i]][:3],
+        )
