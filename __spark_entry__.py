@@ -6822,6 +6822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # rows-only queries (mmr_rerank, remove_dup_passages_fast,
 # index_match_fast, compression_ratio, bpe_tokenize, pca_whiten) behind
 # position 50 — they can never hash-match and waste verifiable slots.
+# `python tools/rotate_window.py --apply` mechanizes the rotation (oldest
+# hash-green evidence first); self-verify at sf0.01+sf0.1 after applying.
 _RAW_QUERIES = {
         "tokenize_ids": _q_tokenize_ids,
         "domain_filter": _q_domain_filter,
