@@ -1825,8 +1825,11 @@ def _q_quantized_ann(spark, sf_dir):
 
     df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     dq = quantize_embeddings(df, "embedding")
+    # impl="sql" pinned: this query gates the Catalyst fold specifically
+    # (quantized_ann_arrow gates the GEMM default under the same oracle)
     return quantized_topk(
-        dq, dq.filter(F.col("vec_id") < 20), "qvec", "vec_id", k=5
+        dq, dq.filter(F.col("vec_id") < 20), "qvec", "vec_id", k=5,
+        impl="sql",
     )
 
 
@@ -1896,8 +1899,12 @@ def _q_hamming_ann(spark, sf_dir):
 
     df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     db = binarize_embeddings(df, "embedding")
+    # impl="sql" pinned: gates the Catalyst xor/bit_count fold (the GEMM
+    # default is value-identical and covered by the arrow conformance
+    # tests + binary_rerank_ann's prefilter under its own oracle)
     return hamming_topk(
-        db, db.filter(F.col("vec_id") < 20), "bvec", "vec_id", k=10
+        db, db.filter(F.col("vec_id") < 20), "bvec", "vec_id", k=10,
+        impl="sql",
     )
 
 

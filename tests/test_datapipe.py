@@ -1941,9 +1941,11 @@ def test_hamming_null_codes_excluded(spark):
     rows = [(0, [0, 0]), (1, [1, 0]), (2, [3, 0]), (3, None), (4, [7])]
     db = spark.createDataFrame(rows, "vec_id long, bvec array<bigint>")
     qs = db.filter(F.col("vec_id") == 0)
-    out = hamming_topk(db, qs, "bvec", "vec_id", k=3).collect()
-    got = [(r.rank, r.neighbor_id, r.hamming) for r in out]
-    assert got == [(1, 1, 1), (2, 2, 2)]  # 3 and 4 excluded, not rank 1
+    for impl in ("sql", "arrow"):  # arrow is the default; pin both
+        out = hamming_topk(db, qs, "bvec", "vec_id", k=3, impl=impl).collect()
+        got = [(r.rank, r.neighbor_id, r.hamming) for r in out]
+        # 3 (NULL) and 4 (width mismatch) excluded, not ranked first
+        assert got == [(1, 1, 1), (2, 2, 2)], impl
 
 
 def test_hamming_arrow_path_matches_sql(spark):

@@ -185,14 +185,25 @@ def main() -> None:
     )
     dq = quantize_embeddings(emb2, "embedding")
     timed(
-        f"quantized_topk 20q x {20_000 * scale} corpus",
+        f"quantized_topk[arrow default] 20q x {20_000 * scale} corpus",
         lambda: quantized_topk(
             dq, dq.filter(F.col("vec_id") < 20), "qvec", "vec_id", k=10
         ).count(),
     )
+    if scale <= 1:
+        # the Catalyst fold is the oracle form, not the scale path: the
+        # interpreted zip_with/aggregate lambdas measured 174 s at 200k
+        # corpus (r9) — only time it at unit scale
+        timed(
+            f"quantized_topk[sql fold] 20q x {20_000 * scale} corpus",
+            lambda: quantized_topk(
+                dq, dq.filter(F.col("vec_id") < 20), "qvec", "vec_id",
+                k=10, impl="sql",
+            ).count(),
+        )
     db = binarize_embeddings(emb2, "embedding")
     timed(
-        f"hamming_topk 20q x {20_000 * scale} corpus",
+        f"hamming_topk[arrow default] 20q x {20_000 * scale} corpus",
         lambda: hamming_topk(
             db, db.filter(F.col("vec_id") < 20), "bvec", "vec_id", k=10
         ).count(),
