@@ -84,21 +84,44 @@ def main() -> None:
     base_total = sum(R6_BASELINE[q] for q in common)
     vs_r6 = round(r6_total / base_total, 4) if base_total and sf == 0.1 else None
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": repeats,
-                "r5_subset_total": round(r5_total, 3),
-                "r6_subset_total": round(r6_total, 3),
-                "vs_r6_baseline": vs_r6,
-                "sf": sf,
-            }
-        )
-    )
+    # The grading driver keeps only the LAST 2000 characters of stdout and
+    # parses the JSON line from them — 157 query timings overflow that
+    # window (BENCH_r07/r08 recorded parsed=null).  So the PRINTED line
+    # carries the slowest 50 per-query timings (aggregates computed over
+    # ALL queries) and stays parseable inside the window; the COMPLETE
+    # per-query record is written to BENCH_LOCAL.json at the repo root.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:50]
+    ) if len(timings) > 50 else timings
+    base = {
+        "runs_per_query": repeats,
+        "r5_subset_total": round(r5_total, 3),
+        "r6_subset_total": round(r6_total, 3),
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "value": round(total, 3),
+        "vs_r6_baseline": vs_r6,
+        "sf": sf,
+    }
+    full = dict(queries=timings, queries_total_count=len(timings), **base)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w"
+        ) as f:
+            f.write(json.dumps(full, separators=(",", ":")) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the headline line
+    print(json.dumps(
+        dict(
+            queries=slowest,
+            queries_total_count=len(timings),
+            queries_shown=len(slowest),
+            full_record_file="BENCH_LOCAL.json",
+            **base,
+        ),
+        separators=(",", ":"),
+    ))
 
 
 if __name__ == "__main__":
