@@ -3540,9 +3540,12 @@ def _q_ivf_ann(spark, sf_dir):
 
     df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = df.filter(F.col("vec_id") < 20)
+    # impl="sql" pinned: this query gates the Catalyst assignment form;
+    # ivf_ann_trained / cluster_sample gate the value-identical arrow
+    # assignment default under their own oracles
     return ivf_topk(
         df, queries_df, "embedding", "vec_id", k=5, n_centroids=32, nprobe=4,
-        seed=9,
+        seed=9, impl="sql",
     )
 
 

@@ -2094,3 +2094,62 @@ def test_shingles_arrow_twin(spark):
             k,
             [(i, texts[i], got[i], want[i]) for i in got if got[i] != want[i]][:3],
         )
+
+
+def test_ivf_assignment_arrow_matches_sql(spark):
+    """The arrow centroid-assignment twin must make IDENTICAL ordering
+    decisions to the crossJoin+round+window SQL form — including zero
+    vectors (NaN cosine ranks FIRST in Spark's DESC), NULL / width-
+    mismatched vectors (all-NULL cosines -> smallest cids), duplicated
+    vectors (rounded-cosine ties -> cid asc), and top_n probing."""
+    import random
+
+    from feathub_spark.datapipe.similarity import (
+        cluster_balanced_sample,
+        ivf_topk,
+        train_ivf_codebook,
+    )
+
+    rnd = random.Random(31)
+    rows = []
+    for i in range(300):
+        if i % 37 == 0:
+            rows.append((i, [0.0] * 8))                  # zero vector: NaN
+        elif i % 41 == 0:
+            rows.append((i, None))                       # NULL vector
+        elif i % 43 == 0:
+            rows.append((i, [1.0] * 5))                  # width mismatch
+        else:
+            base = [rnd.uniform(-1, 1) for _ in range(8)]
+            rows.append((i, base))
+            if i % 7 == 0:
+                rows.append((1000 + i, list(base)))      # exact duplicate
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") < 25)
+
+    kw = dict(k=5, n_centroids=16, nprobe=3, seed=3)
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+         for r in ivf_topk(df, qs, "embedding", "vec_id",
+                           impl="arrow", **kw).collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+         for r in ivf_topk(df, qs, "embedding", "vec_id",
+                           impl="sql", **kw).collect()}
+    assert a == b
+
+    ca = {tuple(r) for r in cluster_balanced_sample(
+        df, "embedding", "vec_id", per_cell=3, n_centroids=16, seed=3,
+        impl="arrow").collect()}
+    cb = {tuple(r) for r in cluster_balanced_sample(
+        df, "embedding", "vec_id", per_cell=3, n_centroids=16, seed=3,
+        impl="sql").collect()}
+    assert ca == cb
+
+    ta = {(r["__cid__"], tuple(r["__cvec__"]))
+          for r in train_ivf_codebook(df, "embedding", "vec_id",
+                                      n_centroids=8, iterations=2, seed=3,
+                                      impl="arrow").collect()}
+    tb = {(r["__cid__"], tuple(r["__cvec__"]))
+          for r in train_ivf_codebook(df, "embedding", "vec_id",
+                                      n_centroids=8, iterations=2, seed=3,
+                                      impl="sql").collect()}
+    assert ta == tb
