@@ -37,6 +37,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.legacy.sizeOfNull", "false"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # cached intermediates (the engine's caching contract) otherwise pin
+        # their exchange partitioning and opt the whole subtree out of AQE
+        # coalescing/broadcast re-planning — measured 2x wall on the
+        # cache-heavy graph/dedup queries with zero semantic effect
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
     ]:
         try:
             spark.conf.set(k, v)

@@ -186,6 +186,81 @@ def _bucket_pairs(df: DataFrame, bucket_cols, payload_struct_sql: str) -> DataFr
     )
 
 
+def _expand_sized_pairs(postings: DataFrame, impl: str = "auto") -> DataFrame:
+    """Triangular pair expansion of a ``__mem__ array<struct<i,n:bigint>>``
+    posting column into (id_a, id_b, n_a, n_b) rows — each sorted-unique
+    (a < b) member pair once.  Map-side work after the single posting
+    shuffle, exactly like :func:`_bucket_pairs`, but the per-member size
+    payload rides along so the consumer never joins a sizes table.
+
+    ``impl="auto"`` uses an Arrow ``mapInPandas`` twin (numpy
+    ``triu_indices`` — the Catalyst nested transform/slice lambdas are
+    interpreted and measured ~2x slower on real posting shapes);
+    ``impl="sql"`` keeps the pure-Catalyst form.  Both emit identical
+    rows, pinned by a randomized conformance test."""
+    postings = postings.filter(F.size("__mem__") >= 2)
+    if impl == "sql":
+        pair_expr = (
+            "flatten(transform(sequence(1, size(__mem__) - 1), "
+            "i -> transform(slice(__mem__, i + 1, size(__mem__) - i), "
+            "b -> struct(element_at(__mem__, i) AS a, b AS b))))"
+        )
+        return (
+            postings.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select(
+                F.col("p.a.i").alias("id_a"),
+                F.col("p.b.i").alias("id_b"),
+                F.col("p.a.n").alias("n_a"),
+                F.col("p.b.n").alias("n_b"),
+            )
+        )
+    from pyspark.sql import types as T
+
+    id_type = None
+    for fld in postings.schema["__mem__"].dataType.elementType.fields:
+        if fld.name == "i":
+            id_type = fld.dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("n_a", T.LongType()),
+        T.StructField("n_b", T.LongType()),
+    ])
+    # two ALIGNED primitive arrays serialize to numpy-friendly Arrow lists
+    # (a list<struct> column would arrive as python dicts per element)
+    proj = postings.select(
+        F.expr("transform(__mem__, x -> x.i)").alias("__ids__"),
+        F.expr("transform(__mem__, x -> x.n)").alias("__ns__"),
+    )
+
+    def _expand(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            part_a, part_b, part_na, part_nb = [], [], [], []
+            for ids, ns in zip(pdf["__ids__"], pdf["__ns__"]):
+                m = len(ids)
+                if m < 2:
+                    continue
+                a = np.asarray(ids)
+                s = np.asarray(ns)
+                iu, ju = np.triu_indices(m, 1)
+                part_a.append(a[iu])
+                part_b.append(a[ju])
+                part_na.append(s[iu])
+                part_nb.append(s[ju])
+            if part_a:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(part_a),
+                    "id_b": np.concatenate(part_b),
+                    "n_a": np.concatenate(part_na),
+                    "n_b": np.concatenate(part_nb),
+                })
+
+    return proj.mapInPandas(_expand, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -394,6 +469,49 @@ def ngram_jaccard_pairs(
     cutoff is computed in-plan (broadcast one-row count), no driver-side
     action.  Pass an int for an absolute cutoff or ``None`` to disable the
     cut entirely (exact recall; only safe on small corpora)."""
+    if max_doc_freq is None:
+        # Complete index: the co-occurrence count IS |A ∩ B|, so if each
+        # doc's gram-count rides INSIDE the posting entry the jaccard
+        # needs no join back onto a sizes table — two fewer exchanges,
+        # and the gram projection is consumed exactly once (no cache).
+        inverted = (
+            ensure_parallelism(df)
+            .select(
+                F.col(id_col).alias("__id__"),
+                _shingles_col(text_col, n).alias("__grams__"),
+            )
+            .select(
+                "__id__",
+                F.size("__grams__").cast("long").alias("__n__"),
+                F.explode("__grams__").alias("__gram__"),
+            )
+        )
+        postings = (
+            inverted.groupBy("__gram__")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(
+                        F.col("__id__").alias("i"), F.col("__n__").alias("n")
+                    ))
+                ).alias("__mem__")
+            )
+            .filter(F.size("__mem__") >= 2)
+        )
+        return (
+            _expand_sized_pairs(postings)
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     # grams are scanned 4x in this plan (inverted index, two verify joins,
     # sizes) — tokenize once and persist the narrow projection.
     grams = register_cache(ensure_parallelism(df).select(
@@ -415,24 +533,23 @@ def ngram_jaccard_pairs(
     postings = inverted.groupBy("__gram__").agg(
         F.sort_array(F.collect_list("__id__")).alias("__ids__")
     )
-    if max_doc_freq is not None:
-        if max_doc_freq == "auto":
-            cut_row = df.select(
-                F.least(
-                    F.lit(1024).cast("long"),
-                    F.greatest(
-                        F.lit(64).cast("long"),
-                        (F.count(F.lit(1)) / 1000).cast("long"),
-                    ),
-                ).alias("__cut__")
-            )
-            postings = (
-                postings.join(F.broadcast(cut_row))
-                .filter(F.size("__ids__") <= F.col("__cut__"))
-                .drop("__cut__")
-            )
-        else:
-            postings = postings.filter(F.size("__ids__") <= max_doc_freq)
+    if max_doc_freq == "auto":
+        cut_row = df.select(
+            F.least(
+                F.lit(1024).cast("long"),
+                F.greatest(
+                    F.lit(64).cast("long"),
+                    (F.count(F.lit(1)) / 1000).cast("long"),
+                ),
+            ).alias("__cut__")
+        )
+        postings = (
+            postings.join(F.broadcast(cut_row))
+            .filter(F.size("__ids__") <= F.col("__cut__"))
+            .drop("__cut__")
+        )
+    else:
+        postings = postings.filter(F.size("__ids__") <= max_doc_freq)
     # ids are sorted and distinct, so the triangular expansion yields each
     # (id_a < id_b) pair once per shared gram
     pair_expr = (
@@ -447,20 +564,6 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    if max_doc_freq is None:
-        # the index is complete, so the co-occurrence count IS |A ∩ B|
-        return (
-            co.join(sizes.withColumnRenamed("__id__", "id_a").withColumnRenamed("__n__", "n_a"), "id_a")
-            .join(sizes.withColumnRenamed("__id__", "id_b").withColumnRenamed("__n__", "n_b"), "id_b")
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
     # With the doc-freq cut the index undercounts intersections, so
     # candidates must be re-verified against the FULL gram sets.  The
     # array_intersect verify is the expensive step (candidates sharing one

@@ -37,6 +37,10 @@ def default_spark_session(app_name: str = "feathub_spark", cpus: int = 0) -> Spa
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (coalesce, broadcast) around cached intermediates;
+        # without it every register_cache() subtree pins its static 32/64-
+        # partition exchanges — measured 2x wall on cache-heavy graph plans
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.legacy.sizeOfNull", "false")
         # Parquet TIMESTAMP(NANOS) columns (unsupported by Spark natively)

@@ -2153,3 +2153,37 @@ def test_ivf_assignment_arrow_matches_sql(spark):
                                       n_centroids=8, iterations=2, seed=3,
                                       impl="sql").collect()}
     assert ta == tb
+
+
+def test_expand_sized_pairs_arrow_matches_sql(spark):
+    """The numpy triangular-expansion twin must emit exactly the rows of
+    the Catalyst transform/slice form — ragged lists, singletons (dropped),
+    empty lists, duplicate sizes, long-id and string-id members."""
+    import random
+
+    from feathub_spark.datapipe.dedup import _expand_sized_pairs
+
+    rnd = random.Random(7)
+    rows = [([],)]
+    for _ in range(400):
+        m = rnd.choice([1, 2, 2, 3, 5, 8, 25])
+        mem = sorted({rnd.randrange(1000) for _ in range(m)})
+        rows.append(([{"i": i, "n": i % 17 + 1} for i in mem],))
+    pdf = spark.createDataFrame(
+        rows, "mem array<struct<i:bigint,n:bigint>>"
+    ).withColumnRenamed("mem", "__mem__")
+    got = sorted(map(tuple, _expand_sized_pairs(pdf, impl="auto").collect()))
+    want = sorted(map(tuple, _expand_sized_pairs(pdf, impl="sql").collect()))
+    assert got == want and len(got) > 1000
+
+    srows = [
+        ([{"i": f"d{i:03d}", "n": i % 5 + 1}
+          for i in sorted({rnd.randrange(100) for _ in range(4)})],)
+        for _ in range(60)
+    ]
+    sdf = spark.createDataFrame(
+        srows, "mem array<struct<i:string,n:bigint>>"
+    ).withColumnRenamed("mem", "__mem__")
+    got = sorted(map(tuple, _expand_sized_pairs(sdf, impl="auto").collect()))
+    want = sorted(map(tuple, _expand_sized_pairs(sdf, impl="sql").collect()))
+    assert got == want and got
