@@ -261,6 +261,60 @@ def _expand_sized_pairs(postings: DataFrame, impl: str = "auto") -> DataFrame:
     return proj.mapInPandas(_expand, out_schema)
 
 
+def _expand_id_pairs(
+    postings: DataFrame, ids_col: str = "__ids__", impl: str = "auto"
+) -> DataFrame:
+    """Triangular pair expansion of a sorted-id array column into
+    (id_a, id_b) rows — each (a < b) member pair once, map-side after the
+    posting shuffle.  The payload-free sibling of
+    :func:`_expand_sized_pairs`: ``impl="auto"`` is the numpy
+    ``mapInPandas`` twin (the interpreted Catalyst transform/slice
+    lambdas dominate wall time once fan-out reaches millions of pairs),
+    ``impl="sql"`` the pure-Catalyst form; identical rows either way,
+    pinned by the randomized conformance test."""
+    postings = postings.filter(F.size(ids_col) >= 2)
+    if impl == "sql":
+        pair_expr = (
+            f"flatten(transform(sequence(1, size(`{ids_col}`) - 1), "
+            f"i -> transform(slice(`{ids_col}`, i + 1, size(`{ids_col}`) - i), "
+            f"b -> struct(element_at(`{ids_col}`, i) AS id_a, b AS id_b))))"
+        )
+        return (
+            postings.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        )
+    from pyspark.sql import types as T
+
+    id_type = postings.schema[ids_col].dataType.elementType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+    ])
+    proj = postings.select(F.col(ids_col).alias("__ids__"))
+
+    def _expand(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            part_a, part_b = [], []
+            for ids in pdf["__ids__"]:
+                m = len(ids)
+                if m < 2:
+                    continue
+                a = np.asarray(ids)
+                iu, ju = np.triu_indices(m, 1)
+                part_a.append(a[iu])
+                part_b.append(a[ju])
+            if part_a:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(part_a),
+                    "id_b": np.concatenate(part_b),
+                })
+
+    return proj.mapInPandas(_expand, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

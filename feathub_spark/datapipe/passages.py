@@ -630,15 +630,10 @@ def dup_passage_pairs(
     )
     if max_doc_freq is not None:
         postings = postings.filter(F.size("__ids__") <= max_doc_freq)
-    pair_expr = (
-        "flatten(transform(sequence(1, size(__ids__) - 1), "
-        "i -> transform(slice(__ids__, i + 1, size(__ids__) - i), "
-        "b -> struct(element_at(__ids__, i) AS a, b AS b))))"
-    )
+    from feathub_spark.datapipe.dedup import _expand_id_pairs
+
     return (
-        postings.filter(F.size("__ids__") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        _expand_id_pairs(postings)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fingerprints"))
         .filter(F.col("n_shared_fingerprints") >= min_shared)

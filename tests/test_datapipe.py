@@ -2187,3 +2187,34 @@ def test_expand_sized_pairs_arrow_matches_sql(spark):
     got = sorted(map(tuple, _expand_sized_pairs(sdf, impl="auto").collect()))
     want = sorted(map(tuple, _expand_sized_pairs(sdf, impl="sql").collect()))
     assert got == want and got
+
+
+def test_expand_id_pairs_arrow_matches_sql(spark):
+    """Payload-free sibling: numpy expansion == Catalyst expansion over
+    ragged sorted-id posting arrays (bigint and string ids)."""
+    import random
+
+    from feathub_spark.datapipe.dedup import _expand_id_pairs
+
+    rnd = random.Random(11)
+    rows = [([],)] + [
+        (sorted({rnd.randrange(2000) for _ in range(rnd.choice([1, 2, 3, 7, 40]))}),)
+        for _ in range(500)
+    ]
+    pdf = spark.createDataFrame(rows, "ids array<bigint>").withColumnRenamed(
+        "ids", "__ids__"
+    )
+    got = sorted(map(tuple, _expand_id_pairs(pdf, impl="auto").collect()))
+    want = sorted(map(tuple, _expand_id_pairs(pdf, impl="sql").collect()))
+    assert got == want and len(got) > 2000
+
+    srows = [
+        (sorted({f"d{rnd.randrange(300):03d}" for _ in range(3)}),)
+        for _ in range(80)
+    ]
+    sdf = spark.createDataFrame(srows, "ids array<string>").withColumnRenamed(
+        "ids", "__ids__"
+    )
+    got = sorted(map(tuple, _expand_id_pairs(sdf, impl="auto").collect()))
+    want = sorted(map(tuple, _expand_id_pairs(sdf, impl="sql").collect()))
+    assert got == want and got
