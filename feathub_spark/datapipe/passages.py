@@ -493,13 +493,17 @@ def remove_duplicate_passages(
     and text rebuild are per-row Catalyst folds over the doc's own span
     list (bounded by ~2·len/(window+1) winnowing selections), so the heavy
     string work never leaves codegen."""
-    base = winnow_fingerprint_positions(
-        df, text_col, id_col, gram_len, window, hash_fn
-    ).select(F.col(id_col), F.col(text_col), "__fpp__")
+    # base feeds BOTH the occurrence side and the final text join — cache
+    # it (one winnow UDF pass), not the exploded occurrences (which would
+    # leave the text side re-running the UDF end-to-end)
+    base = register_cache(
+        winnow_fingerprint_positions(
+            df, text_col, id_col, gram_len, window, hash_fn
+        ).select(F.col(id_col), F.col(text_col), "__fpp__")
+    )
     occ = base.select(
         id_col, F.explode("__fpp__").alias("__o__")
     ).select(id_col, F.col("__o__.fp").alias("__fp__"), F.col("__o__.pos").alias("__pos__"))
-    occ = register_cache(occ)
     dup = (
         occ.groupBy("__fp__")
         .agg(F.count(F.lit(1)).alias("__n__"))
