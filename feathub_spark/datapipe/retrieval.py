@@ -52,9 +52,16 @@ def bm25_search(
         F.expr(f"size({toks})").cast("double").alias("__len__"),
         F.explode(F.expr(toks)).alias("__term__"),
     )
-    doc_terms = exploded.groupBy(id_col, "__term__").agg(
-        F.count(F.lit(1)).cast("double").alias("__tf__"),
-        F.first("__len__").alias("__len__"),
+    # (doc, term, tf, len) feeds corpus stats, query-vocabulary document
+    # frequencies AND the scoring join — three scans of the tokenize+
+    # explode+aggregate otherwise (caller releases via release_caches())
+    from feathub_spark.common.caching import register_cache
+
+    doc_terms = register_cache(
+        exploded.groupBy(id_col, "__term__").agg(
+            F.count(F.lit(1)).cast("double").alias("__tf__"),
+            F.first("__len__").alias("__len__"),
+        )
     )
     # corpus totals from the per-doc length table (derived in-plan)
     doclens = doc_terms.groupBy(id_col).agg(F.first("__len__").alias("__l__"))
