@@ -738,11 +738,16 @@ def tokenize_to_ids(
     arrays via the final left join on the id.
 
     Returns (id_col, token_ids array<int>, n_tokens, n_oov)."""
+    from feathub_spark.common.caching import register_cache
+
     toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
-    occ = ensure_parallelism(df).select(
+    # the positional explode feeds BOTH the vocabulary count and the
+    # encoding join — cache it or the corpus tokenizes twice (caller
+    # releases via release_caches())
+    occ = register_cache(ensure_parallelism(df).select(
         F.col(id_col),
         F.posexplode(F.expr(toks)).alias("__pos__", "__tok__"),
-    )
+    ))
     counts = (
         occ.groupBy("__tok__")
         .agg(F.count(F.lit(1)).alias("__c__"))
