@@ -140,6 +140,14 @@ def scd2_merge(
     if not keys or not attrs:
         raise ValueError("scd2_merge needs key_cols and attr_cols")
 
+    from feathub_spark.common.caching import register_cache
+
+    # the interval table feeds FOUR consumers (closed split, untouched-
+    # open anti join, affected-open semi join -> seed AND delta filter);
+    # when it arrives as a live scd2_intervals subplan that window work
+    # would otherwise replay per consumer (caller releases via
+    # release_caches())
+    intervals = register_cache(intervals)
     closed = intervals.filter(F.col("valid_to").isNotNull()).select(
         *keys, *attrs, "valid_from", "valid_to"
     )
