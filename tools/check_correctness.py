@@ -134,6 +134,8 @@ def main() -> None:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     results = {}
+    from feathub_spark.common.caching import release_caches
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -144,6 +146,10 @@ def main() -> None:
             results[name] = [f"SPARK ERROR: {type(e).__name__}: {e}"]
             print(f"[FAIL-spark] {name}: {results[name][0][:400]}")
             continue
+        finally:
+            # keep executor storage flat across the 157-query sweep (the
+            # operators' caching contract leaves release to the caller)
+            release_caches()
         t1 = time.time()
         if name not in oracles:
             results[name] = []
