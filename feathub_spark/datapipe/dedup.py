@@ -186,6 +186,53 @@ def _bucket_pairs(df: DataFrame, bucket_cols, payload_struct_sql: str) -> DataFr
     )
 
 
+def _triu_expand_generator(array_cols, out_names, flush_pairs=1 << 20):
+    """Shared numpy core for the Arrow pair-expansion twins: for each
+    posting row, index the aligned array columns by ``triu_indices`` and
+    buffer the (upper, lower) halves per output column.  Buffers FLUSH
+    every ``flush_pairs`` expanded pairs — an Arrow batch holds thousands
+    of posting rows, and rows near a doc-frequency cap of 1024 expand to
+    ~524k pairs each, so accumulating a whole batch before yielding (the
+    first version of this twin) could hold gigabytes in one Python
+    worker where the Catalyst explode streamed row-at-a-time.  Memory is
+    now bounded by flush_pairs plus one row's expansion."""
+
+    def _expand(batches):
+        import numpy as np
+        import pandas as pd
+
+        bufs = [[] for _ in out_names]
+        buffered = 0
+
+        def _flush():
+            out = pd.DataFrame({
+                nm: np.concatenate(b) for nm, b in zip(out_names, bufs)
+            })
+            for b in bufs:
+                b.clear()
+            return out
+
+        for pdf in batches:
+            cols = [pdf[c] for c in array_cols]
+            for row in zip(*cols):
+                m = len(row[0])
+                if m < 2:
+                    continue
+                iu, ju = np.triu_indices(m, 1)
+                for k, vals in enumerate(row):
+                    a = np.asarray(vals)
+                    bufs[2 * k].append(a[iu])
+                    bufs[2 * k + 1].append(a[ju])
+                buffered += len(iu)
+                if buffered >= flush_pairs:
+                    yield _flush()
+                    buffered = 0
+        if buffered:
+            yield _flush()
+
+    return _expand
+
+
 def _expand_sized_pairs(postings: DataFrame, impl: str = "auto") -> DataFrame:
     """Triangular pair expansion of a ``__mem__ array<struct<i,n:bigint>>``
     posting column into (id_a, id_b, n_a, n_b) rows — each sorted-unique
@@ -193,11 +240,11 @@ def _expand_sized_pairs(postings: DataFrame, impl: str = "auto") -> DataFrame:
     shuffle, exactly like :func:`_bucket_pairs`, but the per-member size
     payload rides along so the consumer never joins a sizes table.
 
-    ``impl="auto"`` uses an Arrow ``mapInPandas`` twin (numpy
-    ``triu_indices`` — the Catalyst nested transform/slice lambdas are
-    interpreted and measured ~2x slower on real posting shapes);
-    ``impl="sql"`` keeps the pure-Catalyst form.  Both emit identical
-    rows, pinned by a randomized conformance test."""
+    ``impl="auto"`` uses an Arrow ``mapInPandas`` twin
+    (:func:`_triu_expand_generator` — the Catalyst nested transform/slice
+    lambdas are interpreted and measured ~2x slower on real posting
+    shapes); ``impl="sql"`` keeps the pure-Catalyst form.  Both emit
+    identical rows, pinned by a randomized conformance test."""
     postings = postings.filter(F.size("__mem__") >= 2)
     if impl == "sql":
         pair_expr = (
@@ -232,33 +279,12 @@ def _expand_sized_pairs(postings: DataFrame, impl: str = "auto") -> DataFrame:
         F.expr("transform(__mem__, x -> x.i)").alias("__ids__"),
         F.expr("transform(__mem__, x -> x.n)").alias("__ns__"),
     )
-
-    def _expand(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            part_a, part_b, part_na, part_nb = [], [], [], []
-            for ids, ns in zip(pdf["__ids__"], pdf["__ns__"]):
-                m = len(ids)
-                if m < 2:
-                    continue
-                a = np.asarray(ids)
-                s = np.asarray(ns)
-                iu, ju = np.triu_indices(m, 1)
-                part_a.append(a[iu])
-                part_b.append(a[ju])
-                part_na.append(s[iu])
-                part_nb.append(s[ju])
-            if part_a:
-                yield pd.DataFrame({
-                    "id_a": np.concatenate(part_a),
-                    "id_b": np.concatenate(part_b),
-                    "n_a": np.concatenate(part_na),
-                    "n_b": np.concatenate(part_nb),
-                })
-
-    return proj.mapInPandas(_expand, out_schema)
+    return proj.mapInPandas(
+        _triu_expand_generator(
+            ["__ids__", "__ns__"], ["id_a", "id_b", "n_a", "n_b"]
+        ),
+        out_schema,
+    )
 
 
 def _expand_id_pairs(
@@ -267,11 +293,10 @@ def _expand_id_pairs(
     """Triangular pair expansion of a sorted-id array column into
     (id_a, id_b) rows — each (a < b) member pair once, map-side after the
     posting shuffle.  The payload-free sibling of
-    :func:`_expand_sized_pairs`: ``impl="auto"`` is the numpy
-    ``mapInPandas`` twin (the interpreted Catalyst transform/slice
-    lambdas dominate wall time once fan-out reaches millions of pairs),
-    ``impl="sql"`` the pure-Catalyst form; identical rows either way,
-    pinned by the randomized conformance test."""
+    :func:`_expand_sized_pairs` over the same
+    :func:`_triu_expand_generator` core; identical rows to
+    ``impl="sql"`` either way, pinned by the randomized conformance
+    test."""
     postings = postings.filter(F.size(ids_col) >= 2)
     if impl == "sql":
         pair_expr = (
@@ -291,28 +316,9 @@ def _expand_id_pairs(
         T.StructField("id_b", id_type),
     ])
     proj = postings.select(F.col(ids_col).alias("__ids__"))
-
-    def _expand(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            part_a, part_b = [], []
-            for ids in pdf["__ids__"]:
-                m = len(ids)
-                if m < 2:
-                    continue
-                a = np.asarray(ids)
-                iu, ju = np.triu_indices(m, 1)
-                part_a.append(a[iu])
-                part_b.append(a[ju])
-            if part_a:
-                yield pd.DataFrame({
-                    "id_a": np.concatenate(part_a),
-                    "id_b": np.concatenate(part_b),
-                })
-
-    return proj.mapInPandas(_expand, out_schema)
+    return proj.mapInPandas(
+        _triu_expand_generator(["__ids__"], ["id_a", "id_b"]), out_schema
+    )
 
 
 def minhash_lsh_pairs(
@@ -534,22 +540,22 @@ def ngram_jaccard_pairs(
                 F.col(id_col).alias("__id__"),
                 _shingles_col(text_col, n).alias("__grams__"),
             )
+            # NULL ids would ride inside the (always non-null) struct;
+            # the cut path's bare collect_list skips them — keep the two
+            # paths row-identical on any input
+            .filter(F.col("__id__").isNotNull())
             .select(
                 "__id__",
                 F.size("__grams__").cast("long").alias("__n__"),
                 F.explode("__grams__").alias("__gram__"),
             )
         )
-        postings = (
-            inverted.groupBy("__gram__")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct(
-                        F.col("__id__").alias("i"), F.col("__n__").alias("n")
-                    ))
-                ).alias("__mem__")
-            )
-            .filter(F.size("__mem__") >= 2)
+        postings = inverted.groupBy("__gram__").agg(
+            F.sort_array(
+                F.collect_list(F.struct(
+                    F.col("__id__").alias("i"), F.col("__n__").alias("n")
+                ))
+            ).alias("__mem__")
         )
         return (
             _expand_sized_pairs(postings)
@@ -606,15 +612,8 @@ def ngram_jaccard_pairs(
         postings = postings.filter(F.size("__ids__") <= max_doc_freq)
     # ids are sorted and distinct, so the triangular expansion yields each
     # (id_a < id_b) pair once per shared gram
-    pair_expr = (
-        "flatten(transform(sequence(1, size(__ids__) - 1), "
-        "i -> transform(slice(__ids__, i + 1, size(__ids__) - i), "
-        "b -> struct(element_at(__ids__, i) AS id_a, b AS id_b))))"
-    )
     co = (
-        postings.filter(F.size("__ids__") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        _expand_id_pairs(postings)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

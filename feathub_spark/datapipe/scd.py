@@ -142,16 +142,19 @@ def scd2_merge(
 
     from feathub_spark.common.caching import register_cache
 
-    # the interval table feeds FOUR consumers (closed split, untouched-
-    # open anti join, affected-open semi join -> seed AND delta filter);
-    # when it arrives as a live scd2_intervals subplan that window work
-    # would otherwise replay per consumer (caller releases via
-    # release_caches())
-    intervals = register_cache(intervals)
     closed = intervals.filter(F.col("valid_to").isNotNull()).select(
         *keys, *attrs, "valid_from", "valid_to"
     )
-    open_iv = intervals.filter(F.col("valid_to").isNull())
+    # ONLY the open intervals are cached: they feed four consumers
+    # (untouched anti join, affected semi join, the seed, the late-delta
+    # filter) and are bounded by the LIVE key count, while the closed
+    # history — the bulk of the table — is consumed exactly once and
+    # must keep streaming straight into the union.  When `intervals`
+    # arrives as a live scd2_intervals subplan its window work still
+    # replays once per branch; pre-persist the input yourself if that
+    # matters more than keeping history un-materialized.  (Caller
+    # releases via release_caches().)
+    open_iv = register_cache(intervals.filter(F.col("valid_to").isNull()))
     dkeys = delta.select(*keys).distinct()
 
     untouched_open = open_iv.join(dkeys, on=keys, how="left_anti").select(

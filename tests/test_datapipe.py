@@ -2218,3 +2218,60 @@ def test_expand_id_pairs_arrow_matches_sql(spark):
     got = sorted(map(tuple, _expand_id_pairs(sdf, impl="auto").collect()))
     want = sorted(map(tuple, _expand_id_pairs(sdf, impl="sql").collect()))
     assert got == want and got
+
+
+def test_triu_expand_flush_bounded_buffers(spark):
+    """The Arrow expansion must emit identical rows when its flush
+    threshold forces many small yields per batch (the memory-bounding
+    path a 1024-member posting exercises at scale)."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from feathub_spark.datapipe.dedup import _triu_expand_generator
+
+    rnd = random.Random(3)
+    rows = [
+        (sorted({rnd.randrange(5000) for _ in range(rnd.choice([2, 30, 90]))}),)
+        for _ in range(200)
+    ]
+    pdf = spark.createDataFrame(rows, "ids array<bigint>").withColumnRenamed(
+        "ids", "__ids__"
+    )
+    schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ])
+    big = sorted(map(tuple, pdf.mapInPandas(
+        _triu_expand_generator(["__ids__"], ["id_a", "id_b"]), schema
+    ).collect()))
+    tiny = sorted(map(tuple, pdf.mapInPandas(
+        _triu_expand_generator(["__ids__"], ["id_a", "id_b"], flush_pairs=7),
+        schema,
+    ).collect()))
+    assert big == tiny and len(big) > 10_000
+
+
+def test_ngram_jaccard_none_path_drops_null_ids(spark):
+    """max_doc_freq=None must exclude NULL-id documents exactly like the
+    cut path (whose bare collect_list skips them)."""
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (None, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.5, max_doc_freq=None
+        ).collect()
+    )
+    cut = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.5, max_doc_freq=16
+        ).collect()
+    )
+    assert exact == cut == [(1, 2)]
