@@ -12,13 +12,24 @@ a no-op.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from pyspark.sql import DataFrame
 
 
-_SHUFFLE_NODES = ("Join", "Aggregate", "Window", "Repartition", "Sort",
-                  "Deduplicate")
+# Node types that ALWAYS plan a hash exchange sized by
+# spark.sql.shuffle.partitions (AQE right-sizes it at runtime).  Join is
+# deliberately absent (a broadcast join adds NO exchange — its output
+# partitioning is the streamed side's, possibly 1), as are Sort
+# (sortWithinPartitions is narrow; a global sort's range exchange is
+# data-sized but the node string doesn't distinguish them cheaply) and
+# round-robin Repartition/coalesce (target may be below default
+# parallelism).  Matching is anchored to line-leading node names so a
+# column named e.g. `WindowStart` inside a Project cannot false-match.
+_EXCHANGE_NODE_RE = re.compile(
+    r"(?m)^[\s+:!-]*(?:Aggregate|Window|Deduplicate|RepartitionByExpression)[ \[]"
+)
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
@@ -28,26 +39,28 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
 
     The partition-count probe (``.rdd.getNumPartitions()``) forces a full
     plan-to-RDD translation — measured ~1 s of driver time on composed
-    plans (an operator fed by another operator's output).  A plan that
-    already contains a shuffle-inducing node re-partitions itself at that
-    exchange (AQE right-sizes it at runtime), so the guard only probes
-    scan-shaped plans, where the translation is cheap and the
-    single-partition hazard actually lives.  The node scan is over the
-    ANALYZED plan string (no optimization, no physical planning); a column
-    name that happens to contain a node word only skips the probe — the
-    safe direction."""
+    plans (an operator fed by another operator's output).  When no
+    explicit ``min_partitions`` is given and the ANALYZED plan (no
+    optimization, no physical planning) already contains an
+    always-exchanging node, the exchange re-partitions to the session
+    shuffle parallelism anyway — same outcome the probe would reach — so
+    the probe is skipped.  Scan-shaped plans (where the single-row-group
+    hazard actually lives) still probe; the translation is cheap there.
+    An explicit ``min_partitions`` always probes: the caller may be
+    sizing above the shuffle parallelism."""
     if df.isStreaming:
         # probing .rdd on a stream raises; micro-batch partitioning is
         # governed by the source options (maxFilesPerTrigger etc.), so the
         # guard is a pass-through there
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if any(node in plan for node in _SHUFFLE_NODES):
-            return df
-    except Exception:
-        pass  # private-API drift: fall back to the probe
+    if min_partitions is None:
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+            if _EXCHANGE_NODE_RE.search(plan):
+                return df
+        except Exception:
+            pass  # private-API drift: fall back to the probe
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

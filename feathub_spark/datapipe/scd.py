@@ -118,7 +118,13 @@ def scd2_merge(
     event strictly BEFORE ``valid_from`` is LATE — it would rewrite
     closed history — and is dropped (mirroring the streaming operator's
     watermark contract); route late data through a full rebuild if it
-    must count.  A delta event AT exactly ``valid_from`` is kept when
+    must count.  Snapshot note: only the OPEN intervals are cached (see
+    below); the closed branch re-reads the live input per action, so
+    when ``intervals`` scans a MUTABLE source, run one action per merge
+    (or pre-persist the input yourself) — the standard single-snapshot
+    caveat of any multi-branch plan over mutable storage.
+
+    A delta event AT exactly ``valid_from`` is kept when
     ``tie_cols`` are present and tie-resolved against the open interval's
     seed row: the seed carries NULL ``tie_cols`` (NULLS FIRST), so the
     delta wins at that instant and the seed state collapses to a

@@ -81,3 +81,50 @@ def test_registry_bound_evicts_oldest(spark):
         assert release_caches() == 3
     finally:
         caching.MAX_ACTIVE = old_max
+
+
+def test_ensure_parallelism_probe_skip_semantics(spark):
+    """The plan-to-RDD probe is skipped ONLY for plans with an
+    always-exchanging node; broadcast-able joins, narrow sorts, and
+    column names that merely contain node words must still probe (and a
+    single-partition broadcast-join plan must still be repartitioned)."""
+    from pyspark.sql import Window, functions as F
+
+    from feathub_spark.common.parallelism import (
+        _EXCHANGE_NODE_RE,
+        ensure_parallelism,
+    )
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(20)], "k long, s string")
+
+    def matches(d):
+        return bool(_EXCHANGE_NODE_RE.search(
+            d._jdf.queryExecution().analyzed().toString()
+        ))
+
+    assert matches(df.groupBy("s").count())
+    assert matches(df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("s").orderBy("k"))
+    ))
+    assert matches(df.dropDuplicates(["s"]))
+    assert matches(df.repartition(4, "s"))
+    assert not matches(df)
+    assert not matches(df.sortWithinPartitions("k"))
+    # node words inside COLUMN names must not disable the probe
+    assert not matches(df.select(
+        F.col("k").alias("WindowStart"), F.col("s").alias("JoinKey")
+    ))
+    # a broadcast join adds no exchange: the 1-partition hazard must
+    # still be caught by the probe and repartitioned
+    tiny = spark.createDataFrame([(1, "x")], "k long, v string")
+    j = df.coalesce(1).join(F.broadcast(tiny), "k", "left")
+    assert not matches(j)
+    assert (
+        ensure_parallelism(j).rdd.getNumPartitions()
+        >= min(8, spark.sparkContext.defaultParallelism)
+    )
+    # explicit min_partitions overrides the skip (caller may size ABOVE
+    # the shuffle parallelism)
+    agg = df.groupBy("s").count()
+    got = ensure_parallelism(agg, min_partitions=64).rdd.getNumPartitions()
+    assert got >= 64
