@@ -927,15 +927,22 @@ def _dedup_clusters_star(
     confirmation, so a hash collision can cost one extra confirm job but
     never a wrong answer.  Every node's final cluster is its direct
     neighbor minimum (the star root), or itself for roots/isolated ids."""
+    # Materialize the input pair list ONCE: ``pairs`` usually arrives as a
+    # live candidate-generation subplan (posting-list expansion + verify)
+    # that would otherwise execute twice — once for the first-round edges
+    # and again for the final node join.
+    base = pairs.select(
+        F.col(id_a).alias("x"), F.col(id_b).alias("y")
+    ).localCheckpoint(eager=True)
     nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        base.select(F.col("x").alias("id"))
+        .unionByName(base.select(F.col("y").alias("id")))
         .distinct()
     )
     e = (
-        pairs.select(
-            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
-            F.least(F.col(id_a), F.col(id_b)).alias("b"),
+        base.select(
+            F.greatest(F.col("x"), F.col("y")).alias("a"),
+            F.least(F.col("x"), F.col("y")).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
@@ -964,7 +971,10 @@ def _dedup_clusters_star(
                 F.least(F.col("s"), F.col("__m__")).alias("b"),
             )
             .filter(F.col("a") != F.col("b"))
-            .distinct()
+            # no distinct here: min() is duplicate-insensitive, the final
+            # distinct dedups the round's output, and the large-star
+            # projection emits at most one row per symmetrized edge — the
+            # exchange an intermediate distinct would add buys nothing
         )
         small_min = large.groupBy("a").agg(F.min("b").alias("__m__"))
         new_e = (
