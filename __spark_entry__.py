@@ -56,6 +56,25 @@ def _processor(spark: SparkSession):
     return SparkProcessor(spark, LocalRegistry())
 
 
+# Memoized scans of the (immutable) driver test tables.  Every
+# spark.read.parquet re-lists the path and re-infers the footer schema on
+# the driver (~60-100 ms of py4j round-trips); across 157 queries x 3
+# bench repeats that is pure fixed overhead.  The memo reuses the logical
+# plan only — every action still scans the parquet data itself.  Keyed by
+# session identity + path; the session object is pinned in the value so a
+# recycled id() can never alias a dead session's entry.
+_PQ_MEMO: dict = {}
+
+
+def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    hit = _PQ_MEMO.get(key)
+    if hit is None or hit[0] is not spark:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _PQ_MEMO[key] = hit = (spark, df)
+    return hit[1]
+
+
 def _parquet_source(name: str, sf_dir: str, keys=None, timestamp_field=None):
     from feathub_spark import FileSystemSource
 
@@ -615,7 +634,7 @@ def _q_lookup_join(spark, sf_dir):
     the same snapshot with max_by and replays the LEFT join."""
     from feathub_spark.processors.spark.lookup_join import lookup_join
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = _pq(spark, sf_dir, "events")
     snap = events.groupBy("user_id").agg(
         F.max_by("value", "ts").alias("latest_value"),
         F.max_by("event_type", "ts").alias("latest_type"),
@@ -1608,7 +1627,7 @@ def _q_target_encode(spark, sf_dir):
     leakage-safe mean encoder."""
     from feathub_spark.datapipe.encode import target_encode
 
-    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+    df = _pq(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
         # integer cents: category sums become EXACT, so the LOO ratio is
@@ -1721,7 +1740,7 @@ def _q_fuzzy_match(spark, sf_dir):
     from feathub_spark.datapipe.dedup import fuzzy_match_pairs
 
     names = (
-        spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        _pq(spark, sf_dir, "part")
         .select("p_name")
         .distinct()
     )
@@ -1812,7 +1831,7 @@ def _q_importance_weights(spark, sf_dir):
     for the paper's importance resampling."""
     from feathub_spark.datapipe.quality import importance_weights
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return importance_weights(df, "text", "doc_id", "lang = 'de'")
 
 
@@ -1828,7 +1847,7 @@ def _q_quantized_ann(spark, sf_dir):
         quantized_topk,
     )
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     dq = quantize_embeddings(df, "embedding")
     # impl="sql" pinned: this query gates the Catalyst fold specifically
     # (quantized_ann_arrow gates the GEMM default under the same oracle)
@@ -1885,7 +1904,7 @@ def _q_quantized_ann_arrow(spark, sf_dir):
         quantized_topk,
     )
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     dq = quantize_embeddings(df, "embedding")
     return quantized_topk(
         dq, dq.filter(F.col("vec_id") < 20), "qvec", "vec_id", k=5,
@@ -1902,7 +1921,7 @@ def _q_hamming_ann(spark, sf_dir):
         hamming_topk,
     )
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     db = binarize_embeddings(df, "embedding")
     # impl="sql" pinned: gates the Catalyst xor/bit_count fold (the GEMM
     # default is value-identical and covered by the arrow conformance
@@ -1951,7 +1970,7 @@ def _q_binary_rerank_ann(spark, sf_dir):
     cosine + id ties), so the oracle replays the full two-phase plan."""
     from feathub_spark.datapipe.similarity import binary_rerank_topk
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     return binary_rerank_topk(
         df, df.filter(F.col("vec_id") < 20), "embedding", "vec_id",
         k=5, expand=10,
@@ -2004,9 +2023,7 @@ def _q_strip_html(spark, sf_dir):
     zero shuffle."""
     from feathub_spark.datapipe.text import strip_html
 
-    df = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).select(
+    df = _pq(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
             "concat('<html><script>var x = 1;</script><h1>', "
@@ -2057,7 +2074,7 @@ def _q_cross_surprisal(spark, sf_dir):
     reference domain', the head/middle/tail signal."""
     from feathub_spark.datapipe.quality import cross_surprisal
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return cross_surprisal(
         df, df.filter(F.col("lang") == "en"), "text", "doc_id"
     )
@@ -2097,9 +2114,7 @@ def _q_dedup_paragraphs(spark, sf_dir):
     per-row Catalyst fold — zero shuffle."""
     from feathub_spark.datapipe.passages import dedup_paragraphs
 
-    df = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).select(
+    df = _pq(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
             "concat(substr(text, 1, 40), '\\n\\n', text, '\\n\\n', "
@@ -2258,7 +2273,7 @@ SELECT i AS id, i * 3 + 1 AS val FROM range(0, 1000) t(i) WHERE i * 3 + 1 > 500
 def _q_dedup_exact(spark, sf_dir):
     from feathub_spark.datapipe.dedup import exact_dedup
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     kept = exact_dedup(df, ["text"], "doc_id")
     return kept.select(
         F.md5("text").alias("content_fp"), "doc_id", "dup_count"
@@ -2276,7 +2291,7 @@ FROM documents GROUP BY text
 def _q_text_stats(spark, sf_dir):
     from feathub_spark.datapipe.text import analyze_documents
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return analyze_documents(df).select(
         "doc_id", "n_tokens", "n_distinct_tokens", "n_chars_calc", "fingerprint",
         "lang_guess", "quality",
@@ -2320,7 +2335,7 @@ FROM scored
 def _q_ngram_jaccard(spark, sf_dir):
     from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.2)
 
 
@@ -2352,7 +2367,7 @@ WHERE round(CAST(common AS DOUBLE) / (len(ga.gs) + len(gb.gs) - common), 6) >= 0
 def _q_minhash_dedup(spark, sf_dir):
     from feathub_spark.datapipe.dedup import minhash_lsh_pairs
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5)
 
 
@@ -2366,7 +2381,7 @@ def _q_minhash_index_match(spark, sf_dir):
     (same evidence as minhash_dedup), so the output is exact."""
     from feathub_spark.datapipe.dedup import match_minhash_index, minhash_index
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     index = minhash_index(df.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
     return match_minhash_index(
         df.filter(F.col("doc_id") % 2 == 1), index, "text", "doc_id",
@@ -2407,7 +2422,7 @@ def _q_simhash_pairs(spark, sf_dir):
     output is exactly 'all pairs with Hamming <= 3'."""
     from feathub_spark.datapipe.dedup import simhash_pairs
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return simhash_pairs(
         df, "text", "doc_id", max_hamming=3, bands=4, bits=62, hash_fn="poly"
     )
@@ -2416,7 +2431,7 @@ def _q_simhash_pairs(spark, sf_dir):
 def _q_ann_topk(spark, sf_dir):
     from feathub_spark.datapipe.similarity import brute_force_topk
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 20)
     return brute_force_topk(df, queries_df, "embedding", "vec_id", k=5)
 
@@ -2555,7 +2570,7 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 def _q_embedding_neardup(spark, sf_dir):
     from feathub_spark.datapipe.dedup import embedding_neardup_pairs
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
         df, "embedding", "vec_id", threshold=0.35, block_col="label"
     )
@@ -2906,7 +2921,7 @@ def _q_token_metrics(spark, sf_dir):
     from feathub_spark.datapipe.text import bpe_like_token_count, rolling_fingerprint
 
     df = ensure_parallelism(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
     )
     return df.select(
         "doc_id",
@@ -2935,7 +2950,7 @@ def _q_lsh_ann(spark, sf_dir):
     rank) rather than trusting the bucketing."""
     from feathub_spark.datapipe.similarity import lsh_topk
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 20)
     return lsh_topk(
         df, queries_df, "embedding", "vec_id", k=5, dims=None, weight_fn="lcg"
@@ -2948,7 +2963,7 @@ def _q_lsh_ann_multiprobe(spark, sf_dir):
     index; the oracle replicates the probe expansion bit for bit."""
     from feathub_spark.datapipe.similarity import lsh_topk
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 20)
     return lsh_topk(
         df, queries_df, "embedding", "vec_id", k=5, dims=None,
@@ -3007,7 +3022,7 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 def _q_dedup_clusters(spark, sf_dir):
     from feathub_spark.datapipe.dedup import dedup_clusters, ngram_jaccard_pairs
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     # max_doc_freq=None: exact recall so the comparison with the oracle's
     # exhaustive inverted index is deterministic for ANY fixture (the default
     # "auto" doc-frequency cut approximates recall above the cutoff).
@@ -3025,7 +3040,7 @@ def _q_dedup_clusters_star(spark, sf_dir):
     algorithms must be hash-identical."""
     from feathub_spark.datapipe.dedup import dedup_clusters, ngram_jaccard_pairs
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
     )
@@ -3076,7 +3091,7 @@ def _q_cluster_split(spark, sf_dir):
     from feathub_spark.datapipe.dedup import dedup_clusters, ngram_jaccard_pairs
     from feathub_spark.datapipe.sampling import assign_splits
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
     )
@@ -3125,7 +3140,7 @@ def _q_triangle_counts(spark, sf_dir):
     from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
     from feathub_spark.datapipe.graph import triangle_counts
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
     )
@@ -3140,7 +3155,7 @@ def _q_clustering_coeff(spark, sf_dir):
     from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
     from feathub_spark.datapipe.graph import clustering_coefficients
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
     )
@@ -3155,7 +3170,7 @@ def _q_pagerank(spark, sf_dir):
     from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
     from feathub_spark.datapipe.graph import pagerank
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
     )
@@ -3310,7 +3325,7 @@ def _q_multimodal_meta(spark, sf_dir):
     from feathub_spark.datapipe.multimodal import decode_image_metadata
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select("doc_id", F.col("text").cast("binary").alias("payload"))
     )
     meta = decode_image_metadata(df, "payload", fake=True)
@@ -3383,7 +3398,7 @@ def _q_multimodal_real(spark, sf_dir):
     from feathub_spark.datapipe.multimodal import decode_image_metadata
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_image_payload_expr()).alias("payload"))
     )
     meta = decode_image_metadata(df, "payload", fake=False)
@@ -3413,7 +3428,7 @@ def _q_resize_plan(spark, sf_dir):
     from feathub_spark.datapipe.multimodal import resize_plan
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_image_payload_expr()).alias("payload"))
     )
     meta = resize_plan(df, "payload", max_width=64, max_height=64)
@@ -3484,7 +3499,7 @@ def _q_audio_meta(spark, sf_dir):
         f"unhex('64617461'), {_le4(data_size)})"
     )
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select("doc_id", F.expr(payload).alias("payload"))
     )
     meta = decode_audio_metadata(df, "payload", fake=False)
@@ -3516,7 +3531,7 @@ def _q_frame_sample(spark, sf_dir):
     from feathub_spark.datapipe.multimodal import frame_sample_plan
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select("doc_id", F.col("text").cast("binary").alias("payload"))
     )
     return frame_sample_plan(df, "payload", every_n_ms=500).select(
@@ -3543,7 +3558,7 @@ def _q_ivf_ann(spark, sf_dir):
     trusted."""
     from feathub_spark.datapipe.similarity import ivf_topk
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 20)
     # impl="sql" pinned: this query gates the Catalyst assignment form;
     # ivf_ann_trained / cluster_sample gate the value-identical arrow
@@ -3607,7 +3622,7 @@ def _q_ivf_ann_trained(spark, sf_dir):
     + search, so the whole training pipeline is hash-checked."""
     from feathub_spark.datapipe.similarity import ivf_topk, train_ivf_codebook
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 20)
     cb = train_ivf_codebook(
         df, "embedding", "vec_id", n_centroids=16, iterations=1, seed=9
@@ -3676,7 +3691,7 @@ def _q_sample_shard(spark, sf_dir):
     shuffle into shards (reproducible membership, stable positions)."""
     from feathub_spark.datapipe.sampling import assign_shards, stratified_sample
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     sampled = stratified_sample(
         df,
         "doc_id",
@@ -3715,7 +3730,7 @@ def _q_pack_sequences(spark, sf_dir):
     from feathub_spark.datapipe.text import token_count
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .withColumn("n_tok", token_count("text"))
     )
     return pack_sequences(
@@ -3765,7 +3780,7 @@ def _q_pii_redact(spark, sf_dir):
     from feathub_spark.datapipe.text import pii_scrub
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .withColumn("text", F.expr(f"concat(text, {_PII_SUFFIX_SPARK})"))
     )
     return pii_scrub(df).select(
@@ -3800,7 +3815,7 @@ def _q_token_quantiles(spark, sf_dir):
     percentile_approx."""
     from feathub_spark.datapipe.text import token_count_quantiles
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return token_count_quantiles(df, "text", "lang", qs=(0.5, 0.9, 0.99))
 
 
@@ -3834,7 +3849,7 @@ def _q_char_entropy(spark, sf_dir):
     character order so the float fold is deterministic across engines."""
     from feathub_spark.datapipe.text import char_entropy, printable_ratio
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return df.select(
         "doc_id",
         char_entropy("text").alias("entropy"),
@@ -3868,7 +3883,7 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 def _q_ngram_topk(spark, sf_dir):
     from feathub_spark.datapipe.text import ngram_topk
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return ngram_topk(df, "text", n=2, k=5, group_col="lang")
 
 
@@ -3901,7 +3916,7 @@ def _q_ngram_topk_global(spark, sf_dir):
     tests/test_datapipe_sampling.py)."""
     from feathub_spark.datapipe.text import ngram_topk
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return ngram_topk(df, "text", n=3, k=20)
 
 
@@ -3930,7 +3945,7 @@ def _q_repetition_signals(spark, sf_dir):
     here against an explode/group/window re-derivation in DuckDB."""
     from feathub_spark.datapipe.quality import repetition_signals
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return repetition_signals(df.select("doc_id", "text"), "text").select(
         "doc_id", "top2_frac", "top3_frac", "dup5_frac"
     )
@@ -3993,7 +4008,7 @@ def _q_contamination(spark, sf_dir):
     the benchmark set (broadcast distinct-gram semi-probe)."""
     from feathub_spark.datapipe.quality import contamination_check
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     bench = df.filter(F.col("doc_id") % 20 == 0)
     return contamination_check(df, bench, "text", "doc_id", n=5)
 
@@ -4026,7 +4041,7 @@ def _q_select_survivors(spark, sf_dir):
     smallest id); unpaired docs are singleton survivors."""
     from feathub_spark.datapipe.dedup import ngram_jaccard_pairs, select_survivors
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     # max_doc_freq=None: exact recall, mirroring the oracle's exhaustive
     # inverted index (see _q_dedup_clusters).
     pairs = ngram_jaccard_pairs(
@@ -4086,7 +4101,7 @@ def _q_dup_passages(spark, sf_dir):
     keeps all arithmetic < 2^62, so DuckDB replicates it exactly."""
     from feathub_spark.datapipe.passages import dup_passage_stats
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return dup_passage_stats(
         df, "text", "doc_id", gram_len=12, window=6, hash_fn="poly"
     )
@@ -4142,7 +4157,7 @@ def _q_dup_passage_pairs(spark, sf_dir):
     deterministically (the capped mode is the scale default)."""
     from feathub_spark.datapipe.passages import dup_passage_pairs
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return dup_passage_pairs(
         df, "text", "doc_id", gram_len=12, window=6,
         min_shared=2, max_doc_freq=None, hash_fn="poly",
@@ -4174,7 +4189,7 @@ def _q_quantile_sample(spark, sf_dir):
     the md5 ladder."""
     from feathub_spark.datapipe.sampling import quantile_stratified_sample
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     df = df.withColumn("text_len", F.length("text"))
     out = quantile_stratified_sample(
         df, "doc_id", "text_len", n_bins=4,
@@ -4211,7 +4226,7 @@ def _q_temperature_sample(spark, sf_dir):
     the plain n^alpha rule."""
     from feathub_spark.datapipe.sampling import temperature_sample
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return temperature_sample(
         df.select("doc_id", "lang"),
         "doc_id",
@@ -4269,7 +4284,7 @@ def _q_normalize_text(spark, sf_dir):
     golden-tested in tests/test_datapipe_sampling.py."""
     from feathub_spark.datapipe.text import normalize_text
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return normalize_text(df.select("doc_id", "text"), "text").select(
         "doc_id", "norm_text"
     )
@@ -4291,7 +4306,7 @@ def _q_remove_dup_passages(spark, sf_dir):
     per-row Catalyst merge/cut folds with gaps-and-islands SQL."""
     from feathub_spark.datapipe.passages import remove_duplicate_passages
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return remove_duplicate_passages(
         df, "text", "doc_id", gram_len=12, window=6, hash_fn="poly"
     )
@@ -4378,7 +4393,7 @@ def _q_token_surprisal(spark, sf_dir):
     tails."""
     from feathub_spark.datapipe.quality import token_surprisal
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return token_surprisal(df, "text", "doc_id")
 
 
@@ -4433,7 +4448,7 @@ def _q_video_meta(spark, sf_dir):
     from feathub_spark.datapipe.multimodal import decode_video_metadata
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_video_payload_expr()).alias("payload"))
     )
     meta = decode_video_metadata(df, "payload", fake=False)
@@ -4501,7 +4516,7 @@ def _q_video_meta_v1(spark, sf_dir):
     from feathub_spark.datapipe.multimodal import decode_video_metadata
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_video_v1_payload_expr()).alias("payload"))
     )
     meta = decode_video_metadata(df, "payload", fake=False)
@@ -4539,7 +4554,7 @@ def _q_multimodal_tolerant(spark, sf_dir):
     from feathub_spark.datapipe.multimodal import decode_image_metadata
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select(
             "doc_id",
             F.expr(
@@ -4583,7 +4598,7 @@ def _q_remove_dup_passages_fast(spark, sf_dir):
     unit-pinned in tests/test_passages.py."""
     from feathub_spark.datapipe.passages import remove_duplicate_passages
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return remove_duplicate_passages(
         df, "text", "doc_id", gram_len=12, window=6, hash_fn="xxhash64"
     )
@@ -4594,7 +4609,7 @@ def _q_index_match_fast(spark, sf_dir):
     _q_remove_dup_passages_fast for why there is no SQL oracle)."""
     from feathub_spark.datapipe.passages import match_against_index, winnow_index
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     index = winnow_index(
         df.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
         gram_len=12, window=6, hash_fn="xxhash64",
@@ -4615,7 +4630,7 @@ def _q_pq_ann(spark, sf_dir):
     -> rank), so compression correctness is hash-checked, not trusted."""
     from feathub_spark.datapipe.similarity import pq_topk
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 5)
     return pq_topk(
         df, queries_df, "embedding", "vec_id", k=5, m=4, n_codes=16, seed=5
@@ -4676,7 +4691,7 @@ def _events_with_micros(spark, sf_dir):
     """events with an exact integer epoch-micros column, robust to the ts
     physical type (TIMESTAMP vs nanos-as-bigint, which varies with the
     writer; see the nanosAsLong session conf)."""
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _pq(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         return ev.withColumn("ts_us", F.expr("ts div 1000"))
     return ev.withColumn(
@@ -4780,7 +4795,7 @@ def _q_winsorize(spark, sf_dir):
     approx_percentile nondeterminism."""
     from feathub_spark.datapipe.quality import winsorize
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _pq(spark, sf_dir, "events")
     out = winsorize(
         ev, "value", group_col="event_type",
         lower_pct=5, upper_pct=95, precision=3,
@@ -4829,7 +4844,7 @@ def _q_snapshot_diff(spark, sf_dir):
     through ONE full-outer key join; only delta rows survive."""
     from feathub_spark.datapipe.snapshots import diff_snapshots
 
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = _pq(spark, sf_dir, "orders")
     old = orders.filter("o_orderkey % 7 != 0").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
@@ -4890,8 +4905,8 @@ def _q_bloom_prune(spark, sf_dir):
     FPs) via the position-membership formulation."""
     from feathub_spark.datapipe.bloom import bloom_filter_bits, bloom_prune
 
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = _pq(spark, sf_dir, "orders")
+    li = _pq(spark, sf_dir, "lineitem")
     urgent = orders.filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
     bloom = bloom_filter_bits(urgent, "o_orderkey", m_bits=1 << 19, k=3, seed=11)
     pruned = bloom_prune(
@@ -4946,7 +4961,7 @@ def _q_tokenize_ids(spark, sf_dir):
     bounded rank window, 1-row broadcast map encode."""
     from feathub_spark.datapipe.text import tokenize_to_ids
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     out = tokenize_to_ids(df, "text", "doc_id", vocab_size=20)
     # The driver's canonicalizer can't factorize list columns (the
     # over_collect_list precedent) — project the id array to a canonical
@@ -5001,7 +5016,7 @@ def _q_json_features(spark, sf_dir):
     no UDF."""
     from feathub_spark.datapipe.text import parse_json_features
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+    ev = _pq(spark, sf_dir, "events").select(
         "event_id",
         F.expr(
             "CASE WHEN event_id % 97 = 0 THEN 'not json' ELSE props END"
@@ -5034,7 +5049,7 @@ def _q_negative_samples(spark, sf_dir):
     wrap/miss path; oracle is the LATERAL ring-successor formulation."""
     from feathub_spark.datapipe.sampling import ring_negative_samples
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _pq(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin([5, 17, 99])).select(
         F.col("vec_id").alias("query_id")
     )
@@ -5114,7 +5129,7 @@ def _q_rank_normalize(spark, sf_dir):
     broadcast lookup, no per-group corpus sort."""
     from feathub_spark.datapipe.quality import rank_normalize
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _pq(spark, sf_dir, "events")
     return rank_normalize(
         ev.select("event_id", "event_type", "value"),
         "value", group_col="event_type",
@@ -5146,7 +5161,7 @@ def _q_weighted_sample_grouped(spark, sf_dir):
     one task; oracle is the per-group ORDER BY/QUALIFY formulation."""
     from feathub_spark.datapipe.sampling import weighted_sample
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _pq(spark, sf_dir, "events")
     return weighted_sample(
         ev.select("event_id", "event_type", "value"),
         "event_id", "value", k=10, seed=21, group_col="event_type",
@@ -5218,7 +5233,7 @@ def _q_weighted_sample(spark, sf_dir):
     no reservoir, no corpus sort."""
     from feathub_spark.datapipe.sampling import weighted_sample
 
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = _pq(spark, sf_dir, "orders")
     return weighted_sample(
         orders.select("o_orderkey", "o_totalprice"),
         "o_orderkey", "o_totalprice", k=50, seed=13,
@@ -5249,7 +5264,7 @@ def _q_token_pmi(spark, sf_dir):
     TakeOrderedAndProject ranking."""
     from feathub_spark.datapipe.text import token_pmi
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return token_pmi(df, "text", top_k=25, min_count=5)
 
 
@@ -5296,7 +5311,7 @@ def _q_robust_zscore(spark, sf_dir):
     flags — the skew-immune outlier detector."""
     from feathub_spark.datapipe.quality import robust_zscore
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _pq(spark, sf_dir, "events")
     return robust_zscore(
         ev.select("event_id", "event_type", "value"),
         "value", group_col="event_type",
@@ -5354,7 +5369,7 @@ def _q_validate_rules(spark, sf_dir):
     pass/fail report."""
     from feathub_spark.datapipe.profile import validate_rules
 
-    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    df = _pq(spark, sf_dir, "lineitem")
     return validate_rules(
         df,
         [
@@ -5418,7 +5433,7 @@ def _q_key_skew(spark, sf_dir):
     behind the salted-window/chunked-as-of plan decisions."""
     from feathub_spark.datapipe.profile import key_skew
 
-    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    df = _pq(spark, sf_dir, "lineitem")
     return key_skew(df, "l_orderkey", top_k=10)
 
 
@@ -5487,7 +5502,7 @@ def _q_quality_buckets(spark, sf_dir):
     against the same exact count-quantile arithmetic in SQL."""
     from feathub_spark.datapipe.quality import quality_buckets, token_surprisal
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _pq(spark, sf_dir, "documents")
     surp = token_surprisal(docs, "text", "doc_id")
     joined = surp.join(docs.select("doc_id", "lang"), "doc_id")
     return quality_buckets(
@@ -5576,7 +5591,7 @@ def _q_chunk_docs(spark, sf_dir):
     fragments kept only when they add uncovered characters."""
     from feathub_spark.datapipe.text import chunk_documents
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return chunk_documents(
         df, "text", "doc_id", chunk_size=256, overlap=32
     )
@@ -5606,7 +5621,7 @@ def _q_ivf_pq_ann(spark, sf_dir):
     shuffle); the oracle replays every stage."""
     from feathub_spark.datapipe.similarity import ivf_pq_topk
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     queries_df = df.filter(F.col("vec_id") < 5)
     return ivf_pq_topk(
         df, queries_df, "embedding", "vec_id",
@@ -5691,7 +5706,7 @@ def _q_bigram_surprisal(spark, sf_dir):
     total is a broadcast 1-row aggregate (no global window)."""
     from feathub_spark.datapipe.quality import bigram_surprisal
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return bigram_surprisal(df, "text", "doc_id", lam=0.75)
 
 
@@ -5777,7 +5792,7 @@ def _q_corpus_drift(spark, sf_dir):
     before the sum, so the reduction is exact in any engine."""
     from feathub_spark.datapipe.drift import token_kl_divergence
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _pq(spark, sf_dir, "documents")
     return token_kl_divergence(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
@@ -5842,7 +5857,7 @@ def _q_dataset_split(spark, sf_dir):
     unit-tested in tests/test_datapipe_sampling.py."""
     from feathub_spark.datapipe.sampling import assign_splits
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return assign_splits(
         df.select("doc_id"), "doc_id",
         {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=2,
@@ -5868,7 +5883,7 @@ def _q_price_histogram(spark, sf_dir):
     bin arithmetic, map-side-combinable counts."""
     from feathub_spark.datapipe.profile import numeric_histogram
 
-    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    df = _pq(spark, sf_dir, "lineitem")
     return numeric_histogram(df, "l_extendedprice", n_bins=20)
 
 
@@ -5897,7 +5912,7 @@ def _q_profile_stats(spark, sf_dir):
     in one wide aggregate pass, unpivoted to long format."""
     from feathub_spark.datapipe.profile import profile_columns
 
-    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    df = _pq(spark, sf_dir, "lineitem")
     return profile_columns(
         df, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
     )
@@ -5935,7 +5950,7 @@ def _q_hll_distinct(spark, sf_dir):
     profile path, replicated register-for-register in the oracle."""
     from feathub_spark.datapipe.profile import hll_distinct
 
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = _pq(spark, sf_dir, "events")
     return hll_distinct(df, "user_id", ["event_type"], p=8, seed=3)
 
 
@@ -5987,7 +6002,7 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     sketch before the exact-count shuffle."""
     from feathub_spark.datapipe.profile import cms_heavy_hitters
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return cms_heavy_hitters(df, "text", d=2, w=16, min_count=500, seed=7)
 
 
@@ -6024,7 +6039,7 @@ def _q_phrase_search(spark, sf_dir):
     the m-way adjacency self-join; oracle scans token lists directly."""
     from feathub_spark.datapipe.retrieval import phrase_search
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return phrase_search(df, "text", "doc_id", "table hash")
 
 
@@ -6058,7 +6073,7 @@ def _q_frame_sample_real(spark, sf_dir):
     )
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_video_payload_expr()).alias("payload"))
     )
     meta = decode_video_metadata(df, "payload", fake=False).withColumn(
@@ -6089,7 +6104,7 @@ def _q_url_normalize(spark, sf_dir):
     from feathub_spark.datapipe.text import normalize_urls
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select(
             "doc_id",
             F.expr(
@@ -6120,9 +6135,7 @@ def _q_bm25_search(spark, sf_dir):
     integer micro-units, and the oracle replays the full scoring."""
     from feathub_spark.datapipe.retrieval import bm25_search
 
-    docs = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).select("doc_id", "text")
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "text")
     toks = "filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')"
     queries = docs.filter(F.col("doc_id").isin([10, 111, 222])).select(
         F.col("doc_id").alias("query_id"),
@@ -6185,7 +6198,7 @@ def _q_mmr_rerank(spark, sf_dir):
     from feathub_spark.datapipe.retrieval import mmr_rerank
     from feathub_spark.datapipe.similarity import brute_force_topk
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _pq(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin([5, 17, 99, 123]))
     cands = brute_force_topk(
         emb, queries, "embedding", "vec_id", k=20
@@ -6213,7 +6226,7 @@ def _q_bpe_tokenize(spark, sf_dir):
     reassembly property (tests/test_bpe.py)."""
     from feathub_spark.datapipe.bpe import bpe_encode, bpe_train
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _pq(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", n_merges=10, lowercase=True)
     out = bpe_encode(docs, "text", merges, lowercase=True)
     return out.select(
@@ -6234,7 +6247,7 @@ def _q_approx_quantiles(spark, sf_dir):
     instead."""
     from feathub_spark.datapipe.profile import approx_quantiles
 
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _pq(spark, sf_dir, "lineitem")
     return approx_quantiles(
         li, ["l_extendedprice", "l_quantity"],
         [0.01, 0.25, 0.5, 0.75, 0.99], accuracy=100_000_000,
@@ -6263,7 +6276,7 @@ def _q_pca_whiten(spark, sf_dir):
     pinned against single-machine numpy PCA (tests/test_decompose.py)."""
     from feathub_spark.datapipe.decompose import pca_project
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _pq(spark, sf_dir, "embeddings")
     out = pca_project(emb, "embedding", k=16, whiten=True, round_to=6)
     # joined-string projection so even the rows-only driver check can
     # canonicalize (no raw array<> columns leave any registered query)
@@ -6284,7 +6297,7 @@ def _q_zorder_key(spark, sf_dir):
     in DuckDB."""
     from feathub_spark.datapipe.layout import zorder_key
 
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _pq(spark, sf_dir, "lineitem")
     return zorder_key(
         li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
         ["l_extendedprice", "l_quantity"],
@@ -6323,9 +6336,7 @@ def _q_hybrid_rrf(spark, sf_dir):
     from feathub_spark.datapipe.retrieval import bm25_search, rrf_fuse
     from feathub_spark.datapipe.similarity import brute_force_topk
 
-    docs = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).select("doc_id", "text")
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "text")
     toks = "filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')"
     queries = docs.filter(F.col("doc_id").isin([10, 111, 222])).select(
         F.col("doc_id").alias("query_id"),
@@ -6334,7 +6345,7 @@ def _q_hybrid_rrf(spark, sf_dir):
     bm = bm25_search(docs, queries, "text", "doc_id", k=20).select(
         "query_id", F.col("doc_id").alias("item_id"), "rank"
     )
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _pq(spark, sf_dir, "embeddings")
     ann = brute_force_topk(
         emb, emb.filter(F.col("vec_id").isin([10, 111, 222])),
         "embedding", "vec_id", k=20,
@@ -6425,7 +6436,7 @@ def _q_cluster_sample(spark, sf_dir):
     pre-training corpus selection."""
     from feathub_spark.datapipe.similarity import cluster_balanced_sample
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     return cluster_balanced_sample(
         df, "embedding", "vec_id", per_cell=5, n_centroids=32, seed=9,
         sample_seed=4,
@@ -6473,7 +6484,7 @@ def _q_semantic_dedup(spark, sf_dir):
     kept flag."""
     from feathub_spark.datapipe.similarity import semantic_dedup
 
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = _pq(spark, sf_dir, "embeddings")
     return semantic_dedup(
         df, "embedding", "vec_id", threshold=0.35, n_centroids=32, seed=9
     )
@@ -6529,7 +6540,7 @@ def _q_boilerplate_lines(spark, sf_dir):
     from feathub_spark.datapipe.passages import remove_boilerplate_lines
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select(
             "doc_id",
             F.expr(
@@ -6582,7 +6593,7 @@ def _q_domain_filter(spark, sf_dir):
     from feathub_spark.datapipe.text import domain_blocklist_filter, url_domains
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select(
             "doc_id",
             F.expr(
@@ -6654,7 +6665,7 @@ def _q_text_signals(spark, sf_dir):
     from feathub_spark.datapipe.text import script_ratios, structure_signals
 
     df = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _pq(spark, sf_dir, "documents")
         .select(
             "doc_id",
             F.expr(
@@ -6737,7 +6748,7 @@ def _q_index_match(spark, sf_dir):
     continuous corpus growth."""
     from feathub_spark.datapipe.passages import match_against_index, winnow_index
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     index = winnow_index(
         df.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
         gram_len=12, window=6, hash_fn="poly",
@@ -6801,7 +6812,7 @@ def _q_compression_ratio(spark, sf_dir):
     tests against python zlib (tests/test_quality.py)."""
     from feathub_spark.datapipe.quality import compression_ratio
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = _pq(spark, sf_dir, "documents")
     return compression_ratio(df.select("doc_id", "text"), "text", "doc_id").select(
         "doc_id", "compression_ratio"
     )

@@ -43,6 +43,41 @@ def append_event_time(df: DataFrame, descriptor: TableDescriptor) -> DataFrame:
     )
 
 
+# Inferred parquet schemas per (path, mtime_ns, size): schema inference is
+# a driver-side footer read costing ~70 ms per spark.read (~80% of the
+# plan-build cost of a scan), paid again on EVERY get_table compile of the
+# same source.  Parquet footers are self-describing, so the inferred
+# schema is a pure function of the file bytes — the (mtime, size) key
+# invalidates on any rewrite.  Local filesystem paths only: remote/object
+# stores can't be stat'ed cheaply and skip the cache.
+_PARQUET_SCHEMA_CACHE: dict = {}
+
+
+def _cached_parquet_schema(spark: SparkSession, path: str):
+    import os
+    import re
+
+    p = path[7:] if path.startswith("file://") else path
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", p):
+        return None
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    # nanosAsLong changes how TIMESTAMP(NANOS) columns surface, so a
+    # session with a different setting must not share cache entries
+    try:
+        nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    except Exception:
+        nanos = "false"
+    key = (os.path.abspath(p), st.st_mtime_ns, st.st_size, nanos)
+    schema = _PARQUET_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _PARQUET_SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFrame:
     if isinstance(source, FileSystemSource):
         if source.data_format == "protobuf":
@@ -54,6 +89,10 @@ def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFr
         reader = spark.read.format(source.data_format)
         if source.schema is not None and getattr(source, "schema_declared", True):
             reader = reader.schema(source.schema.to_spark_struct())
+        elif source.data_format == "parquet":
+            cached = _cached_parquet_schema(spark, source.path)
+            if cached is not None:
+                reader = reader.schema(cached)
         for k, v in source.data_format_props.items():
             reader = reader.option(k, v)
         if source.data_format == "csv":
