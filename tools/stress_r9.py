@@ -60,6 +60,21 @@ def main() -> None:
     )
     release_caches()
 
+    from feathub_spark.datapipe.dedup import dedup_clusters
+
+    # star CC now checkpoints the input pair list once (nodes + edges both
+    # derive from it) and skips the duplicate-insensitive intermediate
+    # distinct; the stress pins that the round count / wall stays flat
+    # when the pair graph grows 10x
+    pairs10 = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
+    )
+    timed(
+        f"dedup_clusters star single-materialization ({len(texts)} docs)",
+        lambda: dedup_clusters(pairs10, algorithm="star").count(),
+    )
+    release_caches()
+
     from feathub_spark.datapipe.passages import dup_passage_pairs
 
     timed(
