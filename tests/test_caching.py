@@ -128,3 +128,33 @@ def test_ensure_parallelism_probe_skip_semantics(spark):
     agg = df.groupBy("s").count()
     got = ensure_parallelism(agg, min_partitions=64).rdd.getNumPartitions()
     assert got >= 64
+
+
+def test_parquet_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The engine caches inferred parquet schemas per (path, mtime, size)
+    — a rewrite of the same path with a DIFFERENT schema must surface the
+    new schema, never the cached one (the staleness contract of
+    source_sink_utils._cached_parquet_schema)."""
+    import time as _time
+
+    from feathub_spark import FileSystemSource
+    from feathub_spark.processors.spark.source_sink_utils import (
+        get_source_dataframe,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    src = FileSystemSource(name="t", path=p, data_format="parquet")
+    assert set(get_source_dataframe(spark, src).columns) == {"k", "v"}
+    # repeat read hits the cache and still matches
+    assert set(get_source_dataframe(spark, src).columns) == {"k", "v"}
+
+    # rewrite with a different schema; mtime_ns granularity is fine on
+    # any modern FS, but guard against a coarse-clock FS with a nudge
+    _time.sleep(0.01)
+    spark.createDataFrame(
+        [(2, 3.5, True)], "k long, x double, flag boolean"
+    ).write.mode("overwrite").parquet(p)
+    assert set(get_source_dataframe(spark, src).columns) == {"k", "x", "flag"}
