@@ -69,7 +69,9 @@ _PQ_MEMO: dict = {}
 def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     hit = _PQ_MEMO.get(key)
-    if hit is None or hit[0] is not spark:
+    if hit is None:
+        if len(_PQ_MEMO) >= 64:  # bounded: sessions x sf_dirs x 10 tables
+            _PQ_MEMO.clear()
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         _PQ_MEMO[key] = hit = (spark, df)
     return hit[1]

@@ -43,37 +43,78 @@ def append_event_time(df: DataFrame, descriptor: TableDescriptor) -> DataFrame:
     )
 
 
-# Inferred parquet schemas per (path, mtime_ns, size): schema inference is
-# a driver-side footer read costing ~70 ms per spark.read (~80% of the
-# plan-build cost of a scan), paid again on EVERY get_table compile of the
-# same source.  Parquet footers are self-describing, so the inferred
-# schema is a pure function of the file bytes — the (mtime, size) key
-# invalidates on any rewrite.  Local filesystem paths only: remote/object
-# stores can't be stat'ed cheaply and skip the cache.
+# Inferred parquet schemas, keyed by file-content fingerprint + the session
+# confs that shape inference: schema inference is a driver-side footer read
+# costing ~70 ms per spark.read (~80% of the plan-build cost of a scan),
+# paid again on EVERY get_table compile of the same source.  Applicability
+# is deliberately NARROW so a cache hit is always sound:
+# - local[*] masters only — on a cluster, a scheme-less path resolves
+#   against the DEFAULT filesystem (HDFS/S3A) while os.stat sees the
+#   driver's local disk, so the key could fingerprint a different file
+#   than the one read (a metastore owns schemas in those deployments);
+# - a regular file, or a single-level directory of regular files (the
+#   shape Spark writes) — the key folds every direct entry's
+#   (name, mtime_ns, size), so replacing part-files invalidates; nested/
+#   partitioned layouts (date=*/...) skip the cache because their root
+#   stat cannot see deep rewrites;
+# - no reader options — pathGlobFilter/mergeSchema/recursiveFileLookup
+#   change what inference would return (enforced at the call site);
+# - the inference-shaping session confs ride inside the key so sessions
+#   with different settings never share entries.
+# Bounded FIFO (rewrites mint new keys forever on a long-lived driver).
 _PARQUET_SCHEMA_CACHE: dict = {}
+_PARQUET_SCHEMA_CACHE_MAX = 256
+
+_INFERENCE_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.binaryAsString",
+    "spark.sql.parquet.int96AsTimestamp",
+    "spark.sql.timestampType",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.caseSensitive",
+)
 
 
 def _cached_parquet_schema(spark: SparkSession, path: str):
     import os
     import re
 
+    try:
+        master = spark.conf.get("spark.master", "")
+    except Exception:
+        master = ""
+    if not master.startswith("local"):
+        return None
     p = path[7:] if path.startswith("file://") else path
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", p):
         return None
     try:
         st = os.stat(p)
+        if os.path.isdir(p):
+            entries = []
+            with os.scandir(p) as it:
+                for de in it:
+                    if not de.is_file():
+                        return None  # nested layout — stat can't be sound
+                    est = de.stat()
+                    entries.append((de.name, est.st_mtime_ns, est.st_size))
+            fingerprint = tuple(sorted(entries))
+        else:
+            fingerprint = (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
-    # nanosAsLong changes how TIMESTAMP(NANOS) columns surface, so a
-    # session with a different setting must not share cache entries
     try:
-        nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        confs = tuple(
+            spark.conf.get(c, "") or "" for c in _INFERENCE_CONFS
+        )
     except Exception:
-        nanos = "false"
-    key = (os.path.abspath(p), st.st_mtime_ns, st.st_size, nanos)
+        return None
+    key = (os.path.abspath(p), fingerprint, confs)
     schema = _PARQUET_SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
+        if len(_PARQUET_SCHEMA_CACHE) >= _PARQUET_SCHEMA_CACHE_MAX:
+            _PARQUET_SCHEMA_CACHE.pop(next(iter(_PARQUET_SCHEMA_CACHE)))
         _PARQUET_SCHEMA_CACHE[key] = schema
     return schema
 
@@ -89,7 +130,10 @@ def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFr
         reader = spark.read.format(source.data_format)
         if source.schema is not None and getattr(source, "schema_declared", True):
             reader = reader.schema(source.schema.to_spark_struct())
-        elif source.data_format == "parquet":
+        elif source.data_format == "parquet" and not source.data_format_props:
+            # options (pathGlobFilter, mergeSchema, recursiveFileLookup...)
+            # change what inference returns — never serve a bare-read
+            # schema for an optioned source
             cached = _cached_parquet_schema(spark, source.path)
             if cached is not None:
                 reader = reader.schema(cached)
