@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
+from feathub_spark.common.exceptions import FeathubError
 from feathub_spark.common.parallelism import ensure_parallelism
 
 def _two_stage_topk(
@@ -114,6 +115,12 @@ def brute_force_topk(
             "cosine",
             F.round(F.expr(dot) / (F.col("__qn__") * F.col("__cn__")), 6),
         )
+        # zero-norm vectors score NaN (0/0) and Spark DESC ranks NaN
+        # FIRST; NULL/ragged vectors score NULL and fill the tail.
+        # Exclude both — the arrow twin and the hamming path already do
+        # (np.isfinite / hamming IS NOT NULL), and a meaningless
+        # rank-1-for-every-query row is never the wanted answer.
+        .filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     )
     return _two_stage_topk(
         scored, k, [F.col("cosine").desc(), F.col("neighbor_id").asc()]
@@ -130,6 +137,7 @@ def _gemm_scored_topk(
     integer: bool,
     n_salts: int = 32,
     mode: str = "cosine",
+    chunk_cells: int = 8_000_000,
 ) -> DataFrame:
     """Arrow/numpy GEMM scoring for the brute-force family — the
     vectorized throughput path: the corpus hashes into ``n_salts``
@@ -211,60 +219,103 @@ def _gemm_scored_topk(
         outs = [o for o in outs if o is not None]
         return pd.concat(outs, ignore_index=True) if outs else _empty()
 
+    def _select(row, cid_arr, cid_s_arr, qid):
+        """Top-(k+1) of one query's candidate scores on the composite
+        (score, neighbor_id) order — the same order the global window
+        uses, so score ties at the boundary keep the LOWEST ids,
+        value-identical to the SQL path.  Two stable argsorts instead of
+        lexsort: cid may be object-dtyped (string ids).  k+1 candidates
+        as defense in depth should the self row survive the
+        string-equality drop (exotic id formatting); the global
+        self-filter then still leaves k.  The self row is dropped HERE,
+        before truncation — it would otherwise always burn a top-k slot
+        in its salt group and could evict the true k-th neighbor."""
+        ok = np.isfinite(row) & (cid_s_arr != qid)
+        idx = np.nonzero(ok)[0]
+        if not len(idx):
+            return None
+        take = min(k + 1, len(idx))
+        key = -row[idx] if descending else row[idx]
+        if take < len(idx):
+            by_id = np.argsort(cid_arr[idx], kind="stable")
+            order = by_id[np.argsort(key[by_id], kind="stable")][:take]
+        else:
+            order = np.arange(len(idx))
+        part = idx[order]
+        return cid_arr[part], cid_s_arr[part], row[part]
+
     def _score_width(qm: pd.DataFrame, cm: pd.DataFrame):
         if qm.empty or cm.empty:
             return None
         Q = np.stack(qm["__v__"].to_numpy()).astype(np_t)
         C = np.stack(cm["__v__"].to_numpy()).astype(np_t)
-        if mode == "hamming":
-            # xor the words, popcount byte-wise via a 256-entry LUT —
-            # exact integers, identical to SQL bit_count
-            x = np.bitwise_xor(Q[:, None, :], C[None, :, :])
-            scores = _POP8[x.view(np.uint8).reshape(len(Q), len(C), -1)]                .sum(axis=-1, dtype=np.int64).astype(np.float64)
-        else:
-            qn = np.sqrt((Q.astype(np.float64) ** 2).sum(axis=1))
-            cn = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
-            dots = (Q @ C.T).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                scores = dots / (qn[:, None] * cn[None, :])
-        frames = []
         cid = cm["neighbor_id"].to_numpy()
-        # string view of corpus ids so the query's self row can be dropped
-        # BEFORE local truncation (it would otherwise always burn a top-k
-        # slot in its salt group and could evict the true k-th neighbor)
+        # string view of corpus ids for the self-row drop in _select
         cid_s = np.array([str(x) for x in cid], dtype=object)
-        for i, qid in enumerate(qm["__qid_s__"].to_numpy()):
-            row = scores[i]
-            if mode == "cosine":
-                # round BEFORE selection so the local cut and the global
-                # 6-dp window rank on the same key (unrounded selection
-                # can keep a different member of a rounded tie class)
-                row = np.round(row, 6)
-            ok = np.isfinite(row) & (cid_s != qid)
-            idx = np.nonzero(ok)[0]
-            if not len(idx):
-                continue
-            # local top-k on (score, neighbor_id) — the same composite
-            # order the global window uses, so score ties at the boundary
-            # keep the LOWEST ids, value-identical to the SQL path.  Two
-            # stable argsorts instead of lexsort: cid may be object-dtyped
-            # (string ids).  k+1 candidates as defense in depth should the
-            # self row survive the string-equality drop (exotic id
-            # formatting); the global self-filter then still leaves k.
-            take = min(k + 1, len(idx))
-            key = -row[idx] if descending else row[idx]
-            if take < len(idx):
-                by_id = np.argsort(cid[idx], kind="stable")
-                order = by_id[np.argsort(key[by_id], kind="stable")][:take]
+        qids = qm["__qid_s__"].to_numpy()
+        nq, words = Q.shape
+        # Chunk the CORPUS axis so the score tensor stays bounded no
+        # matter how large the salt group grows (the full nq x nc buffer
+        # — and hamming's additional nq x nc x words xor tensor — scaled
+        # with the corpus and could OOM a worker; same failure class as
+        # the bounded pair-expansion buffers).  ~8M score cells per
+        # chunk ≈ 64 MB; per-pair values are computed identically, and
+        # top-(k+1)-of-chunk-top-(k+1)s equals the global top-(k+1)
+        # under the same total (score, id) order, so results are
+        # unchanged.
+        if mode == "hamming":
+            chunk = max(1, chunk_cells // max(1, nq * max(1, words)))
+        else:
+            chunk = max(1, chunk_cells // max(1, nq))
+        if mode != "hamming":
+            qn = np.sqrt((Q.astype(np.float64) ** 2).sum(axis=1))
+        acc = [[] for _ in range(nq)]
+        for s in range(0, len(C), chunk):
+            Cc = C[s : s + chunk]
+            if mode == "hamming":
+                # xor the words, popcount byte-wise via a 256-entry LUT —
+                # exact integers, identical to SQL bit_count
+                x = np.bitwise_xor(Q[:, None, :], Cc[None, :, :])
+                scores = _POP8[
+                    x.view(np.uint8).reshape(len(Q), len(Cc), -1)
+                ].sum(axis=-1, dtype=np.int64).astype(np.float64)
             else:
-                order = np.arange(len(idx))
-            part = idx[order]
+                cn = np.sqrt((Cc.astype(np.float64) ** 2).sum(axis=1))
+                dots = (Q @ Cc.T).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = dots / (qn[:, None] * cn[None, :])
+            ccid = cid[s : s + chunk]
+            ccid_s = cid_s[s : s + chunk]
+            for i in range(nq):
+                row = scores[i]
+                if mode == "cosine":
+                    # round BEFORE selection so the local cut and the
+                    # global 6-dp window rank on the same key (unrounded
+                    # selection can keep a different member of a rounded
+                    # tie class)
+                    row = np.round(row, 6)
+                sel = _select(row, ccid, ccid_s, qids[i])
+                if sel is not None:
+                    acc[i].append(sel)
+        frames = []
+        for i in range(nq):
+            if not acc[i]:
+                continue
+            if len(acc[i]) == 1:
+                sc, ss, sr = acc[i][0]
+            else:
+                # merge the per-chunk winners with the SAME selection —
+                # bounded input (n_chunks x (k+1) rows per query)
+                mc = np.concatenate([a[0] for a in acc[i]])
+                ms = np.concatenate([a[1] for a in acc[i]])
+                mr = np.concatenate([a[2] for a in acc[i]])
+                sc, ss, sr = _select(mr, mc, ms, qids[i])
             frames.append(
                 pd.DataFrame(
                     {
-                        "__qid_s__": qid,
-                        "neighbor_id": cid[part],
-                        "score": row[part],
+                        "__qid_s__": qids[i],
+                        "neighbor_id": sc,
+                        "score": sr,
                     }
                 )
             )
@@ -533,7 +584,7 @@ def binary_rerank_topk(
         F.round(
             F.expr(dot) / (F.col("__qn__") * F.col("__cn__")), 6
         ).alias("cosine"),
-    ).drop("rank")
+    )
     return _two_stage_topk(
         scored, k, [F.col("cosine").desc(), F.col("neighbor_id").asc()]
     ).select("query_id", "neighbor_id", "rank", "cosine")
@@ -577,10 +628,27 @@ def _nearest_cells_arrow(
         raise FeathubError(
             "arrow assignment needs a non-empty, equal-width codebook"
         )
-    cids = np.array([int(r["__cid__"]) for r in rows], dtype=np.int64)
+    cid_vals = [r["__cid__"] for r in rows]
+    if any(v is None for v in cid_vals):
+        raise FeathubError("arrow assignment needs non-null centroid ids")
+    # ids keep their natural type: int64 when integral (the common case),
+    # object otherwise (string/decimal ids crashed the old int() load).
+    # Python str comparison orders by code point, which equals Spark's
+    # UTF-8 byte order for valid Unicode — tie-breaks stay value-identical.
+    try:
+        cids = np.array([int(v) for v in cid_vals], dtype=np.int64)
+        if not all(int(v) == v for v in cid_vals):  # e.g. float ids
+            raise ValueError
+    except (TypeError, ValueError):
+        cids = np.array(cid_vals, dtype=object)
     C = np.stack(
         [np.asarray(r["__cvec__"], dtype=np.float64) for r in rows]
     )
+    # pre-sort centroids ascending by cid: every selection below then takes
+    # the FIRST hit (argmax / stable-sort prefix) as the smallest cid,
+    # replacing the int64-only sentinel-min trick
+    order0 = np.argsort(cids, kind="stable")
+    cids, C = cids[order0], C[order0]
     m, d = C.shape
     nc = np.zeros(m)
     for dd in range(d):           # sequential, like the SQL norm fold
@@ -591,11 +659,11 @@ def _nearest_cells_arrow(
         F.col(ident_col).alias(out_id), F.col(vec_col).alias(vec_out)
     )
     out_schema = T.StructType(
-        list(src.schema.fields) + [T.StructField("cell", T.LongType())]
+        list(src.schema.fields)
+        + [T.StructField("cell", cents.schema["__cid__"].dataType)]
     )
-    imax = np.iinfo(np.int64).max
 
-    probe_default = np.sort(cids)[: min(top_n, m)]
+    probe_default = cids[: min(top_n, m)]
 
     def assign_batches(batches):
         for pdf in batches:
@@ -635,7 +703,8 @@ def _nearest_cells_arrow(
                     if isnan.any():
                         rows_nan = isnan.any(axis=1)
                         hit[rows_nan] = isnan[rows_nan]
-                    cells = np.where(hit, cids[None, :], imax).min(axis=1)
+                    # centroids are cid-sorted: first hit = smallest cid
+                    cells = cids[hit.argmax(axis=1)]
                     g = good.copy()
                     g["cell"] = cells
                     outs.append(g)
@@ -644,7 +713,9 @@ def _nearest_cells_arrow(
                     for i in range(len(V)):
                         tier = np.where(isnan[i], 2.0, 1.0)
                         kv = np.where(isnan[i], 0.0, cos[i])
-                        order = np.lexsort((cids, -kv, -tier))[:top_n]
+                        # stable sort + cid-sorted input: score ties keep
+                        # ascending-cid order without cids as a sort key
+                        order = np.lexsort((-kv, -tier))[:top_n]
                         for c in cids[order]:
                             recs.append((good.iloc[i], c))
                     if recs:
@@ -802,7 +873,14 @@ def ivf_topk(
 
     Returns (query_id, neighbor_id, rank, cosine)."""
     query_id_col = query_id_col or id_col
-    cents = (
+    from feathub_spark.common.caching import register_cache
+
+    # the codebook plan is consumed TWICE (member + probe assignment) —
+    # uncached, the corpus-wide TakeOrdered behind ivf_codebook (or a
+    # trained codebook's whole Lloyd loop) executed once per side.
+    # n_centroids rows, corpus-size-independent; caller releases via
+    # release_caches().
+    cents = register_cache(
         codebook
         if codebook is not None
         else ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
@@ -857,10 +935,20 @@ def _srp_signature(
     overflow anywhere), which makes the whole bucketing pipeline
     oracle-checkable."""
     scale = float(1 << 62)
-    dim_seq = (
-        f"sequence(0, size(`{vec_col}`) - 1)" if dims is None
-        else f"sequence(0, {dims - 1})"
-    )
+    # clamp BOTH zip_with sides to min(dims, width): zip_with pads the
+    # shorter array with NULL, which (a) for vectors WIDER than dims gave
+    # every trailing dimension one identical xxhash64(seed, p, NULL)
+    # weight per plane — a correlated term that silently collapsed bucket
+    # recall — and (b) for NARROWER vectors made the whole projection
+    # NULL (acc + NULL), hashing every short vector into one all-zero
+    # signature.  The clamped form projects onto the first
+    # min(dims, width) dimensions — plain SRP on a prefix subspace.
+    if dims is None:
+        vec_expr = f"`{vec_col}`"
+        dim_seq = f"sequence(0, size(`{vec_col}`) - 1)"
+    else:
+        vec_expr = f"slice(`{vec_col}`, 1, least({dims}, size(`{vec_col}`)))"
+        dim_seq = f"sequence(0, least({dims - 1}, size(`{vec_col}`) - 1))"
     if weight_fn == "xxhash64":
         weight = f"(CAST(xxhash64({seed}, {{p}}, d) AS DOUBLE) / {scale})"
     elif weight_fn == "lcg":
@@ -872,7 +960,7 @@ def _srp_signature(
     else:
         raise ValueError(f"unknown srp weight_fn: {weight_fn!r}")
     proj = (
-        f"aggregate(zip_with(`{vec_col}`, {dim_seq}, "
+        f"aggregate(zip_with({vec_expr}, {dim_seq}, "
         f"(x, d) -> CAST(x AS DOUBLE) * "
         f"{weight}), "
         f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -1274,12 +1362,16 @@ def ivf_pq_topk(
         ).alias("__cents__")
     )
     cos = cosine_expr("`" + vec_col + "`", "e.cvec")
+    # accumulator 'c' is typed by the ID COLUMN, not hard-cast to bigint:
+    # CAST('doc-a1' AS BIGINT) is NULL in non-ANSI mode, which silently
+    # emptied every cell for non-numeric ids (review finding)
+    cid_sql = cents.schema["__cid__"].dataType.simpleString()
     assign_fold = (
         "aggregate(__cents__, "
-        "named_struct('c', CAST(NULL AS BIGINT), 's', CAST(NULL AS DOUBLE)), "
+        f"named_struct('c', CAST(NULL AS {cid_sql}), 's', CAST(NULL AS DOUBLE)), "
         f"(acc, e) -> transform(array(round({cos}, 6)), sc -> "
         "CASE WHEN acc.c IS NULL OR sc > acc.s "
-        "THEN named_struct('c', CAST(e.cid AS BIGINT), 's', sc) "
+        "THEN named_struct('c', e.cid, 's', sc) "
         "ELSE acc END)[0], acc -> acc.c)"
     )
     # ONE corpus pass: both broadcast codebooks are attached and the cell
@@ -1406,13 +1498,15 @@ def semantic_dedup(
     cos = cosine_expr("__v__", "e.cvec")
     # argmax-cosine fold over the broadcast centroid array; strict > keeps
     # the smallest cid on ties (array is cid-sorted), matching the oracle's
-    # (acos DESC, cid ASC) rank
+    # (acos DESC, cid ASC) rank.  The accumulator's 'c' is typed by the id
+    # column — a hard CAST AS BIGINT silently NULLed non-numeric ids.
+    cid_sql = cents.schema["__cid__"].dataType.simpleString()
     assign_fold = (
         "aggregate(__cents__, "
-        "named_struct('c', CAST(NULL AS BIGINT), 's', CAST(NULL AS DOUBLE)), "
+        f"named_struct('c', CAST(NULL AS {cid_sql}), 's', CAST(NULL AS DOUBLE)), "
         f"(acc, e) -> transform(array(round({cos}, 6)), sc -> "
         "CASE WHEN acc.c IS NULL OR sc > acc.s "
-        "THEN named_struct('c', CAST(e.cid AS BIGINT), 's', sc) "
+        "THEN named_struct('c', e.cid, 's', sc) "
         "ELSE acc END)[0], acc -> acc)"
     )
     members = register_cache(

@@ -21,7 +21,6 @@ instead of a sort):
 
 from __future__ import annotations
 
-import json
 import math
 from typing import Iterator, List, Tuple
 
@@ -32,6 +31,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from feathub_spark.processors.spark.constants import EVENT_TIME_COL
+from feathub_spark.streaming._state_json import dumps_state, loads_state
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -97,8 +97,8 @@ def stateful_asof_join(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             rights_json, pending_json = state.get
-            rights = json.loads(rights_json)
-            pending = json.loads(pending_json)
+            rights = loads_state(rights_json)
+            pending = loads_state(pending_json)
         else:
             rights, pending = [], []
 
@@ -134,7 +134,7 @@ def stateful_asof_join(
         keep = at_or_before[-1:] + [r for r in rights if r[0] > wm]
         rights = keep
 
-        state.update((json.dumps(rights), json.dumps(pending)))
+        state.update((dumps_state(rights), dumps_state(pending)))
         state.setTimeoutTimestamp(max(wm + 1, 1))
 
         if emissions:

@@ -19,7 +19,6 @@ revisits past events.
 
 from __future__ import annotations
 
-import json
 from typing import Iterator, List, Tuple
 
 import pandas as pd
@@ -29,6 +28,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from feathub_spark.processors.spark.constants import EVENT_TIME_COL
+from feathub_spark.streaming._state_json import dumps_state, loads_state
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -81,8 +81,8 @@ def stateful_funnel(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             chain_json, pending_json = state.get
-            chain = json.loads(chain_json)
-            pending = json.loads(pending_json)
+            chain = loads_state(chain_json)
+            pending = loads_state(pending_json)
         else:
             chain, pending = [], []
 
@@ -117,7 +117,7 @@ def stateful_funnel(
             # advance any more) and stop re-arming the timeout so the key
             # is never woken again; the m-element chain alone remains.
             pending = []
-        state.update((json.dumps(chain), json.dumps(pending)))
+        state.update((dumps_state(chain), dumps_state(pending)))
         if len(chain) < m:
             state.setTimeoutTimestamp(max(wm + 1, 1))
 

@@ -19,7 +19,6 @@ uses: processors/flink/table_builder/over_window_utils.py:70-196):
 
 from __future__ import annotations
 
-import json
 import math
 from typing import Iterator, List, Tuple
 
@@ -37,6 +36,7 @@ from feathub_spark.feature_views.transforms.over_window_transform import (
 )
 from feathub_spark.processors.spark.constants import EVENT_TIME_COL
 from feathub_spark.streaming.stateful_sliding import _agg_pandas
+from feathub_spark.streaming._state_json import dumps_state, loads_state
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -99,8 +99,8 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             history_json, pending_json = state.get
-            history = json.loads(history_json)
-            pending = json.loads(pending_json)
+            history = loads_state(history_json)
+            pending = loads_state(pending_json)
         else:
             history, pending = [], []
 
@@ -163,7 +163,7 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
             # forever on long-running high-cardinality streams
             state.remove()
         else:
-            state.update((json.dumps(history), json.dumps(pending)))
+            state.update((dumps_state(history), dumps_state(pending)))
             state.setTimeoutTimestamp(max(wm + 1, 1))
 
         if emissions:

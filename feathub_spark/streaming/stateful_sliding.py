@@ -36,6 +36,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from feathub_spark.common.exceptions import PlanError
 from feathub_spark.common.types import to_spark_type
 from feathub_spark.dsl.parser import to_spark_sql
+from feathub_spark.streaming._state_json import dumps_state, loads_state
 from feathub_spark.feature_views.sliding_feature_view import SlidingFeatureView
 from feathub_spark.feature_views.transforms.agg_func import AggFunc
 from feathub_spark.processors.spark.constants import EVENT_TIME_COL, WINDOW_TIME_MS_COL
@@ -142,17 +143,13 @@ def stateful_sliding_window(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             history_json, last_wend, last_values_enc, drain_wend = state.get
-            history = json.loads(history_json)
+            history = loads_state(history_json)
             # last_values is kept as its canonical JSON encoding (sort_keys +
             # default=str) and compared encoding-to-encoding: a parsed round
             # trip would stringify VALUE_COUNTS' non-string map keys and
             # defeat skip_same_window_output across micro-batches.
             if last_values_enc == "null":
                 last_values_enc = None
-            if last_wend is not None and last_wend < 0:
-                last_wend = None
-            if drain_wend is not None and drain_wend < 0:
-                drain_wend = None
         else:
             history, last_wend, last_values_enc, drain_wend = [], None, None, None
 
@@ -245,10 +242,10 @@ def stateful_sliding_window(
         else:
             state.update(
                 (
-                    json.dumps(history),
-                    -1 if last_wend is None else last_wend,
+                    dumps_state(history),
+                    last_wend,
                     "null" if last_values_enc is None else last_values_enc,
-                    -1 if drain_wend is None else drain_wend,
+                    drain_wend,
                 )
             )
             # Wake at the next step past the watermark so windows keep

@@ -228,3 +228,122 @@ def test_streaming_infinite_sliding(client, tmp_path):
         if r["k"] == "x"
     )
     assert totals == [1, 3]
+
+
+def _vec_corpus(spark, ids):
+    """Tiny embedding corpus with the given (string or int) ids: one-hot
+    on (h % 4) plus h-dependent noise, so no two rows are proportional
+    (cosine < ~0.998 for every distinct pair)."""
+    rows = [
+        (
+            i,
+            [
+                1.0 if d == h % 4 else 0.01 * (h + 1)
+                for d in range(4)
+            ],
+        )
+        for h, i in enumerate(ids)
+    ]
+    id_t = "string" if isinstance(ids[0], str) else "long"
+    return spark.createDataFrame(rows, f"id {id_t}, vec array<double>")
+
+
+def test_ivf_and_semantic_dedup_accept_string_ids(spark):
+    """Review finding: the cell-assignment folds hard-cast ids to BIGINT
+    (NULL for non-numeric ids in non-ANSI mode -> silent no-op dedup /
+    empty IVF results), and the arrow twin crashed on int(str_id).  Both
+    paths must work for string ids and agree with each other."""
+    from feathub_spark.common.caching import release_caches
+    from feathub_spark.datapipe.similarity import ivf_topk, semantic_dedup
+
+    ids = [f"doc-{c}" for c in "abcdefgh"]
+    corpus = _vec_corpus(spark, ids)
+    try:
+        got_sql = ivf_topk(
+            corpus, corpus, "vec", "id", k=2, n_centroids=4, nprobe=4,
+            impl="sql",
+        ).orderBy("query_id", "rank").collect()
+        got_arrow = ivf_topk(
+            corpus, corpus, "vec", "id", k=2, n_centroids=4, nprobe=4,
+            impl="arrow",
+        ).orderBy("query_id", "rank").collect()
+        assert [tuple(r) for r in got_sql] == [tuple(r) for r in got_arrow]
+        assert len(got_sql) > 0
+
+        # semantic_dedup must actually find cells (not silently keep all)
+        dup_ids = ids + ["doc-a-copy"]
+        dup = _vec_corpus(spark, ids).unionByName(
+            _vec_corpus(spark, ["doc-a-copy"])
+        )
+        out = semantic_dedup(dup, "vec", "id", threshold=0.999999)
+        kept = {r["id"] for r in out.filter("kept").collect()}
+        # doc-a and doc-a-copy share an identical vector: exactly one of
+        # the pair survives
+        assert len({"doc-a", "doc-a-copy"} & kept) == 1
+        assert len(kept) == len(dup_ids) - 1
+    finally:
+        release_caches()
+
+
+def test_brute_force_sql_excludes_zero_norm_vectors(spark):
+    """Review finding: a zero-norm corpus vector scored NaN and Spark DESC
+    ranked it FIRST for every query in the SQL path, while the arrow twin
+    dropped it — both must exclude it."""
+    from feathub_spark.datapipe.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "id long, vec array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.05])], "id long, vec array<double>"
+    )
+    for impl in ("sql", "arrow"):
+        got = brute_force_topk(
+            corpus, queries, "vec", "id", k=3, impl=impl
+        ).collect()
+        assert all(r["neighbor_id"] != 3 for r in got), impl
+        assert {r["neighbor_id"] for r in got} == {1, 2}, impl
+
+
+def test_srp_signature_clamps_to_vector_width(spark):
+    """Review finding: zip_with NULL-padding gave every dimension past
+    `dims` one identical per-plane weight (wide vectors) or NULLed the
+    whole projection (narrow vectors).  The clamped form projects onto
+    the first min(dims, width) dims."""
+    from feathub_spark.datapipe.similarity import _srp_signature
+    from pyspark.sql import functions as F
+
+    wide = spark.createDataFrame(
+        [(1, [float(d % 5) - 2.0 for d in range(8)])],
+        "id long, vec array<double>",
+    )
+    prefix = spark.createDataFrame(
+        [(1, [float(d % 5) - 2.0 for d in range(4)])],
+        "id long, vec array<double>",
+    )
+    sig = _srp_signature("vec", planes=8, dims=4, seed=3)
+    got_wide = wide.select(F.expr(sig).alias("s")).first()["s"]
+    got_prefix = prefix.select(F.expr(sig).alias("s")).first()["s"]
+    assert got_wide == got_prefix  # only the first 4 dims participate
+    # narrow vectors must not collapse to the all-zero signature
+    assert any(b == 1 for b in got_prefix)
+
+
+def test_gemm_chunked_scoring_matches_unchunked(spark):
+    """Review finding: the GEMM score tensor grew with the salt group's
+    corpus slice (OOM class).  Chunked scoring must be value-identical:
+    top-(k+1) of per-chunk top-(k+1)s equals the global top-(k+1)."""
+    from feathub_spark.datapipe.similarity import _gemm_scored_topk
+
+    corpus = _vec_corpus(spark, list(range(40)))
+    queries = _vec_corpus(spark, [100, 101])
+    base = _gemm_scored_topk(
+        corpus, queries, "vec", "id", 5, "id", integer=False, n_salts=2,
+    ).orderBy("query_id", "rank").collect()
+    tiny_chunks = _gemm_scored_topk(
+        corpus, queries, "vec", "id", 5, "id", integer=False, n_salts=2,
+        chunk_cells=4,  # forces chunk=1..2 rows per slice
+    ).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in tiny_chunks]
+    assert len(base) == 10

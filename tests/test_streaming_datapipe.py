@@ -512,3 +512,37 @@ def test_stateful_scd2_matches_batch(spark, tmp_path):
         if r.k != "zz"
     }
     assert got == expected
+
+
+def test_state_json_round_trips_non_native_scalars():
+    """Review finding: plain json.dumps crashed the stateful operators'
+    state round-trip on Decimal/Timestamp/date/bytes values (and
+    default=str would have silently corrupted replayed aggregates).  The
+    typed codec must restore the exact Python types."""
+    import datetime
+    import decimal
+
+    import pandas as pd
+
+    from feathub_spark.streaming._state_json import dumps_state, loads_state
+
+    history = [
+        [1000, decimal.Decimal("10.25"), True],
+        [2000, pd.Timestamp("2022-01-01T08:30:00.123456"), False],
+        [3000, datetime.date(2022, 1, 2), True],
+        [4000, b"\x00\xffbin", True],
+        [5000, None, True],
+        [6000, {"k": decimal.Decimal("-3.5"), "n": 7}, False],
+    ]
+    got = loads_state(dumps_state(history))
+    assert got[0][1] == decimal.Decimal("10.25")
+    assert isinstance(got[0][1], decimal.Decimal)
+    assert got[1][1] == pd.Timestamp("2022-01-01T08:30:00.123456")
+    assert got[2][1] == datetime.date(2022, 1, 2)
+    assert not isinstance(got[2][1], datetime.datetime)
+    assert got[3][1] == b"\x00\xffbin"
+    assert got[4][1] is None
+    assert got[5][1] == {"k": decimal.Decimal("-3.5"), "n": 7}
+    # exact decimal SUM survives the round trip (the default=str failure
+    # mode would make this a string concat / TypeError)
+    assert got[0][1] + got[5][1]["k"] == decimal.Decimal("6.75")
