@@ -6638,7 +6638,7 @@ WITH base AS (
 ), hosts AS (
     SELECT doc_id,
            list_transform(
-             regexp_extract_all(t, 'https?://([^/\\s:?#]+)', 1),
+             regexp_extract_all(t, 'https?://(?:[^/\\s?#]*@)?([^/\\s:?#]+)', 1),
              h -> string_split(regexp_replace(lower(h), '^www\\.', ''), '.')
            ) AS parts
     FROM base

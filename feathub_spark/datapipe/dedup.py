@@ -428,10 +428,14 @@ def minhash_index(
         F.col(id_col).alias("__id__"),
         _shingles_col(text_col, shingle_k).alias("__sh__"),
     )
-    sigs = minhash_signatures(
+    # sigs feeds BOTH join sides below; Catalyst does not dedupe repeated
+    # subplans (the minhash_lsh_pairs hazard), so uncached, the whole
+    # historical corpus would be tokenized + signature-hashed twice per
+    # index build.  (Caller releases via release_caches().)
+    sigs = register_cache(minhash_signatures(
         with_shingles, text_col, "__id__", num_hashes, shingle_k, seed,
         shingles_col="__sh__",
-    )
+    ))
     return (
         _banded_buckets(sigs.select("__id__", "__minhash__"), bands, rows_per_band)
         .join(sigs.select("__id__", "__sh__"), on="__id__")
@@ -594,7 +598,11 @@ def ngram_jaccard_pairs(
         F.sort_array(F.collect_list("__id__")).alias("__ids__")
     )
     if max_doc_freq == "auto":
-        cut_row = df.select(
+        # count the CACHED grams projection, not the raw input — counting
+        # df re-executed the entire upstream plan (strip_html -> normalize
+        # -> ...) end-to-end just to produce one number; grams has the
+        # same row count and reads the persisted cache
+        cut_row = grams.select(
             F.least(
                 F.lit(1024).cast("long"),
                 F.greatest(
@@ -778,7 +786,14 @@ def simhash_pairs(
             f"simhash banding guarantees recall only for hamming < bands; "
             f"got max_hamming={max_hamming}, bands={bands} — raise bands."
         )
-    width = 64 // bands
+    # ceil(bits/bands), NOT 64//bands: with small `bits` a 64-based width
+    # put the high bands entirely past the signature — every document's
+    # chunk there was 0, and the bucket self-join went quadratic in the
+    # corpus on those bands.  Ceil keeps the chunks covering all `bits`
+    # (pigeonhole recall needs every DIFFERING bit inside some chunk, and
+    # bits beyond the signature never differ), and reproduces the old
+    # width exactly for bits=62/64, the oracle-pinned configurations.
+    width = (bits + bands - 1) // bands
     sh = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn).select(
         F.col(id_col).alias("__id__"), "__simhash__"
     )

@@ -45,13 +45,14 @@ def char_count(text_col: str) -> Column:
 
 def avg_token_length(text_col: str) -> Column:
     t = tokens(text_col)
-    return (
-        F.expr(
-            f"aggregate(filter(split(trim(`{text_col}`), '\\\\s+'), t -> t <> ''), "
-            f"CAST(0 AS DOUBLE), (a, x) -> a + length(x))"
-        )
-        / F.size(t)
+    total = F.expr(
+        f"aggregate(filter(split(trim(`{text_col}`), '\\\\s+'), t -> t <> ''), "
+        f"CAST(0 AS DOUBLE), (a, x) -> a + length(x))"
     )
+    # token-less docs report 0.0 like the sibling ratio metrics — the
+    # unguarded 0/0 was NULL in non-ANSI mode and a job-killing
+    # DIVIDE_BY_ZERO under ANSI (Spark 4's default)
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
 
 
 def fingerprint_md5(text_col: str) -> Column:
@@ -150,8 +151,12 @@ def bpe_like_token_count(text_col: str) -> Column:
     """Token count under a GPT-style pre-tokenization regex (words, numbers,
     punctuation runs with leading-space affinity) — the usual cheap proxy
     for LLM token budgets when no tokenizer model is loaded."""
+    # double the backslash: Spark's SQL string literal unescapes '\\s' to
+    # 's' (already inside a-z), which silently turned the trailing class
+    # into [^A-Za-z0-9] and counted WHITESPACE RUNS as punctuation tokens
+    pattern = BPE_ISH_PATTERN.replace("\\", "\\\\")
     return F.expr(
-        f"size(regexp_extract_all(`{text_col}`, '{BPE_ISH_PATTERN}', 0))"
+        f"size(regexp_extract_all(`{text_col}`, '{pattern}', 0))"
     ).cast("bigint")
 
 
@@ -243,11 +248,9 @@ def ngram_topk(
     to TakeOrderedAndProject (parallel per-partition partial top-k, no
     global sort, no Window); ranks are then derived from the k surviving
     rows by a window-free sort_array/posexplode fold."""
-    from feathub_spark.common.parallelism import ensure_parallelism as _ep
-
     group = [group_col] if group_col else []
     exploded = (
-        _ep(df)
+        ensure_parallelism(df)
         .select(*group, F.explode(ngrams(text_col, n)).alias("gram"))
     )
     counts = exploded.groupBy(*group, "gram").agg(
@@ -392,7 +395,12 @@ URL_PATTERN = r"https?://[^\s]+"
 # host = authority up to the first /, :, ?, # — shared Java-regex/RE2
 # subset so Spark and DuckDB extract identically
 # four backslashes: Python -> \\s in the SQL literal -> regex \s
-_HOST_PATTERN = r"https?://([^/\\s:?#]+)"
+# optional userinfo ('user@' / 'user:pass@') is stripped before the host
+# capture — without it, 'https://x@badsite.com/' yielded 'x@badsite.com'
+# (and 'user:pass@host' yielded 'user'), letting a crawl URL evade a
+# domain blocklist by writing a userinfo component.  The userinfo class
+# excludes ?# so an '@' inside a query string can never hijack the host.
+_HOST_PATTERN = r"https?://(?:[^/\\s?#]*@)?([^/\\s:?#]+)"
 
 
 # The common two-level public suffixes (public-suffix-list subset): hosts
@@ -692,7 +700,11 @@ def normalize_urls(
         f"ELSE {hostport} END"
     )
     path = f"regexp_extract(`{url_col}`, '^(?i)https?://[^/?#]+([^?#]*)', 1)"
-    query = f"regexp_extract(`{url_col}`, '\\\\?([^#]*)', 1)"
+    # anchored before the fragment AND at the FIRST '?': an unanchored
+    # '\\?' matched a '?' inside the fragment ('/p#frag?b=1' resurrected
+    # 'b=1' as a query), splitting canonical keys that differ only in
+    # fragment content
+    query = f"regexp_extract(`{url_col}`, '^[^#?]*\\\\?([^#]*)', 1)"
     keep = (
         f"array_sort(filter(split({query}, '&'), p -> p <> '' AND NOT ("
         f"lower(element_at(split(p, '='), 1)) LIKE 'utm@_%' ESCAPE '@' "

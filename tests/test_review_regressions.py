@@ -347,3 +347,73 @@ def test_gemm_chunked_scoring_matches_unchunked(spark):
     ).orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in base] == [tuple(r) for r in tiny_chunks]
     assert len(base) == 10
+
+
+def test_bpe_token_count_excludes_whitespace_runs(spark):
+    """Review finding: Spark's SQL literal unescaping ate the \\s in
+    BPE_ISH_PATTERN, counting whitespace runs as punctuation tokens."""
+    from feathub_spark.datapipe.text import bpe_like_token_count
+
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "hello\n\nworld"), (3, "x, y!")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", bpe_like_token_count("text").alias("n")).collect()}
+    assert got == {1: 2, 2: 2, 3: 4}  # 'x', ',', ' y', '!'
+
+
+def test_url_domains_strips_userinfo(spark):
+    """Review finding: 'https://x@badsite.com/' extracted 'x@badsite.com'
+    (and 'user:pass@host' extracted 'user'), evading domain blocklists."""
+    from feathub_spark.datapipe.text import domain_blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://x@badsite.com/page"),
+            (2, "see https://alice:pw@badsite.com/page"),
+            (3, "see https://goodsite.com/?next=a@b.com"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["blocked"] for r in
+           domain_blocklist_filter(df, "text", ["badsite.com"]).collect()}
+    assert got == {1: True, 2: True, 3: False}
+
+
+def test_normalize_urls_drops_fragment_query(spark):
+    """Review finding: an unanchored '\\?' matched inside the fragment,
+    resurrecting '#frag?b=1' as a query string."""
+    from feathub_spark.datapipe.text import normalize_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://x.com/p#frag?b=1"),
+            (2, "http://x.com/p"),
+            (3, "http://x.com/p?a=1#frag?b=2"),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["norm_url"]
+           for r in normalize_urls(df, "url").collect()}
+    assert got[1] == "http://x.com/p"
+    assert got[1] == got[2]
+    assert got[3] == "http://x.com/p?a=1"
+
+
+def test_simhash_pairs_band_width_covers_small_bits(spark):
+    """Review finding: width was 64 // bands regardless of `bits`, so
+    bits < 48 left the high bands all-zero — an n^2 bucket join.  Width
+    now ceils bits/bands; recall stays exact (pigeonhole over all bits)."""
+    from feathub_spark.datapipe.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"common text body number {i}") for i in range(6)]
+        + [(100, "common text body number 0")],
+        "id long, text string",
+    )
+    out = simhash_pairs(
+        df, "text", "id", max_hamming=3, bands=4, bits=32, hash_fn="poly"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 100) in pairs  # identical text: hamming 0, must be found
