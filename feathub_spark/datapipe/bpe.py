@@ -10,13 +10,18 @@ scale ~10^8, vs 10^12+ corpus tokens).  Plan shape per iteration:
 
 - adjacent-pair extraction is a narrow per-row transform over each word's
   symbol array, weighted by the word count;
-- the pair count is one map-side-combinable groupBy; the argmax is a
+- the pair count is one map-side-combinable groupBy; the top-K is a
   TakeOrderedAndProject (count DESC, then lexicographic — fully
-  deterministic), ONE row to the driver per iteration (bounded control
+  deterministic), K bounded rows to the driver per ROUND (bounded control
   flow, same posture as pagerank / dedup_clusters);
-- the merge applies to the vocab table via an Arrow-batched pandas UDF
-  (greedy left-to-right, the reference semantics), with localCheckpoint
-  truncating lineage so n_merges iterations don't stack plans.
+- per round the driver accepts a PREFIX BATCH of the top-K — pairs that
+  are provably order-independent under the sequential greedy (see
+  :func:`plan_merge_batch`) — and applies the whole batch to the vocab
+  table in ONE Arrow-batched pandas UDF pass (greedy left-to-right per
+  merge, the reference semantics), with localCheckpoint truncating
+  lineage.  Result is bit-identical to one-merge-per-job training, at a
+  fraction of the driver round-trips (job count was the cost: n_merges
+  jobs before, ~n_merges/batch now).
 
 Encoding broadcasts the learned merge ranks (n_merges entries — tiny) and
 applies them per document in one narrow mapInPandas-style pass, memoizing
@@ -97,16 +102,105 @@ def word_frequencies(
     return out.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
 
 
-def _merge_udf(left: str, right: str):
-    """pandas_udf applying one merge — a factory so the pair is bound at
-    creation (a loop-scope closure would see mutated values if the lazy
-    localCheckpoint ever recomputed after the loop advanced)."""
+def _merge_udf(batch: List[Tuple[str, str]]):
+    """pandas_udf applying a BATCH of merges in rank order — a factory so
+    the pairs are bound at creation (a loop-scope closure would see
+    mutated values if the lazy localCheckpoint ever recomputed after the
+    loop advanced).  Per-word sequential application of the batch equals
+    table-wide sequential application: merges never interact across words,
+    and within a word the loop preserves rank order."""
+    pairs = list(batch)
 
     @F.pandas_udf("array<string>")
-    def apply_merge(col):
-        return col.apply(lambda s: merge_word(s, left, right))
+    def apply_merges(col):
+        def one(s):
+            for left, right in pairs:
+                s = merge_word(s, left, right)
+            return s
 
-    return apply_merge
+        return col.apply(one)
+
+    return apply_merges
+
+
+def plan_merge_batch(
+    rows: Sequence[Tuple[str, str, int]],
+    remaining: int,
+    min_pair_count: int,
+    truncated: bool,
+) -> Tuple[List[Tuple[str, str, int]], bool]:
+    """Pick the longest PREFIX of ``rows`` (the exact top-K pair counts in
+    greedy order: count DESC, then (left, right) ASC) that can be merged in
+    one pass while staying bit-identical to one-merge-at-a-time training.
+    Returns ``(batch, stop)`` — ``stop`` means the sequential trainer would
+    have terminated (best pair under ``min_pair_count``).
+
+    Soundness argument (each accepted pair j would be the sequential
+    greedy's argmax at its own step, with its recorded count unchanged):
+
+    - *Prefix only, no skips.*  Every pair ranked before j was merged, so
+      nothing above j remains; pairs ranked after j only ever LOSE
+      occurrences, so they cannot overtake (equal-count ties sit at their
+      topK rank, which respects the greedy (count, left, right) order).
+    - *Symbol-disjointness* of j from every earlier accepted i (including
+      the created strings s_i = l_i + r_i and s_j): merge i then neither
+      destroys nor creates occurrences of pair j, so c_j is exact.
+    - *Created/boosted pairs cannot win.*  Merging i only mints
+      adjacencies involving s_i: a new (x, s_i) is bounded by the count
+      of (x, l_i) at step i and a new (s_i, y) by (r_i, y) — each at most
+      the pre-batch count (B_i below) PLUS one earlier merge's minting
+      into that pair when its x is an earlier created string colliding
+      with an existing symbol (again ≤ B_i; the colliding-pair chain
+      cannot recurse because original symbols of accepted pairs are
+      checked against every earlier created string).  If s_i itself
+      collides with a pre-existing symbol, the boosted pair also keeps
+      its old count — P_i below.  Requiring c_j > 2·B_i + P_i strictly
+      therefore means no minted or boosted pair reaches c_j before step
+      j.  Counts not visible in the collected top-K are bounded by the
+      K-th count when the table was truncated (and by 0 when the collect
+      returned the whole table).
+
+    The rule is conservative — it may accept a batch of 1 (the status quo
+    cost) — but never unsound.  Verified exhaustively against the
+    pure-Python sequential reference in tests/test_bpe.py."""
+    if not rows:
+        return [], True
+    trunc = int(rows[-1][2]) if truncated else 0
+    if int(rows[0][2]) < min_pair_count:
+        return [], True
+
+    batch: List[Tuple[str, str, int]] = []
+    used_syms: set = set()  # l_i, r_i, and created s_i of accepted pairs
+    max_threshold = 0  # max over accepted i of 2*B_i + P_i
+    for l, r, c in rows:
+        c = int(c)
+        if c < min_pair_count:
+            # end the batch — but only an EMPTY round may stop training:
+            # after merging this batch, freshly minted pairs can still
+            # clear the floor, so the next round must recount and decide
+            return batch, not batch
+        if len(batch) >= remaining:
+            break
+        s = l + r
+        if batch:
+            if l in used_syms or r in used_syms or s in used_syms:
+                break
+            if c <= max_threshold:
+                break
+        batch.append((l, r, c))
+        used_syms.update((l, r, s))
+        # bounds for pairs minted or boosted by THIS merge, visible to
+        # all later batch members
+        b_i = trunc
+        p_i = trunc
+        for l2, r2, c2 in rows:
+            c2 = int(c2)
+            if r2 == l or l2 == r:  # (x, l) feeds (x, s); (r, y) feeds (s, y)
+                b_i = max(b_i, c2)
+            if l2 == s or r2 == s:  # string collision with existing symbol
+                p_i = max(p_i, c2)
+        max_threshold = max(max_threshold, 2 * b_i + p_i)
+    return batch, False
 
 
 def bpe_train(
@@ -141,23 +235,38 @@ def bpe_train(
         "transform(sequence(1, size(s) - 1), "
         "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"
     )
+    top_k = max(8, min(64, int(n_merges) * 4))
     try:
-        for rank in range(int(n_merges)):
+        while len(merges) < int(n_merges):
             top = (
                 cur.filter(F.size("s") >= 2)
                 .select(F.explode(F.expr(pair_expr)).alias("p"), "n")
                 .groupBy("p.l", "p.r")
                 .agg(F.sum("n").alias("c"))
                 .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
-                .limit(1)
+                .limit(top_k)
                 .collect()
             )
-            if not top or top[0]["c"] < min_pair_count:
+            batch, stop = plan_merge_batch(
+                [(r["l"], r["r"], int(r["c"])) for r in top],
+                remaining=int(n_merges) - len(merges),
+                min_pair_count=min_pair_count,
+                truncated=len(top) == top_k,
+            )
+            if not batch:
+                if stop:
+                    break
+                # defensive: the planner always accepts the top-1 when it
+                # clears min_pair_count, so an empty non-stop batch is
+                # unreachable; guard against an infinite loop regardless
                 break
-            left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-            merges.append((rank, left, right, c))
+            for left, right, c in batch:
+                merges.append((len(merges), left, right, c))
             nxt = register_cache(
-                cur.select(_merge_udf(left, right)(F.col("s")).alias("s"), "n")
+                cur.select(
+                    _merge_udf([(l, r) for l, r, _ in batch])(F.col("s")).alias("s"),
+                    "n",
+                )
                 .localCheckpoint(eager=False)
             )
             cur = nxt

@@ -14,6 +14,7 @@ from feathub_spark.datapipe.bpe import (
     bpe_train,
     encode_word,
     merge_word,
+    plan_merge_batch,
     word_frequencies,
 )
 
@@ -164,6 +165,85 @@ def test_bpe_randomized_roundtrip_property(spark):
     for r in out:
         rebuilt = "".join(r["tokens"]).replace(END_OF_WORD, " ").strip()
         assert rebuilt == " ".join(r["text"].split())
+
+
+def _batched_train(texts, n_merges, min_pair_count=2, end_of_word=END_OF_WORD,
+                   top_k=8):
+    """Pure-Python mirror of bpe_train's batched control flow — exercises
+    plan_merge_batch without Spark so the fuzz loop can run hundreds of
+    corpora."""
+    freqs = _ref_word_freqs(texts)
+    vocab = {w: list(w) + ([end_of_word] if end_of_word else [])
+             for w in freqs}
+    merges = []
+    while len(merges) < n_merges:
+        pairs = Counter()
+        for w, n in freqs.items():
+            s = vocab[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += n
+        rows = sorted(
+            ((l, r, c) for (l, r), c in pairs.items()),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )[:top_k]
+        batch, stop = plan_merge_batch(
+            rows, n_merges - len(merges), min_pair_count,
+            truncated=len(rows) == top_k,
+        )
+        if not batch:
+            break
+        for l, r, c in batch:
+            merges.append((len(merges), l, r, c))
+            for w in vocab:
+                vocab[w] = _ref_merge(vocab[w], l, r)
+    return merges
+
+
+def test_plan_merge_batch_accepts_top1():
+    rows = [("a", "b", 10), ("a", "c", 9)]
+    batch, stop = plan_merge_batch(rows, 5, 2, truncated=False)
+    assert batch[0] == ("a", "b", 10) and not stop
+
+
+def test_plan_merge_batch_stops_on_floor_only_when_empty():
+    batch, stop = plan_merge_batch([("a", "b", 1)], 5, 2, truncated=False)
+    assert batch == [] and stop
+    # sub-floor row AFTER an accepted pair ends the batch but not training:
+    # minted pairs may still clear the floor next round
+    batch, stop = plan_merge_batch(
+        [("a", "b", 10), ("c", "d", 1)], 5, 2, truncated=False
+    )
+    assert batch == [("a", "b", 10)] and not stop
+
+
+def test_plan_merge_batch_rejects_symbol_overlap():
+    # (b, c) shares b with (a, b); (x, ab) collides with the created string
+    rows = [("a", "b", 100), ("b", "c", 90), ("x", "ab", 80)]
+    batch, _ = plan_merge_batch(rows, 5, 2, truncated=False)
+    assert batch == [("a", "b", 100)]
+
+
+def test_batched_trainer_matches_sequential_reference_fuzz():
+    """The load-bearing equivalence test: batched training must be
+    BIT-IDENTICAL to one-merge-at-a-time greedy training on adversarial
+    corpora (tiny alphabets force created-symbol collisions; small top_k
+    forces the truncation bounds)."""
+    rnd = random.Random(4242)
+    for trial in range(300):
+        alpha = "ab cde abcd abcde".split()[trial % 4]
+        words = ["".join(rnd.choice(alpha) for _ in range(rnd.randrange(1, 9)))
+                 for _ in range(rnd.randrange(3, 25))]
+        texts = [" ".join(rnd.choice(words) for _ in range(rnd.randrange(1, 15)))
+                 for _ in range(rnd.randrange(2, 12))]
+        n_merges = rnd.randrange(1, 20)
+        floor = rnd.choice([1, 2, 3])
+        eow = rnd.choice([END_OF_WORD, ""])
+        top_k = rnd.choice([3, 6, 50])
+        got = _batched_train(texts, n_merges, min_pair_count=floor,
+                             end_of_word=eow, top_k=top_k)
+        exp = _ref_train(texts, n_merges, min_pair_count=floor,
+                         end_of_word=eow)
+        assert got == exp, (trial, alpha, n_merges, floor, eow, top_k, texts)
 
 
 def test_encode_word_unknown_chars_pass_through():
