@@ -126,34 +126,24 @@ def pagerank(
     )
 
 
-def triangle_counts(
-    edges: DataFrame,
-    id_a: str = "id_a",
-    id_b: str = "id_b",
-) -> DataFrame:
-    """Per-node triangle counts over an undirected simple graph — the
-    local-density signal behind clustering coefficients: on a near-dup
-    pair graph, nodes in many triangles sit inside tight copy-clusters
-    (safe to collapse), while triangle-free bridge nodes are often
-    LSH false positives worth re-verifying.
-
-    Algorithm (the standard distributed formulation, degree-ordered):
-    orient every edge from its lower-(degree, id) endpoint to the higher
-    one, join oriented edges on the shared source to form wedges, and
-    close each wedge against the oriented edge set — every triangle is
-    found EXACTLY once, at its minimum-(degree, id) corner.  Per-node
-    counts then credit all three corners.  DEGREE orientation (not id
-    order) is what bounds the wedge fan-out by the graph's degeneracy:
-    a hub's edges all point INTO it, so its quadratic wedge set never
-    materializes (an id-ordered variant explodes on any hub that drew a
-    small id — measured 100x wedge blow-up on a 20k-spoke star).
-
-    Input rows are deduplicated and self-loops dropped.  The canonical
-    edge list is persisted through the ``common.caching`` contract (it
-    feeds the degree table, both wedge sides, and the closing join —
-    five scans of a possibly-expensive upstream pair generation
-    otherwise); call ``release_caches()`` after consuming.  Returns
-    (node, n_triangles) for every node with >= 1 triangle."""
+def _graph_core(edges: DataFrame, id_a: str, id_b: str):
+    """Shared skeleton for the triangle family: the canonical undirected
+    edge list, the degree table, and the degree-ordered oriented edge
+    list — each materialized once because each feeds 2+ downstream
+    branches (und: degrees + orientation; deg: both orientation sides +
+    the coefficient join; e: both wedge sides + the closing join).  und
+    and e are ``localCheckpoint(eager=True)`` — the same posture as
+    ``dedup_clusters`` — for two reasons: the upstream is typically an
+    expensive pair generation (ngram-jaccard / LSH) that a lazily-cached
+    subplan would recompute per concurrently-scheduled branch, and
+    lineage TRUNCATION keeps the wedge self-join's EXPLAIN tree from
+    repeating the whole upstream subplan per consumer (a cached-but-not-
+    truncated edge list printed 1400+ exchanges in the plan audit —
+    planner time and audit noise, even though runtime reuse was fine).
+    The usual localCheckpoint caveat applies: executor loss forces a job
+    restart instead of partition recompute — acceptable for an operator
+    that is driver-paced control flow anyway.  Returns (und(x, y),
+    deg(n, d), e(u, v))."""
     from feathub_spark.common.caching import register_cache
 
     und = (
@@ -164,14 +154,20 @@ def triangle_counts(
         )
         .filter(F.col("x") < F.col("y"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    und = register_cache(und)
-    deg = (
+    deg = register_cache(
         und.select(F.col("x").alias("n"))
         .unionAll(und.select(F.col("y").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # orient every edge from its lower-(degree, id) endpoint to the
+    # higher one — DEGREE orientation (not id order) bounds the wedge
+    # fan-out by the graph's degeneracy: a hub's edges all point INTO
+    # it, so its quadratic wedge set never materializes (an id-ordered
+    # variant explodes on any hub that drew a small id — measured 100x
+    # wedge blow-up on a 20k-spoke star)
     e = (
         und.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")),
                  on="x")
@@ -189,7 +185,16 @@ def triangle_counts(
             .alias("o")
         )
         .select("o.u", "o.v")
+        .localCheckpoint(eager=True)
     )
+    return und, deg, e
+
+
+def _per_node_triangles(e: DataFrame) -> DataFrame:
+    """(node, n_triangles) from an oriented edge list: join oriented
+    edges on the shared source to form wedges, close each wedge against
+    the oriented set — every triangle is found EXACTLY once, at its
+    minimum-(degree, id) corner — then credit all three corners."""
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), on=F.col("e1.u") == F.col("e2.u"))
@@ -216,6 +221,27 @@ def triangle_counts(
     )
 
 
+def triangle_counts(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph — the
+    local-density signal behind clustering coefficients: on a near-dup
+    pair graph, nodes in many triangles sit inside tight copy-clusters
+    (safe to collapse), while triangle-free bridge nodes are often
+    LSH false positives worth re-verifying.
+
+    Degree-ordered wedge closing (see :func:`_graph_core` /
+    :func:`_per_node_triangles`).  Input rows are deduplicated and
+    self-loops dropped.  Intermediates persist through the
+    ``common.caching`` contract; call ``release_caches()`` after
+    consuming.  Returns (node, n_triangles) for every node with >= 1
+    triangle."""
+    _, _, e = _graph_core(edges, id_a, id_b)
+    return _per_node_triangles(e)
+
+
 def clustering_coefficients(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -227,33 +253,20 @@ def clustering_coefficients(
     to collapse to one survivor) while low cc flags chain-shaped
     clusters where transitive merging may over-collapse.
 
-    Composition of :func:`triangle_counts` (degree-ordered wedge
-    closing) with the degree table; degree-1 nodes have no neighbor
-    pairs and report NULL.  The canonical edge list goes through the
+    Shares the canonical edge list, degree table, AND oriented edge list
+    with the triangle pass through :func:`_graph_core` — no
+    re-canonicalization, one orientation.  Degree-1 nodes have no
+    neighbor pairs and report NULL.  Intermediates persist through the
     ``common.caching`` contract (call ``release_caches()`` after
     consuming).  Returns (node, degree, n_triangles, clustering_coeff)
     for every node, coefficient rounded to 6 dp."""
-    from feathub_spark.common.caching import register_cache
-
-    und = (
-        ensure_parallelism(edges)
-        .select(
-            F.least(F.col(id_a), F.col(id_b)).alias("x"),
-            F.greatest(F.col(id_a), F.col(id_b)).alias("y"),
-        )
-        .filter(F.col("x") < F.col("y"))
-        .distinct()
-    )
-    und = register_cache(und)
-    deg = (
-        und.select(F.col("x").alias("node"))
-        .unionAll(und.select(F.col("y").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-    )
-    tri = triangle_counts(und, "x", "y")
+    _, deg, e = _graph_core(edges, id_a, id_b)
+    tri = _per_node_triangles(e)
     return (
-        deg.join(tri, on="node", how="left")
+        deg.select(
+            F.col("n").alias("node"), F.col("d").cast("bigint").alias("degree")
+        )
+        .join(tri, on="node", how="left")
         .withColumn(
             "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0))
         )

@@ -703,10 +703,15 @@ def _nearest_cells_arrow(
                     if isnan.any():
                         rows_nan = isnan.any(axis=1)
                         hit[rows_nan] = isnan[rows_nan]
-                    # centroids are cid-sorted: first hit = smallest cid
-                    cells = cids[hit.argmax(axis=1)]
-                    g = good.copy()
-                    g["cell"] = cells
+                    # centroids are cid-sorted: first hit = smallest cid.
+                    # A no-hit row is unreachable today (kv is NaN-free so
+                    # kv==kmax always fires; NaN rows get the isnan mask),
+                    # but argmax on all-False would silently yield index 0
+                    # — keep the old impossible-cell semantics by DROPPING
+                    # such rows instead.
+                    any_hit = hit.any(axis=1)
+                    g = good[any_hit].copy() if not any_hit.all() else good.copy()
+                    g["cell"] = cids[hit[any_hit].argmax(axis=1)]
                     outs.append(g)
                 else:
                     recs = []

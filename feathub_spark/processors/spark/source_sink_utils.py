@@ -88,20 +88,25 @@ def _cached_parquet_schema(spark: SparkSession, path: str):
     p = path[7:] if path.startswith("file://") else path
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", p):
         return None
-    try:
-        st = os.stat(p)
-        if os.path.isdir(p):
-            entries = []
-            with os.scandir(p) as it:
-                for de in it:
-                    if not de.is_file():
-                        return None  # nested layout — stat can't be sound
-                    est = de.stat()
-                    entries.append((de.name, est.st_mtime_ns, est.st_size))
-            fingerprint = tuple(sorted(entries))
-        else:
-            fingerprint = (st.st_mtime_ns, st.st_size)
-    except OSError:
+
+    def _fingerprint():
+        try:
+            st = os.stat(p)
+            if os.path.isdir(p):
+                entries = []
+                with os.scandir(p) as it:
+                    for de in it:
+                        if not de.is_file():
+                            return None  # nested layout — stat can't be sound
+                        est = de.stat()
+                        entries.append((de.name, est.st_mtime_ns, est.st_size))
+                return tuple(sorted(entries))
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    fingerprint = _fingerprint()
+    if fingerprint is None:
         return None
     try:
         confs = tuple(
@@ -113,9 +118,15 @@ def _cached_parquet_schema(spark: SparkSession, path: str):
     schema = _PARQUET_SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        if len(_PARQUET_SCHEMA_CACHE) >= _PARQUET_SCHEMA_CACHE_MAX:
-            _PARQUET_SCHEMA_CACHE.pop(next(iter(_PARQUET_SCHEMA_CACHE)))
-        _PARQUET_SCHEMA_CACHE[key] = schema
+        # close the stat->infer TOCTOU window: a concurrent writer
+        # replacing the files mid-inference would otherwise cache the NEW
+        # file's schema under the OLD fingerprint; only cache when the
+        # fingerprint is unchanged (the schema itself is still returned —
+        # it reflects the data the reader will see next anyway)
+        if _fingerprint() == fingerprint:
+            if len(_PARQUET_SCHEMA_CACHE) >= _PARQUET_SCHEMA_CACHE_MAX:
+                _PARQUET_SCHEMA_CACHE.pop(next(iter(_PARQUET_SCHEMA_CACHE)))
+            _PARQUET_SCHEMA_CACHE[key] = schema
     return schema
 
 

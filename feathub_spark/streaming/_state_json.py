@@ -9,11 +9,12 @@ stringified decimals).  This codec wraps such scalars in one-key marker
 objects and restores the exact Python type on load, so aggregation
 semantics survive the micro-batch boundary.
 
-Marker collision: a genuine map value containing one of the marker keys
-(``__fh_dec__`` etc.) would be mis-decoded.  Map-typed WINDOW VALUES are
-not produced by the operators (maps appear only in emissions, which are
-never round-tripped through this codec), so the keys only need to be
-improbable, not impossible.
+Marker collision: history rows can carry raw user column values, and a
+map-typed column could hold a genuine single-key dict named like a
+marker.  Encode therefore ESCAPES any single-key dict whose key starts
+with the ``__fh_`` prefix by wrapping it in ``{"__fh_raw__": ...}``, so
+decode is unambiguous for arbitrary map values (the wrapper key itself
+is covered by the same rule, so nesting round-trips).
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ _DEC = "__fh_dec__"
 _TS = "__fh_ts__"
 _DATE = "__fh_date__"
 _BYTES = "__fh_b64__"
+_RAW = "__fh_raw__"
+_PREFIX = "__fh_"
 
 
 def _encode(v: Any) -> Any:
@@ -46,7 +49,11 @@ def _encode(v: Any) -> Any:
     if isinstance(v, tuple):
         return [_encode(x) for x in v]
     if isinstance(v, dict):
-        return {k: _encode(x) for k, x in v.items()}
+        enc = {k: _encode(x) for k, x in v.items()}
+        if len(enc) == 1 and next(iter(enc)).startswith(_PREFIX):
+            # a genuine user map that LOOKS like a marker — escape it
+            return {_RAW: enc}
+        return enc
     return v
 
 
@@ -66,6 +73,8 @@ def _decode(v: Any) -> Any:
                 return datetime.date.fromisoformat(x)
             if k == _BYTES:
                 return base64.b64decode(x)
+            if k == _RAW:
+                return {k2: _decode(x2) for k2, x2 in x.items()}
         return {k: _decode(x) for k, x in v.items()}
     return v
 

@@ -150,6 +150,15 @@ def stateful_sliding_window(
             # defeat skip_same_window_output across micro-batches.
             if last_values_enc == "null":
                 last_values_enc = None
+            # Checkpoint upgrade compatibility: state written before the
+            # nullable-Long encoding stored None as a -1 sentinel.  A
+            # genuine wend of exactly -1 ms epoch was ambiguous under the
+            # old encoding anyway, so decode it as None (we only ever
+            # WRITE None).
+            if last_wend == -1:
+                last_wend = None
+            if drain_wend == -1:
+                drain_wend = None
         else:
             history, last_wend, last_values_enc, drain_wend = [], None, None, None
 

@@ -546,3 +546,31 @@ def test_state_json_round_trips_non_native_scalars():
     # exact decimal SUM survives the round trip (the default=str failure
     # mode would make this a string concat / TypeError)
     assert got[0][1] + got[5][1]["k"] == decimal.Decimal("6.75")
+
+
+def test_state_json_marker_lookalike_maps_round_trip():
+    """Review finding: a genuine user map value that is exactly a
+    single-key dict named like a codec marker (__fh_dec__ etc.) must NOT
+    be mis-decoded into a Decimal/Timestamp — encode escapes it."""
+    import decimal
+
+    from feathub_spark.streaming._state_json import dumps_state, loads_state
+
+    cases = [
+        {"__fh_dec__": "10.25"},              # marker-shaped user map
+        {"__fh_ts__": "2022-01-01T00:00:00"},
+        {"__fh_raw__": {"__fh_dec__": "1"}},  # nested wrapper lookalike
+        {"__fh_b64__": 123},
+        {"__fh_dec__": decimal.Decimal("2.5")},  # value still typed inside
+    ]
+    got = loads_state(dumps_state(cases))
+    assert got[0] == {"__fh_dec__": "10.25"}
+    assert isinstance(got[0]["__fh_dec__"], str)
+    assert got[1] == {"__fh_ts__": "2022-01-01T00:00:00"}
+    assert got[2] == {"__fh_raw__": {"__fh_dec__": "1"}}
+    assert got[3] == {"__fh_b64__": 123}
+    assert got[4] == {"__fh_dec__": decimal.Decimal("2.5")}
+    assert isinstance(got[4]["__fh_dec__"], decimal.Decimal)
+    # two-key dicts with marker-ish keys are untouched by the escape
+    two = {"__fh_dec__": "a", "other": 1}
+    assert loads_state(dumps_state(two)) == two
