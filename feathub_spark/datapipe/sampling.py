@@ -198,20 +198,28 @@ def temperature_sample(
         # No valid boundary means T >= corpus size: every rate is 1.
         ratio = (n / w).alias("__ratio__")
         aug = counts.select(F.col(group_col), F.col("__n__"), w.alias("__w__"), ratio)
+        # every window below shares ONE (partition, order) spec so Catalyst
+        # plans a single exchange + sort feeding stacked WindowExecs — the
+        # old mix of orderBy windows and unordered partitionBy() globals
+        # planned separate exchanges per spec (measured ~2x the pinned
+        # query time from stage overhead alone on a 5-row counts table)
         ordw = Window.orderBy("__ratio__", group_col)
         before = ordw.rowsBetween(Window.unboundedPreceding, -1)
+        whole = ordw.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
         aug = aug.select(
             "*",
             F.coalesce(F.sum("__n__").over(before), F.lit(0)).cast("double").alias("__cn__"),
             F.coalesce(F.sum("__w__").over(before), F.lit(0.0)).alias("__cw__"),
-            F.sum("__w__").over(Window.partitionBy()).alias("__tw__"),
+            F.sum("__w__").over(whole).alias("__tw__"),
             F.lag("__ratio__").over(ordw).alias("__pr__"),
         )
         cand = (T - F.col("__cn__")) / (F.col("__tw__") - F.col("__cw__"))
         valid = (cand < F.col("__ratio__")) & (
             F.col("__pr__").isNull() | (cand >= F.col("__pr__"))
         )
-        lam = F.max(F.when(valid, cand)).over(Window.partitionBy())
+        lam = F.max(F.when(valid, cand)).over(whole)
         rates = aug.select(
             group_col,
             F.round(
