@@ -203,6 +203,63 @@ def plan_merge_batch(
     return batch, False
 
 
+def _train_local(
+    word_counts: List[Tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+    end_of_word: str,
+) -> List[Tuple[int, str, str, int]]:
+    """Greedy BPE over a collected (word, n) table with INCREMENTAL pair
+    statistics (the fast path of Sennrich's subword-nmt: each merge
+    re-scans only the words containing the merged pair, not the whole
+    vocabulary).  Bit-identical to the job-per-merge distributed loop —
+    same counts, same (count DESC, pair ASC) tie-break, same
+    min_pair_count stop."""
+    from collections import Counter, defaultdict
+
+    words: List[List[str]] = []
+    ns: List[int] = []
+    for w, n in word_counts:
+        syms = list(w)
+        if end_of_word:
+            syms.append(end_of_word)
+        words.append(syms)
+        ns.append(int(n))
+
+    stats: Counter = Counter()
+    where = defaultdict(set)  # pair -> word ids currently containing it
+    for i, syms in enumerate(words):
+        n = ns[i]
+        for p in zip(syms, syms[1:]):
+            stats[p] += n
+            where[p].add(i)
+
+    merges: List[Tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        if not stats:
+            break
+        (left, right), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((rank, left, right, int(c)))
+        for i in sorted(where[(left, right)]):
+            old = words[i]
+            new = merge_word(old, left, right)
+            if new == old:
+                continue
+            n = ns[i]
+            for p in zip(old, old[1:]):
+                stats[p] -= n
+                if stats[p] <= 0:
+                    del stats[p]
+                where[p].discard(i)
+            for p in zip(new, new[1:]):
+                stats[p] += n
+                where[p].add(i)
+            words[i] = new
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -210,6 +267,7 @@ def bpe_train(
     min_pair_count: int = 2,
     end_of_word: str = END_OF_WORD,
     lowercase: bool = False,
+    local_vocab_threshold: int = 131_072,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns a DataFrame
     (rank int, left string, right string, pair_count bigint) ordered by
@@ -219,9 +277,35 @@ def bpe_train(
     result is fully deterministic and reproducible by the pure-Python
     reference in tests/test_bpe.py.  Stops early when the best remaining
     pair occurs fewer than ``min_pair_count`` times (weighted by word
-    frequency)."""
+    frequency).
+
+    When the word-frequency table has at most ``local_vocab_threshold``
+    distinct words, the merge loop runs DRIVER-SIDE over the collected
+    table (:func:`_train_local`, incremental pair statistics) — the same
+    bounded-collect posture as the ANN codebooks: the table is
+    vocabulary-sized, not corpus-sized, and one collect replaces
+    n_merges Spark jobs of pure scheduling overhead.  Larger
+    vocabularies (web-scale corpora reach ~10^8 distinct words) take the
+    distributed loop: one pair-count job per round, with
+    :func:`plan_merge_batch` folding provably order-independent merges
+    into a single pass.  Pass ``local_vocab_threshold=0`` to force the
+    distributed path."""
     spark = df.sparkSession
     vocab = word_frequencies(df, text_col, lowercase=lowercase)
+    if local_vocab_threshold > 0:
+        # bounded probe: threshold+1 rows cap the transfer whatever the
+        # corpus size; falls through to the distributed loop when bigger
+        head = vocab.limit(int(local_vocab_threshold) + 1).collect()
+        if len(head) <= local_vocab_threshold:
+            merges = _train_local(
+                [(r["word"], r["n"]) for r in head],
+                int(n_merges),
+                min_pair_count,
+                end_of_word,
+            )
+            return spark.createDataFrame(
+                merges, "rank int, left string, right string, pair_count bigint"
+            )
     # char-split plus the end-of-word marker as its own symbol
     syms = F.split(F.col("word"), "")
     if end_of_word:

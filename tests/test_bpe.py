@@ -112,12 +112,17 @@ def test_word_frequencies_match_reference(spark):
 
 
 @pytest.mark.parametrize("lowercase", [False, True])
-def test_bpe_train_matches_reference(spark, lowercase):
+@pytest.mark.parametrize("local_threshold", [131_072, 0])
+def test_bpe_train_matches_reference(spark, lowercase, local_threshold):
+    """Both the driver-side fast path (default) and the distributed
+    job-per-round loop (local_vocab_threshold=0) must match the
+    sequential reference."""
     df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
     got = [
         (r["rank"], r["left"], r["right"], r["pair_count"])
         for r in bpe_train(
-            df, "text", n_merges=12, lowercase=lowercase
+            df, "text", n_merges=12, lowercase=lowercase,
+            local_vocab_threshold=local_threshold,
         ).orderBy("rank").collect()
     ]
     assert got == _ref_train(TEXTS, 12, lowercase=lowercase)
@@ -244,6 +249,29 @@ def test_batched_trainer_matches_sequential_reference_fuzz():
         exp = _ref_train(texts, n_merges, min_pair_count=floor,
                          end_of_word=eow)
         assert got == exp, (trial, alpha, n_merges, floor, eow, top_k, texts)
+
+
+def test_local_trainer_matches_sequential_reference_fuzz():
+    """The driver-side incremental-statistics trainer must be
+    bit-identical to the naive recount-every-round reference — the
+    incremental bookkeeping (per-word stat subtraction, containment
+    index upkeep) is the bug-prone part."""
+    from feathub_spark.datapipe.bpe import _train_local
+
+    rnd = random.Random(987)
+    for trial in range(300):
+        alpha = "ab cde abcd abcde".split()[trial % 4]
+        words = ["".join(rnd.choice(alpha) for _ in range(rnd.randrange(1, 9)))
+                 for _ in range(rnd.randrange(3, 25))]
+        texts = [" ".join(rnd.choice(words) for _ in range(rnd.randrange(1, 15)))
+                 for _ in range(rnd.randrange(2, 12))]
+        n_merges = rnd.randrange(1, 20)
+        floor = rnd.choice([1, 2, 3])
+        eow = rnd.choice([END_OF_WORD, ""])
+        freqs = sorted(_ref_word_freqs(texts).items())
+        got = _train_local(freqs, n_merges, floor, eow)
+        exp = _ref_train(texts, n_merges, min_pair_count=floor, end_of_word=eow)
+        assert got == exp, (trial, alpha, n_merges, floor, eow, texts)
 
 
 def test_encode_word_unknown_chars_pass_through():
