@@ -36,6 +36,7 @@ from pyspark.storagelevel import StorageLevel
 MAX_ACTIVE = 64
 
 _ACTIVE: List[DataFrame] = []
+_CHECKPOINTED: List[DataFrame] = []
 
 
 def register_cache(
@@ -55,12 +56,34 @@ def register_cache(
     return df
 
 
+def track_checkpoint(df: DataFrame) -> DataFrame:
+    """Track an already-materialized ``localCheckpoint`` frame so
+    :func:`release_caches` frees its blocks too.
+
+    Two deliberate differences from :func:`register_cache`: the frame is
+    NOT re-persisted (persist() on a checkpointed frame would try to
+    change its storage level), and it is NOT subject to the MAX_ACTIVE
+    FIFO eviction — a checkpointed frame has no lineage to recompute
+    from, so a silent mid-pipeline eviction would break correctness, not
+    just speed.  The release contract is therefore stricter for these:
+    after ``release_caches()`` a further action on the returned plan
+    raises (missing checkpoint blocks) rather than recomputing — callers
+    must release only after the final action, which is already the
+    documented contract."""
+    _CHECKPOINTED.append(df)
+    return df
+
+
 def release_caches() -> int:
     """Unpersist every registered intermediate (non-blocking) and empty the
     registry.  Returns how many handles were released.  Safe to call at any
-    time — never affects results, only storage."""
+    time for :func:`register_cache` entries (recompute, never wrong);
+    :func:`track_checkpoint` entries must not be consumed again after."""
     n = 0
     while _ACTIVE:
         _ACTIVE.pop().unpersist()
+        n += 1
+    while _CHECKPOINTED:
+        _CHECKPOINTED.pop().unpersist()
         n += 1
     return n

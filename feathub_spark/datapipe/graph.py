@@ -144,9 +144,9 @@ def _graph_core(edges: DataFrame, id_a: str, id_b: str):
     restart instead of partition recompute — acceptable for an operator
     that is driver-paced control flow anyway.  Returns (und(x, y),
     deg(n, d), e(u, v))."""
-    from feathub_spark.common.caching import register_cache
+    from feathub_spark.common.caching import register_cache, track_checkpoint
 
-    und = (
+    und = track_checkpoint(
         ensure_parallelism(edges)
         .select(
             F.least(F.col(id_a), F.col(id_b)).alias("x"),
@@ -187,6 +187,7 @@ def _graph_core(edges: DataFrame, id_a: str, id_b: str):
         .select("o.u", "o.v")
         .localCheckpoint(eager=True)
     )
+    e = track_checkpoint(e)
     return und, deg, e
 
 
@@ -235,9 +236,10 @@ def triangle_counts(
     Degree-ordered wedge closing (see :func:`_graph_core` /
     :func:`_per_node_triangles`).  Input rows are deduplicated and
     self-loops dropped.  Intermediates persist through the
-    ``common.caching`` contract; call ``release_caches()`` after
-    consuming.  Returns (node, n_triangles) for every node with >= 1
-    triangle."""
+    ``common.caching`` contract; call ``release_caches()`` after the
+    FINAL action (the edge lists are checkpointed, so unlike plain
+    cached intermediates they cannot be recomputed after release).
+    Returns (node, n_triangles) for every node with >= 1 triangle."""
     _, _, e = _graph_core(edges, id_a, id_b)
     return _per_node_triangles(e)
 
@@ -257,9 +259,10 @@ def clustering_coefficients(
     with the triangle pass through :func:`_graph_core` — no
     re-canonicalization, one orientation.  Degree-1 nodes have no
     neighbor pairs and report NULL.  Intermediates persist through the
-    ``common.caching`` contract (call ``release_caches()`` after
-    consuming).  Returns (node, degree, n_triangles, clustering_coeff)
-    for every node, coefficient rounded to 6 dp."""
+    ``common.caching`` contract (call ``release_caches()`` after the
+    FINAL action — the checkpointed edge lists cannot be recomputed
+    after release).  Returns (node, degree, n_triangles,
+    clustering_coeff) for every node, coefficient rounded to 6 dp."""
     _, deg, e = _graph_core(edges, id_a, id_b)
     tri = _per_node_triangles(e)
     return (

@@ -50,9 +50,12 @@ def _encode(v: Any) -> Any:
         return [_encode(x) for x in v]
     if isinstance(v, dict):
         enc = {k: _encode(x) for k, x in v.items()}
-        if len(enc) == 1 and next(iter(enc)).startswith(_PREFIX):
+        if len(enc) == 1:
+            k0 = next(iter(enc))
             # a genuine user map that LOOKS like a marker — escape it
-            return {_RAW: enc}
+            # (non-string keys, e.g. map<int,...> values, can't collide)
+            if isinstance(k0, str) and k0.startswith(_PREFIX):
+                return {_RAW: enc}
         return enc
     return v
 
@@ -73,7 +76,10 @@ def _decode(v: Any) -> Any:
                 return datetime.date.fromisoformat(x)
             if k == _BYTES:
                 return base64.b64decode(x)
-            if k == _RAW:
+            if k == _RAW and isinstance(x, dict):
+                # non-dict payload = a LEGACY blob's genuine user map
+                # {"__fh_raw__": scalar}, written before the escape
+                # existed — fall through and return it unchanged
                 return {k2: _decode(x2) for k2, x2 in x.items()}
         return {k: _decode(x) for k, x in v.items()}
     return v

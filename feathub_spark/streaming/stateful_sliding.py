@@ -151,13 +151,17 @@ def stateful_sliding_window(
             if last_values_enc == "null":
                 last_values_enc = None
             # Checkpoint upgrade compatibility: state written before the
-            # nullable-Long encoding stored None as a -1 sentinel.  A
-            # genuine wend of exactly -1 ms epoch was ambiguous under the
-            # old encoding anyway, so decode it as None (we only ever
-            # WRITE None).
-            if last_wend == -1:
+            # nullable-Long encoding stored None as a -1 sentinel.  Only
+            # decode -1 as None when -1 cannot be a REAL value on the
+            # respective grid (last_wend is a step multiple; drain_wend a
+            # step multiple plus max_window) — pre-epoch streams with a
+            # grid that lands on -1 keep the new encoding's reading, the
+            # unavoidable side of the old ambiguity.
+            if last_wend == -1 and (-1) % step_ms != 0:
                 last_wend = None
-            if drain_wend == -1:
+            if drain_wend == -1 and (
+                max_window is None or (-1 - max_window) % step_ms != 0
+            ):
                 drain_wend = None
         else:
             history, last_wend, last_values_enc, drain_wend = [], None, None, None

@@ -574,3 +574,27 @@ def test_state_json_marker_lookalike_maps_round_trip():
     # two-key dicts with marker-ish keys are untouched by the escape
     two = {"__fh_dec__": "a", "other": 1}
     assert loads_state(dumps_state(two)) == two
+
+
+def test_state_json_non_string_map_keys_do_not_crash():
+    """Review finding: the marker-escape check must not call .startswith
+    on non-string keys (map<int,...> user values)."""
+    import json
+
+    from feathub_spark.streaming._state_json import dumps_state, loads_state
+
+    got = loads_state(dumps_state([{1: "a"}, {2: 3, 4: 5}]))
+    # json stringifies non-string keys — pre-existing behavior, unchanged
+    assert got == [{"1": "a"}, {"2": 3, "4": 5}]
+
+
+def test_state_json_legacy_unescaped_raw_blob_tolerated():
+    """Review finding: a PRE-escape checkpoint blob holding a genuine
+    {'__fh_raw__': <non-dict>} user map must decode unchanged, not
+    crash on .items()."""
+    import json
+
+    from feathub_spark.streaming._state_json import loads_state
+
+    legacy = json.dumps([{"__fh_raw__": 5}])
+    assert loads_state(legacy) == [{"__fh_raw__": 5}]
