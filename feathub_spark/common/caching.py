@@ -36,7 +36,11 @@ from pyspark.storagelevel import StorageLevel
 MAX_ACTIVE = 64
 
 _ACTIVE: List[DataFrame] = []
-_CHECKPOINTED: List[DataFrame] = []
+# weak references: a checkpointed frame the caller dropped without
+# releasing is reclaimed by Python GC + the JVM ContextCleaner (the
+# pre-tracking backstop); a strong ref here would pin it forever for
+# callers that never release
+_CHECKPOINTED: List = []
 
 
 def register_cache(
@@ -69,8 +73,12 @@ def track_checkpoint(df: DataFrame) -> DataFrame:
     after ``release_caches()`` a further action on the returned plan
     raises (missing checkpoint blocks) rather than recomputing — callers
     must release only after the final action, which is already the
-    documented contract."""
-    _CHECKPOINTED.append(df)
+    documented contract.  Tracking is by WEAK reference: frames the
+    caller simply drops are reclaimed by GC + the ContextCleaner as
+    before."""
+    import weakref
+
+    _CHECKPOINTED.append(weakref.ref(df))
     return df
 
 
@@ -84,6 +92,8 @@ def release_caches() -> int:
         _ACTIVE.pop().unpersist()
         n += 1
     while _CHECKPOINTED:
-        _CHECKPOINTED.pop().unpersist()
-        n += 1
+        df = _CHECKPOINTED.pop()()
+        if df is not None:
+            df.unpersist()
+            n += 1
     return n

@@ -47,6 +47,35 @@ def test_register_cache_tracks_and_releases(spark):
     assert not df.storageLevel.useMemory or _cache_manager_empty(spark)
 
 
+def test_track_checkpoint_releases_blocks_and_holds_weakly(spark):
+    """track_checkpoint frames are freed by release_caches() but only
+    weakly referenced — a dropped frame must not be pinned forever."""
+    import gc
+
+    from feathub_spark.common.caching import (
+        _CHECKPOINTED,
+        track_checkpoint,
+    )
+
+    release_caches()
+    df = track_checkpoint(
+        spark.range(50).withColumn("x", F.col("id") * 2)
+        .localCheckpoint(eager=True)
+    )
+    assert df.count() == 50
+    assert release_caches() == 1
+    # weak tracking: dropping the handle without release leaves no strong
+    # reference in the registry
+    df2 = track_checkpoint(
+        spark.range(10).localCheckpoint(eager=True)
+    )
+    ref = _CHECKPOINTED[-1]
+    del df2
+    gc.collect()
+    assert ref() is None
+    assert release_caches() == 0
+
+
 def test_no_bare_persist_in_package():
     """Every .persist( in feathub_spark/ must go through register_cache —
     except dedup_clusters' edges handle, which runs its own actions and
