@@ -1721,10 +1721,12 @@ _ORACLE_ATTRIBUTION = """
 WITH e AS (
     SELECT user_id, epoch_us(ts) AS t, event_type, event_id FROM events
 ), carried AS (
+    -- RANGE frame: a click tied with the purchase instant is inside the
+    -- frame regardless of tie order (the <= same-instant convention)
     SELECT user_id, t, event_type,
            max(CASE WHEN event_type = 'click' THEN t END)
-               OVER (PARTITION BY user_id ORDER BY t, event_id
-                     ROWS UNBOUNDED PRECEDING) AS lt
+               OVER (PARTITION BY user_id ORDER BY t
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
     FROM e
 )
 SELECT user_id, t AS conversion_ts_us,
@@ -6158,7 +6160,8 @@ WITH toks AS (
            CAST(max(dl) AS DOUBLE) AS dl
     FROM e GROUP BY doc_id, term
 ), dls AS (
-    SELECT doc_id, max(dl) AS l FROM dt GROUP BY doc_id
+    -- corpus-wide: zero-token documents count toward N and avgdl (Okapi)
+    SELECT doc_id, CAST(len(t) AS DOUBLE) AS l FROM toks
 ), stats AS (
     SELECT CAST(count(*) AS DOUBLE) AS n, avg(l) AS avgdl FROM dls
 ), qt AS (
@@ -6367,7 +6370,8 @@ WITH toks AS (
            CAST(max(dl) AS DOUBLE) AS dl
     FROM e GROUP BY doc_id, term
 ), dls AS (
-    SELECT doc_id, max(dl) AS l FROM dt GROUP BY doc_id
+    -- corpus-wide: zero-token documents count toward N and avgdl (Okapi)
+    SELECT doc_id, CAST(len(t) AS DOUBLE) AS l FROM toks
 ), stats AS (
     SELECT CAST(count(*) AS DOUBLE) AS n, avg(l) AS avgdl FROM dls
 ), qt AS (

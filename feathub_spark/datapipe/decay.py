@@ -38,7 +38,12 @@ def time_decayed_sum(
 ) -> DataFrame:
     """Add ``out_col`` (the decayed sum, 6 dp) and ``count_col`` (events in
     the trailing window incl. the current row).  ``id_col`` makes the fold
-    order total when timestamps tie (recommended)."""
+    order total when timestamps tie (recommended).
+
+    NULL ``value_col`` events follow SQL SUM/COUNT(*) semantics: they are
+    skipped by the sum (a NULL term must not null the whole fold) but
+    still counted by ``count_col``; a window whose values are ALL NULL
+    yields NULL, exactly like SUM over an all-NULL group."""
     idc = id_col or ts_us_col
     w = (
         Window.partitionBy(key_col)
@@ -50,18 +55,23 @@ def time_decayed_sum(
         f"'i', CAST(`{idc}` AS BIGINT), "
         f"'v', CAST(`{value_col}` AS DOUBLE))"
     )
-    # sorted fold in integer micro-units: exact bigint sum, engine-stable
+    # sorted fold in integer micro-units: exact bigint sum, engine-stable.
+    # NULL values are dropped BEFORE the fold (SQL SUM semantics — one
+    # NULL term would otherwise null the accumulator and poison every
+    # window containing it); an all-NULL window folds to NULL like SUM.
     fold = (
-        f"round(aggregate(array_sort(__hist__), CAST(0 AS BIGINT), "
+        f"CASE WHEN size(__histnn__) = 0 THEN NULL ELSE "
+        f"round(aggregate(array_sort(__histnn__), CAST(0 AS BIGINT), "
         f"(acc, e) -> acc + CAST(round(e.v * power(CAST(2 AS DOUBLE), "
         f"-CAST(__t0__ - e.t AS DOUBLE) / {float(half_life_us)}) "
-        f"* 1000000, 0) AS BIGINT)) / CAST(1000000 AS DOUBLE), 6)"
+        f"* 1000000, 0) AS BIGINT)) / CAST(1000000 AS DOUBLE), 6) END"
     )
     return (
         ensure_parallelism(df)
         .withColumn("__hist__", F.collect_list(hist).over(w))
+        .withColumn("__histnn__", F.expr("filter(__hist__, e -> e.v IS NOT NULL)"))
         .withColumn("__t0__", F.col(ts_us_col).cast("bigint"))
         .withColumn(out_col, F.expr(fold))
         .withColumn(count_col, F.size("__hist__").cast("bigint"))
-        .drop("__hist__", "__t0__")
+        .drop("__hist__", "__histnn__", "__t0__")
     )

@@ -46,25 +46,35 @@ def bm25_search(
         f"filter(split(trim(lower(`{query_text_col}`)), '\\\\s+'), "
         f"t -> t <> '')"
     )
-    # one pass: per-(doc, term) tf with the doc length carried through
-    exploded = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.expr(f"size({toks})").cast("double").alias("__len__"),
-        F.explode(F.expr(toks)).alias("__term__"),
+    # ONE tokenize per document: the array materializes in an inner
+    # projection (split+filter is non-cheap, so CollapseProject keeps it
+    # single-evaluated) and size/explode both read it.  explode_OUTER
+    # keeps zero-token documents as a NULL-term row: Okapi's N and avgdl
+    # are corpus-wide — deriving them from token-bearing docs only
+    # deflates every idf as the empty-doc fraction grows.
+    exploded = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.expr(toks).alias("__toks__"))
+        .select(
+            F.col(id_col),
+            F.size("__toks__").cast("double").alias("__len__"),
+            F.explode_outer("__toks__").alias("__term__"),
+        )
     )
     # (doc, term, tf, len) feeds corpus stats, query-vocabulary document
     # frequencies AND the scoring join — three scans of the tokenize+
     # explode+aggregate otherwise (caller releases via release_caches())
     from feathub_spark.common.caching import register_cache
 
-    doc_terms = register_cache(
+    all_terms = register_cache(
         exploded.groupBy(id_col, "__term__").agg(
             F.count(F.lit(1)).cast("double").alias("__tf__"),
             F.first("__len__").alias("__len__"),
         )
     )
-    # corpus totals from the per-doc length table (derived in-plan)
-    doclens = doc_terms.groupBy(id_col).agg(F.first("__len__").alias("__l__"))
+    doc_terms = all_terms.filter(F.col("__term__").isNotNull())
+    # corpus totals over EVERY document (empty docs carry __len__ = 0)
+    doclens = all_terms.groupBy(id_col).agg(F.first("__len__").alias("__l__"))
     stats = doclens.alias("__dl__").agg(
         F.count(F.lit(1)).cast("double").alias("__N__"),
         F.avg("__l__").alias("__avgdl__"),
@@ -139,6 +149,9 @@ def rrf_fuse(
     map-side-combinable aggregation + the salted two-stage top-k.
 
     Returns (query_col, item_col, rank, rrf_score)."""
+    rankings = list(rankings)
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking DataFrame")
     parts = [
         r.select(
             F.col(query_col),
@@ -187,16 +200,21 @@ def phrase_search(
 
     Returns (id_col, n_matches, first_pos) for matching documents only;
     first_pos is the 0-based token position of the earliest match."""
+    from feathub_spark.common.time_utils import sql_string_literal
+
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("phrase must contain at least one token")
     m = len(terms)
     toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
-    # index votes: occurrences of term i at position p -> anchor p - i
+    # index votes: occurrences of term i at position p -> anchor p - i.
+    # sql_string_literal escapes backslashes too — quote-doubling alone
+    # left terms like "a\\b" to be unescaped into control characters
+    # that silently never matched
     votes_expr = (
         "filter(flatten(transform(__idx__, i -> CASE "
         + " ".join(
-            f"WHEN __tok__ = '{t.replace(chr(39), chr(39)*2)}' AND i = {i} "
+            f"WHEN __tok__ = '{sql_string_literal(t)}' AND i = {i} "
             f"THEN array(named_struct('anchor', __pos__ - {i}, 'ti', {i}))"
             for i, t in enumerate(terms)
         )

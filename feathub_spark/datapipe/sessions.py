@@ -124,11 +124,16 @@ def funnel_steps(
 
     Returns (key_col, n_steps, step_ts[array<bigint>]) for keys
     completing at least ``min_steps``."""
+    from feathub_spark.common.time_utils import sql_string_literal
+
     steps = list(steps)
     if not steps:
         raise ValueError("steps must name at least one event type")
     m = len(steps)
-    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    # sql_string_literal escapes backslashes too — a bare quote-doubling
+    # left step names like "a\\b" to be unescaped by Spark's parser into
+    # control characters that silently never match
+    lits = ", ".join("'" + sql_string_literal(s) + "'" for s in steps)
     base = (
         ensure_parallelism(df)
         .filter(F.col(type_col).isin(steps))
@@ -185,13 +190,21 @@ def cohort_retention(
 
     Returns (cohort_period, period_offset, n_active, n_cohort,
     retention_rate) with the rate rounded to 6 dp."""
+    from feathub_spark.common.caching import register_cache
+
     per = F.floor(F.col(ts_us_col) / F.lit(int(period_us)))
-    base = ensure_parallelism(df).select(
-        F.col(key_col).alias("__k__"), per.alias("__p__")
+    # base feeds first-period AND the distinct-active branch; grid feeds
+    # cohort sizes AND the final join — cache both so the corpus is
+    # scanned and key-shuffled once, not per branch (caller releases via
+    # release_caches())
+    base = register_cache(
+        ensure_parallelism(df).select(
+            F.col(key_col).alias("__k__"), per.alias("__p__")
+        )
     )
     first = base.groupBy("__k__").agg(F.min("__p__").alias("__c__"))
     active = base.distinct()
-    grid = (
+    grid = register_cache(
         active.join(first, on="__k__")
         .groupBy(
             F.col("__c__").alias("cohort_period"),
@@ -230,30 +243,31 @@ def attribute_conversions(
     unattributed conversions come back with NULL touch columns so funnel
     leakage is measurable.
 
-    Plan shape: one window per key ordered by time — last_value with
-    ignoreNulls carries the latest touch timestamp forward — then a
-    filter to conversions.  Single shuffle, no self-join.
+    Plan shape: one window per key ordered by time — max(touch ts) over a
+    RANGE frame carries the latest touch timestamp forward.  The RANGE
+    frame (not ROWS) is what makes the same-instant convention hold
+    unconditionally: every timestamp peer is inside the frame, so a touch
+    tied with the conversion is seen no matter how the tie sorts, and the
+    result is deterministic without tie columns (``tie_cols`` is kept for
+    API compatibility but no longer affects the outcome — only the touch
+    TIMESTAMP is carried, and peers share it by definition).  Single
+    shuffle, no self-join; then a filter to conversions.
 
     Returns (key_col, conversion_ts_us, touch_ts_us, lag_us)."""
-    ties = list(tie_cols or [])
-    order = [F.col(ts_us_col).asc()] + [F.col(c).asc() for c in ties]
     w = (
         Window.partitionBy(key_col)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col(ts_us_col).asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     base = ensure_parallelism(df).select(
         key_col,
         F.col(ts_us_col),
         F.expr(conversion_expr).cast("boolean").alias("__conv__"),
         F.expr(touch_expr).cast("boolean").alias("__touch__"),
-        *ties,
     )
     carried = base.withColumn(
         "__last_touch__",
-        F.last(
-            F.when(F.col("__touch__"), F.col(ts_us_col)), ignorenulls=True
-        ).over(w),
+        F.max(F.when(F.col("__touch__"), F.col(ts_us_col))).over(w),
     )
     out = carried.filter(F.col("__conv__")).withColumn(
         "lag_us", F.col(ts_us_col) - F.col("__last_touch__")
@@ -304,10 +318,16 @@ def transition_matrix(
         .withColumn("__next__", F.lead("__s__").over(w))
         .filter(F.col("__next__").isNotNull())
     )
-    grid = steps.groupBy(
-        F.col("__s__").alias("from_state"),
-        F.col("__next__").alias("to_state"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from feathub_spark.common.caching import register_cache
+
+    # grid feeds the totals AND the final join — cache it (states^2
+    # cells) so the corpus-scale lead() window runs once, not twice
+    grid = register_cache(
+        steps.groupBy(
+            F.col("__s__").alias("from_state"),
+            F.col("__next__").alias("to_state"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
     totals = grid.groupBy("from_state").agg(F.sum("n").alias("__tot__"))
     return grid.join(F.broadcast(totals), on="from_state").select(
         "from_state", "to_state", "n",

@@ -863,7 +863,10 @@ def test_bm25_search_matches_python_model(spark):
     )
     k1, b = 1.2, 0.75
     toks = {d: t.split() for d, t in corpus.items()}
-    dls = {d: len(t) for d, t in toks.items() if t}
+    # Okapi: N and avgdl are CORPUS-wide — the empty doc 5 counts toward
+    # both (len 0), it just can never match (review finding: deriving the
+    # stats from token-bearing docs only deflated every idf)
+    dls = {d: len(t) for d, t in toks.items()}
     N, avgdl = len(dls), sum(dls.values()) / len(dls)
 
     def score(q_terms, d):
@@ -2275,3 +2278,28 @@ def test_ngram_jaccard_none_path_drops_null_ids(spark):
         ).collect()
     )
     assert exact == cut == [(1, 2)]
+
+
+def test_phrase_search_backslash_terms(spark):
+    """Review finding: phrase-term literals were quote-doubled but not
+    backslash-escaped, so a term like 'a\\b' never matched."""
+    from feathub_spark.datapipe.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "x a\\b y"), (2, "a\\b y z"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "text", "doc_id", "a\\b y").collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0)}
+
+
+def test_rrf_fuse_empty_rankings_raises(spark):
+    from feathub_spark.datapipe.retrieval import rrf_fuse
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])

@@ -203,3 +203,73 @@ def test_resample_ffill_grid_and_staleness(spark):
 
     with _pytest.raises(ValueError):
         resample_ffill(df, "k", "tu", ["v"], step_us=0)
+
+
+def test_time_decayed_sum_skips_null_values_like_sql_sum(spark):
+    """Review finding: a NULL value event used to null the whole fold for
+    every window containing it.  SQL SUM/COUNT(*) semantics: NULL terms
+    are skipped by the sum but counted; an all-NULL window is NULL."""
+    from feathub_spark.datapipe.decay import time_decayed_sum
+
+    rows = [
+        (1, 1, 0, 1.0), (2, 1, 10, None), (3, 1, 20, 2.0),
+        (4, 2, 0, None),  # all-NULL window
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    )
+    out = {
+        r["event_id"]: (r["decayed_sum"], r["n_in_window"])
+        for r in time_decayed_sum(
+            df, "user_id", "ts_us", "value",
+            half_life_us=1_000_000, window_us=100, id_col="event_id",
+        ).collect()
+    }
+    assert out[1] == (1.0, 1)
+    # NULL event inside the window: skipped by the sum, counted
+    assert out[2][1] == 2 and abs(out[2][0] - 1.0) < 1e-4
+    assert out[3][1] == 3 and abs(out[3][0] - 3.0) < 1e-3
+    # all-NULL window folds to NULL like SUM over an all-NULL group
+    assert out[4] == (None, 1)
+
+
+def test_funnel_steps_backslash_step_names(spark):
+    """Review finding: step-name literals were quote-doubled but not
+    backslash-escaped, so 'a\\b' became 'a<backspace>' and never matched."""
+    from feathub_spark.datapipe.sessions import funnel_steps
+
+    rows = [(1, 10, "a\\b"), (1, 20, "buy"), (2, 5, "buy")]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, et string")
+    out = {
+        r["user_id"]: r["n_steps"]
+        for r in funnel_steps(df, "user_id", "ts_us", "et",
+                              ["a\\b", "buy"]).collect()
+    }
+    assert out == {1: 2}
+
+
+def test_attribute_conversions_same_instant_touch(spark):
+    """Review finding: the ROWS frame attributed a same-instant touch only
+    when the tie order happened to place it first; the RANGE frame makes
+    the documented <= convention unconditional."""
+    from feathub_spark.datapipe.sessions import attribute_conversions
+
+    rows = [
+        (1, 100, "purchase", 1), (1, 100, "click", 2),   # tied instant
+        (2, 50, "click", 3), (2, 90, "purchase", 4),
+        (3, 70, "purchase", 5),                          # unattributed
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_type string, event_id long"
+    )
+    out = {
+        r["user_id"]: (r["touch_ts_us"], r["lag_us"])
+        for r in attribute_conversions(
+            df, "user_id", "ts_us",
+            "event_type = 'purchase'", "event_type = 'click'",
+            tie_cols=["event_id"],
+        ).collect()
+    }
+    assert out[1] == (100, 0)   # same-instant touch attributed
+    assert out[2] == (50, 40)
+    assert out[3] == (None, None)
