@@ -3450,8 +3450,8 @@ _ORACLE_RESIZE_PLAN = """
 SELECT doc_id,
        CAST(w AS INTEGER) AS src_width,
        CAST(h AS INTEGER) AS src_height,
-       CAST(floor(w * s + 0.5) AS INTEGER) AS dst_width,
-       CAST(floor(h * s + 0.5) AS INTEGER) AS dst_height,
+       CAST(greatest(1, floor(w * s + 0.5)) AS INTEGER) AS dst_width,
+       CAST(greatest(1, floor(h * s + 0.5)) AS INTEGER) AS dst_height,
        round(s, 6) AS scale
 FROM (
     SELECT doc_id, w, h, least(64.0 / w, 64.0 / h, 1.0) AS s
@@ -3969,11 +3969,28 @@ def _gram_cte(n: int) -> str:
     )
 
 
+def _gram_cte_strict(n: int) -> str:
+    """Strict n-grams: documents shorter than n tokens yield an EMPTY
+    list (mirrors text.ngrams_strict_sql — the whole-text fallback would
+    score every short doc as maximally repetitive)."""
+    if n == 2:
+        idx = "range(1, len(tk))"
+    else:
+        idx = f"range(1, len(tk) - {n - 2})"
+    return (
+        f"CASE WHEN len(tk) >= {n} THEN "
+        f"[array_to_string(tk[i:i+{n - 1}], ' ') FOR i IN {idx}] "
+        "ELSE [] END"
+    )
+
+
 def _stats_cte(n: int) -> str:
-    """Per-doc (total, dup, top_chars) for word n-grams: re-derives the
-    Spark-side sorted-array fold with an explicit count + window."""
+    """Per-doc (total, dup, top_chars) for word n-grams (strict grams:
+    short docs contribute nothing and fall out of s{n} — the consumer
+    LEFT JOINs and scores them 0): re-derives the Spark-side
+    sorted-array fold with an explicit count + window."""
     return f"""
-g{n} AS (SELECT doc_id, {_gram_cte(n)} AS gs FROM toks),
+g{n} AS (SELECT doc_id, {_gram_cte_strict(n)} AS gs FROM toks),
 c{n} AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS lg
          FROM (SELECT doc_id, unnest(gs) AS gram FROM g{n})
          GROUP BY doc_id, gram),
@@ -4003,7 +4020,8 @@ SELECT t.doc_id,
        CASE WHEN s5.total > 0
             THEN round(s5.dup / s5.total, 6) ELSE 0.0 END AS dup5_frac
 FROM toks t
-JOIN s2 USING (doc_id) JOIN s3 USING (doc_id) JOIN s5 USING (doc_id)
+LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+LEFT JOIN s5 USING (doc_id)
 """
 
 
@@ -5175,9 +5193,9 @@ def _q_weighted_sample_grouped(spark, sf_dir):
 _ORACLE_WEIGHTED_SAMPLE_GROUPED = f"""
 WITH scored AS (
     SELECT event_id, value, event_type,
-           round(-ln(({_H32.format(col='event_id', seed=21)} + 1)
-                     / 4294967296.0)
-                 / CAST(value AS DOUBLE), 9) AS sample_key
+           round(ln(greatest(-ln(({_H32.format(col='event_id', seed=21)} + 1)
+                     / 4294967296.0), 1e-300))
+                 - ln(CAST(value AS DOUBLE)), 9) AS sample_key
     FROM events
     WHERE value IS NOT NULL AND value > 0 AND event_type IS NOT NULL
 )
@@ -5247,9 +5265,9 @@ def _q_weighted_sample(spark, sf_dir):
 _ORACLE_WEIGHTED_SAMPLE = f"""
 WITH scored AS (
     SELECT o_orderkey, o_totalprice,
-           round(-ln(({_H32.format(col='o_orderkey', seed=13)} + 1)
-                     / 4294967296.0)
-                 / CAST(o_totalprice AS DOUBLE), 9) AS sample_key
+           round(ln(greatest(-ln(({_H32.format(col='o_orderkey', seed=13)} + 1)
+                     / 4294967296.0), 1e-300))
+                 - ln(CAST(o_totalprice AS DOUBLE)), 9) AS sample_key
     FROM orders
     WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
 ), cut AS (

@@ -37,9 +37,12 @@ def target_encode(
     (cat_count [- 1] + smoothing)``.
 
     With ``leave_one_out`` a single-row category falls back entirely to
-    the prior (0/0 avoided by the smoothing term).  Rows with a NULL
-    category or NULL target get the global mean — the train/serve-safe
-    default for unseen values.  Every other column rides through."""
+    the prior (0/0 avoided by the smoothing term).  Rows whose category
+    is NULL or UNSEEN in the labeled data get the global mean; a
+    NULL-TARGET row of a known category gets that category's smoothed
+    (non-leave-one-out) mean — it is a serve-time row, and the trained
+    category encoding is exactly what serving should emit.  Every other
+    column rides through."""
     out_col = out_col or f"{category_col}_te"
     t = F.col(target_col).cast("double")
     cat_stats = (

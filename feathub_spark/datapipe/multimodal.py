@@ -387,14 +387,18 @@ def resize_plan(
                             "on_error='null' to skip undecodable payloads"
                         ) from e
                 # fit into the box, never upscale; round half up like the
-                # reference geometry every image tool uses
+                # reference geometry every image tool uses.  Extreme
+                # aspect ratios can round a dimension to 0 (1x10000 into a
+                # (100, 1) box) — clamp to 1px, the convention of every
+                # resize library, so no downstream job gets a zero-sized
+                # plan
                 scale = min(max_width / w, max_height / h, 1.0) if w and h else 1.0
                 metas.append(
                     {
                         "src_width": w,
                         "src_height": h,
-                        "dst_width": int(w * scale + 0.5),
-                        "dst_height": int(h * scale + 0.5),
+                        "dst_width": max(1, int(w * scale + 0.5)),
+                        "dst_height": max(1, int(h * scale + 0.5)),
                         "scale": round(scale, 6),
                         "format": fmt,
                     }
@@ -459,11 +463,24 @@ VIDEO_META_SCHEMA = T.StructType(
 )
 
 
-def _walk_boxes(payload: bytes, start: int, end: int):
+def _walk_boxes(
+    payload: bytes, start: int, end: int, tolerate_truncated_tail: bool = False
+):
     """Yield (fourcc, body_start, body_end) for each ISO BMFF box in
     payload[start:end] (4-byte big-endian size incl. header + 4-byte type;
     size 0 = to end of enclosing box; size 1 = an 8-byte largesize follows
-    the type — the >4 GiB-file encoding modern encoders emit)."""
+    the type — the >4 GiB-file encoding modern encoders emit).
+
+    ``tolerate_truncated_tail`` is for the TOP-level walk over a
+    header-prefix payload (the natural thing to store for header-only
+    metadata at crawl scale — a faststart MP4's ftyp + moov followed by a
+    cut-off mdat): a final OPAQUE MEDIA box (mdat/free/skip/wide) whose
+    declared size runs past the payload ends the walk instead of raising,
+    like the WAV parser's tolerance of a truncated trailing data chunk.
+    A truncated STRUCTURAL box (moov etc.) still raises — its metadata is
+    genuinely missing — and inner walks always raise: a child overflowing
+    its ENCLOSING box is structurally invalid."""
+    opaque = (b"mdat", b"free", b"skip", b"wide")
     pos = start
     while pos + 8 <= end:
         size = int.from_bytes(payload[pos : pos + 4], "big")
@@ -471,12 +488,18 @@ def _walk_boxes(payload: bytes, start: int, end: int):
         header = 8
         if size == 1:
             if pos + 16 > end:
+                if tolerate_truncated_tail and fourcc in opaque:
+                    return
                 raise ValueError(f"truncated MP4 largesize box at byte {pos}")
             size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
             header = 16
         elif size == 0:
             size = end - pos
-        if size < header or pos + size > end:
+        if size < header:
+            raise ValueError(f"invalid MP4 box size {size} at byte {pos}")
+        if pos + size > end:
+            if tolerate_truncated_tail and fourcc in opaque:
+                return
             raise ValueError(f"invalid MP4 box size {size} at byte {pos}")
         yield fourcc, pos + header, pos + size
         pos += size
@@ -506,7 +529,9 @@ def parse_video_header(payload: bytes):
     n_tracks = 0
     saw_moov = False
     saw_mvhd = False
-    for fourcc, b0, b1 in _walk_boxes(payload, 0, len(payload)):
+    for fourcc, b0, b1 in _walk_boxes(
+        payload, 0, len(payload), tolerate_truncated_tail=True
+    ):
         if fourcc != b"moov":
             continue
         saw_moov = True

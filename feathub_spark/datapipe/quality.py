@@ -17,10 +17,10 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from feathub_spark.common.caching import register_cache
 from feathub_spark.common.parallelism import ensure_parallelism
-from feathub_spark.datapipe.text import ngrams, ngrams_sql
+from feathub_spark.datapipe.text import ngrams, ngrams_sql, ngrams_strict_sql
 
 
-def _gram_stats_sql(grams_sql: str) -> str:
+def _gram_stats_sql(grams_sql: str, finish: str = None) -> str:
     """Struct(top_n, top_g, dup, total) over one n-gram array:
 
     - ``top_n`` / ``top_g``: occurrence count and value of the most frequent
@@ -32,7 +32,12 @@ def _gram_stats_sql(grams_sql: str) -> str:
     - ``total``: total characters across all gram occurrences.
 
     Computed by sorting the array and folding run-lengths in a single
-    ``aggregate`` pass with a finish lambda to close the last run."""
+    ``aggregate`` pass with a finish lambda to close the last run.  Pass
+    ``finish`` (an expression over the closed top_n/top_g/dup/total —
+    spelled {top_n}/{top_g}/{dup}/{total}) to emit a final scalar instead
+    of the struct: higher-order functions get no common-subexpression
+    elimination, so a Column that references the fold k times would run
+    the O(k log k) pass k times per row."""
     acc0 = (
         "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
         "'top_n', 0L, 'top_g', CAST(NULL AS STRING), 'dup', 0L, 'total', 0L)"
@@ -53,32 +58,53 @@ def _gram_stats_sql(grams_sql: str) -> str:
         f"'top_g', {close_top_g}, 'dup', {close_dup}, "
         "'total', acc.total + CAST(length(g) AS BIGINT)) END"
     )
-    finish = (
-        f"acc -> named_struct('top_n', {close_top_n}, 'top_g', {close_top_g}, "
-        f"'dup', {close_dup}, 'total', acc.total)"
+    if finish is None:
+        finish_body = (
+            f"named_struct('top_n', {close_top_n}, 'top_g', {close_top_g}, "
+            f"'dup', {close_dup}, 'total', acc.total)"
+        )
+    else:
+        finish_body = finish.format(
+            top_n=close_top_n, top_g=close_top_g,
+            dup=close_dup, total="acc.total",
+        )
+    return (
+        f"aggregate(array_sort({grams_sql}), {acc0}, {merge}, "
+        f"acc -> {finish_body})"
     )
-    return f"aggregate(array_sort({grams_sql}), {acc0}, {merge}, {finish})"
+
+
+_TOP_FRAC_FINISH = (
+    "CASE WHEN {total} > 0 THEN "
+    "round(CAST(({top_n}) * length({top_g}) AS DOUBLE) / {total}, 6) "
+    "ELSE CAST(0 AS DOUBLE) END"
+)
+_DUP_FRAC_FINISH = (
+    "CASE WHEN {total} > 0 THEN "
+    "round(CAST({dup} AS DOUBLE) / {total}, 6) "
+    "ELSE CAST(0 AS DOUBLE) END"
+)
 
 
 def top_ngram_char_frac(text_col: str, n: int) -> Column:
     """Fraction of n-gram characters covered by the single most frequent
-    word n-gram (Gopher "top n-gram fraction" repetition signal)."""
-    stats = _gram_stats_sql(ngrams_sql(text_col, n))
+    word n-gram (Gopher "top n-gram fraction" repetition signal).
+    Documents with fewer than ``n`` tokens have no n-grams and score 0
+    (the whole-text fallback gram scored every short doc 1.0 — maximally
+    repetitive); the ratio is computed inside the fold's finish lambda so
+    the O(k log k) pass runs once per row."""
     return F.expr(
-        f"CASE WHEN ({stats}).total > 0 THEN "
-        f"round(CAST(({stats}).top_n * length(({stats}).top_g) AS DOUBLE) "
-        f"/ ({stats}).total, 6) ELSE CAST(0 AS DOUBLE) END"
+        _gram_stats_sql(ngrams_strict_sql(text_col, n), _TOP_FRAC_FINISH)
     )
 
 
 def dup_ngram_char_frac(text_col: str, n: int) -> Column:
     """Fraction of n-gram characters inside word n-grams that occur more
-    than once in the document (Gopher "duplicate n-gram fraction")."""
-    stats = _gram_stats_sql(ngrams_sql(text_col, n))
+    than once in the document (Gopher "duplicate n-gram fraction").
+    Documents with fewer than ``n`` tokens score 0 (no n-grams); one fold
+    pass per row (ratio in the finish lambda)."""
     return F.expr(
-        f"CASE WHEN ({stats}).total > 0 THEN "
-        f"round(CAST(({stats}).dup AS DOUBLE) / ({stats}).total, 6) "
-        f"ELSE CAST(0 AS DOUBLE) END"
+        _gram_stats_sql(ngrams_strict_sql(text_col, n), _DUP_FRAC_FINISH)
     )
 
 
@@ -89,10 +115,12 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Each n's fold is materialized into one intermediate struct column so
     the O(k log k) pass runs once per n (the ratio projections reference
-    the struct, not the fold)."""
+    the struct, not the fold).  Documents with fewer than n tokens have
+    no n-grams and score 0 on that signal (strict grams — the whole-text
+    fallback would score every short doc as maximally repetitive)."""
     df = ensure_parallelism(df)
     stats_cols = {
-        f"__st{n}__": F.expr(_gram_stats_sql(ngrams_sql(text_col, n)))
+        f"__st{n}__": F.expr(_gram_stats_sql(ngrams_strict_sql(text_col, n)))
         for n in (2, 3, 5)
     }
     top = (

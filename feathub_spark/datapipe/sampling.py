@@ -119,10 +119,16 @@ def quantile_stratified_sample(
             F.col(value_col).cast("double"), probs, accuracy
         ).alias("__th__")
     )
+    # coalesce: percentile_approx over an all-NULL column returns NULL,
+    # and size(filter(NULL, ...)) is -1 under non-ANSI semantics — every
+    # row must land in bin 0 then (and element_at(rates, -1+1) would
+    # throw INVALID_INDEX_OF_ZERO); NULL values drop out of the filter
+    # lambda and land in bin 0 as documented
     out = ensure_parallelism(df).crossJoin(F.broadcast(th)).withColumn(
         bin_col,
         F.expr(
-            f"size(filter(__th__, t -> CAST(`{value_col}` AS DOUBLE) > t))"
+            f"size(filter(coalesce(__th__, CAST(array() AS ARRAY<DOUBLE>)), "
+            f"t -> CAST(`{value_col}` AS DOUBLE) > t))"
         ),
     )
     if fractions is None:
@@ -474,9 +480,15 @@ def weighted_sample(
     sample without replacement, with no sequential reservoir and no
     second pass (the distributed form of weighted reservoir sampling).
 
-    Keys round to 9 dp with an id tiebreak so the selection is
-    deterministic and engine-reproducible; rows with NULL or
-    non-positive weight never qualify.  Ungrouped, the cut is
+    ``sample_key`` is the LOG of that key, ln(-ln(u)) - ln(w) — a
+    monotone transform that preserves the exact ranking while keeping
+    RELATIVE precision at any weight magnitude (rounding -ln(u)/w itself
+    to 9 dp collapsed every key to ~0 once weights reached ~1e10, quietly
+    degrading the selection to smallest-id order).  -ln(u) is clamped at
+    1e-300 so the u == 1 row gets a finite best-possible key instead of
+    engine-divergent ln(0) handling.  Keys round to 9 dp with an id
+    tiebreak so the selection is deterministic and engine-reproducible;
+    rows with NULL or non-positive weight never qualify.  Ungrouped, the cut is
     orderBy+limit (TakeOrderedAndProject — parallel partial top-k, no
     corpus sort) and the rank window runs over <= k rows.  With
     ``group_col`` the cut takes k rows PER GROUP via the salted
@@ -490,7 +502,9 @@ def weighted_sample(
     if group_col:
         base = base.filter(F.col(group_col).isNotNull())
     u = (hash32(id_col, seed) + F.lit(1)) / F.lit(HASH_SPACE)
-    key = F.round(-F.log(u) / w, 9)
+    key = F.round(
+        F.log(F.greatest(-F.log(u), F.lit(1e-300))) - F.log(w), 9
+    )
     cols = [F.col(id_col), F.col(weight_col)] + (
         [F.col(group_col)] if group_col else []
     )

@@ -226,6 +226,22 @@ def ngrams(text_col: str, n: int = 2) -> Column:
     return F.expr(ngrams_sql(text_col, n))
 
 
+def ngrams_strict_sql(text_col: str, n: int = 2) -> str:
+    """Like :func:`ngrams_sql` but documents shorter than ``n`` tokens
+    yield an EMPTY list instead of the whole-text fallback gram.  The
+    fallback is right for shingle/dedup semantics (a short doc must still
+    have a signature); it is WRONG for repetition statistics, where a
+    single fallback gram makes every short document score as maximally
+    repetitive (top-frac 1.0)."""
+    toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
 def ngram_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -2303,3 +2303,32 @@ def test_rrf_fuse_empty_rankings_raises(spark):
 
     with _pytest.raises(ValueError, match="at least one ranking"):
         rrf_fuse([])
+
+
+def test_parse_video_header_faststart_prefix_tolerated():
+    """Review finding: a header-prefix payload of a faststart MP4 (ftyp +
+    complete moov + cut-off mdat — the natural thing to store for
+    header-only metadata) must parse; a truncated STRUCTURAL box still
+    raises."""
+    import pytest as _pytest
+
+    from feathub_spark.datapipe.multimodal import parse_video_header
+
+    def be(v, n):
+        return int(v).to_bytes(n, "big")
+
+    mvhd = be(108, 4) + b"mvhd" + bytes([0, 0, 0, 0]) + bytes(8) \
+        + be(1000, 4) + be(43210, 4) + bytes(80)
+    tkhd = be(92, 4) + b"tkhd" + bytes([0, 0, 0, 0]) + bytes(72) \
+        + be(320 << 16, 4) + be(240 << 16, 4)
+    trak = be(100, 4) + b"trak" + tkhd
+    moov = be(8 + len(mvhd) + len(trak), 4) + b"moov" + mvhd + trak
+    ftyp = be(20, 4) + b"ftyp" + b"isom" + bytes(4) + b"isom"
+    # mdat claims 1 MiB but only 16 bytes of it are in the payload
+    mdat_prefix = be(1 << 20, 4) + b"mdat" + bytes(16)
+    got = parse_video_header(ftyp + moov + mdat_prefix)
+    assert got == (320, 240, 43210, 1000, 1, "mp4")
+    # a truncated moov (structural) still raises
+    bad_moov = be(1 << 20, 4) + b"moov" + bytes(16)
+    with _pytest.raises(ValueError):
+        parse_video_header(ftyp + bad_moov)

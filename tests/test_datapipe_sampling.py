@@ -844,12 +844,16 @@ def test_weighted_sample_proportionality(spark):
     assert 998 not in ids and 999 not in ids
     # with 1000:1 weights, nearly every heavy row is drawn
     assert sum(1 for i in ids if i < 20) >= 15
-    # keys replicate the formula
+    # keys replicate the formula — LOG-SPACE (review finding: rounding
+    # -ln(u)/w itself to 9 dp collapsed all keys to ~0 at weights ~1e10,
+    # degrading selection to smallest-id order; the log transform is
+    # monotone so the ranking is unchanged and precision is relative)
     for r in out[:5]:
         u = (
             int(hashlib.md5(f"{r.id}:4".encode()).hexdigest()[:8], 16) + 1
         ) / 4294967296.0
-        assert abs(r.sample_key - round(-math.log(u) / r.w, 9)) < 1e-9
+        expect = round(math.log(max(-math.log(u), 1e-300)) - math.log(r.w), 9)
+        assert abs(r.sample_key - expect) < 1e-9
     # ranks dense and ordered by key
     by_rank = sorted(out, key=lambda r: r.rank)
     assert [r.rank for r in by_rank] == list(range(1, 26))
@@ -874,11 +878,12 @@ def test_weighted_sample_grouped_two_stage(spark):
     by_g = {}
     for r in out:
         by_g.setdefault(r.g, []).append(r)
-    # reference: full single-window ranking per group
+    # reference: full single-window ranking per group (log-space keys,
+    # see test_weighted_sample_proportionality)
     def key(i, w):
         u = (int(hashlib.md5(f"{i}:2".encode()).hexdigest()[:8], 16) + 1) \
             / 4294967296.0
-        return round(-math.log(u) / w, 9)
+        return round(math.log(max(-math.log(u), 1e-300)) - math.log(w), 9)
     for g, rs in by_g.items():
         cands = sorted(
             ((key(i, w), i) for i, w, gg in rows if gg == g),
@@ -964,3 +969,20 @@ def test_quantile_stratified_sample(spark):
 
     with _pytest.raises(ValueError, match="n_bins"):
         quantile_stratified_sample(df, "id", "v", n_bins=4, fractions=[1.0])
+
+
+def test_quantile_stratified_sample_all_null_value_col(spark):
+    """Review finding: percentile_approx over an all-NULL column returns
+    NULL thresholds; size(filter(NULL,...)) = -1 crashed element_at with
+    INVALID_INDEX_OF_ZERO and put NULL rows in bin -1.  All rows must
+    land in bin 0."""
+    from feathub_spark.datapipe.sampling import quantile_stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(50)], "id long, v double"
+    )
+    out = quantile_stratified_sample(
+        df, "id", "v", n_bins=4, fractions=[1.0, 0.0, 0.0, 0.0]
+    ).collect()
+    assert len(out) == 50
+    assert all(r["value_bin"] == 0 for r in out)

@@ -28,18 +28,21 @@ def _ref_grams(text, n):
     toks = [t for t in re.split(r"[ \t\n\r\f\v]+", text.strip().lower()) if t]
     if len(toks) >= n:
         return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return [" ".join(toks)]
+    # strict semantics (review finding): a document shorter than n tokens
+    # has NO n-grams — the old whole-text fallback gram scored every
+    # short doc as maximally repetitive (top-frac 1.0)
+    return []
 
 
 def _ref_stats(text, n):
     c = Counter(_ref_grams(text, n))
     total = sum(cnt * len(g) for g, cnt in c.items())
+    if total == 0:
+        return 0.0, 0.0
     dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
     top_n = max(c.values())
     top_g = min(g for g, cnt in c.items() if cnt == top_n)
     top_chars = top_n * len(top_g)
-    if total == 0:
-        return 0.0, 0.0
     return round(top_chars / total, 6), round(dup / total, 6)
 
 
