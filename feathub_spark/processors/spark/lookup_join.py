@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -39,6 +37,16 @@ class MemoryLookup:
         if self.feature_names:
             keys = store._keys[self.table_name]
             pdf = pdf[keys + [c for c in self.feature_names if c not in keys]]
+        if len(pdf) == 0:
+            # schema inference fails on a 0-row object-dtype frame; an
+            # empty store must still produce the documented left-join
+            # NULL-enrichment, so synthesize an all-NULL-string schema
+            # from the column names (values would be NULL either way)
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            return spark.createDataFrame(
+                [], StructType([StructField(c, StringType()) for c in pdf.columns])
+            )
         return spark.createDataFrame(pdf)
 
 

@@ -74,12 +74,24 @@ class AggField(NamedTuple):
         )
 
 
-def _window_spec(desc: OverWindowDescriptor) -> WindowSpec:
+def _window_spec(
+    desc: OverWindowDescriptor, fields: Sequence["AggField"] = (),
+) -> WindowSpec:
+    if desc.limit is not None and desc.window_size_ms is None and desc.filter_expr is None:
+        # A ROWS frame decides MEMBERSHIP of the limit slots, so tied
+        # event times need a deterministic order or which rows enter the
+        # frame varies run to run.  Secondary sort on the fused fields'
+        # value expressions (for one field this equals the collect path's
+        # struct(t, v) tie order); range frames below need no tiebreak —
+        # ties are frame PEERS there and all enter the frame.
+        order = [F.expr(_ORDER_MS)] + [F.expr(f.expr_sql) for f in fields]
+        w = Window.partitionBy(
+            *[F.col(k) for k in desc.group_by_keys]
+        ).orderBy(*order)
+        return w.rowsBetween(1 - desc.limit, Window.currentRow)
     w = Window.partitionBy(*[F.col(k) for k in desc.group_by_keys]).orderBy(
         F.expr(_ORDER_MS)
     )
-    if desc.limit is not None and desc.window_size_ms is None and desc.filter_expr is None:
-        return w.rowsBetween(1 - desc.limit, Window.currentRow)
     if desc.window_size_ms is not None:
         return w.rangeBetween(-desc.window_size_ms, Window.currentRow)
     return w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -224,9 +236,18 @@ def evaluate_salted_over_window(
             prefix_cols[p + "pmin"] = F.min(p + "min").over(wprev)
     prefixes = partials.withColumns(prefix_cols).select(
         *keys, "__ow_chunk__", *prefix_cols.keys()
-    )
+    ).alias("pf")
 
-    joined = base.join(prefixes, on=keys + ["__ow_chunk__"], how="left")
+    # eqNullSafe: groupBy/partitionBy keep NULL as a real group, so the
+    # prefix join must too — plain `=` silently dropped every prior-chunk
+    # contribution for NULL-keyed groups
+    b = base.alias("b")
+    cond = [b[k].eqNullSafe(prefixes[k]) for k in keys]
+    cond.append(F.col("b.__ow_chunk__") == F.col("pf.__ow_chunk__"))
+    joined = b.join(prefixes, on=cond, how="left").select(
+        *[F.col(f"b.`{c}`") for c in base.columns],
+        *[F.col(f"pf.`{c}`") for c in prefix_cols.keys()],
+    )
 
     # within-chunk running aggregate: partitions are (keys, chunk)
     wchunk = (
@@ -439,11 +460,12 @@ def evaluate_salted_bounded_over_window(
         out_cols[f_.name] = col.cast(t.to_spark_type(f_.dtype))
 
     joined = joined.withColumns(out_cols)
-    drop = ["__ob_ms__", "__ob_chunk__"] + [
-        c for c in joined.columns if c.startswith("__ob") and c != "__ob_ms__"
-        or c.startswith("__p___ob")
-    ]
-    return joined.drop("__ob_ms__", "__ob_chunk__", *drop)
+    return joined.drop(
+        *[
+            c for c in joined.columns
+            if c.startswith("__ob") or c.startswith("__p___ob")
+        ]
+    )
 
 
 def _unbounded_value_counts(
@@ -714,7 +736,7 @@ def evaluate_over_window(
     fields: Sequence[AggField],
 ) -> DataFrame:
     """Append one column per AggField, all over a single WindowSpec."""
-    spec = _window_spec(desc)
+    spec = _window_spec(desc, fields)
     filter_sql = to_spark_sql(desc.filter_expr) if desc.filter_expr else None
     out_cols = {}
 

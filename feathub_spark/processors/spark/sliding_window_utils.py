@@ -286,7 +286,22 @@ def evaluate_sliding_window(
                 )
             ).alias(_WEND),
         )
-        result = grid.join(merged, on=keys + [_WEND], how="left")
+        # eqNullSafe: a NULL group-by key is a real group for groupBy, so
+        # the grid join must match it — plain `=` silently replaced every
+        # NULL-keyed group's aggregates with empty-window defaults
+        g = grid.alias("g")
+        mg = merged.alias("mg")
+        cond = [g[k].eqNullSafe(mg[k]) for k in keys]
+        cond.append(F.col(f"g.{_WEND}") == F.col(f"mg.{_WEND}"))
+        result = g.join(mg, on=cond, how="left").select(
+            *[F.col(f"g.`{k}`") for k in keys],
+            F.col(f"g.{_WEND}"),
+            *[
+                F.col(f"mg.`{c}`")
+                for c in merged.columns
+                if c not in keys and c != _WEND
+            ],
+        )
     else:
         result = merged
 
@@ -306,7 +321,11 @@ def evaluate_sliding_window(
                 )
             vals = f"transform({arr}, s -> s.v)"
             col = F.expr(_array_agg_sql(vals, a, f_.dtype))
-            if a in (AggFunc.COUNT, AggFunc.ROW_NUMBER, AggFunc.SUM):
+            # empty-window defaults: ONLY COUNT and SUM are 0 in the
+            # reference (aggregation_utils.get_default_value_and_type);
+            # ROW_NUMBER is NULL like every other func — the scalar path's
+            # _default_col already agrees
+            if a in (AggFunc.COUNT, AggFunc.SUM):
                 col = F.coalesce(col, F.lit(0))
         elif a == AggFunc.AVG:
             col = F.col(p + "sum") / F.col(p + "cnt")
@@ -350,8 +369,17 @@ def evaluate_sliding_window(
                 ).alias(f_.name)
             )
         )
-        result = result.join(vmaps, on=keys + [_WEND], how="left").withColumn(
-            f_.name, F.col(f_.name).cast(to_spark_type(f_.dtype))
+        # eqNullSafe like the grid join above: NULL-keyed groups must get
+        # their VALUE_COUNTS map too
+        r = result.alias("r")
+        vm = vmaps.alias("vm")
+        cond = [r[k].eqNullSafe(vm[k]) for k in keys]
+        cond.append(F.col(f"r.{_WEND}") == F.col(f"vm.{_WEND}"))
+        result = r.join(vm, on=cond, how="left").select(
+            *[F.col(f"r.`{c}`") for c in result.columns],
+            F.col(f"vm.`{f_.name}`").cast(to_spark_type(f_.dtype)).alias(
+                f_.name
+            ),
         )
 
     # ---- skip-same-window output ---------------------------------------
@@ -396,13 +424,22 @@ def _evaluate_infinite_window(
     )
 
     out = df.withColumn("__ms0__", F.unix_millis(F.col(EVENT_TIME_COL)))
+    # fuse fields sharing (filter, limit) into ONE descriptor per group —
+    # evaluate_over_window plans a single WindowSpec per call, so a
+    # field-per-call loop built N subplans where one suffices
+    groups: dict = {}
     for f_ in fields:
+        groups.setdefault((f_.filter_raw, f_.limit), []).append(f_)
+    for (filter_raw, limit), grp in groups.items():
         # The descriptor carries the ORIGINAL filter expression so that
         # filter+limit takes the collect path with row-slot semantics
         # (a filtered-out row must not occupy a limit slot).
-        desc = OverWindowDescriptor(None, tuple(keys), f_.filter_raw, f_.limit)
-        af = AggField(f_.name, f_.expr_sql, f_.agg_func, f_.dtype)
-        out = evaluate_over_window(out, desc, [af])
+        desc = OverWindowDescriptor(None, tuple(keys), filter_raw, limit)
+        afs = [
+            AggField(f_.name, f_.expr_sql, f_.agg_func, f_.dtype)
+            for f_ in grp
+        ]
+        out = evaluate_over_window(out, desc, afs)
     out = out.withColumn(WINDOW_TIME_MS_COL, F.col("__ms0__")).drop("__ms0__")
     return out.select(
         *[F.col(k) for k in keys],

@@ -16,8 +16,14 @@ def _rows(seed):
     rnd = random.Random(seed)
     rows = []
     for i in range(300):
-        # 70% of rows land on one hot key
-        k = "hot" if rnd.random() < 0.7 else rnd.choice(["a", "b", "c"])
+        # 70% of rows land on one hot key; ~8% carry a NULL key — a real
+        # group for partitionBy/groupBy, so the salted plan's prefix join
+        # must match it too (review finding: a plain-equality join
+        # silently dropped every prior-chunk contribution for NULL keys)
+        r = rnd.random()
+        k = None if r < 0.08 else (
+            "hot" if r < 0.78 else rnd.choice(["a", "b", "c"])
+        )
         t = rnd.randrange(0, 500)
         v = None if rnd.random() < 0.1 else rnd.randrange(-20, 100)
         rows.append((k, v, t))

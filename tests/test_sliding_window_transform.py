@@ -249,3 +249,67 @@ def test_sliding_value_counts_long_single_key(client, tmp_path):
         got = by_wt.get(wend_s * 1000 - 1)
         got = dict(got) if got is not None else None
         assert got == (expected or None), f"window end {wend_s}"
+
+
+def test_sliding_null_group_key_gets_real_aggregates(client, tmp_path):
+    """Review finding: the empty-window grid join and the distributive
+    VALUE_COUNTS join used plain key equality, so a NULL group-by key —
+    a real group for groupBy — came back as empty-window defaults (0 /
+    NULL) instead of its aggregates."""
+    import os
+
+    from feathub_spark import Schema
+    from feathub_spark.common import types as t
+    from feathub_spark.feature_tables.sources.file_system_source import (
+        FileSystemSource,
+    )
+
+    path = os.path.join(str(tmp_path), "nullkey.csv")
+    with open(path, "w") as f:
+        f.write("name,cost,time\n")
+        f.write("Alex,100,2022-01-01 10:00:00\n")
+        f.write(",70,2022-01-01 11:00:00\n")   # NULL key
+        f.write(",30,2022-01-02 11:00:00\n")   # NULL key, next day
+    schema = (
+        Schema.new_builder()
+        .column("name", t.String)
+        .column("cost", t.Int64)
+        .column("time", t.String)
+        .build()
+    )
+    source = FileSystemSource(
+        name="nullkey_src",
+        path=path,
+        data_format="csv",
+        schema=schema,
+        keys=["name"],
+        timestamp_field="time",
+        timestamp_format="%Y-%m-%d %H:%M:%S",
+    )
+    view = SlidingFeatureView(
+        name="sw_nullkey",
+        source=source,
+        features=[
+            Feature(
+                "cost_1d",
+                transform=SlidingWindowTransform(
+                    "cost", "SUM", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["name"],
+                ),
+            ),
+            Feature(
+                "vc_1d",
+                transform=SlidingWindowTransform(
+                    "cost", "VALUE_COUNTS", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["name"],
+                ),
+            ),
+        ],
+    )
+    client.build_features([source, view])
+    df = client.get_features(view).to_pandas()
+    nulls = df[df["name"].isnull()].sort_values("window_time")
+    # the NULL-key group's windows carry its real sums and maps
+    assert nulls["cost_1d"].tolist()[:2] == [70, 30]
+    assert nulls["vc_1d"].tolist()[0] == {70: 1}
+    assert nulls["vc_1d"].tolist()[1] == {30: 1}
