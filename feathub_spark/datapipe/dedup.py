@@ -869,9 +869,25 @@ def dedup_clusters(
         return _dedup_clusters_star(pairs, id_a, id_b, max_iterations)
     if algorithm != "label":
         raise ValueError(f"unknown dedup_clusters algorithm: {algorithm!r}")
+    # symmetrize with an in-place explode, NOT a two-branch union: a union
+    # re-evaluates its parent lineage per branch, and ``pairs`` usually
+    # arrives as a live candidate-generation subplan (posting expansion +
+    # jaccard verify) that would otherwise execute twice just to build the
+    # edge list.  explode duplicates each row narrowly in one scan.
     edges = (
-        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("s"), F.col(id_b).alias("d")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("s"), F.col(id_a).alias("d")
+                    ),
+                )
+            ).alias("__e__")
+        )
+        .select("__e__.s", "__e__.d")
         .distinct()
         .persist()
     )

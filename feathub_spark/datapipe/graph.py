@@ -67,10 +67,26 @@ def pagerank(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
     if not directed:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        # symmetrize with an in-place explode, not a two-branch union — a
+        # union re-evaluates its parent lineage per branch, and the edge
+        # list usually arrives as a live candidate-generation subplan
+        # (ngram-jaccard pair expansion + verify) that would otherwise run
+        # twice just to build the undirected edge set
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("__e__")
+        ).select("__e__.src", "__e__.dst")
     elif handle_sinks == "self_loop":
+        # this branch scans the edge subplan three times (dst-distinct,
+        # src-distinct anti, union) — materialize the raw list once first
+        e = register_cache(e)
+        e.count()
         sinks = (
             e.select(F.col("dst").alias("id"))
             .distinct()

@@ -447,8 +447,6 @@ def approx_quantiles(
     Returns long format (``by``..., ``column``, ``prob``, ``value``) —
     one row per (group, column, probability).  ``by`` adds per-group
     quantiles (same single-shuffle shape, keyed)."""
-    from functools import reduce
-
     cols = list(cols)
     by = list(by) if by else []
     probs = [float(p) for p in probs]
@@ -460,18 +458,23 @@ def approx_quantiles(
         ensure_parallelism(df).groupBy(*by).agg(*aggs) if by
         else ensure_parallelism(df).agg(*aggs)
     )
+    # melt via chained generators, NOT a union of per-column branches: a
+    # DataFrame union re-evaluates its parent lineage per branch, so the
+    # per-column form ran the whole sketch aggregation once PER COLUMN
+    # (measured 2x wall on a 2-column profile).  One explode over an
+    # array<struct> of the already-aggregated row keeps a single scan.
     probs_arr = F.array(*[F.lit(p) for p in probs])
-    parts = []
-    for c in cols:
-        parts.append(
-            base.select(
-                *by,
-                F.lit(c).alias("column"),
-                F.posexplode(F.col(c)).alias("__i__", "value"),
+    melted = base.select(
+        *by,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("column"), F.col(c).alias("__vals__")
             )
-            .withColumn("prob", F.element_at(probs_arr, F.col("__i__") + 1))
-            .drop("__i__")
-        )
-    return reduce(lambda a, b: a.unionByName(b), parts).select(
-        *by, "column", "prob", "value"
+            for c in cols
+        ])).alias("__s__"),
+    ).select(*by, F.col("__s__.column").alias("column"),
+             F.posexplode("__s__.__vals__").alias("__i__", "value"))
+    return (
+        melted.withColumn("prob", F.element_at(probs_arr, F.col("__i__") + 1))
+        .select(*by, "column", "prob", "value")
     )
