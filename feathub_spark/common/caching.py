@@ -12,6 +12,9 @@ executor storage flat across a long composed pipeline:
   cached subplan is consumed through the JVM plan, not through the Python
   handle, so a GC-driven release would unpersist intermediates before the
   caller's action ever runs);
+- iterative operators that truncate lineage with ``localCheckpoint``
+  register the resulting frames through :func:`track_checkpoint` and drop
+  superseded rounds mid-loop with :func:`free_checkpoint`;
 - callers invoke :func:`release_caches` once they have consumed the
   operator's output (after the final action on it) — every tracked
   intermediate is unpersisted and the registry emptied;
@@ -20,7 +23,19 @@ executor storage flat across a long composed pipeline:
   the registry is BOUNDED: beyond ``MAX_ACTIVE`` entries the oldest is
   unpersisted FIFO.  Unpersisting never changes results — a still-needed
   intermediate is merely recomputed — so the bound trades worst-case
-  recompute for a hard storage ceiling.
+  recompute for a hard storage ceiling.  (Checkpoint ids are NOT subject
+  to the bound: a checkpoint has no lineage to recompute from, so a
+  silent mid-pipeline eviction would break correctness, not just speed.)
+
+Checkpoint release goes through ``SparkContext.unpersistRDD`` BY RDD ID,
+not ``Dataset.unpersist()``: a localCheckpoint caches its RDD at the RDD
+layer, outside the SQL cacheManager, so ``Dataset.unpersist()`` on (or
+under) a checkpointed frame is a silent no-op — measured directly: the
+blocks stay in ``getRDDStorageInfo`` forever, and a 157-query bench
+session accumulated hundreds of dead checkpoint partitions (the
+within-session slowdown drift).  The RDD id is captured at registration
+time, so release works even after the Python handle is gone; Spark never
+reuses RDD ids within a context, so releasing a stale id is safe.
 
 ``bench.py`` and the test suite call :func:`release_caches` after every
 query action; put the same call at the end of a foreachBatch handler.
@@ -28,7 +43,7 @@ query action; put the same call at the end of a foreachBatch handler.
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
@@ -36,11 +51,37 @@ from pyspark.storagelevel import StorageLevel
 MAX_ACTIVE = 64
 
 _ACTIVE: List[DataFrame] = []
-# weak references: a checkpointed frame the caller dropped without
-# releasing is reclaimed by Python GC + the JVM ContextCleaner (the
-# pre-tracking backstop); a strong ref here would pin it forever for
-# callers that never release
-_CHECKPOINTED: List = []
+# RDD ids (ints) of tracked localCheckpoint frames — ids, not handles, so
+# release works regardless of whether the caller kept the frame alive
+_CHECKPOINT_IDS: List[int] = []
+
+
+def _checkpoint_rdd_id(df: DataFrame) -> Optional[int]:
+    """The id of the cached RDD behind a localCheckpoint frame.
+
+    A checkpointed Dataset's analyzed plan is a ``LogicalRDD`` wrapping
+    the (persisted) checkpoint RDD; anything else — or any py4j surprise
+    on an internal API — returns None and the caller degrades to a
+    no-op."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd().id()
+    except Exception:
+        return None
+
+
+def _unpersist_rdd_id(rdd_id: int) -> bool:
+    """Drop the blocks of a persisted RDD by id (non-blocking).  Safe for
+    already-released or never-materialized ids."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return False
+    try:
+        sc._jsc.sc().unpersistRDD(rdd_id, False)
+        return True
+    except Exception:
+        return False
 
 
 def register_cache(
@@ -61,25 +102,35 @@ def register_cache(
 
 
 def track_checkpoint(df: DataFrame) -> DataFrame:
-    """Track an already-materialized ``localCheckpoint`` frame so
+    """Track a ``localCheckpoint`` frame (eager or lazy) so
     :func:`release_caches` frees its blocks too.
 
-    Two deliberate differences from :func:`register_cache`: the frame is
-    NOT re-persisted (persist() on a checkpointed frame would try to
-    change its storage level), and it is NOT subject to the MAX_ACTIVE
-    FIFO eviction — a checkpointed frame has no lineage to recompute
-    from, so a silent mid-pipeline eviction would break correctness, not
-    just speed.  The release contract is therefore stricter for these:
-    after ``release_caches()`` a further action on the returned plan
-    raises (missing checkpoint blocks) rather than recomputing — callers
-    must release only after the final action, which is already the
-    documented contract.  Tracking is by WEAK reference: frames the
-    caller simply drops are reclaimed by GC + the ContextCleaner as
-    before."""
-    import weakref
-
-    _CHECKPOINTED.append(weakref.ref(df))
+    The release contract is stricter for checkpoints than for
+    :func:`register_cache` entries: a checkpoint has no lineage to
+    recompute from, so after ``release_caches()`` a further action on the
+    returned plan raises (missing checkpoint blocks) rather than
+    recomputing — callers must release only after the final action, which
+    is already the documented contract."""
+    rdd_id = _checkpoint_rdd_id(df)
+    if rdd_id is not None:
+        _CHECKPOINT_IDS.append(rdd_id)
     return df
+
+
+def free_checkpoint(df: DataFrame) -> bool:
+    """Immediately drop a SUPERSEDED checkpoint's blocks.
+
+    For iterative operators (connected components, PageRank, BPE) that
+    checkpoint once per round: once round i+1's checkpoint is
+    MATERIALIZED, round i's blocks are no longer an input to anything and
+    can be freed mid-loop, keeping peak checkpoint storage O(1) in the
+    iteration count instead of O(rounds).  The caller must guarantee the
+    materialization order — freeing a checkpoint that a not-yet-run lazy
+    checkpoint still reads from would fail that later job."""
+    rdd_id = _checkpoint_rdd_id(df)
+    if rdd_id is None:
+        return False
+    return _unpersist_rdd_id(rdd_id)
 
 
 def release_caches() -> int:
@@ -91,9 +142,7 @@ def release_caches() -> int:
     while _ACTIVE:
         _ACTIVE.pop().unpersist()
         n += 1
-    while _CHECKPOINTED:
-        df = _CHECKPOINTED.pop()()
-        if df is not None:
-            df.unpersist()
+    while _CHECKPOINT_IDS:
+        if _unpersist_rdd_id(_CHECKPOINT_IDS.pop()):
             n += 1
     return n

@@ -43,7 +43,11 @@ from typing import List, Sequence, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
-from feathub_spark.common.caching import register_cache
+from feathub_spark.common.caching import (
+    free_checkpoint,
+    register_cache,
+    track_checkpoint,
+)
 from feathub_spark.common.parallelism import ensure_parallelism
 
 END_OF_WORD = "</w>"
@@ -320,6 +324,7 @@ def bpe_train(
         "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"
     )
     top_k = max(8, min(64, int(n_merges) * 4))
+    prev = None
     try:
         while len(merges) < int(n_merges):
             top = (
@@ -331,6 +336,13 @@ def bpe_train(
                 .limit(top_k)
                 .collect()
             )
+            # the collect materialized cur's (lazy) checkpoint, so the
+            # round-before-last frame is no longer an input to anything —
+            # drop both its cacheManager entry and its checkpoint blocks
+            if prev is not None:
+                prev.unpersist()
+                free_checkpoint(prev)
+                prev = None
             batch, stop = plan_merge_batch(
                 [(r["l"], r["r"], int(r["c"])) for r in top],
                 remaining=int(n_merges) - len(merges),
@@ -346,16 +358,22 @@ def bpe_train(
                 break
             for left, right, c in batch:
                 merges.append((len(merges), left, right, c))
-            nxt = register_cache(
+            nxt = track_checkpoint(
                 cur.select(
                     _merge_udf([(l, r) for l, r, _ in batch])(F.col("s")).alias("s"),
                     "n",
                 )
                 .localCheckpoint(eager=False)
             )
+            prev = cur
             cur = nxt
     finally:
+        # cur may hold an unmaterialized lazy checkpoint (loop exited right
+        # after building it) — freeing is a no-op then; prev's blocks are
+        # still read by cur's UNMATERIALIZED plan, so leave prev to
+        # release_caches() (its id is tracked / its persist is registered)
         cur.unpersist()
+        free_checkpoint(cur)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )

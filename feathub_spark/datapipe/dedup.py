@@ -23,7 +23,11 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from feathub_spark.common.exceptions import FeathubError
-from feathub_spark.common.caching import register_cache
+from feathub_spark.common.caching import (
+    free_checkpoint,
+    register_cache,
+    track_checkpoint,
+)
 from feathub_spark.common.parallelism import ensure_parallelism
 
 _MERSENNE_P = (1 << 61) - 1
@@ -897,6 +901,7 @@ def dedup_clusters(
         .withColumn("cluster_id", F.col("id"))
     )
     converged = False
+    prev_ckpt = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["d"] == labels["id"])
@@ -922,17 +927,29 @@ def dedup_clusters(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("__changed__")).limit(1).count()
+        # this round's checkpoint is materialized (eager) — the previous
+        # round's blocks are no longer an input to anything; free them so
+        # peak checkpoint storage stays O(1) in the iteration count
+        if prev_ckpt is not None:
+            free_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.drop("__changed__")
         if changed == 0:
             converged = True
             break
     edges.unpersist()
     if not converged:
+        if prev_ckpt is not None:
+            free_checkpoint(prev_ckpt)
         raise RuntimeError(
             f"dedup_clusters did not converge within {max_iterations} "
             "iterations (a connected component's diameter exceeds the "
             "limit); raise max_iterations or use algorithm='star'"
         )
+    # the returned plan reads the final checkpoint's blocks — the caller
+    # frees them via release_caches() after the final action
+    if prev_ckpt is not None:
+        track_checkpoint(prev_ckpt)
     return labels
 
 
@@ -962,9 +979,11 @@ def _dedup_clusters_star(
     # live candidate-generation subplan (posting-list expansion + verify)
     # that would otherwise execute twice — once for the first-round edges
     # and again for the final node join.
-    base = pairs.select(
-        F.col(id_a).alias("x"), F.col(id_b).alias("y")
-    ).localCheckpoint(eager=True)
+    base = track_checkpoint(
+        pairs.select(
+            F.col(id_a).alias("x"), F.col(id_b).alias("y")
+        ).localCheckpoint(eager=True)
+    )
     nodes = (
         base.select(F.col("x").alias("id"))
         .unionByName(base.select(F.col("y").alias("id")))
@@ -1028,15 +1047,23 @@ def _dedup_clusters_star(
             new_e.exceptAll(e).limit(1).count() == 0
             and e.exceptAll(new_e).limit(1).count() == 0
         )
+        # new_e is materialized (eager) and the convergence probe has
+        # consumed the old round — free its blocks before moving on
+        old_e = e
         e, fp = new_e, new_fp
+        free_checkpoint(old_e)
         if unchanged:
             converged = True
             break
     if not converged:
+        free_checkpoint(e)
         raise RuntimeError(
             f"dedup_clusters(algorithm='star') did not converge within "
             f"{max_iterations} rounds; raise max_iterations"
         )
+    # the output plan reads the final edge checkpoint (and base, via
+    # nodes) — caller frees both via release_caches() after its action
+    track_checkpoint(e)
     roots = e.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("__root__"))
     return nodes.join(roots, "id", "left").select(
         "id", F.coalesce(F.col("__root__"), F.col("id")).alias("cluster_id")

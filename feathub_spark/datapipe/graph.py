@@ -57,7 +57,7 @@ def pagerank(
     construction, so the option is a no-op there.
 
     Returns (id, rank_units bigint, rank double = units / UNIT)."""
-    from feathub_spark.common.caching import register_cache
+    from feathub_spark.common.caching import register_cache, track_checkpoint
 
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
@@ -137,6 +137,11 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+        # lazy checkpoints all materialize under the caller's final
+        # action (iteration i+1's plan reads iteration i's blocks, so
+        # none can be freed mid-loop) — track each so release_caches()
+        # drops the whole chain afterwards
+        track_checkpoint(ranks)
     return ranks.withColumn(
         "rank", F.round(F.col("rank_units") / F.lit(float(UNIT)), 6)
     )

@@ -47,33 +47,101 @@ def test_register_cache_tracks_and_releases(spark):
     assert not df.storageLevel.useMemory or _cache_manager_empty(spark)
 
 
-def test_track_checkpoint_releases_blocks_and_holds_weakly(spark):
-    """track_checkpoint frames are freed by release_caches() but only
-    weakly referenced — a dropped frame must not be pinned forever."""
-    import gc
+def _cached_rdd_ids(spark):
+    return {
+        i.id()
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
 
-    from feathub_spark.common.caching import (
-        _CHECKPOINTED,
-        track_checkpoint,
-    )
+
+def test_track_checkpoint_release_actually_frees_blocks(spark):
+    """Dataset.unpersist() is a silent no-op for localCheckpoint frames
+    (their RDD is cached outside the SQL cacheManager), so the release
+    path must go through SparkContext.unpersistRDD by id — assert on the
+    RDD storage info, the thing that actually leaks."""
+    from feathub_spark.common.caching import track_checkpoint
 
     release_caches()
+    before = _cached_rdd_ids(spark)
     df = track_checkpoint(
         spark.range(50).withColumn("x", F.col("id") * 2)
         .localCheckpoint(eager=True)
     )
     assert df.count() == 50
-    assert release_caches() == 1
-    # weak tracking: dropping the handle without release leaves no strong
-    # reference in the registry
-    df2 = track_checkpoint(
-        spark.range(10).localCheckpoint(eager=True)
+    new_ids = _cached_rdd_ids(spark) - before
+    assert new_ids, "checkpoint should cache RDD blocks"
+    assert release_caches() >= 1
+    assert not (_cached_rdd_ids(spark) & new_ids), (
+        "checkpoint blocks must be gone after release_caches()"
     )
-    ref = _CHECKPOINTED[-1]
+
+
+def test_track_checkpoint_frees_after_handle_dropped(spark):
+    """Tracking is by RDD id, not by Python handle — dropping the frame
+    without releasing must not orphan its blocks."""
+    import gc
+
+    from feathub_spark.common.caching import track_checkpoint
+
+    release_caches()
+    before = _cached_rdd_ids(spark)
+    df2 = track_checkpoint(spark.range(10).localCheckpoint(eager=True))
+    assert df2.count() == 10
+    new_ids = _cached_rdd_ids(spark) - before
+    assert new_ids
     del df2
     gc.collect()
-    assert ref() is None
-    assert release_caches() == 0
+    assert release_caches() >= 1
+    assert not (_cached_rdd_ids(spark) & new_ids)
+
+
+def test_free_checkpoint_drops_superseded_round(spark):
+    """Iterative operators drop round i's checkpoint once round i+1 is
+    materialized — free_checkpoint must remove the blocks immediately."""
+    from feathub_spark.common.caching import free_checkpoint
+
+    release_caches()
+    before = _cached_rdd_ids(spark)
+    a = spark.range(20).localCheckpoint(eager=True)
+    ids_a = _cached_rdd_ids(spark) - before
+    b = a.withColumn("x", F.col("id") + 1).localCheckpoint(eager=True)
+    assert b.count() == 20
+    assert free_checkpoint(a)
+    assert not (_cached_rdd_ids(spark) & ids_a)
+    # the successor's blocks are untouched and still serve actions
+    assert b.count() == 20
+    free_checkpoint(b)
+
+
+def test_iterative_operators_leave_no_checkpoint_residue(spark):
+    """dedup_clusters (label + star) and pagerank checkpoint per round;
+    after the caller's action + release_caches() the RDD storage must be
+    back to where it started (the round-10 bench-drift leak)."""
+    from feathub_spark.datapipe.dedup import dedup_clusters
+    from feathub_spark.datapipe.graph import pagerank
+
+    release_caches()
+    spark.catalog.clearCache()
+    before = _cached_rdd_ids(spark)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (7, 8)],
+        "id_a long, id_b long",
+    )
+    # build each pipeline only after the previous one was released —
+    # release_caches() frees EVERY tracked checkpoint, including those of
+    # a not-yet-consumed sibling pipeline (the documented strictness)
+    for make in (
+        lambda: dedup_clusters(pairs),
+        lambda: dedup_clusters(pairs, algorithm="star"),
+        lambda: pagerank(pairs, iterations=3),
+    ):
+        out = make()
+        assert out.count() > 0
+        release_caches()
+        spark.catalog.clearCache()
+        assert not (_cached_rdd_ids(spark) - before), (
+            "residual cached RDD blocks after release"
+        )
 
 
 def test_no_bare_persist_in_package():
