@@ -126,10 +126,18 @@ def free_checkpoint(df: DataFrame) -> bool:
     can be freed mid-loop, keeping peak checkpoint storage O(1) in the
     iteration count instead of O(rounds).  The caller must guarantee the
     materialization order — freeing a checkpoint that a not-yet-run lazy
-    checkpoint still reads from would fail that later job."""
+    checkpoint still reads from would fail that later job.
+
+    A freed id is also dropped from the tracking registry, so operators
+    can safely ``track_checkpoint`` every round AT CREATION (covering
+    exception paths — an untracked mid-loop frame orphaned by a failed
+    job would be unreleasable) and still free superseded rounds without
+    inflating :func:`release_caches`'s count."""
     rdd_id = _checkpoint_rdd_id(df)
     if rdd_id is None:
         return False
+    while rdd_id in _CHECKPOINT_IDS:
+        _CHECKPOINT_IDS.remove(rdd_id)
     return _unpersist_rdd_id(rdd_id)
 
 
@@ -137,7 +145,11 @@ def release_caches() -> int:
     """Unpersist every registered intermediate (non-blocking) and empty the
     registry.  Returns how many handles were released.  Safe to call at any
     time for :func:`register_cache` entries (recompute, never wrong);
-    :func:`track_checkpoint` entries must not be consumed again after."""
+    :func:`track_checkpoint` entries must not be consumed again after —
+    and the registry is GLOBAL, so this also destroys the checkpoints of
+    any OTHER still-unconsumed pipeline built in the meantime (a
+    checkpoint has no lineage to recompute from; the later action raises
+    on missing blocks).  Consume-then-release one pipeline at a time."""
     n = 0
     while _ACTIVE:
         _ACTIVE.pop().unpersist()

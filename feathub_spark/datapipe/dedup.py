@@ -873,28 +873,13 @@ def dedup_clusters(
         return _dedup_clusters_star(pairs, id_a, id_b, max_iterations)
     if algorithm != "label":
         raise ValueError(f"unknown dedup_clusters algorithm: {algorithm!r}")
-    # symmetrize with an in-place explode, NOT a two-branch union: a union
-    # re-evaluates its parent lineage per branch, and ``pairs`` usually
-    # arrives as a live candidate-generation subplan (posting expansion +
-    # jaccard verify) that would otherwise execute twice just to build the
-    # edge list.  explode duplicates each row narrowly in one scan.
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col(id_a).alias("s"), F.col(id_b).alias("d")
-                    ),
-                    F.struct(
-                        F.col(id_b).alias("s"), F.col(id_a).alias("d")
-                    ),
-                )
-            ).alias("__e__")
-        )
-        .select("__e__.s", "__e__.d")
-        .distinct()
-        .persist()
-    )
+    # in-place symmetrize (see plan_shapes.symmetrize_pairs): ``pairs``
+    # usually arrives as a live candidate-generation subplan (posting
+    # expansion + jaccard verify) that a two-branch union would execute
+    # twice just to build the edge list
+    from feathub_spark.common.plan_shapes import symmetrize_pairs
+
+    edges = symmetrize_pairs(pairs, id_a, id_b, "s", "d").distinct().persist()
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()
@@ -926,6 +911,10 @@ def dedup_clusters(
             .withColumnRenamed("new_cluster_id", "cluster_id")
             .localCheckpoint(eager=True)
         )
+        # tracked AT CREATION so an exception below (a failed probe job,
+        # an interrupt) leaves the frame releasable; free_checkpoint on
+        # the superseded round also drops its id from the registry
+        track_checkpoint(new_labels)
         changed = new_labels.filter(F.col("__changed__")).limit(1).count()
         # this round's checkpoint is materialized (eager) — the previous
         # round's blocks are no longer an input to anything; free them so
@@ -946,10 +935,8 @@ def dedup_clusters(
             "iterations (a connected component's diameter exceeds the "
             "limit); raise max_iterations or use algorithm='star'"
         )
-    # the returned plan reads the final checkpoint's blocks — the caller
-    # frees them via release_caches() after the final action
-    if prev_ckpt is not None:
-        track_checkpoint(prev_ckpt)
+    # the final checkpoint is already tracked (at creation) — the caller
+    # frees its blocks via release_caches() after the final action
     return labels
 
 
@@ -989,7 +976,9 @@ def _dedup_clusters_star(
         .unionByName(base.select(F.col("y").alias("id")))
         .distinct()
     )
-    e = (
+    # every checkpoint is tracked AT CREATION (exception paths stay
+    # releasable); free_checkpoint on superseded rounds drops their ids
+    e = track_checkpoint(
         base.select(
             F.greatest(F.col("x"), F.col("y")).alias("a"),
             F.least(F.col("x"), F.col("y")).alias("b"),
@@ -1008,10 +997,10 @@ def _dedup_clusters_star(
 
     fp = _fingerprint(e)
     converged = False
+    from feathub_spark.common.plan_shapes import symmetrize_pairs
+
     for _ in range(max_iterations):
-        sym = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
-            e.select(F.col("b").alias("s"), F.col("a").alias("d"))
-        )
+        sym = symmetrize_pairs(e, "a", "b", "s", "d")
         nmin = sym.groupBy("s").agg(F.min("d").alias("__m__"))
         large = (
             sym.join(nmin, "s")
@@ -1042,6 +1031,7 @@ def _dedup_clusters_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        track_checkpoint(new_e)
         new_fp = _fingerprint(new_e)
         unchanged = new_fp == fp and (
             new_e.exceptAll(e).limit(1).count() == 0
@@ -1062,8 +1052,8 @@ def _dedup_clusters_star(
             f"{max_iterations} rounds; raise max_iterations"
         )
     # the output plan reads the final edge checkpoint (and base, via
-    # nodes) — caller frees both via release_caches() after its action
-    track_checkpoint(e)
+    # nodes) — both already tracked at creation; caller frees via
+    # release_caches() after its action
     roots = e.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("__root__"))
     return nodes.join(roots, "id", "left").select(
         "id", F.coalesce(F.col("__root__"), F.col("id")).alias("cluster_id")

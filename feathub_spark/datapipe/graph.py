@@ -66,26 +66,21 @@ def pagerank(
     e = ensure_parallelism(edges).select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
+    raw_cache = None
     if not directed:
-        # symmetrize with an in-place explode, not a two-branch union — a
-        # union re-evaluates its parent lineage per branch, and the edge
+        # in-place symmetrize (see plan_shapes.symmetrize_pairs): the edge
         # list usually arrives as a live candidate-generation subplan
-        # (ngram-jaccard pair expansion + verify) that would otherwise run
-        # twice just to build the undirected edge set
-        e = e.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("src"), F.col("dst")),
-                    F.struct(
-                        F.col("dst").alias("src"), F.col("src").alias("dst")
-                    ),
-                )
-            ).alias("__e__")
-        ).select("__e__.src", "__e__.dst")
+        # (ngram-jaccard pair expansion + verify) that a two-branch union
+        # would run twice just to build the undirected edge set
+        from feathub_spark.common.plan_shapes import symmetrize_pairs
+
+        e = symmetrize_pairs(e, "src", "dst", "src", "dst")
     elif handle_sinks == "self_loop":
         # this branch scans the edge subplan three times (dst-distinct,
-        # src-distinct anti, union) — materialize the raw list once first
-        e = register_cache(e)
+        # src-distinct anti, union) — materialize the raw list once first;
+        # it is dead once the augmented list below is materialized, so it
+        # is unpersisted right after (not left to release_caches)
+        raw_cache = e = register_cache(e)
         e.count()
         sinks = (
             e.select(F.col("dst").alias("id"))
@@ -104,6 +99,8 @@ def pagerank(
     # Caller releases via release_caches().
     e = register_cache(e.distinct())
     e.count()
+    if raw_cache is not None:
+        raw_cache.unpersist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
