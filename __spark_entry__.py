@@ -3800,11 +3800,11 @@ SELECT doc_id,
        regexp_replace(
          regexp_replace(
            regexp_replace(
-             regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+             regexp_replace(text, '(?i:https?)://[^\\s]+', '<URL>', 'g'),
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
            '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IPV4>', 'g'),
          '\\+[0-9][0-9 ()-]{{6,}}[0-9]', '<PHONE>', 'g') AS clean_text,
-       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(text, '(?i:https?)://[^\\s]+')) AS BIGINT) AS n_url,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
        CAST(len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
        CAST(len(regexp_extract_all(text, '\\+[0-9][0-9 ()-]{{6,}}[0-9]')) AS BIGINT) AS n_phone
@@ -3896,7 +3896,7 @@ WITH grams AS (
     SELECT lang,
            CASE WHEN len(tk) >= 2 THEN
              [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]
-           ELSE [array_to_string(tk, ' ')] END AS gs
+           ELSE CAST([] AS VARCHAR[]) END AS gs
     FROM (SELECT lang,
                  list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                              t -> t <> '') AS tk
@@ -3928,7 +3928,7 @@ _ORACLE_NGRAM_TOPK_GLOBAL = """
 WITH grams AS (
     SELECT CASE WHEN len(tk) >= 3 THEN
              [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
-           ELSE [array_to_string(tk, ' ')] END AS gs
+           ELSE CAST([] AS VARCHAR[]) END AS gs
     FROM (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                              t -> t <> '') AS tk
           FROM documents)
@@ -6660,7 +6660,7 @@ WITH base AS (
 ), hosts AS (
     SELECT doc_id,
            list_transform(
-             regexp_extract_all(t, 'https?://(?:[^/\\s?#]*@)?([^/\\s:?#]+)', 1),
+             regexp_extract_all(t, '(?i:https?)://(?:[^/\\s?#]*@)?([^/\\s:?#]+)', 1),
              h -> string_split(regexp_replace(lower(h), '^www\\.', ''), '.')
            ) AS parts
     FROM base

@@ -43,12 +43,17 @@ def numeric_histogram(
             "__hi__", F.lit(float(hi))
         )
     width = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
-    bin_id = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("__v__") - F.col("__lo__")) / width).cast("int"),
-        ),
+    # a constant column (hi == lo) makes width 0 — the division would
+    # kill the job under ANSI (Spark 4's default); every value lands in
+    # bin 0 with a degenerate [lo, lo] range instead
+    bin_id = F.when(width == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("__v__") - F.col("__lo__")) / width).cast("int"),
+            ),
+        )
     )
     return (
         base.withColumn("bin", bin_id.cast("int"))
@@ -174,11 +179,19 @@ def hll_distinct(
     exact = base.groupBy(*group_cols).agg(
         F.countDistinct(F.col(value_col)).cast("bigint").alias("n_exact")
     )
+    # NULL group keys are real groups here (both sides aggregate them),
+    # but a plain equi-join drops them (NULL != NULL) — join null-safely
+    ex = exact.alias("__ex__")
+    pg = per_group.withColumn("__zeros__", zeros.cast("bigint")).alias("__pg__")
     return (
-        exact.join(
-            per_group.withColumn("__zeros__", zeros.cast("bigint")),
-            on=group_cols,
+        ex.join(
+            pg,
+            on=[
+                F.col(f"__ex__.{c}").eqNullSafe(F.col(f"__pg__.{c}"))
+                for c in group_cols
+            ],
         )
+        .drop(*[F.col(f"__pg__.{c}") for c in group_cols])
         .withColumn("hll_estimate", est)
         .withColumn(
             "rel_err",
@@ -464,11 +477,16 @@ def approx_quantiles(
     # (measured 2x wall on a 2-column profile).  One explode over an
     # array<struct> of the already-aggregated row keeps a single scan.
     probs_arr = F.array(*[F.lit(p) for p in probs])
+    # an all-NULL column makes percentile_approx return NULL — coalesce
+    # to a NULL-filled array so the report SURFACES the column as NULL
+    # rows instead of silently omitting it (posexplode drops NULL arrays)
+    null_vals = F.array(*[F.lit(None).cast("double")] * len(probs))
     melted = base.select(
         *by,
         F.explode(F.array(*[
             F.struct(
-                F.lit(c).alias("column"), F.col(c).alias("__vals__")
+                F.lit(c).alias("column"),
+                F.coalesce(F.col(c), null_vals).alias("__vals__"),
             )
             for c in cols
         ])).alias("__s__"),

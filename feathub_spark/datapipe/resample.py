@@ -53,9 +53,11 @@ def resample_ffill(
         raise ValueError("step_us must be positive")
     value_cols = list(value_cols)
 
-    tie = (
-        F.col(id_col).cast("long") if id_col is not None else F.lit(0)
-    )
+    # tie-break on the id column's NATIVE type: a cast to long crashes on
+    # non-numeric ids under ANSI (Spark 4's default) and silently NULLs
+    # the tie order under non-ANSI — the exact nondeterminism id_col
+    # exists to prevent
+    tie = F.col(id_col) if id_col is not None else F.lit(0)
     base = ensure_parallelism(df).select(
         F.col(key_col),
         F.col(ts_us_col).cast("long").alias("__tu__"),
@@ -65,10 +67,18 @@ def resample_ffill(
     bounds = base.groupBy(key_col).agg(
         F.min("__tu__").alias("__lo__"), F.max("__tu__").alias("__hi__")
     )
+    # first step-multiple >= __lo__.  SQL div truncates toward ZERO, so
+    # the usual (__lo__ + step - 1) div step ceiling is wrong for
+    # negative (pre-1970) timestamps; truncation is already the ceiling
+    # there, and only positive non-multiples need the +1
     lo = (
         F.lit(int(start_us))
         if start_us is not None
-        else F.expr(f"((__lo__ + {step_us} - 1) div {step_us}) * {step_us}")
+        else F.expr(
+            f"CASE WHEN __lo__ % {step_us} = 0 THEN __lo__ "
+            f"ELSE ((__lo__ div {step_us}) + "
+            f"(CASE WHEN __lo__ > 0 THEN 1 ELSE 0 END)) * {step_us} END"
+        )
     )
     hi = F.lit(int(end_us)) if end_us is not None else F.col("__hi__")
     grid = (
@@ -86,7 +96,8 @@ def resample_ffill(
     events = base.withColumn("__is_grid__", F.lit(0))
     unioned = events.unionByName(
         grid.select(
-            key_col, "__tu__", F.lit(0).cast("long").alias("__tie__"),
+            key_col, "__tu__",
+            F.lit(None).cast(dict(base.dtypes)["__tie__"]).alias("__tie__"),
             *[F.lit(None).cast(dict(base.dtypes)[c]).alias(c)
               for c in value_cols],
             "__is_grid__",

@@ -175,7 +175,9 @@ def rolling_fingerprint(text_col: str, base: int = 31, mod: int = 1_000_000_007)
 # PII patterns: shared Java-regex/RE2 subset (no lookarounds, no backrefs)
 # so Spark and any RE2-based engine (DuckDB, Go) match identically.
 PII_PATTERNS = {
-    "url": r"https?://[^\s]+",
+    # (?i:...) — scheme matches case-insensitively in both Java regex and
+    # RE2, so 'HTTPS://x' cannot evade redaction or domain extraction
+    "url": r"(?i:https?)://[^\s]+",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
     "phone": r"\+[0-9][0-9 ()-]{6,}[0-9]",
@@ -267,7 +269,14 @@ def ngram_topk(
     group = [group_col] if group_col else []
     exploded = (
         ensure_parallelism(df)
-        .select(*group, F.explode(ngrams(text_col, n)).alias("gram"))
+        # STRICT n-grams: corpus frequency stats must not let documents
+        # shorter than n inject their whole text — or empty docs an
+        # empty-string gram — into the top-k counts (the whole-text
+        # fallback is right only for shingle/dedup signatures)
+        .select(
+            *group,
+            F.explode(F.expr(ngrams_strict_sql(text_col, n))).alias("gram"),
+        )
     )
     counts = exploded.groupBy(*group, "gram").agg(
         F.count(F.lit(1)).alias("n_occurrences")
@@ -337,7 +346,9 @@ def token_count_quantiles(
     aggs = [F.max("__tot__").cast("bigint").alias("n_docs")]
     for q in qs:
         target = 1 + F.floor((F.col("__tot__") - 1) * F.lit(float(q)))
-        name = "p" + str(int(q * 100))
+        # round, don't truncate: int(0.29*100) is 28 in binary floats,
+        # and 0.99/0.999 must not collide on the same alias
+        name = "p" + str(round(q * 100, 1)).removesuffix(".0").replace(".", "_")
         aggs.append(
             F.min(
                 F.when(F.col("__cum__") >= target, F.col("__tok__"))
@@ -407,7 +418,7 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-URL_PATTERN = r"https?://[^\s]+"
+URL_PATTERN = r"(?i:https?)://[^\s]+"
 # host = authority up to the first /, :, ?, # — shared Java-regex/RE2
 # subset so Spark and DuckDB extract identically
 # four backslashes: Python -> \\s in the SQL literal -> regex \s
@@ -416,7 +427,7 @@ URL_PATTERN = r"https?://[^\s]+"
 # (and 'user:pass@host' yielded 'user'), letting a crawl URL evade a
 # domain blocklist by writing a userinfo component.  The userinfo class
 # excludes ?# so an '@' inside a query string can never hijack the host.
-_HOST_PATTERN = r"https?://(?:[^/\\s?#]*@)?([^/\\s:?#]+)"
+_HOST_PATTERN = r"(?i:https?)://(?:[^/\\s?#]*@)?([^/\\s:?#]+)"
 
 
 # The common two-level public suffixes (public-suffix-list subset): hosts
@@ -519,8 +530,10 @@ def domain_blocklist_filter(
         # alternative would collapse duplicate input rows and cannot group
         # map-typed columns
         bcol = blocklist.columns[0]
+        # url_domains emits lowercased domains — lower the blocklist side
+        # too, else a mixed-case entry can never match anything
         bl_arr = blocklist.agg(
-            F.collect_set(F.col(bcol).cast("string")).alias("__bl__")
+            F.collect_set(F.lower(F.col(bcol).cast("string"))).alias("__bl__")
         )
         flagged = (
             df.crossJoin(F.broadcast(bl_arr))
@@ -531,7 +544,7 @@ def domain_blocklist_filter(
         flagged = df.withColumn(
             flag_col,
             F.arrays_overlap(
-                doms, F.array(*[F.lit(str(d)) for d in blocklist])
+                doms, F.array(*[F.lit(str(d).lower()) for d in blocklist])
             )
             if blocklist
             else F.lit(False),
