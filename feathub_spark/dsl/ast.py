@@ -23,7 +23,10 @@ WINDOW_TIME_PLACEHOLDER = "__window_time_ms__"
 
 
 def _common_type(dtypes: Sequence[t.DType], context: str) -> t.DType:
-    non_null = [d for d in dtypes if d is not None]
+    # Unknown is the NULL literal's type, not a concrete one — a NULL
+    # branch/element must not fail the numeric-widening fold (CASE WHEN c
+    # THEN NULL ELSE 5 END is Int64, ARRAY(1, NULL) is vector<Int64>)
+    non_null = [d for d in dtypes if d is not None and d != t.Unknown]
     if not non_null:
         return t.Unknown
     first = non_null[0]
@@ -307,6 +310,15 @@ class FuncCallOp(ExprAST):
             self._require_arity(1)
             return t.String
         if f in ("CONCAT", "CONCAT_WS", "JSON_STRING"):
+            # arity-check at BUILD time: CONCAT_WS(sep) would lower to
+            # the invalid SQL 'CONCAT_WS(sep, )' and JSON_STRING() to an
+            # IndexError in the lowering itself
+            if f == "CONCAT_WS" and len(self.args) < 2:
+                raise ExpressionError(
+                    "CONCAT_WS requires a separator plus at least one value."
+                )
+            if f == "JSON_STRING":
+                self._require_arity(1)
             return t.String
         if f == "UNIX_TIMESTAMP":
             if len(self.args) not in (1, 2):

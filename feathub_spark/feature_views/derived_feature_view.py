@@ -74,8 +74,25 @@ class DerivedFeatureView(FeatureView):
         )
 
         resolved: List[Feature] = []
+        seen_names = set(variable_types) if self.keep_source_fields else set()
         for raw in self.features:
             feature = self._resolve_feature(raw, variable_types, source, registry)
+            # two entries of one map ("t.m['a']", "t.m['b']") would both
+            # default to the map's name — disambiguate the later ones with
+            # a key suffix (a single entry keeps the plain map name)
+            if (
+                feature.name in seen_names
+                and isinstance(feature.transform, JoinTransform)
+                and feature.transform.map_key is not None
+            ):
+                safe_key = re.sub(r"\W", "_", str(feature.transform.map_key))
+                feature = Feature(
+                    f"{feature.name}_{safe_key}",
+                    transform=feature.transform,
+                    dtype=feature.dtype,
+                    keys=feature.keys,
+                )
+            seen_names.add(feature.name)
             variable_types[feature.name] = feature.dtype
             resolved.append(feature)
 
@@ -126,7 +143,9 @@ class DerivedFeatureView(FeatureView):
                             f"{raw!r}: {feature_name} is not map-typed."
                         )
                     dtype = dtype.value_dtype
-                out_name = feature_name if map_key is None else f"{feature_name}"
+                # default output name is the (map) feature's own name; a
+                # second entry of the same map gets a key suffix in build()
+                out_name = feature_name
                 return Feature(
                     out_name,
                     transform=JoinTransform(table_name, feature_name, map_key),

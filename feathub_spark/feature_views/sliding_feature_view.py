@@ -23,6 +23,7 @@ from typing import Dict, List, Optional, Sequence, Union
 
 from feathub_spark.common.exceptions import FeathubError, RegistryError
 from feathub_spark.common import types as t
+from feathub_spark.dsl.ast import WINDOW_TIME_PLACEHOLDER
 from feathub_spark.dsl.parser import parse_expr
 from feathub_spark.table.table_descriptor import TableDescriptor
 from feathub_spark.feature_views.feature import Feature
@@ -211,12 +212,17 @@ class SlidingFeatureView(FeatureView):
         for f in self.post_sliding_features():
             if isinstance(f.transform, ExpressionTransform):
                 deps = parse_expr(f.transform.expr).variables()
-                bad = deps - allowed - {"__window_time__"}
+                # the GET_WINDOW_TIME placeholder column is legal here
+                bad = deps - allowed - {WINDOW_TIME_PLACEHOLDER}
                 if bad:
                     raise FeathubError(
                         f"Post-sliding feature {f.name!r} depends on {sorted(bad)} "
                         "which are not available after windowing."
                     )
+            # post features evaluate sequentially, so each validated
+            # feature becomes referenceable by the ones after it
+            # (reference sliding_feature_view.py:490-523 does the same)
+            allowed.add(f.name)
 
     def get_output_fields(self) -> List[str]:
         fields = list(self.group_by_keys)

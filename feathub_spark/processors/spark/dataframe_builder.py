@@ -190,6 +190,14 @@ class SparkDataFrameBuilder:
                 )
 
         # joins, grouped per (right table, keys) — one as-of pass each
+        if joins and df.schema and EVENT_TIME_COL not in df.columns:
+            # without a left event time the union+last_value plan would
+            # sort every left row before every right row (NULLs first)
+            # and return all-NULL joined features — fail loudly instead
+            raise PlanError(
+                f"Point-in-time join features in {view.name!r} require the "
+                "source to declare a timestamp_field."
+            )
         for (table_name, keys), features in joins.items():
             right_desc = self._registry.get_features(table_name)
             if right_desc.timestamp_field is None:
@@ -265,12 +273,18 @@ class SparkDataFrameBuilder:
                     window_ms=desc.window_size_ms,
                     cache=self._skew_probe_cache,
                 )
-            self.salt_decisions.append(
-                ("over_window", desc.group_by_keys, chunk_ms)
+            # record the EFFECTIVE decision: an explicit chunk smaller
+            # than a bounded window still falls back to the plain plan,
+            # and the recorded decision must say so (plan tests read it)
+            salted = chunk_ms is not None and (
+                desc.window_size_ms is None or desc.window_size_ms <= chunk_ms
             )
-            if chunk_ms is not None and desc.window_size_ms is None:
+            self.salt_decisions.append(
+                ("over_window", desc.group_by_keys, chunk_ms if salted else None)
+            )
+            if salted and desc.window_size_ms is None:
                 df = evaluate_salted_over_window(df, desc, fields, chunk_ms)
-            elif chunk_ms is not None and desc.window_size_ms <= chunk_ms:
+            elif salted:
                 df = evaluate_salted_bounded_over_window(
                     df, desc, fields, chunk_ms
                 )

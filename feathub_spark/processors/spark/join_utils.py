@@ -48,7 +48,7 @@ _SIDE_COL = "__asof_side__"      # 0 = right, 1 = left: right first on ties
 _PAYLOAD_COL = "__asof_payload__"
 _RIGHT_TS = "__right_ts_ms__"
 _CHUNK_COL = "__asof_chunk__"
-_MS_COL = "__asof_ms__"
+_MS_COL = "__asof_us__"  # unix_micros — full event-time precision
 _PREFIX_COL = "__asof_prefix__"
 
 
@@ -66,9 +66,14 @@ def _chunked_asof_fill(
       3. within-chunk running last + coalesce with the chunk prefix.
     """
     keys = list(keys)
-    ms = F.unix_millis(F.col(EVENT_TIME_COL))
-    base = unioned.withColumn(_MS_COL, ms).withColumn(
-        _CHUNK_COL, F.floor(F.col(_MS_COL) / F.lit(chunk_ms))
+    # FULL-precision (microsecond) ordering: the unsalted plan orders by
+    # the raw event time, so ordering the chunked plan by truncated
+    # millis would let a left row match a right row up to 999us in its
+    # future on sub-millisecond data.  Chunk boundaries stay at chunk_ms
+    # (the same instants, expressed in micros).
+    us = F.unix_micros(F.col(EVENT_TIME_COL))
+    base = unioned.withColumn(_MS_COL, us).withColumn(
+        _CHUNK_COL, F.floor(F.col(_MS_COL) / F.lit(int(chunk_ms) * 1000))
     )
 
     chunk_last = (

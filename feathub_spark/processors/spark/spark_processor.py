@@ -102,10 +102,23 @@ class SparkProcessor:
                 raise ValueError(
                     "start/end_datetime filters require a timestamp_field."
                 )
+            # naive datetimes are UTC wall times (the engine pins
+            # spark.sql.session.timeZone=UTC and parses event times as
+            # UTC) — a bare F.lit(naive) would go through the DRIVER's
+            # local timezone and shift the range by its UTC offset
+            def _as_utc(dt):
+                from datetime import timezone as _tz
+
+                return dt.replace(tzinfo=_tz.utc) if dt.tzinfo is None else dt
+
             if start_datetime is not None:
-                df = df.filter(F.col(EVENT_TIME_COL) >= F.lit(start_datetime))
+                df = df.filter(
+                    F.col(EVENT_TIME_COL) >= F.lit(_as_utc(start_datetime))
+                )
             if end_datetime is not None:
-                df = df.filter(F.col(EVENT_TIME_COL) < F.lit(end_datetime))
+                df = df.filter(
+                    F.col(EVENT_TIME_COL) < F.lit(_as_utc(end_datetime))
+                )
 
         if keys is not None:
             key_df = self._to_key_dataframe(keys, builder)

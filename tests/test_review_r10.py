@@ -119,3 +119,218 @@ def test_approx_quantiles_surfaces_all_null_column(spark):
     assert set(by_col) == {"a", "b"}
     assert by_col["b"] == [None, None]
     assert all(v is not None for v in by_col["a"])
+
+
+def test_two_map_entries_get_distinct_names(client, tmp_path):
+    """Two entries of ONE map in a view must not collide on the map's
+    name: the first keeps it, later ones get a key suffix."""
+    from feathub_spark import DerivedFeatureView, Feature
+
+    from tests.fixtures import write_f1_source
+
+    source = write_f1_source(tmp_path)
+    right = DerivedFeatureView(
+        name="map2_right_view",
+        source=source,
+        features=[
+            Feature(
+                "cost_map",
+                transform="MAP('raw', cost, 'double', cost * 2)",
+                keys=["name"],
+            ),
+        ],
+        keep_source_fields=True,
+    )
+    left = DerivedFeatureView(
+        name="map2_left_view",
+        source=source,
+        features=[
+            "map2_right_view.cost_map['raw']",
+            "map2_right_view.cost_map['double']",
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([source, right])
+    client.build_features([left])
+    df = (
+        client.get_features(left)
+        .to_pandas()
+        .sort_values("time")
+        .reset_index(drop=True)
+    )
+    assert df["cost_map"].tolist() == [100, 400, 300, 200, 500, 600]
+    assert df["cost_map_double"].tolist() == [200, 800, 600, 400, 1000, 1200]
+
+
+def test_pit_join_requires_left_timestamp(client, tmp_path):
+    """A source with no timestamp_field plus a join feature must raise a
+    PlanError, not silently produce all-NULL joined features."""
+    import pytest
+
+    from feathub_spark import DerivedFeatureView, FileSystemSource
+    from feathub_spark.common.exceptions import PlanError
+
+    from tests.fixtures import write_f1_source
+
+    source = write_f1_source(tmp_path)
+    no_ts = FileSystemSource(
+        name="no_ts_purchases",
+        path=source.path,
+        data_format="csv",
+        schema=source.schema,
+        keys=["name"],
+    )
+    left = DerivedFeatureView(
+        name="no_ts_left_view",
+        source=no_ts,
+        features=["ts_right_view.cost"],
+        keep_source_fields=True,
+    )
+    right = DerivedFeatureView(
+        name="ts_right_view",
+        source=source,
+        features=[],
+        keep_source_fields=True,
+    )
+    client.build_features([source, no_ts, right])
+    client.build_features([left])
+    with pytest.raises(PlanError, match="timestamp_field"):
+        client.get_features(left).to_pandas()
+
+
+def test_dsl_null_branches_and_arity(spark):
+    """NULL branches/elements type-check (Unknown is not a concrete
+    type), and CONCAT_WS/JSON_STRING arity errors surface at build time."""
+    import pytest
+
+    from feathub_spark.common import types as t
+    from feathub_spark.common.exceptions import ExpressionError
+    from feathub_spark.dsl.parser import parse_expr
+
+    assert parse_expr("CASE WHEN x > 0 THEN NULL ELSE 5 END").eval_dtype(
+        {"x": t.Int64}
+    ) == t.Int64
+    assert parse_expr("ARRAY(1, NULL)").eval_dtype({}) == t.VectorType(t.Int64)
+    with pytest.raises(ExpressionError):
+        parse_expr("CONCAT_WS(',')").eval_dtype({})
+    with pytest.raises(ExpressionError):
+        parse_expr("JSON_STRING()").eval_dtype({})
+
+
+def test_post_sliding_features_can_chain(client, tmp_path):
+    """A post-sliding feature may reference an EARLIER post-sliding
+    feature (they evaluate sequentially)."""
+    from datetime import timedelta
+
+    from feathub_spark import Feature, SlidingFeatureView
+    from feathub_spark.feature_views.transforms import SlidingWindowTransform
+
+    from tests.fixtures import write_f1_source
+
+    source = write_f1_source(tmp_path)
+    view = SlidingFeatureView(
+        name="chained_post_view",
+        source=source,
+        features=[
+            Feature(
+                "total_cost",
+                transform=SlidingWindowTransform(
+                    "cost", "SUM", window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["name"],
+                ),
+            ),
+            Feature("a", transform="total_cost + 1"),
+            Feature("b", transform="a * 2"),
+        ],
+        skip_same_window_output=False,
+    )
+    client.build_features([source])
+    client.build_features([view])
+    df = client.get_features(view).to_pandas()
+    assert (df["b"] == (df["total_cost"] + 1) * 2).all()
+
+
+def test_salted_asof_matches_unsalted_on_microsecond_ties(spark):
+    """The time-chunked as-of plan must order at FULL event-time
+    precision: sub-millisecond data used to match a right row up to
+    999us in the left row's future."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from feathub_spark.processors.spark.constants import EVENT_TIME_COL
+    from feathub_spark.processors.spark.join_utils import temporal_join
+
+    def ts(us):
+        return datetime(2026, 1, 1, tzinfo=timezone.utc).replace(
+            microsecond=us
+        )
+
+    left = spark.createDataFrame(
+        [("k", ts(100)), ("k", ts(950))], "k string, t timestamp"
+    ).withColumn(EVENT_TIME_COL, F.col("t"))
+    right = spark.createDataFrame(
+        [("k", ts(900), 42.0)], "k string, t timestamp, v double"
+    ).withColumn(EVENT_TIME_COL, F.col("t"))
+    plain = temporal_join(left, right, ["k"], {"v": "v"})
+    salted = temporal_join(
+        left, right, ["k"], {"v": "v"}, salt_chunk_ms=3_600_000
+    )
+    want = [(100, None), (950, 42.0)]
+    for out in (plain, salted):
+        got = sorted(
+            (r["t"].microsecond, r["v"]) for r in out.select("t", "v").collect()
+        )
+        assert got == want
+
+
+def test_salt_decision_records_effective_plan(spark, tmp_path):
+    """An explicit salt chunk SMALLER than a bounded window falls back to
+    the plain over-window plan — the recorded decision must say None, and
+    results must match the plain processor."""
+    from datetime import timedelta
+
+    from feathub_spark import DerivedFeatureView, Feature
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+    from feathub_spark.processors.spark.spark_processor import SparkProcessor
+
+    from tests.fixtures import write_f1_source
+
+    source = write_f1_source(tmp_path)
+
+    def _view():
+        return DerivedFeatureView(
+            name="salt_decision_view",
+            source=source,
+            features=[
+                Feature(
+                    "cost_24h",
+                    transform=OverWindowTransform(
+                        "cost", "SUM", window_size=timedelta(hours=24),
+                        group_by_keys=["name"],
+                    ),
+                ),
+            ],
+            keep_source_fields=True,
+        )
+
+    plain = SparkProcessor(spark)
+    plain.registry.build_features([source])
+    expected = plain.get_table(
+        plain.registry.build_features([_view()])[0]
+    ).to_pandas()
+
+    salted = SparkProcessor(spark, over_window_salt_chunk_ms=3_600_000)
+    salted.registry.build_features([source])
+    got = salted.get_table(
+        salted.registry.build_features([_view()])[0]
+    ).to_pandas()
+
+    ow = [d for d in salted.last_salt_decisions if d[0] == "over_window"]
+    assert len(ow) == 1
+    assert ow[0][2] is None  # fell back to the plain plan, recorded as such
+
+    cols = sorted(expected.columns)
+    exp = expected[cols].sort_values(cols).reset_index(drop=True)
+    act = got[cols].sort_values(cols).reset_index(drop=True)
+    assert act.equals(exp)
