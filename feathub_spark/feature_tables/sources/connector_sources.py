@@ -75,17 +75,18 @@ class KafkaSource(FeatureTable):
         bounded._is_bounded = True
         return bounded
 
-    def starting_offsets(self) -> str:
-        if self.startup_mode == "earliest-offset":
-            return "earliest"
+    def starting_offset_options(self) -> dict:
+        """Reader options selecting the start position.  The timestamp
+        mode uses ``startingTimestamp`` (applies to every partition) —
+        feeding a millisecond timestamp into ``startingOffsets`` would be
+        read as a partition OFFSET json, seeking ~1.7e12 records past the
+        log end and failing on any multi-partition topic."""
         if self.startup_mode == "latest-offset":
-            return "latest"
+            return {"startingOffsets": "latest"}
         if self.startup_mode == "timestamp" and self.startup_datetime is not None:
-            import json
-
             ts_ms = int(self.startup_datetime.timestamp() * 1000)
-            return json.dumps({self.topic: {"0": ts_ms}})
-        return "earliest"
+            return {"startingTimestamp": str(ts_ms)}
+        return {"startingOffsets": "earliest"}
 
 
 class JdbcSource(FeatureTable):

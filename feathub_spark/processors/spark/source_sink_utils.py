@@ -174,14 +174,15 @@ def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFr
                 f"KafkaSource {source.name!r} is unbounded; use the streaming "
                 "builder (get_stream_dataframe) or get_bounded_view()."
             )
-        raw = (
+        reader = (
             spark.read.format("kafka")
             .option("kafka.bootstrap.servers", source.bootstrap_server)
             .option("subscribe", source.topic)
-            .option("startingOffsets", source.starting_offsets())
             .option("endingOffsets", "latest")
-            .load()
         )
+        for k, v in source.starting_offset_options().items():
+            reader = reader.option(k, v)
+        raw = reader.load()
         return append_event_time(_parse_kafka_value(raw, source), source)
 
     if isinstance(source, JdbcSource):
@@ -197,11 +198,35 @@ def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFr
         if source.password:
             reader = reader.option("password", source.password)
         if source.partition_column:
-            # Parallel scan: Spark probes min/max and splits the range so the
-            # read fans out across executors instead of one connection.
-            reader = reader.option("partitionColumn", source.partition_column).option(
-                "numPartitions", str(source.num_partitions)
+            # Parallel scan.  Spark REQUIRES partitionColumn, lowerBound,
+            # upperBound, and numPartitions as a foursome (it does NOT
+            # probe min/max itself) — fetch the bounds with one 1-row
+            # scalar query over the same connection options, and fall
+            # back to the single-connection read on an empty table.
+            col = source.partition_column
+            bounds_reader = (
+                spark.read.format("jdbc")
+                .option("url", source.url)
+                .option(
+                    "dbtable",
+                    f"(SELECT MIN({col}) AS lo, MAX({col}) AS hi "
+                    f"FROM {source.table}) feathub_bounds",
+                )
             )
+            if source.driver:
+                bounds_reader = bounds_reader.option("driver", source.driver)
+            if source.username:
+                bounds_reader = bounds_reader.option("user", source.username)
+            if source.password:
+                bounds_reader = bounds_reader.option("password", source.password)
+            row = bounds_reader.load().first()
+            if row is not None and row["lo"] is not None:
+                reader = (
+                    reader.option("partitionColumn", col)
+                    .option("lowerBound", str(row["lo"]))
+                    .option("upperBound", str(row["hi"]))
+                    .option("numPartitions", str(source.num_partitions))
+                )
         return append_event_time(reader.load(), source)
 
     if isinstance(source, HiveSource):
@@ -317,6 +342,9 @@ def insert_into_sink(df: DataFrame, sink, descriptor: TableDescriptor = None) ->
         )
         return
     if isinstance(sink, JdbcSink):
+        if sink.upsert_keys:
+            _write_jdbc_upsert(df, sink)
+            return
         writer = (
             df.write.format("jdbc")
             .option("url", sink.url)
@@ -341,6 +369,83 @@ def insert_into_sink(df: DataFrame, sink, descriptor: TableDescriptor = None) ->
         _write_prometheus(df, sink)
         return
     raise PlanError(f"Unsupported sink type {type(sink).__name__}.")
+
+
+def upsert_sql(url: str, table: str, staging: str, cols, keys) -> str:
+    """Dialect-specific key-upsert statement moving ``staging`` into
+    ``table`` — the SQL half of JdbcSink's ``upsert_keys`` contract,
+    factored out so the statement is unit-testable without a live DB.
+
+    MySQL: INSERT ... ON DUPLICATE KEY UPDATE (requires a UNIQUE/PK on
+    the upsert keys, the standard CDC table shape); PostgreSQL:
+    INSERT ... ON CONFLICT (keys) DO UPDATE.  Other dialects raise —
+    appending silently where the user declared upsert semantics would
+    duplicate rows per key."""
+    cols = list(cols)
+    keys = list(keys)
+    non_keys = [c for c in cols if c not in keys]
+    col_list = ", ".join(cols)
+    if url.startswith("jdbc:mysql:"):
+        updates = ", ".join(
+            f"{c} = VALUES({c})" for c in non_keys
+        ) or f"{keys[0]} = {table}.{keys[0]}"
+        return (
+            f"INSERT INTO {table} ({col_list}) "
+            f"SELECT {col_list} FROM {staging} "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    if url.startswith("jdbc:postgresql:"):
+        conflict = ", ".join(keys)
+        updates = ", ".join(
+            f"{c} = EXCLUDED.{c}" for c in non_keys
+        ) or f"{keys[0]} = EXCLUDED.{keys[0]}"
+        return (
+            f"INSERT INTO {table} ({col_list}) "
+            f"SELECT {col_list} FROM {staging} "
+            f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+        )
+    raise PlanError(
+        f"JdbcSink upsert_keys is supported for mysql/postgresql URLs, "
+        f"not {url.split(':', 2)[:2]}; drop upsert_keys for plain append."
+    )
+
+
+def _write_jdbc_upsert(df: DataFrame, sink) -> None:
+    """Key-upsert write: stage the batch via the parallel JDBC writer
+    (overwrite), then one driver-side statement merges the staging table
+    into the target — the executors never hold row-level upsert logic,
+    and the merge is a single set-based statement on the database."""
+    staging = f"{sink.table}_feathub_stage"
+    writer = (
+        df.write.format("jdbc")
+        .option("url", sink.url)
+        .option("dbtable", staging)
+        .mode("overwrite")
+    )
+    if sink.driver:
+        writer = writer.option("driver", sink.driver)
+    if sink.username:
+        writer = writer.option("user", sink.username)
+    if sink.password:
+        writer = writer.option("password", sink.password)
+    writer.save()
+    stmt = upsert_sql(sink.url, sink.table, staging, df.columns, sink.upsert_keys)
+    spark = df.sparkSession
+    jvm = spark._sc._jvm
+    if sink.driver:
+        jvm.java.lang.Class.forName(sink.driver)
+    conn = jvm.java.sql.DriverManager.getConnection(
+        sink.url, sink.username or "", sink.password or ""
+    )
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(stmt)
+            st.executeUpdate(f"DROP TABLE {staging}")
+        finally:
+            st.close()
+    finally:
+        conn.close()
 
 
 def _write_redis(df: DataFrame, sink, descriptor) -> None:
@@ -425,6 +530,13 @@ def _write_prometheus(df: DataFrame, sink) -> None:
     def push_partition(rows):
         _push_prometheus_partition(rows, host_url, job_name)
 
-    df = df.repartition(1)
+    # "last row wins" must be DETERMINISTIC: repartition(1) alone shuffles
+    # rows into arbitrary order.  With an event time, the latest row is
+    # the defined winner; otherwise a total sort over the (tiny metric)
+    # frame fixes the order run-to-run.
+    if EVENT_TIME_COL in df.columns:
+        df = df.orderBy(F.col(EVENT_TIME_COL).desc()).limit(1)
+    else:
+        df = df.repartition(1).sortWithinPartitions(*df.columns)
 
     df.foreachPartition(push_partition)

@@ -76,6 +76,10 @@ def stateful_over_window(df: DataFrame, features: List[Feature]) -> DataFrame:
             if tr.filter_expr
             else F.lit(True),
         )
+    # NULL event times (unparseable timestamps) would arrive in pandas as
+    # NaN and crash int() in the state loop — drop them like the stateful
+    # as-of join does
+    prepared = prepared.filter(F.col(EVENT_TIME_COL).isNotNull())
     prepared = prepared.withColumn(
         "__ms__", F.unix_millis(F.col(EVENT_TIME_COL))
     ).withColumn(

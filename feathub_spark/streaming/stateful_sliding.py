@@ -119,6 +119,10 @@ def stateful_sliding_window(
             f"__f{i}__",
             F.expr(f"coalesce({fexpr}, false)") if fexpr else F.lit(True),
         )
+    # a NULL event time (unparseable timestamp) has no window and would
+    # arrive in pandas as NaN, crashing int() in the state loop — drop it
+    # like the stateful as-of join does
+    prepared = prepared.filter(F.col(EVENT_TIME_COL).isNotNull())
     prepared = prepared.withColumn("__ms__", F.unix_millis(F.col(EVENT_TIME_COL)))
     # EVENT_TIME_COL stays in the projection: event-time timeout requires the
     # watermarked column to remain present in the child plan.

@@ -70,17 +70,21 @@ class SparkStreamBuilder:
             for k, v in source.data_format_props.items():
                 reader = reader.option(k, v)
             if source.data_format == "csv":
-                reader = reader.option("header", "true")
+                # default only — a user-supplied header=false must win
+                # (the batch path already defaults the same way)
+                reader = reader.option(
+                    "header", source.data_format_props.get("header", "true")
+                )
             df = reader.load(source.path)
         elif isinstance(source, KafkaSource):
-            raw = (
+            kreader = (
                 self._spark.readStream.format("kafka")
                 .option("kafka.bootstrap.servers", source.bootstrap_server)
                 .option("subscribe", source.topic)
-                .option("startingOffsets", source.starting_offsets())
-                .load()
             )
-            df = _parse_kafka_value(raw, source)
+            for k, v in source.starting_offset_options().items():
+                kreader = kreader.option(k, v)
+            df = _parse_kafka_value(kreader.load(), source)
         elif isinstance(source, DataGenSource):
             from feathub_spark.common import types as _t
             from feathub_spark.feature_tables.sources.datagen_source import (
@@ -188,13 +192,30 @@ class SparkStreamBuilder:
                     "the batch path."
                 )
 
+        # a stateful stage rebuilds EVENT_TIME_COL without watermark
+        # metadata, but the NEXT stateful stage's EventTimeTimeout needs a
+        # watermarked column in its child plan — re-attach the source's
+        # watermark between stateful stages
+        source_delay_ms = _watermark_delay_ms(view.get_resolved_source())
+        stateful_ran = False
+
+        def _rewatermark(frame: DataFrame) -> DataFrame:
+            if not stateful_ran:
+                return frame
+            return frame.withWatermark(
+                EVENT_TIME_COL, f"{source_delay_ms} milliseconds"
+            )
+
         for (table_name, jkeys), group in join_groups.items():
             right_desc = self._registry.get_features(table_name)
             right_df = self.get_stream_dataframe(right_desc)
             right_fields = {
                 f.name: f.transform.feature_name for f in group
             }
-            df = stateful_asof_join(df, right_df, list(jkeys), right_fields)
+            df = stateful_asof_join(
+                _rewatermark(df), right_df, list(jkeys), right_fields
+            )
+            stateful_ran = True
             for f_ in group:
                 if f_.transform.map_key is not None:
                     df = df.withColumn(
@@ -202,7 +223,8 @@ class SparkStreamBuilder:
                     )
 
         for _, group in window_groups.items():
-            df = stateful_over_window(df, group)
+            df = stateful_over_window(_rewatermark(df), group)
+            stateful_ran = True
 
         for feature in late_features:
             df = df.withColumn(
@@ -317,13 +339,24 @@ class SparkStreamBuilder:
                 value_sql = (
                     f"CASE WHEN {to_spark_sql(tr.filter_expr)} THEN {value_sql} END"
                 )
+            # COUNT counts filter-passing ROWS (incl. NULL values) and
+            # SUM/COUNT default to 0 on empty/all-filtered windows —
+            # matching the batch evaluator's row_gate_sql/_default_col
+            # golden semantics exactly (sliding_window_utils.py:106-118)
+            gate_sql = (
+                "1" if not tr.filter_expr
+                else f"CASE WHEN {to_spark_sql(tr.filter_expr)} THEN 1 END"
+            )
             agg_name = tr.agg_func.name
             if agg_name == "AVG":
                 col = F.expr(f"avg({value_sql})")
             elif agg_name == "SUM":
-                col = F.expr(f"sum({value_sql})")
+                col = F.coalesce(
+                    F.expr(f"sum({value_sql})"),
+                    F.lit(0).cast(to_spark_type(f_.dtype)),
+                )
             elif agg_name in ("COUNT", "ROW_NUMBER"):
-                col = F.expr(f"count({value_sql})")
+                col = F.expr(f"count({gate_sql})")
             elif agg_name == "MAX":
                 col = F.expr(f"max({value_sql})")
             elif agg_name == "MIN":
@@ -398,14 +431,33 @@ def write_stream(
     if isinstance(sink, BlackHoleSink):
         return writer.format("noop").start()
     if isinstance(sink, KafkaSink):
+        # keyed records like the batch Kafka writer (key-based
+        # partitioning / log compaction must survive a batch->streaming
+        # switch), query_name preserved, and the default checkpoint made
+        # UNIQUE per query — two queries sharing one checkpoint resume
+        # each other's offsets and corrupt both
+        keys = descriptor.keys if descriptor is not None else None
         value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
         out = df.select(value.alias("value"))
+        if keys:
+            out = df.select(
+                F.to_json(F.struct(*[F.col(k) for k in keys])).alias("key"),
+                value.alias("value"),
+            )
+        if checkpoint_dir is None:
+            import tempfile
+
+            checkpoint_dir = tempfile.mkdtemp(
+                prefix=f"feathub_ckpt_{query_name or sink.topic}_"
+            )
+        kwriter = out.writeStream.outputMode(output_mode)
+        if query_name:
+            kwriter = kwriter.queryName(query_name)
         return (
-            out.writeStream.outputMode(output_mode)
-            .format("kafka")
+            kwriter.format("kafka")
             .option("kafka.bootstrap.servers", sink.bootstrap_server)
             .option("topic", sink.topic)
-            .option("checkpointLocation", checkpoint_dir or "/tmp/feathub_ckpt")
+            .option("checkpointLocation", checkpoint_dir)
             .start()
         )
 

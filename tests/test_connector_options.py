@@ -159,13 +159,19 @@ def test_kafka_startup_mode_mapping():
     base = dict(
         name="k", bootstrap_server="b:9092", topic="tp", schema=SCHEMA
     )
-    assert KafkaSource(**base).starting_offsets() == "earliest"  # group-offsets fallback
-    assert KafkaSource(**base, startup_mode="latest-offset").starting_offsets() == "latest"
-    ts = KafkaSource(
+    # group-offsets fallback
+    assert KafkaSource(**base).starting_offset_options() == {
+        "startingOffsets": "earliest"
+    }
+    assert KafkaSource(
+        **base, startup_mode="latest-offset"
+    ).starting_offset_options() == {"startingOffsets": "latest"}
+    # timestamp mode must use startingTimestamp (per-partition offsets
+    # JSON would read the millis as an OFFSET and fail/seek past the log)
+    assert KafkaSource(
         **base, startup_mode="timestamp",
         startup_datetime=datetime.fromtimestamp(1700000000),
-    ).starting_offsets()
-    assert json.loads(ts) == {"tp": {"0": 1700000000000}}
+    ).starting_offset_options() == {"startingTimestamp": "1700000000000"}
 
 
 def test_kafka_unbounded_batch_read_rejected(spark):
@@ -177,15 +183,24 @@ def test_kafka_unbounded_batch_read_rejected(spark):
 
 
 def test_jdbc_source_reader_options(spark):
-    empty = spark.createDataFrame([], "a long, t long")
+    """Spark requires partitionColumn/lowerBound/upperBound/numPartitions
+    as a foursome — the reader probes MIN/MAX with a 1-row subquery and
+    passes real bounds (or falls back to a single-connection read when
+    the table is empty)."""
+    bounds = spark.createDataFrame([(3, 99)], "lo long, hi long")
     log = []
     src = JdbcSource(
         name="j1", url="jdbc:postgresql://h:5432/db", table="tbl",
         driver="org.postgresql.Driver", username="u", password="pw",
         partition_column="a", num_partitions=16,
     )
-    get_source_dataframe(RecordingSession(empty, log), src)
-    assert log == [{
+    get_source_dataframe(RecordingSession(bounds, log), src)
+    assert len(log) == 2
+    probe, main = log
+    assert probe["options"]["dbtable"] == (
+        "(SELECT MIN(a) AS lo, MAX(a) AS hi FROM tbl) feathub_bounds"
+    )
+    assert main == {
         "format": "jdbc",
         "options": {
             "url": "jdbc:postgresql://h:5432/db",
@@ -194,10 +209,18 @@ def test_jdbc_source_reader_options(spark):
             "user": "u",
             "password": "pw",
             "partitionColumn": "a",
+            "lowerBound": "3",
+            "upperBound": "99",
             "numPartitions": "16",
         },
         "path": None,
-    }]
+    }
+
+    # empty table: no bounds -> single-connection read, no partition opts
+    empty = spark.createDataFrame([], "lo long, hi long")
+    log2 = []
+    get_source_dataframe(RecordingSession(empty, log2), src)
+    assert "partitionColumn" not in log2[-1]["options"]
 
 
 def test_mysql_source_builds_jdbc_url(spark):

@@ -334,3 +334,29 @@ def test_salt_decision_records_effective_plan(spark, tmp_path):
     exp = expected[cols].sort_values(cols).reset_index(drop=True)
     act = got[cols].sort_values(cols).reset_index(drop=True)
     assert act.equals(exp)
+
+
+def test_jdbc_upsert_sql_dialects():
+    """upsert_keys generates a real per-dialect merge statement; unknown
+    dialects refuse loudly instead of silently appending duplicates."""
+    import pytest
+
+    from feathub_spark.common.exceptions import PlanError
+    from feathub_spark.processors.spark.source_sink_utils import upsert_sql
+
+    my = upsert_sql(
+        "jdbc:mysql://h/db", "t", "t_feathub_stage", ["k", "a", "b"], ["k"]
+    )
+    assert my == (
+        "INSERT INTO t (k, a, b) SELECT k, a, b FROM t_feathub_stage "
+        "ON DUPLICATE KEY UPDATE a = VALUES(a), b = VALUES(b)"
+    )
+    pg = upsert_sql(
+        "jdbc:postgresql://h/db", "t", "t_feathub_stage", ["k", "a"], ["k"]
+    )
+    assert pg == (
+        "INSERT INTO t (k, a) SELECT k, a FROM t_feathub_stage "
+        "ON CONFLICT (k) DO UPDATE SET a = EXCLUDED.a"
+    )
+    with pytest.raises(PlanError, match="upsert_keys"):
+        upsert_sql("jdbc:oracle:thin:@h", "t", "s", ["k", "a"], ["k"])
