@@ -70,10 +70,15 @@ def target_encode(
     else:
         num = F.col("__csum__") + m * F.col("__gmean__")
         den = F.col("__cn__") + m
-    ratio, gm = num / den, F.col("__gmean__")
+    # nullif guards smoothing=0 + leave-one-out on a single-row category
+    # (0.0/0.0 is NaN in Spark, not an error) — the prior is the
+    # documented fallback when nothing remains to average
+    ratio, gm = num / F.nullif(den, F.lit(0.0)), F.col("__gmean__")
     if round_dp is not None:
         ratio, gm = F.round(ratio, round_dp), F.round(gm, round_dp)
-    enc = F.when(F.col("__csum__").isNotNull(), ratio).otherwise(gm)
+    enc = F.coalesce(
+        F.when(F.col("__csum__").isNotNull(), ratio), gm
+    )
     return joined.withColumn(out_col, enc).drop(
         "__csum__", "__cn__", "__gmean__"
     )

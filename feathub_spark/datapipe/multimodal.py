@@ -78,6 +78,11 @@ def parse_image_header(payload: bytes):
             # fill bytes: any number of 0xFF may pad a marker
             while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
                 pos += 1
+            if pos + 1 >= len(payload):
+                # trailing 0xFF fill with no marker byte: ValueError (the
+                # on_error='null' contract), never an IndexError that
+                # would escape the handler and kill the decode pass
+                raise ValueError("truncated JPEG: fill bytes at end of data")
             marker = payload[pos + 1]
             if marker in _JPEG_STANDALONE:
                 pos += 2

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from feathub_spark.common.caching import register_cache
 from feathub_spark.common.parallelism import ensure_parallelism
-from feathub_spark.datapipe.text import ngrams, ngrams_sql, ngrams_strict_sql
+from feathub_spark.datapipe.text import ngrams, ngrams_strict_sql
 
 
 def _gram_stats_sql(grams_sql: str, finish: str = None) -> str:

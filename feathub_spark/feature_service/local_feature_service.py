@@ -30,8 +30,11 @@ class LocalFeatureService:
         for feature in view.expression_features():
             out = self._eval_expression(out, feature)
         if not view.keep_source_fields:
+            # strip: the lookup regex tolerates padded feature strings
+            # ('tbl.feat '), so the projection name must too, or the
+            # fetched column silently drops from the output
             names = [
-                f.name if not isinstance(f, str) else f.split(".", 1)[1]
+                f.name if not isinstance(f, str) else f.split(".", 1)[1].strip()
                 for f in view.features
             ]
             keys = [c for c in request_df.columns]

@@ -17,6 +17,30 @@ from typing import Callable, List, Optional, Sequence
 import pandas as pd
 
 
+def _py(v):
+    """Python-native scalar: numpy ints/floats/bools unwrap via .item()
+    (json.dumps(np.int64) raises, and default=str would silently turn a
+    stored 5 into "5"); pandas Timestamps serialize as ISO strings."""
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        return v.item()
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return v
+
+
+def _key_json(mapping, key_fields) -> str:
+    """Canonical key string: values normalized to python natives FIRST so
+    an int key renders '1' on both put and get (a row-level dtype
+    coercion like iterrows' float upcast must never change the key)."""
+    out = []
+    for k in key_fields:
+        v = _py(mapping[k])
+        if isinstance(v, float) and v.is_integer():
+            v = int(v)
+        out.append(str(v))
+    return json.dumps(out)
+
+
 class SqlOnlineStore:
     def __init__(
         self,
@@ -25,9 +49,10 @@ class SqlOnlineStore:
         paramstyle: str = "qmark",
     ) -> None:
         self._factory = connection_factory
+        self._conn_cache = None
         self._table = table_name
         self._ph = "?" if paramstyle == "qmark" else "%s"
-        conn = self._factory()
+        conn = self._conn()
         cur = conn.cursor()
         cur.execute(
             f"CREATE TABLE IF NOT EXISTS {self._table} ("
@@ -44,6 +69,21 @@ class SqlOnlineStore:
             "ts_field TEXT)"
         )
         conn.commit()
+
+    def _conn(self):
+        """ONE cached connection per store, opened lazily from the factory
+        — a fresh factory connection per put/get leaked a live MySQL
+        connection (plus a TCP+auth handshake) per serving request."""
+        if self._conn_cache is None:
+            self._conn_cache = self._factory()
+        return self._conn_cache
+
+    def close(self) -> None:
+        if self._conn_cache is not None:
+            try:
+                self._conn_cache.close()
+            finally:
+                self._conn_cache = None
 
     @staticmethod
     def _ts_value(v) -> Optional[float]:
@@ -65,7 +105,7 @@ class SqlOnlineStore:
     ) -> None:
         if not isinstance(data, pd.DataFrame):
             data = data.toPandas()
-        conn = self._factory()
+        conn = self._conn()
         cur = conn.cursor()
         if key_fields is None or timestamp_field is None:
             cur.execute(
@@ -78,7 +118,32 @@ class SqlOnlineStore:
                 key_fields = key_fields or json.loads(row[0])
                 timestamp_field = timestamp_field or row[1]
         if not key_fields:
-            raise ValueError("SqlOnlineStore.put requires key_fields.")
+            # keyless table (global metric emissions): append-only rows
+            # under unique synthetic keys — MemoryOnlineStore parity
+            import uuid
+
+            cur.execute(
+                f"DELETE FROM {self._table}_meta WHERE tbl = {self._ph}",
+                (table_name,),
+            )
+            cur.execute(
+                f"INSERT INTO {self._table}_meta (tbl, key_fields, ts_field) "
+                f"VALUES ({self._ph}, {self._ph}, {self._ph})",
+                (table_name, json.dumps([]), timestamp_field),
+            )
+            for d in data.to_dict("records"):
+                cur.execute(
+                    f"INSERT INTO {self._table} (tbl, k, ts_num, row_json) "
+                    f"VALUES ({self._ph}, {self._ph}, {self._ph}, {self._ph})",
+                    (
+                        table_name, f"__row_{uuid.uuid4().hex}", None,
+                        json.dumps(
+                            {c: _py(v) for c, v in d.items()}, default=str
+                        ),
+                    ),
+                )
+            conn.commit()
+            return
         key_fields = list(key_fields)
         cur.execute(
             f"DELETE FROM {self._table}_meta WHERE tbl = {self._ph}", (table_name,)
@@ -89,9 +154,11 @@ class SqlOnlineStore:
             (table_name, json.dumps(key_fields), timestamp_field),
         )
 
-        for _, r in data.iterrows():
-            d = {c: r[c] for c in data.columns}
-            key = json.dumps([str(d[k]) for k in key_fields])
+        # to_dict("records") keeps per-COLUMN dtypes (iterrows upcasts a
+        # whole row to the widest type, silently turning int keys into
+        # floats and changing their key string)
+        for d in data.to_dict("records"):
+            key = _key_json(d, key_fields)
             ts = (
                 self._ts_value(d.get(timestamp_field))
                 if timestamp_field is not None
@@ -119,7 +186,10 @@ class SqlOnlineStore:
             cur.execute(
                 f"INSERT INTO {self._table} (tbl, k, ts_num, row_json) "
                 f"VALUES ({self._ph}, {self._ph}, {self._ph}, {self._ph})",
-                (table_name, key, ts, json.dumps(d, default=str)),
+                (
+                    table_name, key, ts,
+                    json.dumps({c: _py(v) for c, v in d.items()}, default=str),
+                ),
             )
         conn.commit()
 
@@ -129,7 +199,7 @@ class SqlOnlineStore:
         input_data: pd.DataFrame,
         feature_names: Optional[Sequence[str]] = None,
     ) -> pd.DataFrame:
-        conn = self._factory()
+        conn = self._conn()
         cur = conn.cursor()
         cur.execute(
             f"SELECT key_fields FROM {self._table}_meta WHERE tbl = {self._ph}",
@@ -141,15 +211,15 @@ class SqlOnlineStore:
         key_fields: List[str] = json.loads(row[0])
 
         records = []
-        for _, r in input_data.iterrows():
-            key = json.dumps([str(r[k]) for k in key_fields])
+        for rec_in in input_data.to_dict("records"):
+            key = _key_json(rec_in, key_fields)
             cur.execute(
                 f"SELECT row_json FROM {self._table} "
                 f"WHERE tbl = {self._ph} AND k = {self._ph}",
                 (table_name, key),
             )
             hit = cur.fetchone()
-            rec = dict(r)
+            rec = dict(rec_in)
             if hit is not None:
                 stored = json.loads(hit[0])
                 if feature_names is not None:

@@ -31,13 +31,26 @@ class SqlRegistry(LocalRegistry):
     ) -> None:
         super().__init__()
         self._factory = connection_factory
+        self._conn_cache = None
         self._table = table_name
         self._ph = "?" if paramstyle == "qmark" else "%s"
         self._init_table()
         self._load_all()
 
     def _conn(self):
-        return self._factory()
+        # ONE cached connection per registry, opened lazily — a fresh
+        # factory connection per operation leaked a live DB connection
+        # for every build/delete in a long-lived process
+        if self._conn_cache is None:
+            self._conn_cache = self._factory()
+        return self._conn_cache
+
+    def close(self) -> None:
+        if self._conn_cache is not None:
+            try:
+                self._conn_cache.close()
+            finally:
+                self._conn_cache = None
 
     def _init_table(self) -> None:
         conn = self._conn()

@@ -360,3 +360,87 @@ def test_jdbc_upsert_sql_dialects():
     )
     with pytest.raises(PlanError, match="upsert_keys"):
         upsert_sql("jdbc:oracle:thin:@h", "t", "s", ["k", "a"], ["k"])
+
+
+def test_sql_online_store_key_and_value_fidelity(tmp_path):
+    """Int keys must match across put/get despite pandas row coercion,
+    and stored numeric features must come back as NUMBERS, not the
+    default=str stringification of numpy scalars."""
+    import sqlite3
+
+    import pandas as pd
+
+    from feathub_spark.online_stores.sql_online_store import SqlOnlineStore
+
+    conns = []
+
+    def factory():
+        if not conns:
+            conns.append(sqlite3.connect(str(tmp_path / "s.db")))
+        return conns[0]
+
+    store = SqlOnlineStore(factory)
+    # int key + float feature: iterrows would upcast the key to 1.0
+    store.put("t", pd.DataFrame({"k": [1], "f": [1.5], "n": [5]}),
+              key_fields=["k"])
+    got = store.get("t", pd.DataFrame({"k": [1]}))
+    assert got["f"].tolist() == [1.5]
+    assert got["n"].tolist() == [5] and got["n"].dtype.kind in "iu"
+    store.close()
+
+
+def test_sql_online_store_keyless_appends(tmp_path):
+    """Keyless tables (global metric emissions) append like
+    MemoryOnlineStore instead of raising."""
+    import sqlite3
+
+    import pandas as pd
+
+    from feathub_spark.online_stores.sql_online_store import SqlOnlineStore
+
+    conns = []
+
+    def factory():
+        if not conns:
+            conns.append(sqlite3.connect(str(tmp_path / "s2.db")))
+        return conns[0]
+
+    store = SqlOnlineStore(factory)
+    store.put("m", pd.DataFrame({"v": [1.0]}))
+    store.put("m", pd.DataFrame({"v": [2.0]}))
+    cur = factory().cursor()
+    n = cur.execute(
+        "SELECT count(*) FROM feathub_online WHERE tbl='m'"
+    ).fetchone()[0]
+    assert n == 2
+    store.close()
+
+
+def test_jpeg_trailing_fill_bytes_raise_value_error():
+    """A payload ending in 0xFF fill bytes must raise ValueError (the
+    on_error='null' contract), never IndexError."""
+    import pytest
+
+    from feathub_spark.datapipe.multimodal import parse_image_header
+
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        parse_image_header(b"\xff\xd8\xff\xff")
+
+
+def test_target_encode_smoothing_zero_single_row_category(spark):
+    """smoothing=0 + leave-one-out on a single-row category must fall
+    back to the prior, not emit NaN (0.0/0.0)."""
+    import math
+
+    from feathub_spark.datapipe.encode import target_encode
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 0.0), ("b", 1.0)], "cat string, y double"
+    )
+    rows = target_encode(
+        df, "cat", "y", smoothing=0.0, leave_one_out=True
+    ).collect()
+    vals = [r[-1] for r in rows]
+    assert all(v is not None and not math.isnan(v) for v in vals)
+    b_val = [r for r in rows if r["cat"] == "b"][0][-1]
+    assert abs(b_val - 2.0 / 3.0) < 1e-5  # the global prior (round_dp=6)
