@@ -33,6 +33,7 @@ def interval_join(
     keys: Optional[Sequence[str]] = None,
     bin_us: int = 3_600_000_000,
     how: str = "inner",
+    max_interval_bins: int = 100_000,
 ) -> DataFrame:
     """Join each event row to every interval row with
     ``start <= ts <= end`` (and equal ``keys``, if given) via the binned
@@ -40,11 +41,15 @@ def interval_join(
     (epoch micros by convention).  ``how="inner"`` keeps matched events;
     ``how="left"`` keeps unmatched events with NULL interval columns.
 
-    Scale shape: one narrow interval explode (fan-out bounded by
-    interval_length / bin_us per row, enforced — NULL or inverted
-    intervals are dropped), one equi-join shuffle on (keys..., bin), one
-    post-filter.  No BroadcastNestedLoopJoin, no cartesian product, at
-    any corpus size."""
+    Scale shape: one narrow interval explode (fan-out
+    interval_length / bin_us per row, HARD-CAPPED at
+    ``max_interval_bins`` — a single corrupt year-9999 end timestamp
+    would otherwise sequence tens of millions of bins and OOM its
+    executor; longer intervals are dropped as data-hygiene rejects, like
+    NULL and inverted ones), one equi-join shuffle on (keys..., bin),
+    one post-filter.  No BroadcastNestedLoopJoin, no cartesian product,
+    at any corpus size.  Size ``bin_us`` so real intervals stay far
+    under the cap."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     keys = list(keys or [])
@@ -53,6 +58,11 @@ def interval_join(
         F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()
         & (F.col(end_col) >= F.col(start_col))
+        & (
+            (F.col(end_col).cast("bigint") / F.lit(b))
+            - (F.col(start_col).cast("bigint") / F.lit(b))
+            <= F.lit(int(max_interval_bins))
+        )
     )
     iv = iv.withColumn(
         "__bin__",

@@ -51,6 +51,10 @@ def sessionize(
     ).otherwise(0)
     out = (
         ensure_parallelism(df)
+        # a NULL timestamp has no position on the timeline: it would open
+        # its own session but share the key-only label with every other
+        # NULL-ts event (concat_ws skips NULLs), colliding session_ids
+        .filter(F.col(ts_us_col).isNotNull())
         .withColumn("__new__", is_new)
         .withColumn("__sn__", F.sum("__new__").over(run))
     )

@@ -467,12 +467,17 @@ def binarize_embeddings(
     shuffle."""
     v = f"`{vec_col}`"
     nwords = f"CAST(ceil(size({v}) / 63.0) AS INT)"
+    # empty-vector guard: sequence(0, -1) DESCENDS to [0, -1] in Spark
+    # (default step -1 when start > stop), and the w = -1 word would
+    # evaluate element_at(v, 0) — an error — so short-circuit to an
+    # empty code instead
     pack = f"""
+    CASE WHEN size({v}) <= 0 THEN CAST(array() AS ARRAY<BIGINT>) ELSE
     transform(sequence(0, {nwords} - 1), w ->
       aggregate(sequence(0, 62), CAST(0 AS BIGINT),
         (acc, j) -> IF(w * 63 + j < size({v})
                        AND CAST(element_at({v}, w * 63 + j + 1) AS DOUBLE) > 0,
-                       acc + shiftleft(CAST(1 AS BIGINT), j), acc)))
+                       acc + shiftleft(CAST(1 AS BIGINT), j), acc))) END
     """
     return ensure_parallelism(df).withColumn(out_col, F.expr(pack))
 
@@ -584,7 +589,8 @@ def binary_rerank_topk(
         F.round(
             F.expr(dot) / (F.col("__qn__") * F.col("__cn__")), 6
         ).alias("cosine"),
-    )
+    ).filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
+    # ^ zero-norm guard, same as brute_force_topk (NaN ranks first DESC)
     return _two_stage_topk(
         scored, k, [F.col("cosine").desc(), F.col("neighbor_id").asc()]
     ).select("query_id", "neighbor_id", "rank", "cosine")
@@ -919,7 +925,9 @@ def ivf_topk(
     scored = cand.withColumn(
         "cosine",
         F.round(F.expr(cosine_expr("__query_id_v__", "__neighbor_id_v__")), 6),
-    )
+    ).filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
+    # ^ same zero-norm guard as brute_force_topk: NaN (0/0) would rank
+    # FIRST under DESC and evict true neighbors
     return _two_stage_topk(
         scored, k, [F.col("cosine").desc(), F.col("neighbor_id").asc()]
     ).select("query_id", "neighbor_id", "rank", "cosine")
@@ -1056,7 +1064,8 @@ def lsh_topk(
     scored = cand.withColumn(
         "cosine",
         F.round(F.expr(cosine_expr("__query_id_v__", "__neighbor_id_v__")), 6),
-    )
+    ).filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
+    # ^ zero-norm guard, same as brute_force_topk (NaN ranks first DESC)
     return _two_stage_topk(
         scored, k, [F.col("cosine").desc(), F.col("neighbor_id").asc()]
     ).select("query_id", "neighbor_id", "rank", "cosine")
@@ -1276,7 +1285,12 @@ def pq_topk(
     Returns (query_id, neighbor_id, rank, adc_dist) — adc_dist ascending,
     the approximate squared L2 distance."""
     query_id_col = query_id_col or id_col
-    cb = pq_codebook(corpus, vec_col, id_col, m, n_codes, seed)
+    # the codebook plan (a corpus-wide TakeOrdered) feeds BOTH the encode
+    # and the query LUT — cache it or it executes once per consumer
+    # (caller releases via release_caches())
+    from feathub_spark.common.caching import register_cache
+
+    cb = register_cache(pq_codebook(corpus, vec_col, id_col, m, n_codes, seed))
     encoded = pq_encode(
         corpus, vec_col, id_col, m, n_codes, seed, codebook=cb
     ).withColumnRenamed(id_col, "neighbor_id")
@@ -1356,8 +1370,16 @@ def ivf_pq_topk(
 
     Returns (query_id, neighbor_id, rank, adc_dist)."""
     query_id_col = query_id_col or id_col
-    cents = ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
-    cb = pq_codebook(corpus, vec_col, id_col, m, n_codes, seed)
+    # both codebook plans are corpus-wide selections feeding two
+    # consumers each (cents -> cents1 + probe scoring; cb -> encode +
+    # LUT) — cache them or they execute once per consumer (caller
+    # releases via release_caches())
+    from feathub_spark.common.caching import register_cache
+
+    cents = register_cache(
+        ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
+    )
+    cb = register_cache(pq_codebook(corpus, vec_col, id_col, m, n_codes, seed))
 
     # centroids collapsed to one sorted broadcast array row
     cents1 = cents.agg(
@@ -1544,6 +1566,10 @@ def semantic_dedup(
         .withColumn(
             "__pcos__", F.round(F.expr(cosine_expr("__va__", "__vb__")), 6)
         )
+        # NaN >= threshold is TRUE in Spark's ordering — a zero-norm
+        # vector must not be "a duplicate of" a row it has no defined
+        # similarity to
+        .filter(~F.isnan(F.col("__pcos__")))
         .filter(F.col("__pcos__") >= F.lit(threshold))
         .filter(
             (F.col("__cb__") < F.col("__ca__"))

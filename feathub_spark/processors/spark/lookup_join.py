@@ -21,33 +21,81 @@ from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from feathub_spark.common.exceptions import PlanError
+
 
 class MemoryLookup:
-    """Snapshot provider over MemoryOnlineStore."""
+    """Snapshot provider over MemoryOnlineStore.
 
-    def __init__(self, table_name: str, feature_names: Optional[Sequence[str]] = None):
+    ``schema`` (a feathub Schema or a Spark StructType) makes empty-store
+    snapshots TYPE-STABLE: without it, a 0-row table synthesizes
+    all-string columns, so enrichment dtypes would flip once the store
+    fills — fatal for schema-checked streaming sinks — and a table that
+    has never been written cannot be snapshotted at all (its columns are
+    unknown)."""
+
+    def __init__(
+        self,
+        table_name: str,
+        feature_names: Optional[Sequence[str]] = None,
+        schema=None,
+    ):
         self.table_name = table_name
         self.feature_names = list(feature_names) if feature_names else None
+        self.schema = schema
+
+    def _struct(self):
+        if self.schema is None:
+            return None
+        if hasattr(self.schema, "to_spark_struct"):
+            return self.schema.to_spark_struct()
+        return self.schema
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         from feathub_spark.online_stores.memory_online_store import MemoryOnlineStore
 
         store = MemoryOnlineStore.get_instance()
-        pdf = store._tables[self.table_name]
+        pdf = store._tables.get(self.table_name)
+        struct = self._struct()
+        if pdf is None:
+            # never-written table: the documented empty-store behavior is
+            # left-join NULL enrichment, which needs a declared schema —
+            # the store has no column names to synthesize from
+            if struct is None:
+                raise PlanError(
+                    f"Lookup table {self.table_name!r} has never been "
+                    "written and MemoryLookup has no declared schema; pass "
+                    "schema= for NULL enrichment before the first put()."
+                )
+            return spark.createDataFrame([], struct)
         if self.feature_names:
             keys = store._keys[self.table_name]
             pdf = pdf[keys + [c for c in self.feature_names if c not in keys]]
         if len(pdf) == 0:
+            if struct is not None:
+                from pyspark.sql.types import StructType
+
+                kept = [f for f in struct.fields if f.name in pdf.columns]
+                return spark.createDataFrame([], StructType(kept))
             # schema inference fails on a 0-row object-dtype frame; an
             # empty store must still produce the documented left-join
             # NULL-enrichment, so synthesize an all-NULL-string schema
-            # from the column names (values would be NULL either way)
+            # from the column names (declare schema= for stable dtypes)
             from pyspark.sql.types import StringType, StructField, StructType
 
             return spark.createDataFrame(
                 [], StructType([StructField(c, StringType()) for c in pdf.columns])
             )
-        return spark.createDataFrame(pdf)
+        out = spark.createDataFrame(pdf)
+        if struct is not None:
+            by_name = {f.name: f.dataType for f in struct.fields}
+            out = out.select(
+                *[
+                    F.col(c).cast(by_name[c]).alias(c) if c in by_name else F.col(c)
+                    for c in out.columns
+                ]
+            )
+        return out
 
 
 def lookup_join(

@@ -78,7 +78,14 @@ def resolve_salt_chunk_ms(
     key = None
     if cache is not None:
         try:
-            key = (df.semanticHash(), tuple(keys), window_ms)
+            # the POLICY and time column are part of the verdict: two
+            # descriptors sharing a cache with different thresholds must
+            # not read each other's salt decisions
+            key = (
+                df.semanticHash(), tuple(keys), window_ms, time_col,
+                policy.threshold, policy.min_hot_rows,
+                policy.target_chunks, policy.probe_fraction,
+            )
         except Exception:
             key = None
         if key is not None and key in cache:

@@ -444,3 +444,116 @@ def test_target_encode_smoothing_zero_single_row_category(spark):
     assert all(v is not None and not math.isnan(v) for v in vals)
     b_val = [r for r in rows if r["cat"] == "b"][0][-1]
     assert abs(b_val - 2.0 / 3.0) < 1e-5  # the global prior (round_dp=6)
+
+
+def test_ann_paths_exclude_zero_norm_vectors(spark):
+    """A zero-norm vector scores NaN cosine (0/0); Spark DESC ranks NaN
+    FIRST, so every ANN path must filter it like brute_force_topk."""
+    from feathub_spark.common.caching import release_caches
+    from feathub_spark.datapipe.similarity import (
+        binarize_embeddings,
+        ivf_topk,
+        lsh_topk,
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(i % 3 + 1), float((i * 7) % 5 + 1)]) for i in range(30)]
+    rows.append((99, [0.0, 0.0]))  # the zero-norm hazard
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id < 3")
+    for out in (
+        ivf_topk(corpus, queries, "embedding", "vec_id", k=3, n_centroids=4),
+        lsh_topk(corpus, queries, "embedding", "vec_id", k=3),
+    ):
+        got = out.collect()
+        assert got, "expected neighbors"
+        assert all(r["neighbor_id"] != 99 for r in got)
+        assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN
+        release_caches()
+    # zero vector must never be "a duplicate of" anything
+    dd = semantic_dedup(corpus, "embedding", "vec_id", threshold=0.9,
+                        n_centroids=4)
+    kept = {r["vec_id"]: r["kept"] for r in dd.collect()}
+    assert kept[99] is True
+    release_caches()
+    # empty embedding: binarize yields an empty code, not INVALID_INDEX
+    empt = spark.createDataFrame(
+        [(1, [])], "vec_id long, embedding array<double>"
+    )
+    assert binarize_embeddings(empt, "embedding").first()["bvec"] == []
+
+
+def test_memory_lookup_missing_table_and_schema(spark):
+    """A never-written lookup table raises a clear PlanError without a
+    declared schema, and snapshots type-stably WITH one."""
+    import pytest
+
+    from feathub_spark.common.exceptions import PlanError
+    from feathub_spark.processors.spark.lookup_join import MemoryLookup
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    lk = MemoryLookup("never_written_tbl_xyz")
+    with pytest.raises(PlanError, match="never been written"):
+        lk.snapshot(spark)
+    struct = StructType([
+        StructField("k", LongType()), StructField("f", DoubleType()),
+    ])
+    snap = MemoryLookup("never_written_tbl_xyz", schema=struct).snapshot(spark)
+    assert snap.count() == 0
+    assert [f.dataType for f in snap.schema.fields] == [
+        LongType(), DoubleType(),
+    ]
+
+
+def test_sessionize_drops_null_timestamps(spark):
+    """NULL-timestamp events would each open a session yet share one
+    key-only label (concat_ws skips NULLs) — they are dropped instead."""
+    from feathub_spark.datapipe.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [("u", 1000, 1), ("u", None, 2), ("u", None, 3)],
+        "user string, ts_us long, event_id long",
+    )
+    out = sessionize(df, "user", "ts_us", gap_us=100).collect()
+    assert len(out) == 1 and out[0]["ts_us"] == 1000
+
+
+def test_interval_join_caps_corrupt_interval_fanout(spark):
+    """A corrupt year-9999 interval must be dropped by the bin cap, not
+    exploded into tens of millions of sequence elements."""
+    from feathub_spark.datapipe.intervals import interval_join
+
+    ev = spark.createDataFrame([(1, 500)], "event_id long, ts long")
+    iv = spark.createDataFrame(
+        [(0, 1000, "ok"), (0, 253_402_300_799_000_000, "corrupt")],
+        "s long, e long, tag string",
+    )
+    out = interval_join(ev, iv, "ts", "s", "e", bin_us=100).collect()
+    assert [r["tag"] for r in out] == ["ok"]
+
+
+def test_skew_probe_cache_keys_include_policy(spark):
+    """Two AutoSalt policies sharing one probe cache must not read each
+    other's verdicts."""
+    from feathub_spark.processors.spark.skew_probe import (
+        AutoSalt,
+        resolve_salt_chunk_ms,
+    )
+
+    df = spark.createDataFrame(
+        [("hot", i * 1000) for i in range(400)] + [("cold", 0)],
+        "k string, ts long",
+    ).withColumn("t", F.timestamp_millis(F.col("ts")))
+    cache = {}
+    a = resolve_salt_chunk_ms(
+        AutoSalt(threshold=1e9, min_hot_rows=10**9), df, ["k"], "t",
+        cache=cache,
+    )
+    b = resolve_salt_chunk_ms(
+        AutoSalt(threshold=1.0, min_hot_rows=1), df, ["k"], "t",
+        cache=cache,
+    )
+    assert a is None and b is not None
+    assert len(cache) == 2
