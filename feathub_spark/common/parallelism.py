@@ -18,18 +18,46 @@ from typing import Optional
 from pyspark.sql import DataFrame
 
 
-# Node types that ALWAYS plan a hash exchange sized by
+# Node shapes that plan a hash exchange sized by
 # spark.sql.shuffle.partitions (AQE right-sizes it at runtime).  Join is
 # deliberately absent (a broadcast join adds NO exchange — its output
-# partitioning is the streamed side's, possibly 1), as are Sort
+# partitioning is the streamed side's, possibly 1), as is Sort
 # (sortWithinPartitions is narrow; a global sort's range exchange is
-# data-sized but the node string doesn't distinguish them cheaply) and
-# round-robin Repartition/coalesce (target may be below default
-# parallelism).  Matching is anchored to line-leading node names so a
-# column named e.g. `WindowStart` inside a Project cannot false-match.
+# data-sized but the node string doesn't distinguish them cheaply).
+# SHAPE matters, not just the node name: a GLOBAL aggregate/window (empty
+# grouping / empty partitionBy) plans a SinglePartition exchange, and an
+# explicit-count RepartitionByExpression may target fewer partitions than
+# the default parallelism — those must still probe.  Matching is anchored
+# to line-leading node names so a column named e.g. `WindowStart` inside
+# a Project cannot false-match.
 _EXCHANGE_NODE_RE = re.compile(
     r"(?m)^[\s+:!-]*(?:Aggregate|Window|Deduplicate|RepartitionByExpression)[ \[]"
 )
+_NODE_LEAD_RE = re.compile(r"^[\s+:!-]*")
+
+
+def _plan_has_full_exchange(plan_str: str) -> bool:
+    for line in plan_str.splitlines():
+        node = _NODE_LEAD_RE.sub("", line)
+        if node.startswith("Aggregate ["):
+            # grouped aggregates print 'Aggregate [grp], [out]'; a GLOBAL
+            # aggregate has one bracket group and exchanges to ONE task
+            if "], [" in node:
+                return True
+        elif node.startswith("Window ["):
+            # 'Window [exprs], [partitionSpec], [orderSpec]' — a global
+            # window (no partitionBy) prints only [exprs], [orderSpec]
+            if node.count("], [") >= 2:
+                return True
+        elif node.startswith("Deduplicate ["):
+            return True
+        elif node.startswith("RepartitionByExpression ["):
+            # an explicit count ('..., N') may be below the default
+            # parallelism — only the count-less form is sized by the
+            # session shuffle parallelism
+            if not re.search(r"\],\s*\d+\s*$", node):
+                return True
+    return False
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
@@ -57,7 +85,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
     if min_partitions is None:
         try:
             plan = df._jdf.queryExecution().analyzed().toString()
-            if _EXCHANGE_NODE_RE.search(plan):
+            if _plan_has_full_exchange(plan):
                 return df
         except Exception:
             pass  # private-API drift: fall back to the probe

@@ -262,6 +262,10 @@ def _skip_field(buf: bytes, pos: int, wire: int) -> int:
         pos += 4
     elif wire == _WIRE_LEN:
         n, pos = read_varint(buf, pos)
+        # a 10-byte varint can sign-decode negative: pos += n would move
+        # BACKWARD and loop decode_message forever on crafted input
+        if n < 0 or pos + n > len(buf):
+            raise FeathubError("protobuf: bad length-delimited field length")
         pos += n
     else:
         raise FeathubError(f"protobuf: unsupported wire type {wire}")
@@ -313,6 +317,13 @@ def _decode_packed(data: bytes, elem: t.DType) -> list:
         elif basic == t.BasicDType.FLOAT64:
             out.append(struct.unpack_from("<d", data, pos)[0])
             pos += 8
+        elif basic == t.BasicDType.TIMESTAMP:
+            # symmetric with encode_row and the unpacked _decode_scalar
+            # path: packed timestamps are varint epoch micros
+            v, pos = read_varint(data, pos)
+            import datetime as dt
+
+            out.append(dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=v))
         else:
             v, pos = read_varint(data, pos)
             out.append(bool(v) if basic == t.BasicDType.BOOL else int(v))
@@ -335,6 +346,10 @@ def decode_message(buf: bytes, specs: Sequence[FieldSpec]) -> dict:
             elem = dtype.dtype
             if wire == _WIRE_LEN and _is_packed_numeric(elem):
                 n, pos = read_varint(buf, pos)
+                if n < 0 or pos + n > len(buf):
+                    raise FeathubError(
+                        "protobuf: truncated packed repeated field"
+                    )
                 vals = _decode_packed(buf[pos : pos + n], elem)
                 pos += n
                 row[spec.name] = (row[spec.name] or []) + vals
@@ -343,6 +358,8 @@ def decode_message(buf: bytes, specs: Sequence[FieldSpec]) -> dict:
                 row[spec.name] = (row[spec.name] or []) + [v]
         elif isinstance(dtype, t.MapType):
             n, pos = read_varint(buf, pos)
+            if n < 0 or pos + n > len(buf):
+                raise FeathubError("protobuf: truncated map entry")
             entry = buf[pos : pos + n]
             pos += n
             k = v = None

@@ -50,9 +50,12 @@ def time_decayed_sum(
         .orderBy(F.col(ts_us_col).asc())
         .rangeBetween(-int(window_us), 0)
     )
+    # the tie-break id rides in its NATIVE type (struct comparison works
+    # for any orderable type) — CAST(uuid AS BIGINT) silently NULLed every
+    # non-numeric id and defeated the determinism id_col exists for
     hist = F.expr(
         f"named_struct('t', CAST(`{ts_us_col}` AS BIGINT), "
-        f"'i', CAST(`{idc}` AS BIGINT), "
+        f"'i', `{idc}`, "
         f"'v', CAST(`{value_col}` AS DOUBLE))"
     )
     # sorted fold in integer micro-units: exact bigint sum, engine-stable.

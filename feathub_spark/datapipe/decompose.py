@@ -68,6 +68,9 @@ def fit_pca(
 
     parts = (
         ensure_parallelism(df)
+        # a single NULL vector would reach numpy as None inside a list of
+        # lists and fail the whole fit with an opaque ragged-array error
+        .filter(F.col(vec_col).isNotNull())
         .select(F.col(vec_col).cast("array<double>"))
         .mapInPandas(partial, "n long, s array<double>, g array<double>")
         .collect()
@@ -125,11 +128,19 @@ def pca_project(
 
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        x = np.asarray(vecs.tolist(), dtype=np.float64)
-        y = (x - mu) @ w
-        if round_to is not None:
-            y = np.round(y, round_to)
-        return pd.Series(list(map(list, y)))
+        # NULL vectors project to NULL (a None in the list would crash
+        # the whole batch as a ragged numpy array)
+        mask = vecs.notna()
+        out = pd.Series([None] * len(vecs), dtype=object)
+        if mask.any():
+            x = np.asarray(vecs[mask].tolist(), dtype=np.float64)
+            y = (x - mu) @ w
+            if round_to is not None:
+                y = np.round(y, round_to)
+            out[mask] = pd.Series(
+                list(map(list, y)), index=vecs[mask].index, dtype=object
+            )
+        return out
 
     return ensure_parallelism(df).withColumn(
         out_col, project(F.col(vec_col).cast("array<double>"))

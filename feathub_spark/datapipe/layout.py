@@ -72,14 +72,18 @@ def zorder_scale_sql(col: str, lo: str, hi: str, bits: int) -> str:
 def zorder_key(
     df: DataFrame,
     cols: Sequence[str],
-    bits: int = 16,
+    bits: Optional[int] = None,
     out_col: str = "zorder_key",
 ) -> DataFrame:
     """Append ``out_col``: the Z-order key over ``cols`` (numeric), each
     rank-scaled to ``bits`` bits against the corpus min/max.  One 1-row
     min/max aggregate broadcast back; everything else is narrow
-    arithmetic."""
+    arithmetic.  ``bits`` defaults to min(16, 42 // n_cols) so the
+    advertised 3-4 column layouts work without hand-tuning while staying
+    inside the 42-bit exact-double budget."""
     cols = list(cols)
+    if bits is None:
+        bits = min(16, 42 // max(len(cols), 1))
     aggs = []
     for i, c in enumerate(cols):
         aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo{i}__"))
@@ -103,7 +107,7 @@ def zorder_layout(
     df: DataFrame,
     cols: Sequence[str],
     num_partitions: Optional[int] = None,
-    bits: int = 16,
+    bits: Optional[int] = None,
 ) -> DataFrame:
     """Cluster ``df`` for writing: range-partition on the Z-order key over
     ``cols`` and sort within partitions, then drop the key.  Each output

@@ -57,7 +57,13 @@ def bm25_search(
         .select(F.col(id_col), F.expr(toks).alias("__toks__"))
         .select(
             F.col(id_col),
-            F.size("__toks__").cast("double").alias("__len__"),
+            # coalesce: size(NULL) is NULL, and a NULL-text doc must carry
+            # len 0 like an empty one — it counts toward N, so excluding
+            # it from avgdl (avg skips NULLs) would inflate every
+            # document's length normalization
+            F.coalesce(F.size("__toks__").cast("double"), F.lit(0.0)).alias(
+                "__len__"
+            ),
             F.explode_outer("__toks__").alias("__term__"),
         )
     )

@@ -163,10 +163,21 @@ def scd2_merge(
     open_iv = register_cache(intervals.filter(F.col("valid_to").isNull()))
     dkeys = delta.select(*keys).distinct()
 
-    untouched_open = open_iv.join(dkeys, on=keys, how="left_anti").select(
+    # NULL-SAFE key matching throughout: scd2_intervals groups NULL keys
+    # (partitionBy treats NULLs as one group), so a NULL-key open interval
+    # is a real row — plain equi-joins would route it to BOTH the
+    # untouched branch and a from-scratch rebuild, emitting two
+    # conflicting open intervals for the same key
+    dk = dkeys.select(
+        *[F.col(k).alias(f"__dk_{k}__") for k in keys]
+    )
+    null_safe = [
+        F.col(k).eqNullSafe(F.col(f"__dk_{k}__")) for k in keys
+    ]
+    untouched_open = open_iv.join(dk, on=null_safe, how="left_anti").select(
         *keys, *attrs, "valid_from", "valid_to"
     )
-    affected_open = open_iv.join(dkeys, on=keys, how="left_semi")
+    affected_open = open_iv.join(dk, on=null_safe, how="left_semi")
 
     # seed = the open interval replayed as the key's earliest event; late
     # delta rows (ts < seed ts) are dropped, equal-ts rows are kept and
@@ -183,9 +194,13 @@ def scd2_merge(
         if ties
         else F.col(ts_col) > F.col("__seed_ts__")
     )
+    seed_ts = affected_open.select(
+        *[F.col(k).alias(f"__sk_{k}__") for k in keys],
+        F.col("valid_from").alias("__seed_ts__"),
+    )
     fresh = delta.join(
-        affected_open.select(*keys, F.col("valid_from").alias("__seed_ts__")),
-        on=keys,
+        seed_ts,
+        on=[F.col(k).eqNullSafe(F.col(f"__sk_{k}__")) for k in keys],
         how="left",
     ).filter(F.col("__seed_ts__").isNull() | cmp).select(
         *keys, *attrs, ts_col, *ties

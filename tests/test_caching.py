@@ -188,25 +188,33 @@ def test_ensure_parallelism_probe_skip_semantics(spark):
     from pyspark.sql import Window, functions as F
 
     from feathub_spark.common.parallelism import (
-        _EXCHANGE_NODE_RE,
+        _plan_has_full_exchange,
         ensure_parallelism,
     )
 
     df = spark.createDataFrame([(i, f"t{i}") for i in range(20)], "k long, s string")
 
     def matches(d):
-        return bool(_EXCHANGE_NODE_RE.search(
+        return _plan_has_full_exchange(
             d._jdf.queryExecution().analyzed().toString()
-        ))
+        )
 
     assert matches(df.groupBy("s").count())
     assert matches(df.withColumn(
         "rn", F.row_number().over(Window.partitionBy("s").orderBy("k"))
     ))
     assert matches(df.dropDuplicates(["s"]))
-    assert matches(df.repartition(4, "s"))
+    # count-less expression repartition is sized by shuffle parallelism
+    assert matches(df.repartition("s"))
     assert not matches(df)
     assert not matches(df.sortWithinPartitions("k"))
+    # GLOBAL aggregate/window plan a SinglePartition exchange and an
+    # explicit-count repartition may be tiny — all must still probe
+    assert not matches(df.agg(F.sum("k")))
+    assert not matches(df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k"))
+    ))
+    assert not matches(df.repartition(2, "s"))
     # node words inside COLUMN names must not disable the probe
     assert not matches(df.select(
         F.col("k").alias("WindowStart"), F.col("s").alias("JoinKey")

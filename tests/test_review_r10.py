@@ -557,3 +557,103 @@ def test_skew_probe_cache_keys_include_policy(spark):
     )
     assert a is None and b is not None
     assert len(cache) == 2
+
+
+def test_protowire_rejects_corrupt_input():
+    """Negative LEN varints must error (they looped decode_message
+    forever), truncated packed vectors must error (they silently dropped
+    trailing elements), and packed timestamps decode to datetimes."""
+    import datetime as dt
+
+    import pytest
+
+    from feathub_spark.common import types as t
+    from feathub_spark.common.exceptions import FeathubError
+    from feathub_spark.common.protowire import (
+        FieldSpec,
+        decode_message,
+        encode_row,
+    )
+
+    # unknown LEN field whose 10-byte length varint decodes negative
+    evil = bytes([0x0A]) + b"\xff" * 9 + b"\x01"
+    with pytest.raises(FeathubError):
+        decode_message(evil, [FieldSpec("x", 2, t.Int64)])
+
+    spec = [FieldSpec("v", 1, t.Float64Vector)]
+    good = encode_row({"v": [1.0, 2.0, 3.0]}, spec)
+    with pytest.raises(FeathubError):
+        decode_message(good[:-8], spec)
+
+    ts_spec = [FieldSpec("ts", 1, t.VectorType(t.Timestamp))]
+    when = dt.datetime(2020, 1, 1, 12, 30, 45, 123456)
+    out = decode_message(encode_row({"ts": [when]}, ts_spec), ts_spec)
+    assert out["ts"] == [when]
+
+
+def test_scd2_merge_null_key_single_open_interval(spark):
+    """A NULL-key history must merge like any other key: one open
+    interval after the delta, not an untouched old one PLUS a rebuilt
+    one (equi-joins treat NULL != NULL)."""
+    from feathub_spark.common.caching import release_caches
+    from feathub_spark.datapipe.scd import scd2_intervals, scd2_merge
+
+    pre = spark.createDataFrame(
+        [(None, 100, "a", 1)], "k string, ts long, attr string, eid long"
+    )
+    delta = spark.createDataFrame(
+        [(None, 200, "b", 2)], "k string, ts long, attr string, eid long"
+    )
+    base = scd2_intervals(pre, "k", "ts", "attr", tie_cols="eid")
+    merged = scd2_merge(base, delta, "k", "ts", "attr", tie_cols="eid")
+    rows = sorted(merged.collect(), key=lambda r: r["valid_from"])
+    release_caches()
+    open_rows = [r for r in rows if r["valid_to"] is None]
+    assert len(open_rows) == 1 and open_rows[0]["attr"] == "b"
+    full = sorted(
+        scd2_intervals(
+            pre.unionByName(delta), "k", "ts", "attr", tie_cols="eid"
+        ).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in full]
+
+
+def test_time_decayed_sum_string_ids(spark):
+    """A string/UUID tie-break id must ride in its native type — the
+    BIGINT cast silently NULLed it and defeated the determinism
+    contract."""
+    from feathub_spark.datapipe.decay import time_decayed_sum
+
+    df = spark.createDataFrame(
+        [("k", 1000, "ev-a", 1.0), ("k", 1000, "ev-b", 2.0)],
+        "k string, ts long, eid string, v double",
+    )
+    out = time_decayed_sum(
+        df, "k", "ts", "v", half_life_us=10**6, window_us=10**6,
+        id_col="eid",
+    )
+    vals = sorted(r["decayed_sum"] for r in out.collect())
+    assert vals == [3.0, 3.0]
+
+
+def test_bm25_counts_null_text_in_corpus_stats(spark):
+    """NULL-text docs count toward N AND avgdl (len 0) — excluding them
+    from avgdl only (avg skips NULLs) shifted every score."""
+    from feathub_spark.common.caching import release_caches
+    from feathub_spark.datapipe.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "apple")], "query_id long, query_text string")
+    got = bm25_search(docs, qs, "text", "doc_id").collect()
+    release_caches()
+    assert [r["doc_id"] for r in got] == [1]
+    # idf with N=3, df=1: ln((3-1+0.5)/(1+0.5)+1); avgdl=(2+0+0)/3
+    import math
+
+    idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    tf_term = (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / (2 / 3)))
+    assert abs(got[0]["bm25"] - round(idf * tf_term, 6)) < 1e-4
