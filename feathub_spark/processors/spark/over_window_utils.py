@@ -74,6 +74,19 @@ class AggField(NamedTuple):
         )
 
 
+def _is_orderable(dtype: t.DType) -> bool:
+    """Spark rejects map types in ordering expressions (and in struct
+    comparisons), including maps nested in arrays; everything else the
+    engine emits is orderable.  (For COLLECT_LIST fields the OUTPUT
+    dtype is the vector of the value expr's type, so unwrapping vectors
+    also answers for the underlying value expression.)"""
+    if isinstance(dtype, t.MapType):
+        return False
+    if isinstance(dtype, t.VectorType):
+        return _is_orderable(dtype.dtype)
+    return True
+
+
 def _window_spec(
     desc: OverWindowDescriptor, fields: Sequence["AggField"] = (),
 ) -> WindowSpec:
@@ -83,8 +96,12 @@ def _window_spec(
         # frame varies run to run.  Secondary sort on the fused fields'
         # value expressions (for one field this equals the collect path's
         # struct(t, v) tie order); range frames below need no tiebreak —
-        # ties are frame PEERS there and all enter the frame.
-        order = [F.expr(_ORDER_MS)] + [F.expr(f.expr_sql) for f in fields]
+        # ties are frame PEERS there and all enter the frame.  Map-typed
+        # exprs are skipped — Spark rejects them as ordering expressions,
+        # and they are only along for the tiebreak.
+        order = [F.expr(_ORDER_MS)] + [
+            F.expr(f.expr_sql) for f in fields if _is_orderable(f.dtype)
+        ]
         w = Window.partitionBy(
             *[F.col(k) for k in desc.group_by_keys]
         ).orderBy(*order)
@@ -124,7 +141,10 @@ def _array_agg_sql(vals: str, agg: AggFunc, dtype: t.DType) -> str:
     COUNT/ROW_NUMBER = len(l) and FIRST/LAST = l[0]/l[-1] INCLUDING null
     values; COLLECT_LIST keeps null elements (NULL only for zero rows);
     SUM/AVG/MIN/MAX/VALUE_COUNTS skip null values."""
-    raw = vals
+    # NULL-array guard: a grid-joined empty window arrives as a NULL
+    # array, and size(NULL) is conf-dependent (-1 under legacy
+    # sizeOfNull) — coalesce so counts are 0 there on ANY session
+    raw = f"coalesce({vals}, array())"
     vals = f"filter({raw}, x -> x IS NOT NULL)"
     if agg == AggFunc.SUM:
         acc_t = to_spark_sql_type_name(dtype)
@@ -777,21 +797,27 @@ def evaluate_over_window(
             col = F.expr(f"max({value_sql})").over(spec)
         elif agg == AggFunc.MIN:
             col = F.expr(f"min({value_sql})").over(spec)
-        elif agg == AggFunc.FIRST_VALUE:
-            # filter_sql is None here (_needs_collect) → positional first
-            # including null values (reference l[0])
-            col = F.expr(f"first({value_sql}, false)").over(spec)
-        elif agg == AggFunc.LAST_VALUE:
-            col = F.expr(f"last({value_sql}, false)").over(spec)
-        elif agg == AggFunc.COUNT:
+        elif agg in (AggFunc.FIRST_VALUE, AggFunc.LAST_VALUE):
+            # filter_sql is None here (_needs_collect) → positional first/
+            # last including null values (reference l[0]/l[-1]).  The
+            # window orders by event time only, so tied times make
+            # first()/last() run-dependent — min/max over struct(t, v)
+            # pins the collect path's (t, v) tie rule for orderable
+            # types; unorderable (map-typed) values keep the positional
+            # form (struct ordering would reject them)
+            fn = "min" if agg == AggFunc.FIRST_VALUE else "max"
+            if _is_orderable(f_.dtype):
+                col = F.expr(
+                    f"{fn}(struct({_ORDER_MS} AS t, {value_sql} AS v))"
+                ).over(spec).getField("v")
+            elif agg == AggFunc.FIRST_VALUE:
+                col = F.expr(f"first({value_sql}, false)").over(spec)
+            else:
+                col = F.expr(f"last({value_sql}, false)").over(spec)
+        elif agg in (AggFunc.COUNT, AggFunc.ROW_NUMBER):
             # rows in window (after filter) INCLUDING null values —
-            # reference len(l), aggregation_utils.py
-            col = F.expr(
-                f"count({_filtered_value_sql('1', filter_sql)})"
-            ).over(spec)
-        elif agg == AggFunc.ROW_NUMBER:
-            # Count of window rows up to the current one (ties included),
-            # per the local golden len(window) semantics.
+            # reference len(l), aggregation_utils.py; ROW_NUMBER is the
+            # same count up to the current row (ties included)
             col = F.expr(
                 f"count({_filtered_value_sql('1', filter_sql)})"
             ).over(spec)

@@ -46,7 +46,11 @@ from feathub_spark.dsl.parser import to_spark_sql
 from feathub_spark.feature_views.feature import Feature
 from feathub_spark.feature_views.transforms.agg_func import AggFunc
 from feathub_spark.processors.spark.constants import EVENT_TIME_COL, WINDOW_TIME_MS_COL
-from feathub_spark.processors.spark.over_window_utils import _array_agg_sql
+from feathub_spark.processors.spark.over_window_utils import (
+    _array_agg_sql,
+    _filtered_value_sql,
+    _is_orderable,
+)
 
 _MS = "__ms__"
 _STEP_END = "__step_end__"
@@ -62,9 +66,8 @@ class SlidingAggField(NamedTuple):
     window_ms: int
     filter_sql: Optional[str]
     limit: Optional[int]
-    # original (un-lowered) exprs, needed when delegating to the over-window
-    # evaluator which lowers filter_expr itself
-    expr_raw: str = None
+    # original (un-lowered) filter expr, needed when delegating to the
+    # over-window evaluator which lowers filter_expr itself
     filter_raw: Optional[str] = None
 
     @staticmethod
@@ -78,7 +81,6 @@ class SlidingAggField(NamedTuple):
             tr.window_size_ms,
             to_spark_sql(tr.filter_expr) if tr.filter_expr else None,
             tr.limit,
-            tr.expr,
             tr.filter_expr,
         )
 
@@ -99,17 +101,13 @@ class SlidingAggField(NamedTuple):
         )
 
     def value_sql(self) -> str:
-        if self.filter_sql is None:
-            return self.expr_sql
-        return f"CASE WHEN {self.filter_sql} THEN {self.expr_sql} END"
+        return _filtered_value_sql(self.expr_sql, self.filter_sql)
 
     def row_gate_sql(self) -> str:
         """Non-null exactly for rows that enter the window (filter-passing),
         regardless of the value expression — COUNT/ROW_NUMBER count these
         rows including null values (reference len(l))."""
-        if self.filter_sql is None:
-            return "1"
-        return f"CASE WHEN {self.filter_sql} THEN 1 END"
+        return _filtered_value_sql("1", self.filter_sql)
 
 
 def _default_col(field: SlidingAggField, col: Column) -> Column:
@@ -176,22 +174,32 @@ def evaluate_sliding_window(
             partial_aggs.append(F.expr(f"max({v})").alias(p + "max"))
         elif a == AggFunc.MIN:
             partial_aggs.append(F.expr(f"min({v})").alias(p + "min"))
-        elif a == AggFunc.FIRST_VALUE:
-            # min(struct(ms, value)) — deterministic earliest-ROW pick,
-            # including rows whose value is NULL (reference l[0])
-            partial_aggs.append(
-                F.expr(
-                    f"min(CASE WHEN {f_.row_gate_sql()} IS NOT NULL "
-                    f"THEN struct(`{_MS}` AS t, {f_.expr_sql} AS v) END)"
-                ).alias(p + "first")
-            )
-        elif a == AggFunc.LAST_VALUE:
-            partial_aggs.append(
-                F.expr(
-                    f"max(CASE WHEN {f_.row_gate_sql()} IS NOT NULL "
-                    f"THEN struct(`{_MS}` AS t, {f_.expr_sql} AS v) END)"
-                ).alias(p + "last")
-            )
+        elif a in (AggFunc.FIRST_VALUE, AggFunc.LAST_VALUE):
+            # min/max(struct(ms, value)) — deterministic earliest/latest
+            # ROW pick, including rows whose value is NULL (reference
+            # l[0]/l[-1]).  Struct comparison rejects map-typed values, so
+            # those fall back to min_by/max_by on the timestamp alone
+            # (deterministic up to timestamp ties, which maps cannot
+            # tiebreak anyway).
+            fn = "min" if a == AggFunc.FIRST_VALUE else "max"
+            suffix = "first" if a == AggFunc.FIRST_VALUE else "last"
+            if _is_orderable(f_.dtype):
+                partial_aggs.append(
+                    F.expr(
+                        f"{fn}(CASE WHEN {f_.row_gate_sql()} IS NOT NULL "
+                        f"THEN struct(`{_MS}` AS t, {f_.expr_sql} AS v) END)"
+                    ).alias(p + suffix)
+                )
+            else:
+                fnby = "min_by" if a == AggFunc.FIRST_VALUE else "max_by"
+                partial_aggs.append(
+                    F.expr(
+                        f"{fnby}(CASE WHEN {f_.row_gate_sql()} IS NOT NULL "
+                        f"THEN struct(`{_MS}` AS t, {f_.expr_sql} AS v) END, "
+                        f"CASE WHEN {f_.row_gate_sql()} IS NOT NULL "
+                        f"THEN `{_MS}` END)"
+                    ).alias(p + suffix)
+                )
         else:
             raise PlanError(f"Unsupported sliding agg {a}.")
 
@@ -258,10 +266,22 @@ def evaluate_sliding_window(
             merge_aggs.append(F.expr(f"max({g('`' + p + 'max`')})").alias(p + "max"))
         elif a == AggFunc.MIN:
             merge_aggs.append(F.expr(f"min({g('`' + p + 'min`')})").alias(p + "min"))
-        elif a == AggFunc.FIRST_VALUE:
-            merge_aggs.append(F.expr(f"min({g('`' + p + 'first`')})").alias(p + "first"))
-        elif a == AggFunc.LAST_VALUE:
-            merge_aggs.append(F.expr(f"max({g('`' + p + 'last`')})").alias(p + "last"))
+        elif a in (AggFunc.FIRST_VALUE, AggFunc.LAST_VALUE):
+            # map-typed values: the partials carry (t, v) structs picked
+            # by min_by/max_by; merging compares on t alone for the same
+            # reason (struct comparison rejects maps)
+            fn = "min" if a == AggFunc.FIRST_VALUE else "max"
+            suffix = "first" if a == AggFunc.FIRST_VALUE else "last"
+            part = g("`" + p + suffix + "`")
+            if _is_orderable(f_.dtype):
+                merge_aggs.append(
+                    F.expr(f"{fn}({part})").alias(p + suffix)
+                )
+            else:
+                fnby = "min_by" if a == AggFunc.FIRST_VALUE else "max_by"
+                merge_aggs.append(
+                    F.expr(f"{fnby}({part}, ({part}).t)").alias(p + suffix)
+                )
 
     if not merge_aggs:
         # every field is distributive VALUE_COUNTS: placeholder keeps the
@@ -319,8 +339,16 @@ def evaluate_sliding_window(
                     f"slice({arr}, greatest(1, size({arr}) + 1 - {f_.limit}), "
                     f"{f_.limit})"
                 )
-            vals = f"transform({arr}, s -> s.v)"
-            col = F.expr(_array_agg_sql(vals, a, f_.dtype))
+            # materialize the sorted/sliced composite ONCE as a column:
+            # _array_agg_sql references its input several times (incl.
+            # inside a transform lambda for VALUE_COUNTS, where
+            # subexpression elimination cannot hoist), so inlining would
+            # re-sort the merged array per referenced occurrence
+            vals_col = f"__svals_{i}__"
+            result = result.withColumn(
+                vals_col, F.expr(f"transform({arr}, s -> s.v)")
+            )
+            col = F.expr(_array_agg_sql(f"`{vals_col}`", a, f_.dtype))
             # empty-window defaults: ONLY COUNT and SUM are 0 in the
             # reference (aggregation_utils.get_default_value_and_type);
             # ROW_NUMBER is NULL like every other func — the scalar path's
@@ -345,6 +373,9 @@ def evaluate_sliding_window(
         out_cols[f_.name] = col
 
     result = result.withColumns(out_cols)
+    result = result.drop(
+        *[c for c in result.columns if c.startswith("__svals_")]
+    )
 
     # ---- distributive VALUE_COUNTS merge: explode steps -> window ends,
     # re-groupBy (keys, wend, value), assemble the map, join back ---------

@@ -657,3 +657,83 @@ def test_bm25_counts_null_text_in_corpus_stats(spark):
     idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
     tf_term = (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / (2 / 3)))
     assert abs(got[0]["bm25"] - round(idf * tf_term, 6)) < 1e-4
+
+
+def test_over_first_last_deterministic_on_tied_times(client, tmp_path):
+    """Tied event times must yield a deterministic FIRST/LAST_VALUE (the
+    collect path's struct(t, v) rule: smallest value wins the earliest
+    slot, largest the latest)."""
+    import os
+
+    import pandas as pd
+
+    from feathub_spark import (
+        DerivedFeatureView, Feature, FileSystemSource, Int64, Schema, String,
+    )
+    from feathub_spark.feature_views.transforms import OverWindowTransform
+
+    rows = [("k", 7, 100), ("k", 5, 100), ("k", 9, 100)]
+    pdf = pd.DataFrame(rows, columns=["k", "v", "ts"])
+    path = os.path.join(str(tmp_path), "ties.parquet")
+    pdf.to_parquet(path)
+    schema = (
+        Schema.new_builder()
+        .column("k", String).column("v", Int64).column("ts", Int64)
+        .build()
+    )
+    src = FileSystemSource(
+        name="ties_src", path=path, data_format="parquet", schema=schema,
+        keys=["k"], timestamp_field="ts", timestamp_format="epoch_millis",
+    )
+    view = DerivedFeatureView(
+        name="ties_view",
+        source=src,
+        features=[
+            Feature("fv", transform=OverWindowTransform(
+                "v", "FIRST_VALUE", group_by_keys=["k"])),
+            Feature("lv", transform=OverWindowTransform(
+                "v", "LAST_VALUE", group_by_keys=["k"])),
+        ],
+        keep_source_fields=True,
+    )
+    client.build_features([src, view])
+    df = client.get_features(view).to_pandas()
+    # all three rows are frame peers: struct(t, v) rule -> min v / max v
+    assert set(df["fv"]) == {5} and set(df["lv"]) == {9}
+
+
+def test_sliding_first_last_map_typed_values(client, tmp_path):
+    """Map-typed FIRST/LAST_VALUE partials must not crash on struct
+    comparison (maps are unorderable) — min_by/max_by fallback."""
+    from datetime import timedelta
+
+    from feathub_spark import Feature, SlidingFeatureView
+    from feathub_spark.common.types import Int64, MapType, String
+    from feathub_spark.feature_views.transforms import SlidingWindowTransform
+
+    from tests.fixtures import write_f1_source
+
+    source = write_f1_source(tmp_path)
+    view = SlidingFeatureView(
+        name="map_last_view",
+        source=source,
+        features=[
+            Feature(
+                "last_m",
+                transform=SlidingWindowTransform(
+                    "MAP('c', cost)", "LAST_VALUE",
+                    window_size=timedelta(days=1),
+                    step_size=timedelta(days=1), group_by_keys=["name"],
+                ),
+                dtype=MapType(String, Int64),
+            ),
+        ],
+        skip_same_window_output=False,
+    )
+    client.build_features([source])
+    client.build_features([view])
+    df = client.get_features(view).to_pandas()
+    ts_col = [c for c in df.columns if c not in ("name", "last_m")][0]
+    df = df.sort_values(["name", ts_col]).reset_index(drop=True)
+    alex_day1 = df[(df["name"] == "Alex")].iloc[0]["last_m"]
+    assert dict(alex_day1) == {"c": 100}
