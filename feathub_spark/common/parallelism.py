@@ -36,18 +36,36 @@ _EXCHANGE_NODE_RE = re.compile(
 _NODE_LEAD_RE = re.compile(r"^[\s+:!-]*")
 
 
+def _top_level_bracket_groups(node: str) -> int:
+    """Count [...] groups at bracket depth 0 of a plan-node header.  A
+    '], [' substring test misreads nested array literals — e.g. a global
+    aggregate printing percentile_approx(v, [0.25,0.5], ...) contains
+    '], [' inside its single top-level group — so grouping must be
+    decided by depth, not by substring."""
+    depth = 0
+    groups = 0
+    for ch in node:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]" and depth > 0:
+            depth -= 1
+    return groups
+
+
 def _plan_has_full_exchange(plan_str: str) -> bool:
     for line in plan_str.splitlines():
         node = _NODE_LEAD_RE.sub("", line)
         if node.startswith("Aggregate ["):
             # grouped aggregates print 'Aggregate [grp], [out]'; a GLOBAL
             # aggregate has one bracket group and exchanges to ONE task
-            if "], [" in node:
+            if _top_level_bracket_groups(node) >= 2:
                 return True
         elif node.startswith("Window ["):
             # 'Window [exprs], [partitionSpec], [orderSpec]' — a global
             # window (no partitionBy) prints only [exprs], [orderSpec]
-            if node.count("], [") >= 2:
+            if _top_level_bracket_groups(node) >= 3:
                 return True
         elif node.startswith("Deduplicate ["):
             return True

@@ -73,10 +73,35 @@ class SqlOnlineStore:
     def _conn(self):
         """ONE cached connection per store, opened lazily from the factory
         — a fresh factory connection per put/get leaked a live MySQL
-        connection (plus a TCP+auth handshake) per serving request."""
+        connection (plus a TCP+auth handshake) per serving request.
+
+        NOT thread-safe: DBAPI connections/cursors are single-threaded;
+        a multi-threaded serving tier needs one store instance per worker
+        (or an external pool passed as the factory)."""
         if self._conn_cache is None:
             self._conn_cache = self._factory()
         return self._conn_cache
+
+    def _cursor(self):
+        """(conn, cursor) on the cached connection, revalidated with a
+        cheap SELECT 1 probe: a server-side idle disconnect (MySQL
+        wait_timeout) would otherwise fail EVERY subsequent put/get until
+        process restart.  On a dead connection the cache is dropped and
+        rebuilt from the factory once; a second failure propagates."""
+        conn = self._conn()
+        try:
+            cur = conn.cursor()
+            cur.execute("SELECT 1")
+            cur.fetchone()
+            return conn, cur
+        except Exception:
+            try:
+                conn.close()
+            except Exception:
+                pass
+            self._conn_cache = None
+            conn = self._conn()
+            return conn, conn.cursor()
 
     def close(self) -> None:
         if self._conn_cache is not None:
@@ -105,8 +130,7 @@ class SqlOnlineStore:
     ) -> None:
         if not isinstance(data, pd.DataFrame):
             data = data.toPandas()
-        conn = self._conn()
-        cur = conn.cursor()
+        conn, cur = self._cursor()
         if key_fields is None or timestamp_field is None:
             cur.execute(
                 f"SELECT key_fields, ts_field FROM {self._table}_meta "
@@ -199,8 +223,7 @@ class SqlOnlineStore:
         input_data: pd.DataFrame,
         feature_names: Optional[Sequence[str]] = None,
     ) -> pd.DataFrame:
-        conn = self._conn()
-        cur = conn.cursor()
+        conn, cur = self._cursor()
         cur.execute(
             f"SELECT key_fields FROM {self._table}_meta WHERE tbl = {self._ph}",
             (table_name,),

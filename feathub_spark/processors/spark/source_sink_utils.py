@@ -8,7 +8,9 @@ derived per the descriptor's timestamp_field/format
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from feathub_spark.common.exceptions import PlanError
 from feathub_spark.common.time_utils import event_time_sql
@@ -343,7 +345,7 @@ def insert_into_sink(df: DataFrame, sink, descriptor: TableDescriptor = None) ->
         return
     if isinstance(sink, JdbcSink):
         if sink.upsert_keys:
-            _write_jdbc_upsert(df, sink)
+            _write_jdbc_upsert(df, sink, descriptor)
             return
         writer = (
             df.write.format("jdbc")
@@ -410,12 +412,42 @@ def upsert_sql(url: str, table: str, staging: str, cols, keys) -> str:
     )
 
 
-def _write_jdbc_upsert(df: DataFrame, sink) -> None:
+def dedupe_for_upsert(df: DataFrame, keys, timestamp_field=None) -> DataFrame:
+    """One row per upsert key: a batch holding several versions of a key
+    (the normal shape for windowed feature output) would make PostgreSQL's
+    ON CONFLICT DO UPDATE abort with 'cannot affect row a second time' and
+    leave MySQL's winner nondeterministic.  The survivor is the latest row
+    by the descriptor's timestamp field when one exists; otherwise the
+    ordering falls back to every non-key column so the pick is at least
+    deterministic across runs."""
+    keys = list(keys)
+    if timestamp_field and timestamp_field in df.columns:
+        order = [F.col(timestamp_field).desc_nulls_last()]
+    else:
+        order = [
+            F.col(c).desc_nulls_last() for c in df.columns if c not in keys
+        ] or [F.lit(1)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__fh_upsert_rn", F.row_number().over(w))
+        .filter(F.col("__fh_upsert_rn") == 1)
+        .drop("__fh_upsert_rn")
+    )
+
+
+def _write_jdbc_upsert(df: DataFrame, sink, descriptor=None) -> None:
     """Key-upsert write: stage the batch via the parallel JDBC writer
     (overwrite), then one driver-side statement merges the staging table
     into the target — the executors never hold row-level upsert logic,
-    and the merge is a single set-based statement on the database."""
-    staging = f"{sink.table}_feathub_stage"
+    and the merge is a single set-based statement on the database.
+
+    The staging table name carries a per-call unique suffix (two
+    concurrent upsert jobs into one target must not overwrite each
+    other's staging mid-merge) and is dropped in a finally block so a
+    failed merge leaves no residue."""
+    ts_field = getattr(descriptor, "timestamp_field", None)
+    df = dedupe_for_upsert(df, sink.upsert_keys, ts_field)
+    staging = f"{sink.table}_feathub_stage_{uuid.uuid4().hex[:12]}"
     writer = (
         df.write.format("jdbc")
         .option("url", sink.url)
@@ -433,7 +465,15 @@ def _write_jdbc_upsert(df: DataFrame, sink) -> None:
     spark = df.sparkSession
     jvm = spark._sc._jvm
     if sink.driver:
-        jvm.java.lang.Class.forName(sink.driver)
+        # DriverManager can't see drivers shipped via --jars (they load in
+        # Spark's mutable classloader, not the system one) — mirror Spark's
+        # own DriverRegistry workaround before falling back.
+        try:
+            jvm.org.apache.spark.sql.execution.datasources.jdbc.DriverRegistry.register(
+                sink.driver
+            )
+        except Exception:
+            jvm.java.lang.Class.forName(sink.driver)
     conn = jvm.java.sql.DriverManager.getConnection(
         sink.url, sink.username or "", sink.password or ""
     )
@@ -441,9 +481,11 @@ def _write_jdbc_upsert(df: DataFrame, sink) -> None:
         st = conn.createStatement()
         try:
             st.executeUpdate(stmt)
-            st.executeUpdate(f"DROP TABLE {staging}")
         finally:
-            st.close()
+            try:
+                st.executeUpdate(f"DROP TABLE IF EXISTS {staging}")
+            finally:
+                st.close()
     finally:
         conn.close()
 

@@ -40,10 +40,31 @@ class SqlRegistry(LocalRegistry):
     def _conn(self):
         # ONE cached connection per registry, opened lazily — a fresh
         # factory connection per operation leaked a live DB connection
-        # for every build/delete in a long-lived process
+        # for every build/delete in a long-lived process.  NOT
+        # thread-safe (DBAPI connections are single-threaded); use one
+        # registry instance per worker.
         if self._conn_cache is None:
             self._conn_cache = self._factory()
         return self._conn_cache
+
+    def _cursor(self):
+        # Revalidate the cached connection with a SELECT 1 probe; after a
+        # server-side idle disconnect (MySQL wait_timeout) rebuild it from
+        # the factory once instead of failing every later operation.
+        conn = self._conn()
+        try:
+            cur = conn.cursor()
+            cur.execute("SELECT 1")
+            cur.fetchone()
+            return conn, cur
+        except Exception:
+            try:
+                conn.close()
+            except Exception:
+                pass
+            self._conn_cache = None
+            conn = self._conn()
+            return conn, conn.cursor()
 
     def close(self) -> None:
         if self._conn_cache is not None:

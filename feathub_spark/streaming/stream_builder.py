@@ -19,6 +19,7 @@ or, here, to streaming DataFrames:
 
 from __future__ import annotations
 
+import os
 from datetime import timedelta
 from typing import Optional
 
@@ -404,6 +405,41 @@ class SparkStreamBuilder:
         return result.select(*output_fields)
 
 
+def _default_kafka_checkpoint_dir(spark, query_name, sink) -> str:
+    """STABLE default checkpoint path for a Kafka sink, derived from the
+    query name (or the topic + bootstrap server when unnamed).  A fresh
+    mkdtemp per start() meant a restarted query never resumed its prior
+    offsets/state — it silently replayed from startingOffsets (re-emitting
+    or skipping data) and leaked one temp dir per start.  A deterministic
+    path makes restart-resumes work; starting a SECOND live query onto the
+    same derived path is refused because two queries sharing a checkpoint
+    resume each other's offsets and corrupt both."""
+    import hashlib
+    import re as _re
+    import tempfile
+
+    ident = query_name or f"{sink.topic}@{sink.bootstrap_server}"
+    slug = _re.sub(r"[^A-Za-z0-9_.-]+", "_", ident)[:80]
+    digest = hashlib.sha256(ident.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), "feathub_spark_ckpt", f"{slug}_{digest}"
+    )
+    if path in _ACTIVE_DEFAULT_CKPTS:
+        prior = _ACTIVE_DEFAULT_CKPTS[path]
+        if prior is not None and prior.isActive:
+            raise PlanError(
+                f"A live streaming query already uses the default Kafka "
+                f"checkpoint {path!r} (query_name/topic collision). Pass an "
+                f"explicit checkpoint_dir or a distinct query_name."
+            )
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# default-checkpoint path -> the StreamingQuery that last claimed it
+_ACTIVE_DEFAULT_CKPTS: dict = {}
+
+
 def write_stream(
     df: DataFrame,
     sink,
@@ -444,22 +480,24 @@ def write_stream(
                 F.to_json(F.struct(*[F.col(k) for k in keys])).alias("key"),
                 value.alias("value"),
             )
+        derived_ckpt = None
         if checkpoint_dir is None:
-            import tempfile
-
-            checkpoint_dir = tempfile.mkdtemp(
-                prefix=f"feathub_ckpt_{query_name or sink.topic}_"
+            checkpoint_dir = derived_ckpt = _default_kafka_checkpoint_dir(
+                df.sparkSession, query_name, sink
             )
         kwriter = out.writeStream.outputMode(output_mode)
         if query_name:
             kwriter = kwriter.queryName(query_name)
-        return (
+        query = (
             kwriter.format("kafka")
             .option("kafka.bootstrap.servers", sink.bootstrap_server)
             .option("topic", sink.topic)
             .option("checkpointLocation", checkpoint_dir)
             .start()
         )
+        if derived_ckpt is not None:
+            _ACTIVE_DEFAULT_CKPTS[derived_ckpt] = query
+        return query
 
     def write_batch(batch_df, batch_id):
         insert_into_sink(batch_df, sink, descriptor)

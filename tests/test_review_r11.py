@@ -1,0 +1,163 @@
+"""Regression pins for the round-11 advisor findings (ADVICE.md r11):
+JDBC upsert batch dedupe + unique staging, stable Kafka checkpoint
+defaults, SQL online-store reconnect, and the parallelism bracket
+parser."""
+
+import sqlite3
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_dedupe_for_upsert_latest_by_timestamp_wins(spark):
+    """A batch holding several versions per upsert key must collapse to
+    ONE row per key (PostgreSQL aborts ON CONFLICT updates that touch a
+    row twice), keeping the latest row by the timestamp field."""
+    from feathub_spark.processors.spark.source_sink_utils import (
+        dedupe_for_upsert,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 3, 30.0), ("a", 2, 20.0), ("b", 1, 1.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        r["k"]: (r["ts"], r["v"])
+        for r in dedupe_for_upsert(df, ["k"], "ts").collect()
+    }
+    assert out == {"a": (3, 30.0), "b": (1, 1.0)}
+
+
+def test_dedupe_for_upsert_deterministic_without_timestamp(spark):
+    """No timestamp field: the survivor is still deterministic (ordered
+    over the non-key columns), so repeated writes of the same batch
+    upsert the same row."""
+    from feathub_spark.processors.spark.source_sink_utils import (
+        dedupe_for_upsert,
+    )
+
+    rows = [("a", 5.0), ("a", 9.0), ("a", 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    first = dedupe_for_upsert(df, ["k"], None).collect()
+    second = dedupe_for_upsert(
+        spark.createDataFrame(list(reversed(rows)), "k string, v double"),
+        ["k"],
+        None,
+    ).collect()
+    assert len(first) == 1 and first == second
+    assert first[0]["v"] == 9.0  # desc over non-key columns
+
+
+def test_kafka_default_checkpoint_stable_and_collision_guarded(spark):
+    """The derived default checkpoint path must be STABLE across start()
+    calls (restart-resume) and refuse a second LIVE query on the same
+    derived path."""
+    import pytest
+
+    from feathub_spark.common.exceptions import PlanError
+    from feathub_spark.feature_tables.sinks.connector_sinks import KafkaSink
+    from feathub_spark.streaming import stream_builder as sb
+
+    sink = KafkaSink(bootstrap_server="localhost:9092", topic="t1")
+    p1 = sb._default_kafka_checkpoint_dir(spark, "qname", sink)
+    p2 = sb._default_kafka_checkpoint_dir(spark, "qname", sink)
+    assert p1 == p2
+
+    class _FakeQuery:
+        isActive = True
+
+    sb._ACTIVE_DEFAULT_CKPTS[p1] = _FakeQuery()
+    try:
+        with pytest.raises(PlanError):
+            sb._default_kafka_checkpoint_dir(spark, "qname", sink)
+        # a STOPPED query releases the path for resume
+        sb._ACTIVE_DEFAULT_CKPTS[p1].isActive = False
+        assert sb._default_kafka_checkpoint_dir(spark, "qname", sink) == p1
+    finally:
+        sb._ACTIVE_DEFAULT_CKPTS.pop(p1, None)
+    # unnamed queries derive from topic@server and differ per topic
+    p3 = sb._default_kafka_checkpoint_dir(spark, None, sink)
+    p4 = sb._default_kafka_checkpoint_dir(
+        spark, None, KafkaSink(bootstrap_server="localhost:9092", topic="t2")
+    )
+    assert p3 != p4
+
+
+def test_sql_online_store_reconnects_after_dead_connection(tmp_path):
+    """A server-side idle disconnect (simulated by closing the cached
+    sqlite connection) must not poison the store: the next put/get
+    rebuilds the connection from the factory."""
+    from feathub_spark.online_stores.sql_online_store import SqlOnlineStore
+
+    db = str(tmp_path / "s.db")
+
+    def factory():
+        return sqlite3.connect(db)
+
+    store = SqlOnlineStore(factory)
+    store.put("t", pd.DataFrame({"k": [1], "f": [1.5]}), key_fields=["k"])
+    store._conn_cache.close()  # simulate wait_timeout disconnect
+    got = store.get("t", pd.DataFrame({"k": [1]}))
+    assert got["f"].tolist() == [1.5]
+    store._conn_cache.close()
+    store.put("t", pd.DataFrame({"k": [2], "f": [2.5]}), key_fields=["k"])
+    got = store.get("t", pd.DataFrame({"k": [2]}))
+    assert got["f"].tolist() == [2.5]
+    store.close()
+
+
+def test_sql_registry_reconnects_after_dead_connection(tmp_path):
+    """Same reconnect contract for the SQL registry."""
+    from feathub_spark.registries.sql_registry import SqlRegistry
+
+    db = str(tmp_path / "r.db")
+
+    def factory():
+        return sqlite3.connect(db)
+
+    reg = SqlRegistry(factory)
+    reg._conn_cache.close()
+    conn, cur = reg._cursor()
+    cur.execute(f"SELECT COUNT(*) FROM {reg._table}")
+    assert cur.fetchone()[0] == 0
+    reg.close()
+
+
+def test_global_aggregate_with_array_literals_still_probes(spark):
+    """A GLOBAL aggregate whose expressions contain adjacent bracketed
+    array literals (percentile_approx's [..] probabilities) prints
+    '], [' inside its single top-level group — it must NOT be classified
+    as a grouped (full-exchange) aggregate, or the single-partition
+    probe is skipped."""
+    from feathub_spark.common.parallelism import (
+        _plan_has_full_exchange,
+        _top_level_bracket_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(10)], "v double"
+    )
+    g = df.agg(
+        F.percentile_approx("v", F.lit([0.25, 0.5]), F.lit(10000)).alias("p"),
+        F.percentile_approx("v", F.lit([0.9]), F.lit(10000)).alias("q"),
+    )
+    plan = g._jdf.queryExecution().analyzed().toString()
+    assert not _plan_has_full_exchange(plan)
+    # the ambiguity the old substring test tripped on: a '], [' INSIDE a
+    # single top-level expression list (printed literals / nested
+    # bracket groups) must not read as a grouping list
+    assert not _plan_has_full_exchange(
+        "Aggregate [percentile_approx(v#1, [0.25,0.5], 10000, 0, 0) AS p#2]"
+    )
+    assert not _plan_has_full_exchange(
+        "Window [avg(v#1) windowspecdefinition([0.1], v#1 ASC) AS w#2], [v#1 ASC]"
+    )
+    # grouped forms with the same nested literals still classify as full
+    grouped = df.groupBy((F.col("v") % 2).alias("g")).agg(
+        F.percentile_approx("v", F.lit([0.25, 0.5]), F.lit(10000)).alias("p")
+    )
+    assert _plan_has_full_exchange(
+        grouped._jdf.queryExecution().analyzed().toString()
+    )
+    assert _top_level_bracket_groups("Aggregate [x], [y]") == 2
+    assert _top_level_bracket_groups("Aggregate [f(v, [0.1, 0.2], [1])]") == 1
