@@ -48,7 +48,10 @@ def default_spark_session(app_name: str = "feathub_spark", cpus: int = 0) -> Spa
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/bench startup cost); SPARK_UI_ENABLED=true
+        # turns it on for tools that read stage metrics over the REST API
+        # (tools/scale_study.py's spill capture)
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
     )
     return builder.getOrCreate()
 

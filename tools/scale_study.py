@@ -183,8 +183,34 @@ def _passages_direct(spark, sf_dir):
     return dup_passage_pairs(df, "text", "doc_id")
 
 
+def _stage_totals(spark) -> dict:
+    """Cumulative spill/shuffle bytes across all completed stages, read
+    from the UI REST API (requires SPARK_UI_ENABLED=true); zeros when the
+    UI is off.  Per-query deltas come from diffing before/after."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {"spill": 0, "shuffle_write": 0}
+    app = spark.sparkContext.applicationId
+    try:
+        data = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
+        )
+    except Exception:
+        return {"spill": 0, "shuffle_write": 0}
+    return {
+        "spill": sum(
+            d.get("memoryBytesSpilled", 0) + d.get("diskBytesSpilled", 0)
+            for d in data
+        ),
+        "shuffle_write": sum(d.get("shuffleWriteBytes", 0) for d in data),
+    }
+
+
 def main() -> None:
     gen_only = "--gen-only" in sys.argv
+    os.environ.setdefault("SPARK_UI_ENABLED", "true")
     dirs = {}
     for scale, name in ((1, "gen01"), (10, "gen1")):
         d = os.path.join(DATA, name)
@@ -212,13 +238,21 @@ def main() -> None:
         row = {}
         for scale in (1, 10):
             runs = []
+            before = _stage_totals(spark)
             for _ in range(3):
                 t0 = time.time()
                 fn(spark, dirs[scale]).write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
                 release_caches()
                 spark.catalog.clearCache()
+            after = _stage_totals(spark)
             row[f"t{scale}x"] = round(statistics.median(runs), 3)
+            row[f"spill{scale}x_mb"] = round(
+                (after["spill"] - before["spill"]) / 3 / 1e6, 1
+            )
+            row[f"shuffle{scale}x_mb"] = round(
+                (after["shuffle_write"] - before["shuffle_write"]) / 3 / 1e6, 1
+            )
         row["ratio"] = round(row["t10x"] / row["t1x"], 2)
         results[label] = row
         print(f"{label}: {row}", file=sys.stderr)
