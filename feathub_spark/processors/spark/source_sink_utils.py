@@ -421,11 +421,27 @@ def dedupe_for_upsert(df: DataFrame, keys, timestamp_field=None) -> DataFrame:
     ordering falls back to every non-key column so the pick is at least
     deterministic across runs."""
     keys = list(keys)
+
+    def _orderable(dt) -> bool:
+        # MapType (VALUE_COUNTS features) and anything containing one is
+        # not orderable in Spark — ordering by it throws at analysis
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     if timestamp_field and timestamp_field in df.columns:
         order = [F.col(timestamp_field).desc_nulls_last()]
     else:
         order = [
-            F.col(c).desc_nulls_last() for c in df.columns if c not in keys
+            F.col(f.name).desc_nulls_last()
+            for f in df.schema.fields
+            if f.name not in keys and _orderable(f.dataType)
         ] or [F.lit(1)]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (

@@ -48,6 +48,21 @@ def test_dedupe_for_upsert_deterministic_without_timestamp(spark):
     assert first[0]["v"] == 9.0  # desc over non-key columns
 
 
+def test_dedupe_for_upsert_skips_unorderable_map_columns(spark):
+    """VALUE_COUNTS features are maps — not orderable in Spark.  The
+    deterministic fallback must skip them instead of throwing."""
+    from feathub_spark.processors.spark.source_sink_utils import (
+        dedupe_for_upsert,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, {"x": 1}), ("a", 2.0, {"y": 2})],
+        "k string, v double, m map<string,int>",
+    )
+    out = dedupe_for_upsert(df, ["k"], None).collect()
+    assert len(out) == 1 and out[0]["v"] == 2.0
+
+
 def test_kafka_default_checkpoint_stable_and_collision_guarded(spark):
     """The derived default checkpoint path must be STABLE across start()
     calls (restart-resume) and refuse a second LIVE query on the same
