@@ -41,7 +41,13 @@ def _top_level_bracket_groups(node: str) -> int:
     '], [' substring test misreads nested array literals — e.g. a global
     aggregate printing percentile_approx(v, [0.25,0.5], ...) contains
     '], [' inside its single top-level group — so grouping must be
-    decided by depth, not by substring."""
+    decided by depth, not by substring.
+
+    Returns 0 (ambiguous → caller falls through to the row-count probe)
+    when the header's brackets don't balance: a stray '[' inside a
+    string literal (split(t, [)) would otherwise shift every following
+    group's depth and could misclassify a global aggregate as grouped,
+    silently skipping the single-partition probe."""
     depth = 0
     groups = 0
     for ch in node:
@@ -51,7 +57,7 @@ def _top_level_bracket_groups(node: str) -> int:
             depth += 1
         elif ch == "]" and depth > 0:
             depth -= 1
-    return groups
+    return groups if depth == 0 else 0
 
 
 def _plan_has_full_exchange(plan_str: str) -> bool:

@@ -459,11 +459,16 @@ def _write_jdbc_upsert(df: DataFrame, sink, descriptor=None) -> None:
 
     The staging table name carries a per-call unique suffix (two
     concurrent upsert jobs into one target must not overwrite each
-    other's staging mid-merge) and is dropped in a finally block so a
-    failed merge leaves no residue."""
+    other's staging mid-merge).  The merge statement is built BEFORE the
+    staging write (an unsupported dialect fails fast, before any table
+    exists) and the staging table is dropped in a finally once the merge
+    connection is open — residue is possible only if the database
+    becomes unreachable between the staged write and the merge, where no
+    drop can run either."""
     ts_field = getattr(descriptor, "timestamp_field", None)
     df = dedupe_for_upsert(df, sink.upsert_keys, ts_field)
     staging = f"{sink.table}_feathub_stage_{uuid.uuid4().hex[:12]}"
+    stmt = upsert_sql(sink.url, sink.table, staging, df.columns, sink.upsert_keys)
     writer = (
         df.write.format("jdbc")
         .option("url", sink.url)
@@ -477,7 +482,6 @@ def _write_jdbc_upsert(df: DataFrame, sink, descriptor=None) -> None:
     if sink.password:
         writer = writer.option("password", sink.password)
     writer.save()
-    stmt = upsert_sql(sink.url, sink.table, staging, df.columns, sink.upsert_keys)
     spark = df.sparkSession
     jvm = spark._sc._jvm
     if sink.driver:

@@ -74,8 +74,7 @@ class SqlRegistry(LocalRegistry):
                 self._conn_cache = None
 
     def _init_table(self) -> None:
-        conn = self._conn()
-        cur = conn.cursor()
+        conn, cur = self._cursor()
         cur.execute(
             f"CREATE TABLE IF NOT EXISTS {self._table} ("
             "name VARCHAR(255) PRIMARY KEY, "
@@ -86,8 +85,7 @@ class SqlRegistry(LocalRegistry):
     def _load_all(self) -> None:
         from feathub_spark.registries.json_codec import descriptor_from_json
 
-        conn = self._conn()
-        cur = conn.cursor()
+        conn, cur = self._cursor()
         cur.execute(f"SELECT name, descriptor_json FROM {self._table}")
         rows = cur.fetchall()
         pending = {name: json.loads(js) for name, js in rows}
@@ -113,8 +111,7 @@ class SqlRegistry(LocalRegistry):
         from feathub_spark.registries.json_codec import descriptor_to_json
 
         resolved = super().build_features(descriptors)
-        conn = self._conn()
-        cur = conn.cursor()
+        conn, cur = self._cursor()
         for d in resolved:
             try:
                 obj = descriptor_to_json(d)
@@ -134,8 +131,7 @@ class SqlRegistry(LocalRegistry):
 
     def delete_features(self, name: str) -> None:
         super().delete_features(name)
-        conn = self._conn()
-        cur = conn.cursor()
+        conn, cur = self._cursor()
         cur.execute(f"DELETE FROM {self._table} WHERE name = {self._ph}", (name,))
         conn.commit()
 

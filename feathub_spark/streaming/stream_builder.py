@@ -405,31 +405,42 @@ class SparkStreamBuilder:
         return result.select(*output_fields)
 
 
-def _default_kafka_checkpoint_dir(spark, query_name, sink) -> str:
-    """STABLE default checkpoint path for a Kafka sink, derived from the
-    query name (or the topic + bootstrap server when unnamed).  A fresh
-    mkdtemp per start() meant a restarted query never resumed its prior
-    offsets/state — it silently replayed from startingOffsets (re-emitting
-    or skipping data) and leaked one temp dir per start.  A deterministic
-    path makes restart-resumes work; starting a SECOND live query onto the
-    same derived path is refused because two queries sharing a checkpoint
-    resume each other's offsets and corrupt both."""
+def _default_kafka_checkpoint_dir(query_name, sink) -> str:
+    """Default checkpoint path for a Kafka sink.  A NAMED query gets a
+    STABLE path derived from its name — a fresh mkdtemp per start() meant
+    a restarted query never resumed its prior offsets/state (it silently
+    replayed from startingOffsets, re-emitting or skipping data) and
+    leaked one temp dir per start.  An UNNAMED query keeps the unique
+    mkdtemp: with no user-chosen identity there is nothing safe to resume
+    by, and a topic-derived path would make two independent unnamed
+    writers to one topic share (and corrupt) a checkpoint.
+
+    Starting a SECOND live query onto the same derived path is refused.
+    The liveness guard is per-process (this engine runs one driver JVM);
+    cross-process isolation for named queries is the caller's contract —
+    a query name identifies ONE logical query, same as Spark's own
+    checkpointLocation semantics."""
     import hashlib
     import re as _re
     import tempfile
 
-    ident = query_name or f"{sink.topic}@{sink.bootstrap_server}"
-    slug = _re.sub(r"[^A-Za-z0-9_.-]+", "_", ident)[:80]
-    digest = hashlib.sha256(ident.encode()).hexdigest()[:12]
+    if not query_name:
+        return tempfile.mkdtemp(prefix=f"feathub_ckpt_{sink.topic}_")
+    slug = _re.sub(r"[^A-Za-z0-9_.-]+", "_", query_name)[:80]
+    digest = hashlib.sha256(query_name.encode()).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(), "feathub_spark_ckpt", f"{slug}_{digest}"
     )
-    if path in _ACTIVE_DEFAULT_CKPTS:
-        prior = _ACTIVE_DEFAULT_CKPTS[path]
-        if prior is not None and prior.isActive:
+    prior = _ACTIVE_DEFAULT_CKPTS.get(path)
+    if prior is not None:
+        try:
+            prior_active = prior.isActive
+        except Exception:
+            prior_active = False  # dead session/JVM — the path is free
+        if prior_active:
             raise PlanError(
                 f"A live streaming query already uses the default Kafka "
-                f"checkpoint {path!r} (query_name/topic collision). Pass an "
+                f"checkpoint {path!r} (query_name collision). Pass an "
                 f"explicit checkpoint_dir or a distinct query_name."
             )
     os.makedirs(path, exist_ok=True)
@@ -482,9 +493,9 @@ def write_stream(
             )
         derived_ckpt = None
         if checkpoint_dir is None:
-            checkpoint_dir = derived_ckpt = _default_kafka_checkpoint_dir(
-                df.sparkSession, query_name, sink
-            )
+            checkpoint_dir = _default_kafka_checkpoint_dir(query_name, sink)
+            if query_name:
+                derived_ckpt = checkpoint_dir
         kwriter = out.writeStream.outputMode(output_mode)
         if query_name:
             kwriter = kwriter.queryName(query_name)

@@ -74,8 +74,8 @@ def test_kafka_default_checkpoint_stable_and_collision_guarded(spark):
     from feathub_spark.streaming import stream_builder as sb
 
     sink = KafkaSink(bootstrap_server="localhost:9092", topic="t1")
-    p1 = sb._default_kafka_checkpoint_dir(spark, "qname", sink)
-    p2 = sb._default_kafka_checkpoint_dir(spark, "qname", sink)
+    p1 = sb._default_kafka_checkpoint_dir("qname", sink)
+    p2 = sb._default_kafka_checkpoint_dir("qname", sink)
     assert p1 == p2
 
     class _FakeQuery:
@@ -84,17 +84,27 @@ def test_kafka_default_checkpoint_stable_and_collision_guarded(spark):
     sb._ACTIVE_DEFAULT_CKPTS[p1] = _FakeQuery()
     try:
         with pytest.raises(PlanError):
-            sb._default_kafka_checkpoint_dir(spark, "qname", sink)
+            sb._default_kafka_checkpoint_dir("qname", sink)
         # a STOPPED query releases the path for resume
         sb._ACTIVE_DEFAULT_CKPTS[p1].isActive = False
-        assert sb._default_kafka_checkpoint_dir(spark, "qname", sink) == p1
+        assert sb._default_kafka_checkpoint_dir("qname", sink) == p1
+
+        # a DEAD query handle (stopped JVM/session: isActive raises)
+        # must release the path, not crash the guard
+        class _DeadQuery:
+            @property
+            def isActive(self):
+                raise RuntimeError("JVM gone")
+
+        sb._ACTIVE_DEFAULT_CKPTS[p1] = _DeadQuery()
+        assert sb._default_kafka_checkpoint_dir("qname", sink) == p1
     finally:
         sb._ACTIVE_DEFAULT_CKPTS.pop(p1, None)
-    # unnamed queries derive from topic@server and differ per topic
-    p3 = sb._default_kafka_checkpoint_dir(spark, None, sink)
-    p4 = sb._default_kafka_checkpoint_dir(
-        spark, None, KafkaSink(bootstrap_server="localhost:9092", topic="t2")
-    )
+    # UNNAMED queries keep per-start unique temp dirs: with no identity
+    # there is nothing safe to resume by, and two independent unnamed
+    # writers to one topic must never share a checkpoint
+    p3 = sb._default_kafka_checkpoint_dir(None, sink)
+    p4 = sb._default_kafka_checkpoint_dir(None, sink)
     assert p3 != p4
 
 
@@ -131,6 +141,10 @@ def test_sql_registry_reconnects_after_dead_connection(tmp_path):
         return sqlite3.connect(db)
 
     reg = SqlRegistry(factory)
+    reg._conn_cache.close()
+    # a REAL operation (not the helper directly) must survive the dead
+    # connection — build_features goes through _cursor and commits
+    assert reg.build_features([]) == []
     reg._conn_cache.close()
     conn, cur = reg._cursor()
     cur.execute(f"SELECT COUNT(*) FROM {reg._table}")
@@ -176,3 +190,8 @@ def test_global_aggregate_with_array_literals_still_probes(spark):
     )
     assert _top_level_bracket_groups("Aggregate [x], [y]") == 2
     assert _top_level_bracket_groups("Aggregate [f(v, [0.1, 0.2], [1])]") == 1
+    # a stray '[' from a string literal leaves the header unbalanced —
+    # ambiguous headers return 0 so the caller falls through to the probe
+    assert _top_level_bracket_groups("Aggregate [split(t#1, [, -1)], [g#2]") == 0
+    # a stray ']' closes its group early but stays balanced and countable
+    assert _top_level_bracket_groups("Aggregate [split(t#1, ], -1)], [g#2]") == 2

@@ -31,10 +31,37 @@ sys.path.insert(0, REPO)
 CONTROLS = ["sql_view_tpch_q6", "expr_filter"]
 
 
+def _parse_args(argv):
+    """(names, alts): ``--alt <query>=<module_path>:<attr>`` times an
+    alternative implementation (a callable taking (spark, sf_dir))
+    interleaved with the current one under the name ``<query>__alt``."""
+    names, alts = [], {}
+    it = iter(argv)
+    for a in it:
+        if a == "--alt":
+            try:
+                spec = next(it)
+                qname, target = spec.split("=", 1)
+                mod_path, attr = target.rsplit(":", 1)
+            except (StopIteration, ValueError):
+                print("--alt expects <query>=<module_path>:<attr>", file=sys.stderr)
+                sys.exit(2)
+            alts[qname] = (mod_path, attr)
+            if qname not in names:
+                names.append(qname)
+        elif a.startswith("--"):
+            print(f"unknown flag {a}", file=sys.stderr)
+            sys.exit(2)
+        else:
+            names.append(a)
+    return names, alts
+
+
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    names, alts = _parse_args(sys.argv[1:])
     if not names:
-        print("usage: quiet_ab.py <query> [query ...]", file=sys.stderr)
+        print("usage: quiet_ab.py <query> [query ...] "
+              "[--alt <query>=<module_path>:<attr>]", file=sys.stderr)
         sys.exit(2)
     repeats = int(os.environ.get("SPARK_GRAFT_AB_REPEATS", "7"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,6 +72,16 @@ def main() -> None:
     from bench import R6_BASELINE
 
     qs = entry_mod.queries()
+    for qname, (mod_path, attr) in alts.items():
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            f"quiet_ab_alt_{attr}", mod_path
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        qs[f"{qname}__alt"] = getattr(mod, attr)
+        names.append(f"{qname}__alt")
     controls = [c for c in CONTROLS if c in qs and c not in names]
     plan = names + controls
     missing = [n for n in plan if n not in qs]

@@ -62,10 +62,12 @@ def generate(scale: int, out_dir: str) -> None:
     texts = []
     for i in range(n_docs):
         if i > 0 and rng.random() < 0.05:
-            src = texts[rng.integers(0, i)].split(" ")
-            words = np.array(src)
+            # object dtype: a fixed-width '<U' array would silently
+            # truncate replacement words longer than the source doc's
+            # longest token, corrupting the near-dup token distribution
+            words = np.array(texts[rng.integers(0, i)].split(" "), dtype=object)
             mask = rng.random(len(words)) < 0.1
-            words[mask] = rng.choice(vocab, int(mask.sum()))
+            words[mask] = rng.choice(vocab, int(mask.sum())).astype(object)
         else:
             words = rng.choice(vocab, lengths[i])
         texts.append(" ".join(words.tolist()))
