@@ -23,6 +23,7 @@ from __future__ import annotations
 from datetime import timedelta
 from typing import Optional, Sequence
 
+from feathub_spark.common.exceptions import FeathubError, PlanError
 from feathub_spark.table.schema import Schema
 from feathub_spark.feature_tables.feature_table import FeatureTable
 
@@ -58,6 +59,18 @@ class KafkaSource(FeatureTable):
         self.key_format = key_format
         self.value_format = value_format
         self.consumer_group = consumer_group
+        if startup_mode not in (
+            "earliest-offset", "latest-offset", "group-offsets", "timestamp"
+        ):
+            raise FeathubError(
+                f"Invalid startup_mode {startup_mode!r}; valid values: "
+                "earliest-offset, latest-offset, group-offsets, timestamp."
+            )
+        if startup_mode == "timestamp" and startup_datetime is None:
+            # reference kafka_source.py:129 validates the same way
+            raise FeathubError(
+                "startup_datetime is required when startup_mode is timestamp."
+            )
         self.startup_mode = startup_mode
         self.startup_datetime = startup_datetime
         self.max_out_of_orderness = max_out_of_orderness
@@ -75,17 +88,35 @@ class KafkaSource(FeatureTable):
         bounded._is_bounded = True
         return bounded
 
-    def starting_offset_options(self) -> dict:
+    def starting_offset_options(self, streaming: bool = False) -> dict:
         """Reader options selecting the start position.  The timestamp
         mode uses ``startingTimestamp`` (applies to every partition) —
         feeding a millisecond timestamp into ``startingOffsets`` would be
         read as a partition OFFSET json, seeking ~1.7e12 records past the
-        log end and failing on any multi-partition topic."""
+        log end and failing on any multi-partition topic.
+
+        ``group-offsets`` (the reference default) has no literal Spark
+        equivalent — Spark tracks positions in the query checkpoint, not
+        the Kafka consumer group.  For STREAMING reads the checkpoint IS
+        the committed position (startingOffsets only governs the very
+        first start), so earliest is the faithful mapping.  For BATCH
+        reads there is no checkpoint: mapping to earliest silently
+        re-reads the whole topic on every run (duplicate feature writes
+        downstream), so it raises and the user picks an explicit
+        position."""
         if self.startup_mode == "latest-offset":
             return {"startingOffsets": "latest"}
-        if self.startup_mode == "timestamp" and self.startup_datetime is not None:
+        if self.startup_mode == "timestamp":
             ts_ms = int(self.startup_datetime.timestamp() * 1000)
             return {"startingTimestamp": str(ts_ms)}
+        if self.startup_mode == "group-offsets" and not streaming:
+            raise PlanError(
+                "startup_mode='group-offsets' has no batch-read Spark "
+                "equivalent (Spark tracks offsets in the streaming query "
+                "checkpoint, not the consumer group). Use "
+                "'earliest-offset', 'latest-offset' or 'timestamp' for "
+                "bounded reads."
+            )
         return {"startingOffsets": "earliest"}
 
 

@@ -85,7 +85,14 @@ class DataGenSource(FeatureTable):
             fc = self.field_configs.get(fname, RandomField())
             spark_t = to_spark_type(ftype)
             if isinstance(fc, SequenceField):
-                col = (F.lit(fc.start) + F.col("id")).cast(spark_t)
+                # wrap over the declared span: with an explicit
+                # number_of_rows larger than the sequence length, a bare
+                # start+id ran past the declared end — the streaming rate
+                # path already wraps (stream_builder.py), so batch matches
+                span = fc.end - fc.start + 1
+                col = (
+                    F.lit(fc.start) + F.pmod(F.col("id"), F.lit(span))
+                ).cast(spark_t)
             else:
                 if ftype == t.String:
                     col = F.concat(

@@ -13,6 +13,8 @@ from typing import Dict, List, Optional, Sequence
 
 import pandas as pd
 
+from feathub_spark.common.exceptions import FeathubError
+
 
 class MemoryOnlineStore:
     _instance: Optional["MemoryOnlineStore"] = None
@@ -89,11 +91,26 @@ class MemoryOnlineStore:
         if table is None:
             raise KeyError(f"Table {table_name!r} not in the online store.")
         key_fields = self._keys[table_name]
+        if not key_fields:
+            raise FeathubError(
+                f"Table {table_name!r} was stored without keys (append-only "
+                "metric emissions) — keyed get() is undefined for it."
+            )
         cols = list(table.columns)
         if feature_names is not None:
             cols = key_fields + [c for c in feature_names if c not in key_fields]
             table = table[cols]
-        return input_data.merge(table, on=key_fields, how="left")
+        # the STORED value wins on name overlap (a request column or an
+        # earlier lookup sharing a feature name) — matching the dict-
+        # overwrite semantics of SqlOnlineStore/RedisOnlineStore.get; a
+        # plain merge would suffix both sides to <c>_x/<c>_y and the
+        # feature would silently vanish from the service projection
+        clash = [
+            c for c in cols if c not in key_fields and c in input_data.columns
+        ]
+        return input_data.drop(columns=clash).merge(
+            table, on=key_fields, how="left"
+        )
 
     def all_tables(self) -> List[str]:
         return sorted(self._tables)

@@ -21,6 +21,19 @@ from typing import Dict, List, Optional, Sequence
 
 import pandas as pd
 
+from feathub_spark.online_stores.sql_online_store import _py
+
+
+def _key_part(v) -> str:
+    """Canonical key rendering: numpy scalars unwrap and integral floats
+    render as ints, so a pandas row-dtype upcast (iterrows turning key 1
+    into 1.0) can never produce a different Redis key than the Spark-side
+    RedisSink wrote for the same logical key."""
+    v = _py(v)
+    if isinstance(v, float) and v.is_integer():
+        v = int(v)
+    return str(v)
+
 
 def build_redis_key(
     namespace: str,
@@ -30,7 +43,7 @@ def build_redis_key(
 ) -> str:
     """Default scheme: ``namespace:key1:key2:...`` (what RedisSink writes).
     With ``key_expr``, substitute the reference's reserved names."""
-    joined = ":".join(str(v) for v in key_values)
+    joined = ":".join(_key_part(v) for v in key_values)
     if key_expr is None:
         return f"{namespace}:{joined}"
     out = key_expr.replace("__NAMESPACE__", namespace).replace("__KEYS__", joined)
@@ -40,8 +53,12 @@ def build_redis_key(
 
 
 def encode_field(value) -> str:
-    """Hash-field codec used by RedisSink (maps become JSON objects)."""
-    return json.dumps(value, default=str)
+    """Hash-field codec used by RedisSink (maps become JSON objects).
+    Values normalize through _py first: json.dumps(np.int64) raises, and
+    the default=str fallback would silently store 5 as "5" (and
+    np.bool_ as "True") — get() would then return strings where the
+    sink-written path returns numbers."""
+    return json.dumps(_py(value), default=str)
 
 
 def decode_field(raw) -> object:
@@ -79,7 +96,9 @@ class RedisOnlineStore:
         key_fields: Sequence[str],
     ) -> None:
         pipe = self._client.pipeline()
-        for _, r in data.iterrows():
+        # to_dict("records") keeps per-COLUMN dtypes (iterrows upcasts the
+        # whole row to the widest type, silently floating int keys)
+        for r in data.to_dict("records"):
             key = build_redis_key(
                 self._namespace, [r[k] for k in key_fields], self._key_expr
             )
@@ -96,7 +115,7 @@ class RedisOnlineStore:
         feature_names: Optional[Sequence[str]] = None,
     ) -> pd.DataFrame:
         records: List[Dict] = []
-        for _, r in input_data.iterrows():
+        for r in input_data.to_dict("records"):
             key = build_redis_key(
                 self._namespace, [r[k] for k in key_fields], self._key_expr
             )

@@ -16,6 +16,8 @@ from typing import Callable, List, Optional, Sequence
 
 import pandas as pd
 
+from feathub_spark.common.exceptions import FeathubError
+
 
 def _py(v):
     """Python-native scalar: numpy ints/floats/bools unwrap via .item()
@@ -119,6 +121,15 @@ class SqlOnlineStore:
         try:
             return float(v)
         except (TypeError, ValueError):
+            pass
+        # string timestamps ('2024-01-02 00:00:00'): returning None here
+        # silently degraded max-timestamp-wins to last-write-wins,
+        # diverging from MemoryOnlineStore's (ISO-correct) lexicographic
+        # ordering for the same put sequence
+        try:
+            ts = pd.Timestamp(v)
+            return None if pd.isna(ts) else float(ts.timestamp())
+        except (TypeError, ValueError):
             return None
 
     def put(
@@ -131,6 +142,21 @@ class SqlOnlineStore:
         if not isinstance(data, pd.DataFrame):
             data = data.toPandas()
         conn, cur = self._cursor()
+        try:
+            self._put_impl(conn, cur, table_name, data, key_fields, timestamp_field)
+        except Exception:
+            # nothing committed yet — roll the half-applied batch back so
+            # the NEXT operation's commit on this shared cached connection
+            # cannot durably persist partial rows / changed meta
+            try:
+                conn.rollback()
+            except Exception:
+                pass
+            raise
+
+    def _put_impl(
+        self, conn, cur, table_name, data, key_fields, timestamp_field
+    ) -> None:
         if key_fields is None or timestamp_field is None:
             cur.execute(
                 f"SELECT key_fields, ts_field FROM {self._table}_meta "
@@ -232,6 +258,11 @@ class SqlOnlineStore:
         if row is None:
             raise KeyError(f"Table {table_name!r} not in the online store.")
         key_fields: List[str] = json.loads(row[0])
+        if not key_fields:
+            raise FeathubError(
+                f"Table {table_name!r} was stored without keys (append-only "
+                "metric emissions) — keyed get() is undefined for it."
+            )
 
         records = []
         for rec_in in input_data.to_dict("records"):

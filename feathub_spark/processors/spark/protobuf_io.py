@@ -104,6 +104,32 @@ def _schema_from_dataframe(df: DataFrame) -> Schema:
 
 def write_protobuf_files(df: DataFrame, path: str,
                          data_format_props: Optional[dict] = None) -> None:
+    import re
+
+    from feathub_spark.common.exceptions import PlanError
+
+    # This writer uses driver-side os.* for overwrite semantics and
+    # executor-local open() for the part files — sound ONLY for a local
+    # filesystem path on a local[*] master.  A URI-schemed path
+    # (s3://...) would silently create a literal './s3:/...' directory,
+    # and on a multi-node master each executor would write to ITS OWN
+    # disk while the driver cleaned a different machine's directory.
+    # Fail fast instead of losing data; distributed protobuf output can
+    # go through kafka value_format='protobuf' or a binary-file sink.
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
+        "file://"
+    ):
+        raise PlanError(
+            f"FileSystemSink(data_format='protobuf') writes through the "
+            f"local filesystem and cannot target {path!r}."
+        )
+    master = df.sparkSession.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise PlanError(
+            "FileSystemSink(data_format='protobuf') requires a local[*] "
+            f"master (executor-local file writes); got {master!r}."
+        )
+    path = path[7:] if path.startswith("file://") else path
     schema = _schema_from_dataframe(df)
     specs = _specs_for(schema, data_format_props or {})
     os.makedirs(path, exist_ok=True)

@@ -522,6 +522,7 @@ def _write_redis(df: DataFrame, sink, descriptor) -> None:
     if not keys:
         raise PlanError("RedisSink requires the table to declare keys.")
     host, port, db_num, namespace = sink.host, sink.port, sink.db_num, sink.namespace
+    key_expr = getattr(sink, "key_expr", None)
     columns = df.columns
 
     def write_partition(rows):
@@ -536,7 +537,11 @@ def _write_redis(df: DataFrame, sink, descriptor) -> None:
         pipe = client.pipeline()
         for row in rows:
             d = row.asDict()
-            key = build_redis_key(namespace, [d[k] for k in keys])
+            # key_expr rides into the executor closure: the sink and the
+            # RedisSource/RedisOnlineStore reader share one key scheme —
+            # a sink writing 'ns:1' while the client reads 'ns#1' makes
+            # every lookup silently miss
+            key = build_redis_key(namespace, [d[k] for k in keys], key_expr)
             pipe.hset(
                 key,
                 mapping={c: encode_field(d[c]) for c in columns},

@@ -83,7 +83,7 @@ class SparkStreamBuilder:
                 .option("kafka.bootstrap.servers", source.bootstrap_server)
                 .option("subscribe", source.topic)
             )
-            for k, v in source.starting_offset_options().items():
+            for k, v in source.starting_offset_options(streaming=True).items():
                 kreader = kreader.option(k, v)
             df = _parse_kafka_value(kreader.load(), source)
         elif isinstance(source, DataGenSource):

@@ -156,13 +156,22 @@ def test_kafka_source_bounded_reader_options(spark):
 
 
 def test_kafka_startup_mode_mapping():
+    import pytest
+
+    from feathub_spark.common.exceptions import FeathubError, PlanError
+
     base = dict(
         name="k", bootstrap_server="b:9092", topic="tp", schema=SCHEMA
     )
-    # group-offsets fallback
-    assert KafkaSource(**base).starting_offset_options() == {
+    # group-offsets (the reference default): a streaming query's
+    # checkpoint IS the committed position, so earliest is the faithful
+    # first-start mapping — but a BATCH read has no checkpoint, and
+    # mapping to earliest silently re-read the whole topic per run
+    assert KafkaSource(**base).starting_offset_options(streaming=True) == {
         "startingOffsets": "earliest"
     }
+    with pytest.raises(PlanError):
+        KafkaSource(**base).starting_offset_options()
     assert KafkaSource(
         **base, startup_mode="latest-offset"
     ).starting_offset_options() == {"startingOffsets": "latest"}
@@ -172,6 +181,12 @@ def test_kafka_startup_mode_mapping():
         **base, startup_mode="timestamp",
         startup_datetime=datetime.fromtimestamp(1700000000),
     ).starting_offset_options() == {"startingTimestamp": "1700000000000"}
+    # invalid modes and timestamp-without-datetime fail at CONSTRUCTION
+    # (reference kafka_source.py:129 parity), not as a silent earliest
+    with pytest.raises(FeathubError):
+        KafkaSource(**base, startup_mode="lastest-offset")
+    with pytest.raises(FeathubError):
+        KafkaSource(**base, startup_mode="timestamp")
 
 
 def test_kafka_unbounded_batch_read_rejected(spark):

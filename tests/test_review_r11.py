@@ -195,3 +195,136 @@ def test_global_aggregate_with_array_literals_still_probes(spark):
     assert _top_level_bracket_groups("Aggregate [split(t#1, [, -1)], [g#2]") == 0
     # a stray ']' closes its group early but stays balanced and countable
     assert _top_level_bracket_groups("Aggregate [split(t#1, ], -1)], [g#2]") == 2
+
+
+def test_redis_key_and_value_codec_dtype_fidelity():
+    """iterrows-style float upcast must not change Redis keys, and numpy
+    scalars must encode as JSON numbers, not default=str strings."""
+    import json
+
+    import numpy as np
+
+    from feathub_spark.online_stores.redis_client import (
+        build_redis_key,
+        decode_field,
+        encode_field,
+    )
+
+    # an upcast int key (1.0) renders identically to the int the sink wrote
+    assert build_redis_key("ns", [np.float64(1.0)]) == build_redis_key(
+        "ns", [np.int64(1)]
+    ) == "ns:1"
+    assert decode_field(encode_field(np.int64(5))) == 5
+    assert decode_field(encode_field(np.bool_(True))) is True
+    assert json.loads(encode_field(np.float64(1.5))) == 1.5
+    # key_expr shares one scheme between sink and reader
+    assert build_redis_key("ns", [1, 2], "__NAMESPACE__#__KEYS__") == "ns#1:2"
+
+
+def test_memory_store_get_stored_value_wins_on_name_overlap():
+    """A looked-up feature name colliding with a request column must not
+    vanish into pandas _x/_y suffixes — the stored value wins, matching
+    SqlOnlineStore/RedisOnlineStore dict-overwrite semantics."""
+    import pandas as pd
+
+    from feathub_spark.online_stores.memory_online_store import MemoryOnlineStore
+
+    store = MemoryOnlineStore()
+    store.put("t", pd.DataFrame({"k": [1], "score": [9.0]}), key_fields=["k"])
+    got = store.get("t", pd.DataFrame({"k": [1], "score": [0.5]}))
+    assert list(got.columns) == ["k", "score"]
+    assert got["score"].tolist() == [9.0]
+
+
+def test_memory_store_keyless_get_raises_clearly():
+    import pandas as pd
+    import pytest
+
+    from feathub_spark.common.exceptions import FeathubError
+    from feathub_spark.online_stores.memory_online_store import MemoryOnlineStore
+
+    store = MemoryOnlineStore()
+    store.put("m", pd.DataFrame({"v": [1.0]}), key_fields=[])
+    with pytest.raises(FeathubError):
+        store.get("m", pd.DataFrame({"v": [1.0]}))
+
+
+def test_sql_store_string_timestamps_keep_max_wins(tmp_path):
+    """String timestamp fields must still give max-timestamp-wins (not
+    silent last-write-wins), matching MemoryOnlineStore."""
+    import pandas as pd
+
+    from feathub_spark.online_stores.sql_online_store import SqlOnlineStore
+
+    db = str(tmp_path / "ts.db")
+    store = SqlOnlineStore(lambda: sqlite3.connect(db))
+    store.put(
+        "t",
+        pd.DataFrame({"k": [1], "ts": ["2024-01-05 00:00:00"], "f": [5.0]}),
+        key_fields=["k"],
+        timestamp_field="ts",
+    )
+    # an OLDER row arriving later must not overwrite
+    store.put(
+        "t",
+        pd.DataFrame({"k": [1], "ts": ["2024-01-02 00:00:00"], "f": [2.0]}),
+        key_fields=["k"],
+        timestamp_field="ts",
+    )
+    got = store.get("t", pd.DataFrame({"k": [1]}))
+    assert got["f"].tolist() == [5.0]
+    store.close()
+
+
+def test_sql_store_put_failure_rolls_back(tmp_path):
+    """A put that raises mid-batch must leave no half-applied rows for
+    the next commit on the shared connection to persist."""
+    import pandas as pd
+    import pytest
+
+    from feathub_spark.online_stores.sql_online_store import SqlOnlineStore
+
+    db = str(tmp_path / "rb.db")
+    store = SqlOnlineStore(lambda: sqlite3.connect(db))
+    store.put("t", pd.DataFrame({"k": [1], "f": [1.0]}), key_fields=["k"])
+    with pytest.raises(KeyError):
+        # key field missing from the frame -> _key_json raises mid-put
+        store.put("t", pd.DataFrame({"wrong": [2], "f": [2.0]}))
+    # the failed put's meta delete/insert and rows are rolled back
+    store.put("t", pd.DataFrame({"k": [3], "f": [3.0]}), key_fields=["k"])
+    got = store.get("t", pd.DataFrame({"k": [1, 3]}))
+    assert got["f"].tolist() == [1.0, 3.0]
+    store.close()
+
+
+def test_datagen_sequence_wraps_within_declared_span(spark):
+    """number_of_rows beyond the sequence length wraps over [start, end]
+    instead of running past the declared domain (streaming parity)."""
+    from feathub_spark.common import types as t
+    from feathub_spark.feature_tables.sources.datagen_source import (
+        DataGenSource,
+        SequenceField,
+    )
+    from feathub_spark.table.schema import Schema
+
+    src = DataGenSource(
+        name="g",
+        schema=Schema(["id2"], [t.Int64]),
+        number_of_rows=25,
+        field_configs={"id2": SequenceField(0, 9)},
+    )
+    vals = [r["id2"] for r in src.to_dataframe(spark).collect()]
+    assert len(vals) == 25 and set(vals) <= set(range(10))
+
+
+def test_protobuf_writer_rejects_remote_paths(spark):
+    """The local-filesystem protobuf writer must fail fast on URI paths
+    instead of writing a literal './s3:/...' directory."""
+    import pytest
+
+    from feathub_spark.common.exceptions import PlanError
+    from feathub_spark.processors.spark.protobuf_io import write_protobuf_files
+
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(PlanError):
+        write_protobuf_files(df, "s3://bucket/out")
