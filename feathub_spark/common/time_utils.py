@@ -117,7 +117,14 @@ _UNIT_MS = {
 def timedelta_ms(value) -> int:
     """Milliseconds of a timedelta or a '2h'-style duration string."""
     if isinstance(value, timedelta):
-        return int(value.total_seconds() * 1000)
+        # exact integer math — total_seconds()*1000 goes through float
+        # and truncates (timedelta(milliseconds=1001) -> 1000), silently
+        # shrinking window sizes / disorder bounds by 1 ms
+        return (
+            value.days * 86_400_000
+            + value.seconds * 1000
+            + value.microseconds // 1000
+        )
     if isinstance(value, (int, float)):
         return int(value)
     if isinstance(value, str):

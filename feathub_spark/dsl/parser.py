@@ -42,6 +42,7 @@ _TOKEN_RE = re.compile(
   | (?P<FLOAT>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<INTEGER>\d+)
   | (?P<STRING>'(?:[^']|'')*')
+  | (?P<DSTRING>"[^"]*")
   | (?P<BTID>`[^`]+`)
   | (?P<ID>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<OP><=|>=|<>|!=|=|<|>|\+|-|\*|/|\(|\)|\[|\]|,)
@@ -79,6 +80,10 @@ def _tokenize(text: str) -> List[_Token]:
             tokens.append(_Token("NUMBER", int(raw)))
         elif kind == "STRING":
             tokens.append(_Token("STRING", raw[1:-1].replace("''", "'")))
+        elif kind == "DSTRING":
+            # reference lexer parity (expr_lexer_rules.py t_STRING accepts
+            # both quote styles); no doubled-quote escape in this form
+            tokens.append(_Token("STRING", raw[1:-1]))
         elif kind == "BTID":
             tokens.append(_Token("ID", raw[1:-1]))
         elif kind == "ID":

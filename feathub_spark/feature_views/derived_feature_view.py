@@ -152,8 +152,14 @@ class DerivedFeatureView(FeatureView):
                     dtype=dtype,
                     keys=right.keys,
                 )
-            # plain source feature reference
+            # plain source feature reference; a self-qualified
+            # '{source_name}.{feature}' form resolves like the bare name
+            # (the reference resolves any 'table.feature' via the
+            # registry, including the view's own source — previously the
+            # prefix leaked into the lookup and always failed)
             name = raw.strip().strip("`")
+            if m and m.group("table") == source.name and not m.group("key"):
+                name = m.group("feature")
             if name not in variable_types:
                 raise RegistryError(
                     f"Feature {raw!r} not found in source {source.name}."
@@ -166,9 +172,49 @@ class DerivedFeatureView(FeatureView):
             )
 
         feature = raw.copy()
+        # Name-resolution validation runs for EVERY feature: with a
+        # declared dtype the derivation path (which would have surfaced
+        # unknown columns) is skipped, so a typo'd reference used to
+        # defer to an opaque Spark AnalysisException at plan time.  The
+        # reference validates every feature's variables/group_by_keys/
+        # filter_expr at build (_validate).
+        self._validate_feature_refs(feature, variable_types)
         if feature.dtype is None:
             feature.dtype = self._derive_dtype(feature, variable_types, registry)
         return feature
+
+    def _validate_feature_refs(self, feature: Feature, variable_types) -> None:
+        from feathub_spark.common.exceptions import ExpressionError
+        from feathub_spark.dsl.ast import WINDOW_TIME_PLACEHOLDER
+
+        tr = feature.transform
+        exprs, group_keys = [], []
+        if isinstance(tr, ExpressionTransform):
+            exprs = [tr.expr]
+        elif isinstance(tr, (OverWindowTransform, SlidingWindowTransform)):
+            exprs = [tr.expr]
+            if tr.filter_expr:
+                exprs.append(tr.filter_expr)
+            group_keys = list(tr.group_by_keys)
+        else:
+            return
+        names = set()
+        for e in exprs:
+            try:
+                names |= parse_expr(e).variables()
+            except ExpressionError:
+                # unparseable forms surface their own error downstream
+                return
+        names |= set(group_keys)
+        unknown = sorted(
+            n for n in names
+            if n not in variable_types and n != WINDOW_TIME_PLACEHOLDER
+        )
+        if unknown:
+            raise RegistryError(
+                f"Feature {feature.name!r} references unknown column(s) "
+                f"{unknown}; available: {sorted(variable_types)}."
+            )
 
     def _derive_dtype(self, feature: Feature, variable_types, registry) -> DType:
         tr = feature.transform

@@ -124,6 +124,7 @@ class SlidingFeatureView(FeatureView):
         )
 
         resolved: List[Feature] = []
+        seen_sliding = False
         for raw in self.features:
             if isinstance(raw, str):
                 name = raw.strip().strip("`")
@@ -138,11 +139,35 @@ class SlidingFeatureView(FeatureView):
                 )
             else:
                 feature = raw.copy()
+            # transform-kind check runs for EVERY feature (not only the
+            # dtype-None path): an unsupported transform with a declared
+            # dtype used to pass build and then silently vanish from the
+            # dataframe builder's pre/post loops
+            from feathub_spark.feature_views.transforms.python_udf_transform import (
+                PythonUdfTransform,
+            )
+
+            if not isinstance(
+                feature.transform,
+                (ExpressionTransform, SlidingWindowTransform, PythonUdfTransform),
+            ):
+                raise RegistryError(
+                    f"SlidingFeatureView does not support transform "
+                    f"{feature.transform!r}."
+                )
+            if isinstance(feature.transform, SlidingWindowTransform):
+                seen_sliding = True
             if feature.dtype is None:
                 tr = feature.transform
                 if isinstance(tr, ExpressionTransform):
                     vt = dict(variable_types)
-                    vt[self.timestamp_field] = self._window_time_dtype()
+                    if seen_sliding:
+                        # only POST-sliding expressions may reference the
+                        # window-time field — pre-features run before
+                        # windowing, where no such column exists, and
+                        # injecting it here deferred the failure to an
+                        # opaque plan-time AnalysisException
+                        vt[self.timestamp_field] = self._window_time_dtype()
                     feature.dtype = parse_expr(tr.expr).eval_dtype(vt)
                 elif isinstance(tr, SlidingWindowTransform):
                     from feathub_spark.feature_views.transforms.agg_func import AggFunc
@@ -153,8 +178,10 @@ class SlidingFeatureView(FeatureView):
                         input_dtype = parse_expr(tr.expr).eval_dtype(variable_types)
                     feature.dtype = tr.agg_func.result_dtype(input_dtype)
                 else:
+                    # PythonUdfTransform: no dtype derivation possible
                     raise RegistryError(
-                        f"SlidingFeatureView does not support transform {tr!r}."
+                        f"Feature {feature.name!r} with {type(tr).__name__} "
+                        "needs an explicit dtype."
                     )
             variable_types[feature.name] = feature.dtype
             resolved.append(feature)

@@ -118,6 +118,21 @@ class SparkDataFrameBuilder:
         ).createOrReplaceTempView(descriptor.name)
         return df
 
+    def _apply_row_feature(self, df: DataFrame, feature: Feature) -> DataFrame:
+        """Apply a per-row (expression / pandas-UDF) feature.  Any other
+        transform kind is a wiring error at this point — raising beats
+        the silent fall-through that let an unsupported transform with a
+        declared dtype vanish from the output."""
+        tr = feature.transform
+        if isinstance(tr, ExpressionTransform):
+            return self._apply_expression(df, feature.name, tr.expr, feature.dtype)
+        if isinstance(tr, PythonUdfTransform):
+            return self._apply_python_udf(df, feature.name, tr, feature.dtype)
+        raise PlanError(
+            f"Feature {feature.name!r}: transform {type(tr).__name__} is not "
+            "a per-row transform."
+        )
+
     # -- expression / udf -------------------------------------------------
     def _apply_expression(
         self, df: DataFrame, name: str, expr: str, dtype: DType
@@ -296,11 +311,7 @@ class SparkDataFrameBuilder:
                 )
 
         for feature in late_features:
-            tr = feature.transform
-            if isinstance(tr, ExpressionTransform):
-                df = self._apply_expression(df, feature.name, tr.expr, feature.dtype)
-            else:
-                df = self._apply_python_udf(df, feature.name, tr, feature.dtype)
+            df = self._apply_row_feature(df, feature)
 
         if view.filter_expr is not None:
             df = df.filter(F.expr(to_spark_sql(view.filter_expr)))
@@ -320,11 +331,7 @@ class SparkDataFrameBuilder:
             )
 
         for feature in view.pre_sliding_features():
-            tr = feature.transform
-            if isinstance(tr, ExpressionTransform):
-                df = self._apply_expression(df, feature.name, tr.expr, feature.dtype)
-            elif isinstance(tr, PythonUdfTransform):
-                df = self._apply_python_udf(df, feature.name, tr, feature.dtype)
+            df = self._apply_row_feature(df, feature)
 
         sliding = view.sliding_features()
         fields = [SlidingAggField.from_feature(f_) for f_ in sliding]
@@ -343,11 +350,7 @@ class SparkDataFrameBuilder:
         )
 
         for feature in view.post_sliding_features():
-            tr = feature.transform
-            if isinstance(tr, ExpressionTransform):
-                df = self._apply_expression(df, feature.name, tr.expr, feature.dtype)
-            elif isinstance(tr, PythonUdfTransform):
-                df = self._apply_python_udf(df, feature.name, tr, feature.dtype)
+            df = self._apply_row_feature(df, feature)
 
         if view.filter_expr is not None:
             df = df.filter(F.expr(to_spark_sql(view.filter_expr)))

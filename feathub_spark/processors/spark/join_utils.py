@@ -149,8 +149,14 @@ def temporal_join(
         F.unix_millis(F.col(EVENT_TIME_COL)).alias(_RIGHT_TS),
         *[F.col(rc).alias(out) for out, rc in right_fields.items()],
     )
-    # Right rows with a NULL key can never match (SQL equality join).
-    right_clean = right
+    # Right rows with a NULL key can never match (SQL equality join), and
+    # a NULL event time (an unparseable right timestamp) must never match
+    # either: ascending NULLS FIRST would sort it to the partition head
+    # and last(ignorenulls) would fill its payload forward over every
+    # early left row — the golden rule is "largest right_time <= t".
+    # (The chunked plan already drops NULL-chunk rows; the filter keeps
+    # the two plans row-identical.)
+    right_clean = right.filter(F.col(EVENT_TIME_COL).isNotNull())
     for k in keys:
         right_clean = right_clean.filter(F.col(k).isNotNull())
     right_tagged = right_clean.select(

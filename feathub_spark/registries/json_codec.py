@@ -14,6 +14,7 @@ from datetime import timedelta
 from typing import Any, Dict
 
 from feathub_spark.common.exceptions import FeathubError
+from feathub_spark.common.time_utils import timedelta_ms
 from feathub_spark.table.schema import Schema
 from feathub_spark.common.types import dtype_from_json
 
@@ -45,7 +46,9 @@ def descriptor_to_json(d) -> Dict[str, Any]:
             "data_format": d.data_format,
             "schema": d.schema.to_json() if d.schema else None,
             "schema_declared": d.schema_declared,
-            "max_out_of_orderness_ms": int(d.max_out_of_orderness.total_seconds() * 1000),
+            # timedelta_ms does exact integer math (total_seconds()*1000
+            # truncates: timedelta(milliseconds=1001) -> 1000)
+            "max_out_of_orderness_ms": timedelta_ms(d.max_out_of_orderness),
             "data_format_props": d.data_format_props,
         }
     if isinstance(d, DataGenSource):
@@ -102,15 +105,58 @@ def descriptor_to_json(d) -> Dict[str, Any]:
 
 
 def _feature_to_json(f) -> Dict[str, Any]:
+    from feathub_spark.feature_views.transforms.python_udf_transform import (
+        PythonUdfTransform,
+    )
+
     if isinstance(f, str):
         return {"ref": f}
+    if isinstance(f.transform, PythonUdfTransform):
+        # serialization would SUCCEED (to_json renders the repr) but
+        # deserialization cannot rebuild the callable — persisting it
+        # poisons the registry: the next _load_all fails on this record
+        # and every pending table behind it.  Raising here keeps the view
+        # session-only (build_features' try/except skips persistence).
+        raise FeathubError(
+            "PythonUdfTransform features are not JSON-serializable; the "
+            "view stays session-only."
+        )
     return {
         "name": f.name,
         "dtype": f.dtype.to_json() if f.dtype is not None else None,
         "keys": f.keys,
         "transform": f.transform.to_json(),
         "description": f.description,
+        "metrics": [_metric_to_json(m) for m in getattr(f, "metrics", [])],
     }
+
+
+def _metric_to_json(m) -> Dict[str, Any]:
+    out = {
+        "metric_type": m.metric_type,
+        "window_size_ms": timedelta_ms(m.window_size),
+    }
+    if hasattr(m, "filter_expr"):
+        out["filter_expr"] = m.filter_expr
+    if hasattr(m, "expr"):
+        out["expr"] = m.expr
+    return out
+
+
+def _metric_from_json(obj: Dict[str, Any]):
+    from feathub_spark.metric_stores.metric import Average, Count, CountMap, Ratio
+
+    w = timedelta(milliseconds=obj.get("window_size_ms", 0))
+    kind = obj["metric_type"]
+    if kind == "count":
+        return Count(filter_expr=obj.get("filter_expr"), window_size=w)
+    if kind == "ratio":
+        return Ratio(expr=obj["expr"], window_size=w)
+    if kind == "average":
+        return Average(window_size=w)
+    if kind == "count_map":
+        return CountMap(window_size=w)
+    raise FeathubError(f"Unknown metric type {kind!r} in registry JSON.")
 
 
 def _feature_from_json(obj: Dict[str, Any]):
@@ -124,6 +170,7 @@ def _feature_from_json(obj: Dict[str, Any]):
         dtype=dtype_from_json(obj["dtype"]) if obj.get("dtype") else None,
         keys=obj.get("keys"),
         description=obj.get("description", ""),
+        metrics=[_metric_from_json(m) for m in obj.get("metrics", [])],
     )
 
 

@@ -43,8 +43,10 @@ from feathub_spark.table.table_descriptor import TableDescriptor
 
 
 def _watermark_delay_ms(source) -> int:
+    from feathub_spark.common.time_utils import timedelta_ms
+
     ooo = getattr(source, "max_out_of_orderness", timedelta(0)) or timedelta(0)
-    return int(ooo.total_seconds() * 1000) + 1
+    return timedelta_ms(ooo) + 1
 
 
 class SparkStreamBuilder:
