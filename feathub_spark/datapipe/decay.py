@@ -72,7 +72,12 @@ def time_decayed_sum(
     return (
         ensure_parallelism(df)
         .withColumn("__hist__", F.collect_list(hist).over(w))
-        .withColumn("__histnn__", F.expr("filter(__hist__, e -> e.v IS NOT NULL)"))
+        # drop NaN alongside NULL: CAST(round(NaN*...,0) AS BIGINT) is a
+        # fatal CAST_OVERFLOW under ANSI — one NaN value killed the job
+        .withColumn(
+            "__histnn__",
+            F.expr("filter(__hist__, e -> e.v IS NOT NULL AND NOT isnan(e.v))"),
+        )
         .withColumn("__t0__", F.col(ts_us_col).cast("bigint"))
         .withColumn(out_col, F.expr(fold))
         .withColumn(count_col, F.size("__hist__").cast("bigint"))

@@ -69,8 +69,13 @@ def fit_pca(
     parts = (
         ensure_parallelism(df)
         # a single NULL vector would reach numpy as None inside a list of
-        # lists and fail the whole fit with an opaque ragged-array error
+        # lists and fail the whole fit with an opaque ragged-array error —
+        # and a NULL ELEMENT inside a vector fails the same way (float +
+        # NoneType TypeError in the partial), so guard element-level too
         .filter(F.col(vec_col).isNotNull())
+        .filter(
+            ~F.expr(f"exists(`{vec_col}`, e -> e IS NULL OR isnan(e))")
+        )
         .select(F.col(vec_col).cast("array<double>"))
         .mapInPandas(partial, "n long, s array<double>, g array<double>")
         .collect()
@@ -128,9 +133,18 @@ def pca_project(
 
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        # NULL vectors project to NULL (a None in the list would crash
-        # the whole batch as a ragged numpy array)
-        mask = vecs.notna()
+        # NULL vectors — and vectors containing null/NaN/inf elements —
+        # project to NULL.  Arrow hands a null ELEMENT to the UDF as NaN
+        # inside the float array, so the guard is a finiteness test, not
+        # an identity test; without it the NaN silently propagates into
+        # every projected coordinate of that row.
+        def _finite(v):
+            if v is None:
+                return False
+            a = np.asarray(v, dtype=np.float64)
+            return bool(np.all(np.isfinite(a)))
+
+        mask = vecs.map(_finite)
         out = pd.Series([None] * len(vecs), dtype=object)
         if mask.any():
             x = np.asarray(vecs[mask].tolist(), dtype=np.float64)

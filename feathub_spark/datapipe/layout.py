@@ -86,8 +86,15 @@ def zorder_key(
         bits = min(16, 42 // max(len(cols), 1))
     aggs = []
     for i, c in enumerate(cols):
-        aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo{i}__"))
-        aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi{i}__"))
+        # NaN-excluding bounds: NaN sorts LARGEST, so one NaN row made
+        # max() = NaN, hi - lo = NaN, and every row's bucket for this
+        # column collapsed to 0 via FLOOR(NaN)->NULL->COALESCE — the
+        # whole dimension silently stopped clustering.  NaN VALUES still
+        # land in bucket 0 like NULLs (documented degenerate bucket).
+        v = F.col(c).cast("double")
+        vn = F.when(~F.isnan(v), v)
+        aggs.append(F.min(vn).alias(f"__lo{i}__"))
+        aggs.append(F.max(vn).alias(f"__hi{i}__"))
     stats = df.agg(*aggs)
     out = ensure_parallelism(df).crossJoin(F.broadcast(stats))
     scaled = [

@@ -34,8 +34,12 @@ def numeric_histogram(
     v = F.col(value_col).cast("double")
     base = ensure_parallelism(df).filter(v.isNotNull()).select(v.alias("__v__"))
     if lo is None or hi is None:
+        # honor a PARTIAL bound: only the missing side comes from data —
+        # previously a supplied hi (or lo) was silently recomputed and
+        # the caller's clip had no effect
         bounds = base.alias("__b__").agg(
-            F.min("__v__").alias("__lo__"), F.max("__v__").alias("__hi__")
+            (F.min("__v__") if lo is None else F.lit(float(lo))).alias("__lo__"),
+            (F.max("__v__") if hi is None else F.lit(float(hi))).alias("__hi__"),
         )
         base = base.crossJoin(F.broadcast(bounds))
     else:
@@ -331,8 +335,11 @@ def key_skew(
             F.round(F.col("__n__") / F.col("__rows__"), 6).alias("share"),
             F.col("__rows__").alias("n_rows"),
             F.col("__keys__").alias("n_keys"),
+            # max is cast to double BEFORE the multiply: bigint*bigint
+            # overflows (a fatal ANSI error) exactly at the 100 TB scale
+            # this diagnostic exists for (1e11 rows x 1e8 keys > 2^63)
             F.round(
-                F.col("__max__") * F.col("__keys__")
+                F.col("__max__").cast("double") * F.col("__keys__")
                 / F.col("__rows__").cast("double"),
                 4,
             ).alias("skew_factor"),

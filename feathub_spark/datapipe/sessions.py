@@ -141,6 +141,11 @@ def funnel_steps(
     base = (
         ensure_parallelism(df)
         .filter(F.col(type_col).isin(steps))
+        # a NULL-ts step event sorts FIRST (struct NULL field orders
+        # smallest), gets greedily consumed, and poisons the chain: no
+        # later event is strictly-after NULL — sessionize filters the
+        # same way
+        .filter(F.col(ts_us_col).isNotNull())
         .select(
             key_col,
             F.col(ts_us_col).cast("long").alias("__tu__"),
@@ -202,14 +207,18 @@ def cohort_retention(
     # scanned and key-shuffled once, not per branch (caller releases via
     # release_caches())
     base = register_cache(
-        ensure_parallelism(df).select(
-            F.col(key_col).alias("__k__"), per.alias("__p__")
-        )
+        ensure_parallelism(df)
+        # NULL timestamps would floor() into spurious NULL period cells
+        .filter(F.col(ts_us_col).isNotNull())
+        .select(F.col(key_col).alias("__k__"), per.alias("__p__"))
     )
-    first = base.groupBy("__k__").agg(F.min("__p__").alias("__c__"))
+    # first-period via a window min over the SAME key shuffle the
+    # distinct needs: NULL keys are a real (surfaced) cohort group — the
+    # previous groupBy+equi-join silently dropped every NULL-key row
     active = base.distinct()
+    wk = Window.partitionBy("__k__")
     grid = register_cache(
-        active.join(first, on="__k__")
+        active.withColumn("__c__", F.min("__p__").over(wk))
         .groupBy(
             F.col("__c__").alias("cohort_period"),
             (F.col("__p__") - F.col("__c__")).alias("period_offset"),
@@ -316,11 +325,16 @@ def transition_matrix(
     ties = list(tie_cols or [])
     order = [F.col(ts_us_col).asc()] + [F.col(c).asc() for c in ties]
     w = Window.partitionBy(key_col).orderBy(*order)
+    # lead over a STRUCT distinguishes "next state is NULL" (a real
+    # state, struct non-null with a NULL field) from "sequence end"
+    # (struct itself NULL) — filtering lead(__s__) IS NOT NULL conflated
+    # the two and erased every transition around a NULL state
     steps = (
         ensure_parallelism(df)
+        .filter(F.col(ts_us_col).isNotNull())
         .select(key_col, ts_us_col, F.col(state_col).alias("__s__"), *ties)
-        .withColumn("__next__", F.lead("__s__").over(w))
-        .filter(F.col("__next__").isNotNull())
+        .withColumn("__nx__", F.lead(F.struct(F.col("__s__").alias("s"))).over(w))
+        .filter(F.col("__nx__").isNotNull())
     )
     from feathub_spark.common.caching import register_cache
 
@@ -329,11 +343,21 @@ def transition_matrix(
     grid = register_cache(
         steps.groupBy(
             F.col("__s__").alias("from_state"),
-            F.col("__next__").alias("to_state"),
+            F.col("__nx__.s").alias("to_state"),
         ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     totals = grid.groupBy("from_state").agg(F.sum("n").alias("__tot__"))
-    return grid.join(F.broadcast(totals), on="from_state").select(
-        "from_state", "to_state", "n",
-        F.round(F.col("n") / F.col("__tot__"), 6).alias("p"),
+    # NULL from_state is a real group — a plain equi-join would drop it
+    # (the hll_distinct convention: join null-safely)
+    t = totals.select(
+        F.col("from_state").alias("__fs__"), F.col("__tot__")
+    )
+    return (
+        grid.join(
+            F.broadcast(t), grid["from_state"].eqNullSafe(t["__fs__"])
+        )
+        .select(
+            "from_state", "to_state", "n",
+            F.round(F.col("n") / F.col("__tot__"), 6).alias("p"),
+        )
     )
