@@ -135,7 +135,12 @@ def stateful_asof_join(
         rights = keep
 
         state.update((dumps_state(rights), dumps_state(pending)))
-        state.setTimeoutTimestamp(max(wm + 1, 1))
+        # re-arm only while left rows are buffered: the retained right
+        # as-of value needs no timer (new data re-arms), and an
+        # unconditional re-arm wakes every historical key on every
+        # watermark advance forever — O(total keys) per trigger
+        if pending:
+            state.setTimeoutTimestamp(max(wm + 1, 1))
 
         if emissions:
             yield pd.DataFrame(

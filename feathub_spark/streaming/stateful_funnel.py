@@ -62,6 +62,10 @@ def stateful_funnel(
 
     prepared = (
         df.filter(F.col(type_col).isin(steps))
+        # a NULL event time (unparseable timestamp) reaches the pandas
+        # batch as NaN and int(NaN) kills the query; the batch
+        # funnel_steps filters the same way
+        .filter(F.col(event_time_col).isNotNull())
         .withColumn("__ms__", F.unix_millis(F.col(event_time_col)))
         .select(key_col, "__ms__", F.col(type_col).alias("__tp__"),
                 event_time_col)
@@ -118,7 +122,10 @@ def stateful_funnel(
             # is never woken again; the m-element chain alone remains.
             pending = []
         state.update((dumps_state(chain), dumps_state(pending)))
-        if len(chain) < m:
+        # re-arm ONLY while events are buffered: an unconditional re-arm
+        # wakes every historical key on every watermark advance forever
+        # (per-trigger cost O(total distinct keys) on long streams)
+        if len(chain) < m and pending:
             state.setTimeoutTimestamp(max(wm + 1, 1))
 
         if emissions:

@@ -61,6 +61,9 @@ def stateful_scd2(
         raise ValueError("stateful_scd2 needs key_cols and attr_cols")
 
     attr_struct = T.StructType([df.schema[c] for c in attrs])
+    # NULL event times (unparseable timestamps) reach the pandas batch as
+    # NaN and int(NaN) kills the query — same guard as asof/over/sliding
+    df = df.filter(F.col(event_time_col).isNotNull())
     prepared = df.select(
         *keys,
         F.unix_millis(F.col(event_time_col)).alias("__ms__"),
@@ -107,7 +110,10 @@ def stateful_scd2(
                 cur = [ms, aj]
 
         state.update((json.dumps(cur) if cur else None, json.dumps(pending)))
-        state.setTimeoutTimestamp(max(wm + 1, 1))
+        # re-arm only while rows are buffered — an unconditional re-arm
+        # wakes every historical key on every watermark advance forever
+        if pending:
+            state.setTimeoutTimestamp(max(wm + 1, 1))
 
         if emissions:
             yield pd.DataFrame(

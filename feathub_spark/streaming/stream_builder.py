@@ -212,6 +212,24 @@ class SparkStreamBuilder:
         for (table_name, jkeys), group in join_groups.items():
             right_desc = self._registry.get_features(table_name)
             right_df = self.get_stream_dataframe(right_desc)
+            # a right table that is itself a stateful view loses its
+            # watermark (the stateful operator rebuilds EVENT_TIME_COL);
+            # the union feeding applyInPandasWithState needs BOTH sides
+            # watermarked or Spark rejects the event-time timeout plan.
+            # Re-watermark ONLY when the plan has none — redefining an
+            # existing watermark is a streaming-query error.
+            if EVENT_TIME_COL in right_df.columns and (
+                "EventTimeWatermark"
+                not in right_df._jdf.queryExecution().analyzed().toString()
+            ):
+                rsrc = (
+                    right_desc.get_resolved_source()
+                    if hasattr(right_desc, "get_resolved_source")
+                    else right_desc
+                )
+                right_df = right_df.withWatermark(
+                    EVENT_TIME_COL, f"{_watermark_delay_ms(rsrc)} milliseconds"
+                )
             right_fields = {
                 f.name: f.transform.feature_name for f in group
             }
@@ -294,6 +312,17 @@ class SparkStreamBuilder:
             ).withColumn(
                 view.timestamp_field, _window_time_col(view.timestamp_format)
             )
+            for feature in view.post_sliding_features():
+                ptr = feature.transform
+                if isinstance(ptr, ExpressionTransform):
+                    result = result.withColumn(
+                        feature.name,
+                        F.expr(to_spark_sql(ptr.expr)).cast(
+                            to_spark_type(feature.dtype)
+                        ),
+                    )
+            if view.filter_expr is not None:
+                result = result.filter(F.expr(to_spark_sql(view.filter_expr)))
             return result.select(*view.get_output_fields())
 
         needs_stateful = (
@@ -329,6 +358,8 @@ class SparkStreamBuilder:
                             to_spark_type(feature.dtype)
                         ),
                     )
+            if view.filter_expr is not None:
+                result = result.filter(F.expr(to_spark_sql(view.filter_expr)))
             return result.select(*view.get_output_fields())
 
         window_ms = window_sizes.pop()
@@ -364,16 +395,37 @@ class SparkStreamBuilder:
                 col = F.expr(f"max({value_sql})")
             elif agg_name == "MIN":
                 col = F.expr(f"min({value_sql})")
-            elif agg_name == "FIRST_VALUE":
-                col = F.expr(
-                    f"min_by({value_sql}, unix_millis(`{EVENT_TIME_COL}`))"
+            elif agg_name in ("FIRST_VALUE", "LAST_VALUE"):
+                # the ORDERING key is gated, not the value: min_by/max_by
+                # ignore NULL-ordered rows, so filtered-out rows never
+                # win the slot (an ungated ordering key let a filtered
+                # row win and emit NULL where batch emits the first/last
+                # PASSING value)
+                ord_sql = (
+                    f"CASE WHEN {gate_sql} IS NOT NULL "
+                    f"THEN unix_millis(`{EVENT_TIME_COL}`) END"
+                    if tr.filter_expr
+                    else f"unix_millis(`{EVENT_TIME_COL}`)"
                 )
-            elif agg_name == "LAST_VALUE":
-                col = F.expr(
-                    f"max_by({value_sql}, unix_millis(`{EVENT_TIME_COL}`))"
-                )
+                fn = "min_by" if agg_name == "FIRST_VALUE" else "max_by"
+                raw_sql = to_spark_sql(tr.expr)
+                col = F.expr(f"{fn}({raw_sql}, {ord_sql})")
             elif agg_name == "COLLECT_LIST":
-                col = F.expr(f"collect_list({value_sql})")
+                # struct-wrapped so NULL VALUES survive (collect_list
+                # drops bare NULL elements; batch semantics include
+                # them), sorted by event time for deterministic order
+                raw_sql = to_spark_sql(tr.expr)
+                wrap = (
+                    f"CASE WHEN {gate_sql} IS NOT NULL THEN "
+                    f"struct(unix_millis(`{EVENT_TIME_COL}`) AS o, "
+                    f"({raw_sql}) AS v) END"
+                    if tr.filter_expr
+                    else f"struct(unix_millis(`{EVENT_TIME_COL}`) AS o, "
+                    f"({raw_sql}) AS v)"
+                )
+                col = F.expr(
+                    f"transform(array_sort(collect_list({wrap})), s -> s.v)"
+                )
             else:
                 raise PlanError(f"Streaming sliding agg {agg_name} unsupported.")
             aggs.append(col.cast(to_spark_type(f_.dtype)).alias(f_.name))
@@ -403,8 +455,43 @@ class SparkStreamBuilder:
                     F.expr(to_spark_sql(tr.expr)).cast(to_spark_type(feature.dtype)),
                 )
 
+        if view.filter_expr is not None:
+            result = result.filter(F.expr(to_spark_sql(view.filter_expr)))
         output_fields = view.get_output_fields()
         return result.select(*output_fields)
+
+
+def _default_stream_checkpoint_dir(query_name, ident: str) -> str:
+    """Shared derivation for sinks that require a checkpoint: stable path
+    for NAMED queries (restart-resume), unique mkdtemp for unnamed ones
+    (no identity -> nothing safe to resume by).  See the Kafka docstring
+    below for the full rationale."""
+    import hashlib
+    import re as _re
+    import tempfile
+
+    if not query_name:
+        slug = _re.sub(r"[^A-Za-z0-9_.-]+", "_", ident)[:40]
+        return tempfile.mkdtemp(prefix=f"feathub_ckpt_{slug}_")
+    slug = _re.sub(r"[^A-Za-z0-9_.-]+", "_", query_name)[:80]
+    digest = hashlib.sha256(query_name.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), "feathub_spark_ckpt", f"{slug}_{digest}"
+    )
+    prior = _ACTIVE_DEFAULT_CKPTS.get(path)
+    if prior is not None:
+        try:
+            prior_active = prior.isActive
+        except Exception:
+            prior_active = False  # dead session/JVM — the path is free
+        if prior_active:
+            raise PlanError(
+                f"A live streaming query already uses the default "
+                f"checkpoint {path!r} (query_name collision). Pass an "
+                f"explicit checkpoint_dir or a distinct query_name."
+            )
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def _default_kafka_checkpoint_dir(query_name, sink) -> str:
@@ -422,31 +509,9 @@ def _default_kafka_checkpoint_dir(query_name, sink) -> str:
     cross-process isolation for named queries is the caller's contract —
     a query name identifies ONE logical query, same as Spark's own
     checkpointLocation semantics."""
-    import hashlib
-    import re as _re
-    import tempfile
-
-    if not query_name:
-        return tempfile.mkdtemp(prefix=f"feathub_ckpt_{sink.topic}_")
-    slug = _re.sub(r"[^A-Za-z0-9_.-]+", "_", query_name)[:80]
-    digest = hashlib.sha256(query_name.encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), "feathub_spark_ckpt", f"{slug}_{digest}"
+    return _default_stream_checkpoint_dir(
+        query_name, f"{sink.topic}@{sink.bootstrap_server}"
     )
-    prior = _ACTIVE_DEFAULT_CKPTS.get(path)
-    if prior is not None:
-        try:
-            prior_active = prior.isActive
-        except Exception:
-            prior_active = False  # dead session/JVM — the path is free
-        if prior_active:
-            raise PlanError(
-                f"A live streaming query already uses the default Kafka "
-                f"checkpoint {path!r} (query_name collision). Pass an "
-                f"explicit checkpoint_dir or a distinct query_name."
-            )
-    os.makedirs(path, exist_ok=True)
-    return path
 
 
 # default-checkpoint path -> the StreamingQuery that last claimed it
@@ -476,6 +541,15 @@ def write_stream(
         writer = writer.option("checkpointLocation", checkpoint_dir)
 
     if isinstance(sink, FileSystemSink):
+        if checkpoint_dir is None:
+            # file sinks REQUIRE a checkpointLocation (Spark only
+            # auto-creates temp checkpoints for console/noop/memory/
+            # foreachBatch) — derive the same named-stable / unnamed-
+            # unique default the Kafka branch gets
+            checkpoint_dir = _default_stream_checkpoint_dir(
+                query_name, f"file_{sink.path}"
+            )
+            writer = writer.option("checkpointLocation", checkpoint_dir)
         return writer.format(sink.data_format).option("path", sink.path).start()
     if isinstance(sink, BlackHoleSink):
         return writer.format("noop").start()

@@ -486,3 +486,63 @@ def test_streaming_exact_dedup(client, tmp_path):
     out = client.spark.sql("SELECT * FROM dedup_stream_out").collect()
     contents = sorted(r["content"] for r in out)
     assert contents == ["alpha", "beta", "gamma"]
+
+
+def test_streaming_native_filtered_first_last_and_nulls(client, tmp_path):
+    """Native-path (single size, no flags) FIRST_VALUE/LAST_VALUE with a
+    filter must return the first/last PASSING value (an ungated min_by/
+    max_by let a filtered-out row win the slot and emit NULL), and
+    view.filter_expr must apply on the streaming path like batch."""
+    source = _stream_source(tmp_path, "stream_src_fl")
+
+    def make_view(name, src):
+        return SlidingFeatureView(
+            name=name,
+            source=src,
+            features=[
+                Feature(
+                    "first_big",
+                    transform=SlidingWindowTransform(
+                        "cost", "FIRST_VALUE",
+                        window_size=timedelta(days=2),
+                        step_size=timedelta(days=1),
+                        group_by_keys=["name"],
+                        filter_expr="cost > 300",
+                    ),
+                ),
+                Feature(
+                    "last_big",
+                    transform=SlidingWindowTransform(
+                        "cost", "LAST_VALUE",
+                        window_size=timedelta(days=2),
+                        step_size=timedelta(days=1),
+                        group_by_keys=["name"],
+                        filter_expr="cost > 300",
+                    ),
+                ),
+            ],
+            enable_empty_window_output=False,
+            skip_same_window_output=False,
+            filter_expr="first_big IS NOT NULL",
+        )
+
+    stream_view = make_view("stream_fl_view", source)
+    client.build_features([source, stream_view])
+    out = _run_to_memory(
+        client.spark, client.processor, stream_view, "stream_fl_out", "complete"
+    )
+    stream_rows = {
+        (r["name"], r.window_time): (r.first_big, r.last_big)
+        for r in out.collect()
+    }
+    batch_view = make_view("batch_fl_view", source)
+    client.build_features([batch_view])
+    batch = client.get_features(batch_view).to_pandas()
+    batch_rows = {
+        (r["name"], r["window_time"]): (r["first_big"], r["last_big"])
+        for _, r in batch.iterrows()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+    # the view filter held: no NULL first_big row survived
+    assert all(v[0] is not None for v in stream_rows.values())
