@@ -43,12 +43,18 @@ query action; put the same call at the end of a foreachBatch handler.
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 MAX_ACTIVE = 64
+
+# registry mutations are locked: concurrent streaming queries each call
+# release_caches() from their own foreachBatch driver thread, and the
+# unlocked check-then-pop loops raced (IndexError killing a query)
+_LOCK = threading.Lock()
 
 _ACTIVE: List[DataFrame] = []
 # RDD ids (ints) of tracked localCheckpoint frames — ids, not handles, so
@@ -95,9 +101,13 @@ def register_cache(
     in place, accumulation — not spill policy — was the actual 100 TB
     hazard, so the default stays."""
     df.persist(storage_level)
-    _ACTIVE.append(df)
-    while len(_ACTIVE) > MAX_ACTIVE:
-        _ACTIVE.pop(0).unpersist()
+    evicted = []
+    with _LOCK:
+        _ACTIVE.append(df)
+        while len(_ACTIVE) > MAX_ACTIVE:
+            evicted.append(_ACTIVE.pop(0))
+    for old in evicted:
+        old.unpersist()
     return df
 
 
@@ -113,7 +123,8 @@ def track_checkpoint(df: DataFrame) -> DataFrame:
     is already the documented contract."""
     rdd_id = _checkpoint_rdd_id(df)
     if rdd_id is not None:
-        _CHECKPOINT_IDS.append(rdd_id)
+        with _LOCK:
+            _CHECKPOINT_IDS.append(rdd_id)
     return df
 
 
@@ -136,8 +147,9 @@ def free_checkpoint(df: DataFrame) -> bool:
     rdd_id = _checkpoint_rdd_id(df)
     if rdd_id is None:
         return False
-    while rdd_id in _CHECKPOINT_IDS:
-        _CHECKPOINT_IDS.remove(rdd_id)
+    with _LOCK:
+        while rdd_id in _CHECKPOINT_IDS:
+            _CHECKPOINT_IDS.remove(rdd_id)
     return _unpersist_rdd_id(rdd_id)
 
 
@@ -150,11 +162,14 @@ def release_caches() -> int:
     any OTHER still-unconsumed pipeline built in the meantime (a
     checkpoint has no lineage to recompute from; the later action raises
     on missing blocks).  Consume-then-release one pipeline at a time."""
+    with _LOCK:
+        active, _ACTIVE[:] = list(_ACTIVE), []
+        ckpts, _CHECKPOINT_IDS[:] = list(_CHECKPOINT_IDS), []
     n = 0
-    while _ACTIVE:
-        _ACTIVE.pop().unpersist()
+    for df in reversed(active):
+        df.unpersist()
         n += 1
-    while _CHECKPOINT_IDS:
-        if _unpersist_rdd_id(_CHECKPOINT_IDS.pop()):
+    for rdd_id in reversed(ckpts):
+        if _unpersist_rdd_id(rdd_id):
             n += 1
     return n

@@ -18,6 +18,9 @@ from typing import Optional
 from pyspark.sql import DataFrame
 
 
+_NODE_LEAD_RE = re.compile(r"^[\s+:!-]*")
+
+
 # Node shapes that plan a hash exchange sized by
 # spark.sql.shuffle.partitions (AQE right-sizes it at runtime).  Join is
 # deliberately absent (a broadcast join adds NO exchange — its output
@@ -30,11 +33,6 @@ from pyspark.sql import DataFrame
 # the default parallelism — those must still probe.  Matching is anchored
 # to line-leading node names so a column named e.g. `WindowStart` inside
 # a Project cannot false-match.
-_EXCHANGE_NODE_RE = re.compile(
-    r"(?m)^[\s+:!-]*(?:Aggregate|Window|Deduplicate|RepartitionByExpression)[ \[]"
-)
-_NODE_LEAD_RE = re.compile(r"^[\s+:!-]*")
-
 
 def _top_level_bracket_groups(node: str) -> int:
     """Count [...] groups at bracket depth 0 of a plan-node header.  A

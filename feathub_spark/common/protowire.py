@@ -274,8 +274,48 @@ def _skip_field(buf: bytes, pos: int, wire: int) -> int:
     return pos
 
 
+_EXPECTED_WIRE = {
+    t.BasicDType.INT32: 0, t.BasicDType.INT64: 0, t.BasicDType.BOOL: 0,
+    t.BasicDType.TIMESTAMP: 0, t.BasicDType.FLOAT32: 5,
+    t.BasicDType.FLOAT64: 1, t.BasicDType.STRING: 2, t.BasicDType.BYTES: 2,
+}
+
+
+def _proto_default(dtype: t.DType):
+    """proto3 default for an absent field — standard encoders OMIT
+    default-valued fields, so a map entry missing its key/value field
+    means key 0 / "" / 0.0, never None (a None map key is unrepresentable
+    in Spark)."""
+    basic = dtype.basic_dtype
+    if basic in (t.BasicDType.INT32, t.BasicDType.INT64):
+        return 0
+    if basic == t.BasicDType.BOOL:
+        return False
+    if basic in (t.BasicDType.FLOAT32, t.BasicDType.FLOAT64):
+        return 0.0
+    if basic == t.BasicDType.STRING:
+        return ""
+    if basic == t.BasicDType.BYTES:
+        return b""
+    if basic == t.BasicDType.TIMESTAMP:
+        import datetime as dt
+
+        return dt.datetime(1970, 1, 1)
+    raise FeathubError(f"protobuf: unsupported dtype {dtype}")
+
+
 def _decode_scalar(buf: bytes, pos: int, wire: int, dtype: t.DType):
     basic = dtype.basic_dtype
+    expected = _EXPECTED_WIRE.get(basic)
+    if expected is not None and wire != expected:
+        # schema drift (field number reused with a different type):
+        # decoding with the wrong reader desynchronizes the REST of the
+        # message into garbage — fail loudly with the actual mismatch
+        raise FeathubError(
+            f"protobuf: wire type {wire} does not match declared dtype "
+            f"{dtype} (expected wire type {expected}); the producer's "
+            "schema has likely drifted from the declared one."
+        )
     if basic in (t.BasicDType.INT32, t.BasicDType.INT64):
         v, pos = read_varint(buf, pos)
         return int(v), pos
@@ -375,6 +415,10 @@ def decode_message(buf: bytes, specs: Sequence[FieldSpec]) -> dict:
                     epos = _skip_field(entry, epos, ewire)
             if row[spec.name] is None:
                 row[spec.name] = {}
+            if k is None:
+                k = _proto_default(dtype.key_dtype)
+            if v is None:
+                v = _proto_default(dtype.value_dtype)
             row[spec.name][k] = v
         else:
             row[spec.name], pos = _decode_scalar(buf, pos, wire, dtype)

@@ -28,7 +28,10 @@ _STRFTIME_TO_JAVA = {
     "H": "HH",
     "M": "mm",
     "S": "ss",
-    "f": "SSS",
+    # SSSSSS parses 1-6 fraction digits (probed on Spark 4.1.2), exactly
+    # strftime %f's contract — the old SSS silently NULLed 6-digit
+    # microsecond data under non-ANSI parsing
+    "f": "SSSSSS",
     "z": "X",
     "j": "DDD",
 }

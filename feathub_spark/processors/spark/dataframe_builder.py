@@ -74,6 +74,7 @@ class SparkDataFrameBuilder:
         registry,
         over_window_salt_chunk_ms: int = None,
         asof_salt_chunk_ms: int = None,
+        probe_cache: Dict[object, Optional[int]] = None,
     ) -> None:
         self._spark = spark
         self._registry = registry
@@ -85,7 +86,12 @@ class SparkDataFrameBuilder:
         # skew probe pick per descriptor (skew_probe.py).
         self._salt_chunk_ms = over_window_salt_chunk_ms
         self._asof_salt_chunk_ms = asof_salt_chunk_ms
-        self._skew_probe_cache: Dict[object, Optional[int]] = {}
+        # probe memoization: the PROCESSOR passes its long-lived dict so
+        # the "pay once" contract survives across get_table calls — a
+        # per-builder dict re-ran the eager full-scan probe per compile
+        self._skew_probe_cache: Dict[object, Optional[int]] = (
+            probe_cache if probe_cache is not None else {}
+        )
         # (descriptor kind, keys, chosen chunk_ms or None) — plan tests
         # assert the auto probe picked the salted plan on skewed input.
         self.salt_decisions: list = []

@@ -70,7 +70,7 @@ def resolve_salt_chunk_ms(
     (plan semanticHash, keys, window_ms) so repeated descriptors over the
     same input pay for one probe job only.
     """
-    if spec is None or isinstance(spec, int):
+    if spec is None or (isinstance(spec, int) and not isinstance(spec, bool)):
         return spec
     policy = AutoSalt() if spec == AUTO else spec
     if not isinstance(policy, AutoSalt):
@@ -140,6 +140,11 @@ def decide_salt_chunk_ms(
         F.max(F.unix_millis(F.col("__hi__"))).alias("hi_ms"),
     ).first()
     if row is None or not row["rows"]:
+        return None
+    if row["hi_ms"] is None or row["lo_ms"] is None:
+        # all probed timestamps were NULL (min/max skip NULLs while
+        # count() counts the rows) — no time span to chunk; fall back to
+        # the plain plan instead of int(None) aborting the compile
         return None
     scale = 1.0 / probe_fraction if probe_fraction else 1.0
     max_n = row["max_n"] * scale

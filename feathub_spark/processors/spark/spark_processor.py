@@ -76,6 +76,9 @@ class SparkProcessor:
         # salt decisions from the most recent get_table() compile — plan
         # tests read this to assert which physical strategy was chosen.
         self.last_salt_decisions: list = []
+        # long-lived skew-probe memoization shared by every builder this
+        # processor creates — the probe's "pay once" contract
+        self._skew_probe_cache: dict = {}
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         try:
             spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -94,6 +97,7 @@ class SparkProcessor:
         builder = SparkDataFrameBuilder(
             self.spark, self.registry, self.over_window_salt_chunk_ms,
             self.asof_salt_chunk_ms,
+            probe_cache=self._skew_probe_cache,
         )
         df = builder.build_with_event_time(descriptor)
         self.last_salt_decisions = builder.salt_decisions
@@ -130,9 +134,17 @@ class SparkProcessor:
             if missing:
                 raise ValueError(f"Key fields {missing} not in table output.")
             # left_semi keeps rows whose keys appear in the keys table
-            # (reference spark_dataframe_builder.py:136-148); broadcast the
-            # (small) key set so no shuffle of the fact side is needed.
-            df = df.join(F.broadcast(key_df.distinct()), on=key_cols, how="left_semi")
+            # (reference spark_dataframe_builder.py:136-148).  A pandas
+            # key set is driver-resident and therefore small — broadcast
+            # it so the fact side never shuffles.  A DataFrame or
+            # TableDescriptor key set may be arbitrarily large: forcing a
+            # broadcast there OOMs on a big key table, so leave the
+            # strategy to Catalyst/AQE (which still broadcasts small
+            # sides from runtime stats).
+            key_set = key_df.distinct()
+            if isinstance(keys, pd.DataFrame):
+                key_set = F.broadcast(key_set)
+            df = df.join(key_set, on=key_cols, how="left_semi")
 
         df = df.drop(*[c for c in df.columns if c in METADATA_COLS])
         return Table(df, descriptor, self)
@@ -176,6 +188,15 @@ class SparkProcessor:
         if not descriptor.is_resolved():
             descriptor = self.registry.build_features(descriptor)[0]
         df = self.get_stream_dataframe(descriptor)
+        # batch materialization drops the timestamp field when the sink
+        # declares keep_timestamp_field=False — the streaming path must
+        # agree or the same sink gets two output schemas
+        if (
+            not getattr(sink, "keep_timestamp_field", True)
+            and descriptor.timestamp_field
+            and descriptor.timestamp_field in df.columns
+        ):
+            df = df.drop(descriptor.timestamp_field)
         return write_stream(
             df, sink, descriptor, checkpoint_dir, query_name, output_mode
         )

@@ -61,7 +61,8 @@ def test_java_date_format():
     assert to_java_date_format("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
     assert to_java_date_format("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
     assert to_java_date_format("%Y-%m-%d,%H:%M:%S") == "yyyy-MM-dd,HH:mm:ss"
-    assert to_java_date_format("%Y-%m-%d %H:%M:%S.%f") == "yyyy-MM-dd HH:mm:ss.SSS"
+    # %f = 1-6 fraction digits on parse, 6 on format (Python %f prints 6)
+    assert to_java_date_format("%Y-%m-%d %H:%M:%S.%f") == "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def test_is_null_precedence():
