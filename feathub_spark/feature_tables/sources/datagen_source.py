@@ -26,6 +26,13 @@ class FieldConfig:
 
 class SequenceField(FieldConfig):
     def __init__(self, start: int, end: int) -> None:
+        if end < start:
+            # a non-positive span would make the batch pmod wrap yield
+            # NULL for every row (silently all-NULL column) — fail loudly
+            raise FeathubError(
+                f"SequenceField requires end >= start; got start={start}, "
+                f"end={end}."
+            )
         self.start = start
         self.end = end
 

@@ -23,8 +23,14 @@ def _py(v):
     """Python-native scalar: numpy ints/floats/bools unwrap via .item()
     (json.dumps(np.int64) raises, and default=str would silently turn a
     stored 5 into "5"); pandas Timestamps serialize as ISO strings."""
-    if hasattr(v, "item") and type(v).__module__ == "numpy":
-        return v.item()
+    if type(v).__module__ == "numpy":
+        # ndarrays (array<T> features out of an Arrow toPandas frame) must
+        # become lists: .item() raises on multi-element arrays and silently
+        # unwraps a size-1 array to its scalar ('5' stored instead of '[5]').
+        if getattr(v, "ndim", 0) > 0:
+            return v.tolist()
+        if hasattr(v, "item"):
+            return v.item()
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     return v

@@ -124,6 +124,13 @@ def write_protobuf_files(df: DataFrame, path: str,
             f"local filesystem and cannot target {path!r}."
         )
     master = df.sparkSession.conf.get("spark.master", "")
+    if not master:
+        # conf key unset/unretrievable (e.g. Spark Connect) — fall back to
+        # the SparkContext's view before rejecting a genuinely local write
+        try:
+            master = df.sparkSession.sparkContext.master or ""
+        except Exception:
+            master = ""
     if not master.startswith("local"):
         raise PlanError(
             "FileSystemSink(data_format='protobuf') requires a local[*] "

@@ -473,8 +473,11 @@ def _default_stream_checkpoint_dir(query_name, ident: str) -> str:
     if not query_name:
         slug = _re.sub(r"[^A-Za-z0-9_.-]+", "_", ident)[:40]
         return tempfile.mkdtemp(prefix=f"feathub_ckpt_{slug}_")
+    # The digest covers BOTH the name and the sink identity: a named
+    # FileSystemSink query and a named KafkaSink query that happen to share
+    # a query_name must not share (and corrupt) one checkpoint directory.
     slug = _re.sub(r"[^A-Za-z0-9_.-]+", "_", query_name)[:80]
-    digest = hashlib.sha256(query_name.encode()).hexdigest()[:12]
+    digest = hashlib.sha256(f"{query_name}\x00{ident}".encode()).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(), "feathub_spark_ckpt", f"{slug}_{digest}"
     )
@@ -490,6 +493,7 @@ def _default_stream_checkpoint_dir(query_name, ident: str) -> str:
                 f"checkpoint {path!r} (query_name collision). Pass an "
                 f"explicit checkpoint_dir or a distinct query_name."
             )
+        del _ACTIVE_DEFAULT_CKPTS[path]  # dead claim — don't hold the ref
     os.makedirs(path, exist_ok=True)
     return path
 
@@ -541,6 +545,7 @@ def write_stream(
         writer = writer.option("checkpointLocation", checkpoint_dir)
 
     if isinstance(sink, FileSystemSink):
+        derived_ckpt = None
         if checkpoint_dir is None:
             # file sinks REQUIRE a checkpointLocation (Spark only
             # auto-creates temp checkpoints for console/noop/memory/
@@ -549,8 +554,17 @@ def write_stream(
             checkpoint_dir = _default_stream_checkpoint_dir(
                 query_name, f"file_{sink.path}"
             )
+            if query_name:
+                derived_ckpt = checkpoint_dir
             writer = writer.option("checkpointLocation", checkpoint_dir)
-        return writer.format(sink.data_format).option("path", sink.path).start()
+        query = (
+            writer.format(sink.data_format).option("path", sink.path).start()
+        )
+        if derived_ckpt is not None:
+            # same liveness guard the Kafka branch gets: a second live
+            # named query onto this derived path must be refused
+            _ACTIVE_DEFAULT_CKPTS[derived_ckpt] = query
+        return query
     if isinstance(sink, BlackHoleSink):
         return writer.format("noop").start()
     if isinstance(sink, KafkaSink):

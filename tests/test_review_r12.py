@@ -1,0 +1,134 @@
+"""Round-12 review fixes (ADVICE.md r11): ndarray-safe online-store codec,
+checkpoint identity folded into the named-query digest + file-sink liveness
+registration, protobuf writer master fallback, SequenceField span check."""
+
+import numpy as np
+import pytest
+
+from feathub_spark.common.exceptions import FeathubError
+
+
+class TestPyNdarray:
+    def test_ndarray_becomes_list(self):
+        from feathub_spark.online_stores.sql_online_store import _py
+
+        assert _py(np.array([1, 2, 3])) == [1, 2, 3]
+
+    def test_size_one_ndarray_stays_list(self):
+        from feathub_spark.online_stores.sql_online_store import _py
+
+        assert _py(np.array([5])) == [5]
+
+    def test_zero_d_and_scalars_unwrap(self):
+        from feathub_spark.online_stores.sql_online_store import _py
+
+        assert _py(np.int64(7)) == 7
+        assert _py(np.array(7)) == 7
+        assert _py(np.float64(1.5)) == 1.5
+
+    def test_encode_field_array_roundtrip(self):
+        from feathub_spark.online_stores.redis_client import (
+            decode_field,
+            encode_field,
+        )
+
+        raw = encode_field(np.array([1.0, 2.5]))
+        assert decode_field(raw) == [1.0, 2.5]
+        raw = encode_field(np.array([5]))
+        assert decode_field(raw) == [5]  # '[5]', never the scalar '5'
+
+
+class TestCheckpointIdentity:
+    def test_named_paths_differ_by_sink_identity(self):
+        from feathub_spark.streaming.stream_builder import (
+            _default_stream_checkpoint_dir,
+        )
+
+        a = _default_stream_checkpoint_dir("q1", "file_/tmp/out_a")
+        b = _default_stream_checkpoint_dir("q1", "kafka_topic@host:9092")
+        assert a != b  # same query_name, different sinks -> distinct ckpts
+
+    def test_named_path_stable_for_same_identity(self):
+        from feathub_spark.streaming.stream_builder import (
+            _default_stream_checkpoint_dir,
+        )
+
+        a = _default_stream_checkpoint_dir("q2", "file_/tmp/out")
+        b = _default_stream_checkpoint_dir("q2", "file_/tmp/out")
+        assert a == b
+
+    def test_dead_claim_is_pruned(self):
+        from feathub_spark.streaming import stream_builder as sb
+
+        class DeadQuery:
+            @property
+            def isActive(self):
+                raise RuntimeError("jvm gone")
+
+        path = sb._default_stream_checkpoint_dir("q3", "file_/tmp/out3")
+        sb._ACTIVE_DEFAULT_CKPTS[path] = DeadQuery()
+        again = sb._default_stream_checkpoint_dir("q3", "file_/tmp/out3")
+        assert again == path
+        assert path not in sb._ACTIVE_DEFAULT_CKPTS  # ref released
+
+    def test_live_claim_refused(self):
+        from feathub_spark.common.exceptions import PlanError
+        from feathub_spark.streaming import stream_builder as sb
+
+        class LiveQuery:
+            isActive = True
+
+        path = sb._default_stream_checkpoint_dir("q4", "file_/tmp/out4")
+        sb._ACTIVE_DEFAULT_CKPTS[path] = LiveQuery()
+        try:
+            with pytest.raises(PlanError):
+                sb._default_stream_checkpoint_dir("q4", "file_/tmp/out4")
+        finally:
+            del sb._ACTIVE_DEFAULT_CKPTS[path]
+
+
+class TestSequenceFieldSpan:
+    def test_end_before_start_rejected(self):
+        from feathub_spark.feature_tables.sources.datagen_source import (
+            SequenceField,
+        )
+
+        with pytest.raises(FeathubError, match="end >= start"):
+            SequenceField(start=10, end=5)
+
+    def test_single_value_span_ok(self):
+        from feathub_spark.feature_tables.sources.datagen_source import (
+            SequenceField,
+        )
+
+        f = SequenceField(start=3, end=3)
+        assert (f.start, f.end) == (3, 3)
+
+
+class TestProtobufMasterFallback:
+    def test_blank_conf_falls_back_to_context(self, spark):
+        # Simulate a session whose conf lookup misses: the writer should
+        # consult sparkContext.master before rejecting a local write.
+        import feathub_spark.processors.spark.protobuf_io as pio
+
+        class FakeConf:
+            def get(self, key, default=""):
+                return default
+
+        class FakeSession:
+            conf = FakeConf()
+            sparkContext = spark.sparkContext
+
+        class FakeDF:
+            sparkSession = FakeSession()
+
+        # Drive only the master-resolution prologue: a URI-schemed path
+        # raises BEFORE the master check, a local path passes the check
+        # and fails later on schema introspection of our fake.
+        from feathub_spark.common.exceptions import PlanError
+
+        with pytest.raises(PlanError, match="cannot target"):
+            pio.write_protobuf_files(FakeDF(), "s3://bucket/x")
+        with pytest.raises(Exception) as ei:
+            pio.write_protobuf_files(FakeDF(), "/tmp/feathub_r12_pb_probe")
+        assert "requires a local" not in str(ei.value)
