@@ -135,6 +135,8 @@ class JdbcSource(FeatureTable):
         timestamp_format: str = "epoch",
         partition_column: Optional[str] = None,
         num_partitions: int = 32,
+        lower_bound=None,
+        upper_bound=None,
     ) -> None:
         super().__init__(
             name,
@@ -151,8 +153,11 @@ class JdbcSource(FeatureTable):
         self.password = password
         # partition_column enables parallel JDBC reads — required for any
         # non-toy table: a single-connection scan cannot feed a cluster.
+        # Explicit lower/upper bounds skip the min/max probe query.
         self.partition_column = partition_column
         self.num_partitions = num_partitions
+        self.lower_bound = lower_bound
+        self.upper_bound = upper_bound
 
 
 class MySQLSource(JdbcSource):

@@ -202,31 +202,49 @@ def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFr
         if source.partition_column:
             # Parallel scan.  Spark REQUIRES partitionColumn, lowerBound,
             # upperBound, and numPartitions as a foursome (it does NOT
-            # probe min/max itself) — fetch the bounds with one 1-row
-            # scalar query over the same connection options, and fall
-            # back to the single-connection read on an empty table.
+            # probe min/max itself).  Explicit bounds on the descriptor
+            # skip the probe (one less round-trip, and at scale the user
+            # usually knows the id range); otherwise fetch them with one
+            # 1-row scalar query over the same connection options, and
+            # fall back to the single-connection read on an empty table.
             col = source.partition_column
-            bounds_reader = (
-                spark.read.format("jdbc")
-                .option("url", source.url)
-                .option(
-                    "dbtable",
-                    f"(SELECT MIN({col}) AS lo, MAX({col}) AS hi "
-                    f"FROM {source.table}) feathub_bounds",
+            lo, hi = source.lower_bound, source.upper_bound
+            if lo is None or hi is None:
+                # quote the column the way Spark's own writer creates it
+                # (quoted lowercase) — an unquoted `k` folds to `K` in
+                # Derby/Oracle and misses the column entirely
+                qcol = (
+                    f"`{col}`"
+                    if source.url.startswith("jdbc:mysql:")
+                    else f'"{col}"'
                 )
-            )
-            if source.driver:
-                bounds_reader = bounds_reader.option("driver", source.driver)
-            if source.username:
-                bounds_reader = bounds_reader.option("user", source.username)
-            if source.password:
-                bounds_reader = bounds_reader.option("password", source.password)
-            row = bounds_reader.load().first()
-            if row is not None and row["lo"] is not None:
+                bounds_reader = (
+                    spark.read.format("jdbc")
+                    .option("url", source.url)
+                    .option(
+                        "dbtable",
+                        f"(SELECT MIN({qcol}) AS lo, MAX({qcol}) AS hi "
+                        f"FROM {source.table}) feathub_bounds",
+                    )
+                )
+                if source.driver:
+                    bounds_reader = bounds_reader.option("driver", source.driver)
+                if source.username:
+                    bounds_reader = bounds_reader.option("user", source.username)
+                if source.password:
+                    bounds_reader = bounds_reader.option(
+                        "password", source.password
+                    )
+                # positional access: Derby/Oracle report the aliases
+                # uppercased (LO/HI) and Row lookup is case-sensitive
+                row = bounds_reader.load().first()
+                if row is not None and row[0] is not None:
+                    lo, hi = row[0], row[1]
+            if lo is not None and hi is not None:
                 reader = (
                     reader.option("partitionColumn", col)
-                    .option("lowerBound", str(row["lo"]))
-                    .option("upperBound", str(row["hi"]))
+                    .option("lowerBound", str(lo))
+                    .option("upperBound", str(hi))
                     .option("numPartitions", str(source.num_partitions))
                 )
         return append_event_time(reader.load(), source)
@@ -406,9 +424,31 @@ def upsert_sql(url: str, table: str, staging: str, cols, keys) -> str:
             f"SELECT {col_list} FROM {staging} "
             f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
         )
+    if url.startswith("jdbc:derby:"):
+        # ANSI MERGE (Derby >= 10.11).  Derby ships inside pyspark's jars,
+        # so this dialect lets the full staged-upsert path run end-to-end
+        # against a live embedded database in environments with no
+        # external MySQL/PostgreSQL service.  Column identifiers are
+        # double-quoted: Spark's JDBC writer CREATEs them quoted-lowercase,
+        # and Derby folds an unquoted reference to uppercase — a miss.
+        def q(c):
+            return f'"{c}"'
+
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+        updates = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+        qcol_list = ", ".join(q(c) for c in cols)
+        insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        matched = f"WHEN MATCHED THEN UPDATE SET {updates} " if non_keys else ""
+        return (
+            f"MERGE INTO {table} t USING {staging} s ON {on} "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({qcol_list}) "
+            f"VALUES ({insert_vals})"
+        )
     raise PlanError(
-        f"JdbcSink upsert_keys is supported for mysql/postgresql URLs, "
-        f"not {url.split(':', 2)[:2]}; drop upsert_keys for plain append."
+        f"JdbcSink upsert_keys is supported for mysql/postgresql/derby "
+        f"URLs, not {url.split(':', 2)[:2]}; drop upsert_keys for plain "
+        f"append."
     )
 
 
@@ -503,7 +543,14 @@ def _write_jdbc_upsert(df: DataFrame, sink, descriptor=None) -> None:
             st.executeUpdate(stmt)
         finally:
             try:
-                st.executeUpdate(f"DROP TABLE IF EXISTS {staging}")
+                if sink.url.startswith("jdbc:derby:"):
+                    # Derby has no DROP TABLE IF EXISTS clause
+                    try:
+                        st.executeUpdate(f"DROP TABLE {staging}")
+                    except Exception:
+                        pass  # staging already gone — nothing to clean
+                else:
+                    st.executeUpdate(f"DROP TABLE IF EXISTS {staging}")
             finally:
                 st.close()
     finally:

@@ -213,7 +213,7 @@ def test_jdbc_source_reader_options(spark):
     assert len(log) == 2
     probe, main = log
     assert probe["options"]["dbtable"] == (
-        "(SELECT MIN(a) AS lo, MAX(a) AS hi FROM tbl) feathub_bounds"
+        '(SELECT MIN("a") AS lo, MAX("a") AS hi FROM tbl) feathub_bounds'
     )
     assert main == {
         "format": "jdbc",

@@ -93,6 +93,12 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list:
     for c in spark_df.columns:
         sd, od = str(spark_df[c].dtype), str(oracle_df[c].dtype)
         if sd != od:
+            # datetime64 resolution (ns vs us) is a pandas-conversion
+            # artifact, not a schema divergence: Spark's toPandas yields
+            # ns, DuckDB's yields us, and _normalize unifies both to us
+            # before values are compared — don't warn on it
+            if sd.startswith("datetime64") and od.startswith("datetime64"):
+                continue
             issues.append(f"[dtype-warn] col {c}: spark={sd} oracle={od}")
     s = _normalize(spark_df)
     o = _normalize(oracle_df)
