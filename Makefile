@@ -4,7 +4,7 @@
 COMPOSE := docker compose -f docker/docker-compose.connectors.yml
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: test correctness bench plan-audit connector-it connector-services connector-down
+.PHONY: test correctness bench plan-audit scale-gate connector-it connector-services connector-down
 
 test:
 	python -m pytest tests/ -x -q
@@ -17,6 +17,16 @@ bench:
 
 plan-audit:
 	python tools/plan_audit.py
+
+# Session-end scale regression gate: the uniform 1x -> 10x study over the
+# most expensive operator families (wall ratio + spill + shuffle volume).
+# Record the JSON row-set in docs/SCALE.md each round; a quadratic shuffle
+# or new spill shows up as a diff here, not as archaeology.  The streaming
+# analog is tools/stress_streaming_state.py --table (state rows/bytes and
+# batch durations at 1x vs 10x event volume).
+scale-gate:
+	python tools/scale_study.py
+	python tools/stress_streaming_state.py --table
 
 # One-command run of the service-gated connector integration tests
 # (Kafka, MySQL/JDBC, Redis, Prometheus Pushgateway) against dockerized

@@ -8,13 +8,22 @@ measurement, not an assertion.  The round-8 10x run (1M events, same key
 count, ~10x denser per-key history) is recorded next to the original
 number in SCALE.md.
 
-Usage: python tools/stress_streaming_state.py [scale]   # default 10
+Round 12 adds state-store capture: each run drains the query's progress
+events and reports state rows, state bytes, and per-batch durations, so
+the 1x vs 10x comparison is a table (events, wall, max state rows, max
+state bytes, median batch ms) rather than a single wall number.
+
+Usage:
+  python tools/stress_streaming_state.py [scale]   # one run (default 10)
+  python tools/stress_streaming_state.py --table   # 1x AND 10x, one JSON
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -27,8 +36,29 @@ KEYS = 1_500
 SPAN_S = 30 * 86_400  # events spread over 30 days
 
 
-def main() -> None:
-    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+def _progress_metrics(query) -> dict:
+    """State-store and batch-duration metrics from the query's retained
+    progress events (availableNow runs finish with all batches present)."""
+    rows_max = bytes_max = 0
+    batch_ms = []
+    for p in query.recentProgress:
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        batch_ms.append(d.get("batchDuration") or 0)
+        for op in d.get("stateOperators") or []:
+            rows_max = max(rows_max, op.get("numRowsTotal") or 0)
+            bytes_max = max(bytes_max, op.get("memoryUsedBytes") or 0)
+    return {
+        "batches": len(batch_ms),
+        "batch_ms_median": (
+            round(statistics.median(batch_ms)) if batch_ms else 0
+        ),
+        "batch_ms_max": max(batch_ms) if batch_ms else 0,
+        "state_rows_max": rows_max,
+        "state_bytes_max": bytes_max,
+    }
+
+
+def run_one(spark, scale: int) -> dict:
     n_events = 100_000 * scale
 
     from pyspark.sql import functions as F
@@ -40,13 +70,9 @@ def main() -> None:
         SlidingFeatureView,
         SparkProcessor,
         String,
-        default_spark_session,
     )
     from feathub_spark.feature_views.feature import Feature
     from feathub_spark.feature_views.transforms import SlidingWindowTransform
-
-    spark = default_spark_session("stress_streaming_state", cpus=16)
-    spark.sparkContext.setLogLevel("ERROR")
 
     workdir = tempfile.mkdtemp(prefix="stress_stream_")
     in_dir = os.path.join(workdir, "events")
@@ -67,7 +93,7 @@ def main() -> None:
             .build()
         )
         source = FileSystemSource(
-            name="stress_stream_src",
+            name=f"stress_stream_src_{scale}x",
             path=in_dir,
             data_format="parquet",
             schema=schema,
@@ -77,7 +103,7 @@ def main() -> None:
             max_out_of_orderness=timedelta(seconds=10),
         )
         view = SlidingFeatureView(
-            name="stress_stream_view",
+            name=f"stress_stream_view_{scale}x",
             source=source,
             features=[
                 Feature(
@@ -112,12 +138,39 @@ def main() -> None:
         )
         q.awaitTermination(1_800)
         wall = time.time() - t0
-        print(
-            f"RESULT stateful_sliding {n_events} events / {KEYS} keys "
-            f"(1d+7d shared state): {wall:.1f}s on local[16]"
-        )
+        out = {"events": n_events, "keys": KEYS, "wall_s": round(wall, 1)}
+        out.update(_progress_metrics(q))
+        return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    from feathub_spark import default_spark_session
+
+    spark = default_spark_session("stress_streaming_state", cpus=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--table" in sys.argv:
+        table = {}
+        for scale in (1, 10):
+            table[f"{scale}x"] = run_one(spark, scale)
+            print(f"{scale}x: {table[f'{scale}x']}", file=sys.stderr)
+        print(json.dumps(table))
+        return
+
+    scale = 10
+    for a in sys.argv[1:]:
+        if a.isdigit():
+            scale = int(a)
+    res = run_one(spark, scale)
+    print(
+        f"RESULT stateful_sliding {res['events']} events / {KEYS} keys "
+        f"(1d+7d shared state): {res['wall_s']}s on local[16]; "
+        f"state_rows_max={res['state_rows_max']} "
+        f"state_bytes_max={res['state_bytes_max']} "
+        f"batch_ms_median={res['batch_ms_median']}"
+    )
 
 
 if __name__ == "__main__":
