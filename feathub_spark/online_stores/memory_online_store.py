@@ -72,9 +72,11 @@ class MemoryOnlineStore:
         )
         if timestamp_field is not None and timestamp_field in combined.columns:
             # keep the max-timestamp row per key (last wins on ties, matching
-            # upsert order semantics)
+            # upsert order semantics).  NaN/None timestamps sort FIRST: a
+            # row with no event time must never beat a timestamped one
+            # (pandas' default na_position="last" made exactly that happen)
             combined = combined.sort_values(
-                timestamp_field, kind="stable"
+                timestamp_field, kind="stable", na_position="first"
             )
         combined = combined.drop_duplicates(subset=key_fields, keep="last")
         self._tables[table_name] = combined.reset_index(drop=True)

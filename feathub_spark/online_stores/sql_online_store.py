@@ -125,7 +125,11 @@ class SqlOnlineStore:
         if hasattr(v, "timestamp"):
             return float(v.timestamp())
         try:
-            return float(v)
+            f = float(v)
+            # NaN (a pandas NULL timestamp) must mean "no timestamp", not
+            # a value — every NaN comparison is False, so a NaN-ts row
+            # would overwrite any timestamped row below
+            return None if f != f else f
         except (TypeError, ValueError):
             pass
         # string timestamps ('2024-01-02 00:00:00'): returning None here
@@ -227,11 +231,11 @@ class SqlOnlineStore:
             )
             existing = cur.fetchone()
             if existing is not None:
-                # max-timestamp wins; ties/no-timestamp → last write wins
-                if (
-                    existing[0] is not None
-                    and ts is not None
-                    and ts < existing[0]
+                # max-timestamp wins; ties / both-untimestamped → last
+                # write wins.  A row WITHOUT a timestamp never replaces a
+                # timestamped one (MemoryOnlineStore parity).
+                if existing[0] is not None and (
+                    ts is None or ts < existing[0]
                 ):
                     continue
                 cur.execute(

@@ -132,3 +132,65 @@ class TestProtobufMasterFallback:
         with pytest.raises(Exception) as ei:
             pio.write_protobuf_files(FakeDF(), "/tmp/feathub_r12_pb_probe")
         assert "requires a local" not in str(ei.value)
+
+
+class TestNullTimestampUpsert:
+    """A row with no event time must never beat a timestamped one
+    (found by round-12 review: pandas sorts NaN last, so a NULL-ts row
+    won MemoryOnlineStore's keep='last' dedupe; SqlOnlineStore's
+    ts-comparison guard was False for None/NaN and overwrote too)."""
+
+    def test_memory_store_null_ts_never_wins(self):
+        import pandas as pd
+
+        from feathub_spark.online_stores.memory_online_store import (
+            MemoryOnlineStore,
+        )
+
+        s = MemoryOnlineStore()
+        s.put("t", pd.DataFrame({"k": [1], "v": [10.0], "ts": [100.0]}),
+              ["k"], "ts")
+        s.put("t", pd.DataFrame({"k": [1], "v": [99.0],
+                                 "ts": [float("nan")]}), ["k"], "ts")
+        got = s.get("t", pd.DataFrame({"k": [1]}))
+        assert got["v"].tolist() == [10.0]
+        # but a LATER timestamped row still wins
+        s.put("t", pd.DataFrame({"k": [1], "v": [11.0], "ts": [200.0]}),
+              ["k"], "ts")
+        assert s.get("t", pd.DataFrame({"k": [1]}))["v"].tolist() == [11.0]
+
+    def test_memory_store_both_untimestamped_last_wins(self):
+        import pandas as pd
+
+        from feathub_spark.online_stores.memory_online_store import (
+            MemoryOnlineStore,
+        )
+
+        s = MemoryOnlineStore()
+        s.put("t", pd.DataFrame({"k": [1], "v": [1.0],
+                                 "ts": [float("nan")]}), ["k"], "ts")
+        s.put("t", pd.DataFrame({"k": [1], "v": [2.0],
+                                 "ts": [float("nan")]}), ["k"], "ts")
+        assert s.get("t", pd.DataFrame({"k": [1]}))["v"].tolist() == [2.0]
+
+    def test_sql_store_null_ts_never_wins(self):
+        import sqlite3
+
+        import pandas as pd
+
+        from feathub_spark.online_stores.sql_online_store import SqlOnlineStore
+
+        conn = sqlite3.connect(":memory:")
+        s = SqlOnlineStore(lambda: conn)
+        s.put("t", pd.DataFrame({"k": [1], "v": [10.0], "ts": [100.0]}),
+              ["k"], "ts")
+        s.put("t", pd.DataFrame({"k": [1], "v": [99.0],
+                                 "ts": [float("nan")]}), ["k"], "ts")
+        got = s.get("t", pd.DataFrame({"k": [1]}))
+        assert got["v"].tolist() == [10.0]
+        # timestamped beats stored-untimestamped, and later ts beats earlier
+        s.put("t2", pd.DataFrame({"k": [1], "v": [1.0],
+                                  "ts": [float("nan")]}), ["k"], "ts")
+        s.put("t2", pd.DataFrame({"k": [1], "v": [2.0], "ts": [50.0]}),
+              ["k"], "ts")
+        assert s.get("t2", pd.DataFrame({"k": [1]}))["v"].tolist() == [2.0]
