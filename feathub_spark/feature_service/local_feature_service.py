@@ -17,6 +17,25 @@ from feathub_spark.feature_views.on_demand_feature_view import OnDemandFeatureVi
 from feathub_spark.online_stores.memory_online_store import MemoryOnlineStore
 
 
+def _backticks_to_ansi(sql: str) -> str:
+    """Rewrite Spark identifier quoting (backticks) to ANSI double quotes
+    for DuckDB — but ONLY outside single-quoted string literals: a blanket
+    replace turned the literal 'x`y' into 'x\"y' and served a corrupted
+    value.  Spark SQL escapes a quote inside a literal by doubling it
+    (''), which this scanner handles as two adjacent literals."""
+    out = []
+    in_str = False
+    for ch in sql:
+        if ch == "'":
+            in_str = not in_str
+            out.append(ch)
+        elif ch == "`" and not in_str:
+            out.append('"')
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 class LocalFeatureService:
     def __init__(self, online_store: MemoryOnlineStore = None) -> None:
         self.online_store = online_store or MemoryOnlineStore.get_instance()
@@ -67,7 +86,7 @@ class LocalFeatureService:
             )
         import duckdb
 
-        sql = to_spark_sql(tr.expr).replace("`", '"')
+        sql = _backticks_to_ansi(to_spark_sql(tr.expr))
         con = duckdb.connect()
         try:
             con.register("req", df)

@@ -194,3 +194,27 @@ class TestNullTimestampUpsert:
         s.put("t2", pd.DataFrame({"k": [1], "v": [2.0], "ts": [50.0]}),
               ["k"], "ts")
         assert s.get("t2", pd.DataFrame({"k": [1]}))["v"].tolist() == [2.0]
+
+
+class TestServingBacktickLiteral:
+    def test_backtick_inside_literal_survives(self):
+        import pandas as pd
+
+        from feathub_spark import Feature, OnDemandFeatureView, Schema
+        from feathub_spark.common import types as t
+        from feathub_spark.feature_service.local_feature_service import (
+            LocalFeatureService,
+            _backticks_to_ansi,
+        )
+
+        assert _backticks_to_ansi("CONCAT(`name`, 'x`y')") == (
+            'CONCAT("name", \'x`y\')'
+        )
+        view = OnDemandFeatureView(
+            name="od_bt",
+            features=[Feature("tagged", transform="CONCAT(name, 'x`y')")],
+            request_schema=Schema(["name"], [t.String]),
+        )
+        svc = LocalFeatureService()
+        got = svc.get_online_features(pd.DataFrame({"name": ["a"]}), view)
+        assert got["tagged"].tolist() == ["ax`y"]
