@@ -4,7 +4,11 @@ Beyond the reference: optional hash bucketing (``bucket_by``/``n_buckets``/
 ``sort_by``) registers the output as an external bucketed table, so
 downstream joins, aggregations and windows keyed on the bucket columns read
 a pre-partitioned layout and skip their shuffle — the standard way to make
-a repeatedly-joined 100 TB feature table shuffle-free."""
+a repeatedly-joined 100 TB feature table shuffle-free.  Optional directory
+partitioning (``partition_by``, e.g. a date column) writes
+``path/col=value/`` subdirectories so downstream range/equality filters on
+the partition columns prune whole directories at the scan (the standard
+layout for time-partitioned 100 TB tables); composes with bucketing."""
 
 from __future__ import annotations
 
@@ -25,6 +29,7 @@ class FileSystemSink(Sink):
         n_buckets: int = 0,
         sort_by: Optional[Sequence[str]] = None,
         table_name: Optional[str] = None,
+        partition_by: Optional[Sequence[str]] = None,
     ) -> None:
         super().__init__(keep_timestamp_field)
         self.path = path
@@ -34,6 +39,15 @@ class FileSystemSink(Sink):
         self.n_buckets = n_buckets
         self.sort_by = list(sort_by) if sort_by else None
         self.table_name = table_name
+        self.partition_by = list(partition_by) if partition_by else None
+        if self.partition_by and self.bucket_by:
+            overlap = set(self.partition_by) & set(self.bucket_by)
+            if overlap:
+                raise FeathubError(
+                    f"partition_by and bucket_by overlap on {sorted(overlap)}; "
+                    "a column can define the directory layout or the hash "
+                    "layout, not both."
+                )
         if self.bucket_by:
             if n_buckets <= 0:
                 raise FeathubError("bucket_by requires n_buckets > 0.")

@@ -309,14 +309,26 @@ def insert_into_sink(df: DataFrame, sink, descriptor: TableDescriptor = None) ->
             # joins/aggs/windows downstream skip their Exchange.
             writer = (
                 df.write.format(sink.data_format)
+                .options(**sink.data_format_props)
                 .option("path", sink.path)
                 .bucketBy(sink.n_buckets, *sink.bucket_by)
             )
+            if sink.partition_by:
+                writer = writer.partitionBy(*sink.partition_by)
             if sink.sort_by:
                 writer = writer.sortBy(*sink.sort_by)
             writer.mode("overwrite").saveAsTable(sink.table_name)
             return
-        df.write.format(sink.data_format).mode("overwrite").save(sink.path)
+        # data_format_props reach the writer (compression codec, csv
+        # header...) — they were silently dropped on this path before
+        writer = df.write.format(sink.data_format).options(
+            **sink.data_format_props
+        )
+        if sink.partition_by:
+            # directory layout path/col=value/ -> partition pruning on
+            # downstream scans filtered by the partition columns
+            writer = writer.partitionBy(*sink.partition_by)
+        writer.mode("overwrite").save(sink.path)
         return
     if isinstance(sink, PrintSink):
         df.show(sink.num_rows, truncate=False)

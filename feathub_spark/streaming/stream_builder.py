@@ -557,9 +557,12 @@ def write_stream(
             if query_name:
                 derived_ckpt = checkpoint_dir
             writer = writer.option("checkpointLocation", checkpoint_dir)
-        query = (
-            writer.format(sink.data_format).option("path", sink.path).start()
-        )
+        writer = writer.format(sink.data_format).option("path", sink.path)
+        for k, v in getattr(sink, "data_format_props", {}).items():
+            writer = writer.option(k, v)
+        if getattr(sink, "partition_by", None):
+            writer = writer.partitionBy(*sink.partition_by)
+        query = writer.start()
         if derived_ckpt is not None:
             # same liveness guard the Kafka branch gets: a second live
             # named query onto this derived path must be refused

@@ -265,3 +265,78 @@ class TestStoreParityRandomized:
                 assert both_nan or a == b, (
                     f"trial {trial}: key {k} memory={a} sql={b}"
                 )
+
+
+class TestFileSinkPartitionBy:
+    def test_partitioned_write_prunes_and_roundtrips(self, spark, tmp_path):
+        import os
+
+        from feathub_spark.feature_tables.sinks.file_system_sink import (
+            FileSystemSink,
+        )
+        from feathub_spark.processors.spark.source_sink_utils import (
+            insert_into_sink,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01", 5.0), (2, "2024-01-02", 6.0),
+             (3, "2024-01-02", 7.0)],
+            "id long, day string, v double",
+        )
+        out = str(tmp_path / "part_out")
+        insert_into_sink(
+            df,
+            FileSystemSink(path=out, data_format="parquet",
+                           partition_by=["day"]),
+            None,
+        )
+        # directory layout: one subdir per partition value
+        subdirs = sorted(
+            d for d in os.listdir(out) if d.startswith("day=")
+        )
+        assert subdirs == ["day=2024-01-01", "day=2024-01-02"]
+        back = spark.read.parquet(out)
+        assert back.count() == 3
+        # a filter on the partition column prunes at the scan
+        plan = (
+            back.filter("day = '2024-01-02'")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan and back.filter(
+            "day = '2024-01-02'").count() == 2
+
+    def test_format_props_reach_writer(self, spark, tmp_path):
+        import os
+
+        from feathub_spark.feature_tables.sinks.file_system_sink import (
+            FileSystemSink,
+        )
+        from feathub_spark.processors.spark.source_sink_utils import (
+            insert_into_sink,
+        )
+
+        df = spark.createDataFrame([(1, 5.0)], "id long, v double")
+        out = str(tmp_path / "gz_out")
+        insert_into_sink(
+            df,
+            FileSystemSink(path=out, data_format="parquet",
+                           data_format_props={"compression": "gzip"}),
+            None,
+        )
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert files and all(".gz." in f for f in files)
+
+    def test_partition_bucket_overlap_rejected(self):
+        import pytest as _pytest
+
+        from feathub_spark.common.exceptions import FeathubError
+        from feathub_spark.feature_tables.sinks.file_system_sink import (
+            FileSystemSink,
+        )
+
+        with _pytest.raises(FeathubError, match="overlap"):
+            FileSystemSink(
+                path="/tmp/x", data_format="parquet",
+                partition_by=["k"], bucket_by=["k"], n_buckets=4,
+                table_name="t",
+            )
