@@ -52,6 +52,24 @@ _MS_COL = "__asof_us__"  # unix_micros — full event-time precision
 _PREFIX_COL = "__asof_prefix__"
 
 
+def _payload_orderable(unioned: DataFrame) -> bool:
+    """True when the payload struct can participate in an ORDER BY /
+    max_by (every field orderable — MapType fields, e.g. a joined
+    VALUE_COUNTS feature, are not)."""
+    from pyspark.sql import types as T
+
+    def ok(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return ok(unioned.schema[_PAYLOAD_COL].dataType)
+
+
 def _chunked_asof_fill(
     unioned: DataFrame, keys: Sequence[str], chunk_ms: int
 ) -> DataFrame:
@@ -76,12 +94,15 @@ def _chunked_asof_fill(
         _CHUNK_COL, F.floor(F.col(_MS_COL) / F.lit(int(chunk_ms) * 1000))
     )
 
+    # deterministic ties: among right rows sharing a timestamp the MAX
+    # payload struct wins when orderable (same rule as the unsalted plan)
+    tie = f", {_PAYLOAD_COL}" if _payload_orderable(base) else ""
     chunk_last = (
         base.filter(F.col(_SIDE_COL) == 0)
         .groupBy(*keys, _CHUNK_COL)
         .agg(
             F.expr(
-                f"max_by({_PAYLOAD_COL}, struct({_MS_COL}))"
+                f"max_by({_PAYLOAD_COL}, struct({_MS_COL}{tie}))"
             ).alias("__chunk_payload__")
         )
     )
@@ -101,9 +122,14 @@ def _chunked_asof_fill(
     )
 
     joined = base.join(prefix, on=keys + [_CHUNK_COL], how="left")
+    order = [F.col(_MS_COL).asc(), F.col(_SIDE_COL).asc()]
+    if tie:
+        # NULL payloads (left rows) sort first within a (ts, side) run,
+        # never shadowing a real right payload
+        order.append(F.col(_PAYLOAD_COL).asc_nulls_first())
     wchunk = (
         Window.partitionBy(*keys, F.col(_CHUNK_COL))
-        .orderBy(F.col(_MS_COL).asc(), F.col(_SIDE_COL).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -141,6 +167,12 @@ def temporal_join(
     probe over the unioned stream (skew_probe.py) and salts only when a
     hot key is detected.  ``probe_cache`` memoizes probe verdicts;
     ``decisions`` (if given) receives ("asof", keys, chunk_ms_or_None).
+
+    Right-timestamp ties are DETERMINISTIC when the payload is orderable
+    (no map fields): the max payload struct wins, independent of the
+    physical partition layout — without this the same pipeline produced
+    different features on a different core count.  Both the plain and
+    chunked plans apply the same rule, so they stay row-identical.
     """
     keys = list(keys)
     left_cols = left.columns
@@ -179,9 +211,20 @@ def temporal_join(
     if decisions is not None:
         decisions.append(("asof", tuple(keys), salt_chunk_ms))
     if salt_chunk_ms is None:
+        order = [F.col(EVENT_TIME_COL).asc(), F.col(_SIDE_COL).asc()]
+        if _payload_orderable(unioned):
+            # Deterministic right-timestamp ties: without this, the
+            # winner among equal-(key, ts) right rows depended on the
+            # physical partition layout — the same pipeline produced
+            # DIFFERENT features on a different core/partition count.
+            # The MAX payload struct wins; left rows' NULL payloads sort
+            # first so they never shadow a real payload.  Map-typed
+            # payloads (joined VALUE_COUNTS) are not orderable and keep
+            # the arbitrary-tie behavior.
+            order.append(F.col(_PAYLOAD_COL).asc_nulls_first())
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col(EVENT_TIME_COL).asc(), F.col(_SIDE_COL).asc())
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         filled = unioned.withColumn(

@@ -17,6 +17,13 @@ instead of a sort):
   row at-or-before the watermark survives (any future left row is newer
   than wm), plus everything after wm.  State is bounded by the
   out-of-orderness window, not the stream length.
+
+Right-timestamp ties (two right rows with the same key AND timestamp):
+the batch plan picks the MAX payload struct deterministically
+(join_utils.py); this operator keeps the last-arrived row (a stable sort
+over arrival order).  Duplicate (key, ts) right rows are ambiguous by
+the as-of contract itself — dedupe them upstream when batch/stream
+tie-parity matters.
 """
 
 from __future__ import annotations
