@@ -20,10 +20,12 @@ instead of a sort):
 
 Right-timestamp ties (two right rows with the same key AND timestamp):
 the batch plan picks the MAX payload struct deterministically
-(join_utils.py); this operator keeps the last-arrived row (a stable sort
-over arrival order).  Duplicate (key, ts) right rows are ambiguous by
-the as-of contract itself — dedupe them upstream when batch/stream
-tie-parity matters.
+(join_utils.py); this operator matches it by sorting rights on
+(ms, parsed-payload tuple) — JSON field order is the struct field order,
+so field-by-field Python comparison mirrors Spark's struct ordering for
+numeric/string/bool fields (None sorts first, like Spark's null).  A
+payload whose values defy comparison (mixed exotic types) falls back to
+arrival order for that key.
 """
 
 from __future__ import annotations
@@ -98,6 +100,7 @@ def stateful_asof_join(
         ]
     )
     nk = len(keys)
+    payload_fields = list(right_fields)  # struct field order for tie keys
 
     def process_key(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -120,7 +123,26 @@ def stateful_asof_join(
                     pending.append([ms, payload])
 
         wm = state.getCurrentWatermarkMs()
-        rights.sort(key=lambda r: r[0])
+
+        def _payload_key(rjson):
+            # batch tie rule: max payload struct wins among equal ms.
+            # Index by the declared field order (to_json DROPS null
+            # fields, so positional parsing would misalign); None sorts
+            # below any value, mirroring Spark's null-first struct
+            # comparison.
+            import json as _json
+
+            vals = _json.loads(rjson)
+            return tuple(
+                (0, 0) if vals.get(n) is None else (1, vals[n])
+                for n in payload_fields
+            )
+
+        try:
+            rights.sort(key=lambda r: (r[0], _payload_key(r[1])))
+        except TypeError:
+            # uncomparable payload values — keep arrival order on ties
+            rights.sort(key=lambda r: r[0])
 
         ready = sorted([p for p in pending if p[0] <= wm], key=lambda p: p[0])
         pending = [p for p in pending if p[0] > wm]
