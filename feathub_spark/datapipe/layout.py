@@ -128,3 +128,81 @@ def zorder_layout(
         else keyed.repartitionByRange("__z__")
     )
     return parted.sortWithinPartitions("__z__").drop("__z__")
+
+
+def compact_files(
+    spark,
+    path: str,
+    data_format: str = "parquet",
+    target_mb: int = 256,
+    sort_by=None,
+) -> dict:
+    """Compact a directory of small files into ~``target_mb`` files —
+    the standing operational fix for the small-files problem (a 100 TB
+    table accreted by streaming micro-batches or fine-grained partitions
+    easily holds millions of KB-sized files, and at that point LISTING
+    the table costs more than scanning it).
+
+    Strategy: measure the current on-disk bytes, read, repartition to
+    ``ceil(bytes / target)`` (``sort_by`` uses repartitionByRange so the
+    rewrite doubles as a cluster-by for data skipping), write to a
+    sibling temp directory, then swap atomically-ish (rename old out of
+    the way, rename new in, delete old).  The swap is metadata-only on a
+    local/HDFS filesystem; on object stores run it off-peak.
+
+    Returns {files_before, files_after, bytes}.  Local-filesystem paths
+    only (same constraint as the protobuf writer — the swap uses
+    os.rename).
+    """
+    import math
+    import os
+    import re
+    import shutil
+    import uuid
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
+        "file://"
+    ):
+        raise ValueError(
+            f"compact_files swaps directories via os.rename and cannot "
+            f"target {path!r}; copy the pattern with your store's rename."
+        )
+    path = path[7:] if path.startswith("file://") else path
+
+    def _data_files(d):
+        out = []
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    out.append(os.path.join(root, f))
+        return out
+
+    before = _data_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+
+    df = spark.read.format(data_format).load(path)
+    if sort_by:
+        from pyspark.sql import functions as F
+
+        cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        df = df.repartitionByRange(n_out, *[F.col(c) for c in cols])
+    else:
+        df = df.repartition(n_out)
+
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    df.write.format(data_format).mode("overwrite").save(tmp)
+
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except Exception:
+        os.rename(old, path)  # roll back: the original table stays live
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "bytes": total_bytes,
+    }

@@ -109,3 +109,43 @@ def test_zorder_layout_plan_single_range_exchange(spark):
 def test_zorder_bit_budget_guard():
     with pytest.raises(ValueError, match="42-bit"):
         zorder_bit_interleave_sql(["a", "b", "c"], 16)
+
+
+class TestCompactFiles:
+    def test_compacts_small_files(self, spark, tmp_path):
+        from feathub_spark.datapipe.layout import compact_files
+
+        out = str(tmp_path / "many")
+        # 64 tiny files
+        spark.range(10_000).selectExpr(
+            "id", "id * 2 AS v"
+        ).repartition(64).write.parquet(out)
+        import os
+
+        n_before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        assert n_before >= 32
+        stats = compact_files(spark, out, target_mb=256)
+        assert stats["files_before"] == n_before
+        assert stats["files_after"] == 1  # tiny table -> one file
+        back = spark.read.parquet(out)
+        assert back.count() == 10_000
+        assert back.selectExpr("sum(v)").first()[0] == sum(
+            i * 2 for i in range(10_000))
+
+    def test_sort_by_clusters(self, spark, tmp_path):
+        from feathub_spark.datapipe.layout import compact_files
+
+        out = str(tmp_path / "clustered")
+        spark.range(1000).selectExpr("id % 97 AS k", "id AS v") \
+            .repartition(16).write.parquet(out)
+        stats = compact_files(spark, out, target_mb=256, sort_by="k")
+        assert stats["files_after"] >= 1
+        assert spark.read.parquet(out).count() == 1000
+
+    def test_uri_scheme_rejected(self, spark):
+        import pytest as _pytest
+
+        from feathub_spark.datapipe.layout import compact_files
+
+        with _pytest.raises(ValueError, match="cannot target"):
+            compact_files(spark, "s3://bucket/table")
