@@ -6875,6 +6875,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # `python tools/rotate_window.py --apply` mechanizes the rotation (oldest
 # hash-green evidence first); self-verify at sf0.01+sf0.1 after applying.
 _RAW_QUERIES = {
+        "select_survivors": _q_select_survivors,
+        "sample_shard": _q_sample_shard,
+        "pack_sequences": _q_pack_sequences,
+        "pii_redact": _q_pii_redact,
+        "token_quantiles": _q_token_quantiles,
+        "ngram_topk": _q_ngram_topk,
+        "ngram_topk_global": _q_ngram_topk_global,
+        "repetition_signals": _q_repetition_signals,
+        "contamination": _q_contamination,
+        "expr_filter": _q_expr_filter,
+        "scalar_funcs": _q_scalar_funcs,
+        "over_cumulative": _q_over_cumulative,
+        "over_range_1h": _q_over_range_1h,
+        "over_salted_1h": _q_over_salted_1h,
+        "over_rows_limit": _q_over_rows_limit,
+        "over_filtered": _q_over_filtered,
+        "over_first_last": _q_over_first_last,
+        "sliding_2d_1d": _q_sliding_2d_1d,
+        "sliding_value_counts": _q_sliding_value_counts,
+        "sliding_filtered": _q_sliding_filtered,
+        "sliding_tumbling_1d": _q_sliding_tumbling_1d,
+        "sql_view_tpch_q1": _q_sql_view,
+        "sql_view_tpch_q5": _q_sql_view_q5,
+        "udf_token_count": _q_udf_token_count,
+        "datagen_seq": _q_datagen_seq,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_topk": _q_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "value_counts": _q_value_counts,
+        "value_counts_2d": _q_value_counts_2d,
+        "key_time_filter": _q_key_time_filter,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_real": _q_multimodal_real,
+        "resize_plan": _q_resize_plan,
+        "audio_meta": _q_audio_meta,
+        "frame_sample": _q_frame_sample,
+        "dsl_functions": _q_dsl_functions,
+        "over_on_joined": _q_over_on_joined,
+        "sliding_first_last": _q_sliding_first_last,
+        "over_collect_list": _q_over_collect_list,
+        "token_metrics": _q_token_metrics,
+        "lsh_ann": _q_lsh_ann,
+        "lsh_ann_multiprobe": _q_lsh_ann_multiprobe,
+        "dedup_clusters": _q_dedup_clusters,
+        "pagerank": _q_pagerank,
+        "ivf_ann": _q_ivf_ann,
         "pit_join": _q_pit_join,
         "tokenize_ids": _q_tokenize_ids,
         "domain_filter": _q_domain_filter,
@@ -6975,57 +7025,7 @@ _RAW_QUERIES = {
         "index_match": _q_index_match,
         "sql_view_tpch_q3": _q_sql_view_q3,
         "sql_view_tpch_q18": _q_sql_view_q18,
-        "sample_shard": _q_sample_shard,
-        "pack_sequences": _q_pack_sequences,
-        "pii_redact": _q_pii_redact,
-        "token_quantiles": _q_token_quantiles,
-        "ngram_topk": _q_ngram_topk,
-        "ngram_topk_global": _q_ngram_topk_global,
-        "repetition_signals": _q_repetition_signals,
-        "contamination": _q_contamination,
-        "expr_filter": _q_expr_filter,
-        "scalar_funcs": _q_scalar_funcs,
-        "over_cumulative": _q_over_cumulative,
-        "over_range_1h": _q_over_range_1h,
-        "over_salted_1h": _q_over_salted_1h,
-        "over_rows_limit": _q_over_rows_limit,
-        "over_filtered": _q_over_filtered,
-        "over_first_last": _q_over_first_last,
-        "sliding_2d_1d": _q_sliding_2d_1d,
-        "sliding_value_counts": _q_sliding_value_counts,
-        "sliding_filtered": _q_sliding_filtered,
-        "sliding_tumbling_1d": _q_sliding_tumbling_1d,
-        "sql_view_tpch_q1": _q_sql_view,
-        "sql_view_tpch_q5": _q_sql_view_q5,
-        "udf_token_count": _q_udf_token_count,
-        "datagen_seq": _q_datagen_seq,
-        "dedup_exact": _q_dedup_exact,
-        "text_stats": _q_text_stats,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_dedup": _q_minhash_dedup,
-        "simhash_pairs": _q_simhash_pairs,
-        "ann_topk": _q_ann_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "value_counts": _q_value_counts,
-        "value_counts_2d": _q_value_counts_2d,
-        "key_time_filter": _q_key_time_filter,
-        "multimodal_meta": _q_multimodal_meta,
-        "multimodal_real": _q_multimodal_real,
-        "resize_plan": _q_resize_plan,
-        "audio_meta": _q_audio_meta,
-        "frame_sample": _q_frame_sample,
-        "dsl_functions": _q_dsl_functions,
-        "over_on_joined": _q_over_on_joined,
-        "sliding_first_last": _q_sliding_first_last,
-        "over_collect_list": _q_over_collect_list,
-        "token_metrics": _q_token_metrics,
-        "lsh_ann": _q_lsh_ann,
-        "lsh_ann_multiprobe": _q_lsh_ann_multiprobe,
-        "dedup_clusters": _q_dedup_clusters,
-        "pagerank": _q_pagerank,
-        "ivf_ann": _q_ivf_ann,
         "ivf_ann_trained": _q_ivf_ann_trained,
-        "select_survivors": _q_select_survivors,
         "mmr_rerank": _q_mmr_rerank,
         "remove_dup_passages_fast": _q_remove_dup_passages_fast,
         "index_match_fast": _q_index_match_fast,

@@ -177,21 +177,54 @@ def compact_files(
                     out.append(os.path.join(root, f))
         return out
 
+    def _partition_cols(d):
+        # Hive layout detection: the key=value directory segments on the
+        # path from the table root to the first data file, in order.
+        for root, _dirs, files in os.walk(d):
+            if any(not f.startswith(("_", ".")) for f in files):
+                rel = os.path.relpath(root, d)
+                segs = [] if rel == "." else rel.split(os.sep)
+                return [s.split("=", 1)[0] for s in segs if "=" in s]
+        return []
+
     before = _data_files(path)
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
 
-    df = spark.read.format(data_format).load(path)
-    if sort_by:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
-        df = df.repartitionByRange(n_out, *[F.col(c) for c in cols])
-    else:
-        df = df.repartition(n_out)
-
+    part_cols = _partition_cols(path)
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    df.write.format(data_format).mode("overwrite").save(tmp)
+    if part_cols:
+        # Hive-partitioned table: a flat rewrite would silently destroy
+        # the directory structure downstream readers prune on, and
+        # partition-value INFERENCE would coerce on-disk strings
+        # (col=01 -> int 1, so the rewrite renames the directory to
+        # col=1).  Read with inference off so values stay the literal
+        # directory strings, co-locate each partition value in one task,
+        # and write the same layout back with partitionBy.
+        inference_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(inference_key, "true")
+        spark.conf.set(inference_key, "false")
+        try:
+            df = spark.read.format(data_format).option("basePath", path).load(path)
+            df = df.repartition(n_out, *[F.col(c) for c in part_cols])
+            if sort_by:
+                cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+                df = df.sortWithinPartitions(*[F.col(c) for c in cols])
+            df.write.format(data_format).mode("overwrite").partitionBy(
+                *part_cols
+            ).save(tmp)
+        finally:
+            spark.conf.set(inference_key, prev)
+    else:
+        df = spark.read.format(data_format).load(path)
+        if sort_by:
+            cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            df = df.repartitionByRange(n_out, *[F.col(c) for c in cols])
+        else:
+            df = df.repartition(n_out)
+        df.write.format(data_format).mode("overwrite").save(tmp)
 
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
@@ -205,4 +238,5 @@ def compact_files(
         "files_before": len(before),
         "files_after": len(_data_files(path)),
         "bytes": total_bytes,
+        "partition_columns": part_cols,
     }

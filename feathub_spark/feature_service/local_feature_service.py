@@ -21,18 +21,41 @@ def _backticks_to_ansi(sql: str) -> str:
     """Rewrite Spark identifier quoting (backticks) to ANSI double quotes
     for DuckDB — but ONLY outside single-quoted string literals: a blanket
     replace turned the literal 'x`y' into 'x\"y' and served a corrupted
-    value.  Spark SQL escapes a quote inside a literal by doubling it
-    (''), which this scanner handles as two adjacent literals."""
+    value.  Two literal escape styles must survive the trip: Spark's
+    doubled quote ('') scans as two adjacent literals, and the backslash
+    escapes our own generator emits (dsl/ast.py LiteralNode emits \\' and
+    \\\\, which Spark accepts but ANSI DuckDB does not) are rewritten to
+    their ANSI forms ('' and \\) without desyncing the in-string state."""
     out = []
     in_str = False
-    for ch in sql:
-        if ch == "'":
-            in_str = not in_str
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "\\" and i + 1 < n:
+                nxt = sql[i + 1]
+                if nxt == "'":
+                    out.append("''")
+                elif nxt == "\\":
+                    out.append("\\")
+                else:
+                    # not emitted by our generator; keep the pair verbatim
+                    out.append(ch + nxt)
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
             out.append(ch)
-        elif ch == "`" and not in_str:
-            out.append('"')
         else:
-            out.append(ch)
+            if ch == "'":
+                in_str = True
+                out.append(ch)
+            elif ch == "`":
+                out.append('"')
+            else:
+                out.append(ch)
+        i += 1
     return "".join(out)
 
 

@@ -210,9 +210,22 @@ def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFr
             col = source.partition_column
             lo, hi = source.lower_bound, source.upper_bound
             if lo is None or hi is None:
-                # quote the column the way Spark's own writer creates it
-                # (quoted lowercase) — an unquoted `k` folds to `K` in
-                # Derby/Oracle and misses the column entirely
+                # Spark's own JDBCRelation resolves partitionColumn
+                # case-insensitively against the table schema BEFORE
+                # quoting, so a Derby/Oracle table storing the column
+                # uppercase works with a lowercase descriptor.  Mirror
+                # that: resolve against the reader schema (a WHERE 1=0
+                # metadata query — no data scan), exact match first,
+                # then quote the STORED spelling; quoting the descriptor
+                # spelling verbatim would miss the column entirely.
+                try:
+                    names = reader.load().schema.names
+                except Exception:
+                    names = []
+                if col not in names:
+                    folded = [n for n in names if n.lower() == col.lower()]
+                    if len(folded) == 1:
+                        col = folded[0]
                 qcol = (
                     f"`{col}`"
                     if source.url.startswith("jdbc:mysql:")

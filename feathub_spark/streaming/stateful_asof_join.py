@@ -42,6 +42,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from feathub_spark.processors.spark.constants import EVENT_TIME_COL
 from feathub_spark.streaming._state_json import dumps_state, loads_state
 
+def _tie_encode(v):
+    """Null-safe recursive ordering key for one payload value, mirroring
+    Spark's ordering: nulls first at EVERY nesting level (a raw list with
+    a None element raises TypeError against a number in Python's tuple
+    compare, which would silently drop the whole tie sort to arrival
+    order); arrays compare element-wise with prefix-shorter first, same
+    as Spark.  Maps are unorderable in Spark — every dict encodes
+    identically so map ties keep arrival order (the documented batch
+    divergence) without poisoning the compare."""
+    if v is None:
+        return (0, 0)
+    if isinstance(v, list):
+        return (1, tuple(_tie_encode(x) for x in v))
+    if isinstance(v, dict):
+        return (1,)
+    return (1, v)
+
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("rights", T.StringType()),        # [[ms, rv_json], ...]
@@ -127,16 +145,15 @@ def stateful_asof_join(
         def _payload_key(rjson):
             # batch tie rule: max payload struct wins among equal ms.
             # Index by the declared field order (to_json DROPS null
-            # fields, so positional parsing would misalign); None sorts
-            # below any value, mirroring Spark's null-first struct
-            # comparison.
+            # fields, so positional parsing would misalign).  Note the
+            # granularity difference vs batch: batch orders the running
+            # last by unix_micros, so right rows distinct at sub-ms
+            # become payload-ordered "ties" only here (parity tests pin
+            # event times at ms boundaries).
             import json as _json
 
             vals = _json.loads(rjson)
-            return tuple(
-                (0, 0) if vals.get(n) is None else (1, vals[n])
-                for n in payload_fields
-            )
+            return tuple(_tie_encode(vals.get(n)) for n in payload_fields)
 
         try:
             rights.sort(key=lambda r: (r[0], _payload_key(r[1])))

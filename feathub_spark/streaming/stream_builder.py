@@ -481,6 +481,24 @@ def _default_stream_checkpoint_dir(query_name, ident: str) -> str:
     path = os.path.join(
         tempfile.gettempdir(), "feathub_spark_ckpt", f"{slug}_{digest}"
     )
+    # One-time migration: earlier builds derived the digest from the name
+    # ALONE, so a named query deployed on that layout would silently start
+    # from scratch here (replaying from startingOffsets) instead of
+    # resuming its offsets/state.  If the legacy path still holds a
+    # checkpoint and the new path doesn't exist yet, move it into place.
+    # Caveat: two same-named queries on different sinks shared (and
+    # corrupted) the legacy path by construction; the first to restart
+    # claims it.
+    legacy_digest = hashlib.sha256(query_name.encode()).hexdigest()[:12]
+    legacy = os.path.join(
+        tempfile.gettempdir(), "feathub_spark_ckpt", f"{slug}_{legacy_digest}"
+    )
+    if (
+        legacy != path
+        and not os.path.exists(path)
+        and os.path.isdir(os.path.join(legacy, "offsets"))
+    ):
+        os.rename(legacy, path)
     prior = _ACTIVE_DEFAULT_CKPTS.get(path)
     if prior is not None:
         try:
