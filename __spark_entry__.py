@@ -6216,8 +6216,12 @@ FROM (
 def _q_mmr_rerank(spark, sf_dir):
     """MMR diversified rerank of exact-cosine top-20 candidates (4 query
     vectors): greedy lam*rel - (1-lam)*max-sim-to-selected.  The greedy
-    recurrence has no relational/SQL form, so this is rows-only with the
-    selection pinned by a golden in-test replica (test_datapipe.py)."""
+    recurrence has no SINGLE-PASS relational form, but for bounded k the
+    selection IS replayable as a recursive CTE (one LATERAL argmax per
+    rank), so this carries a full DuckDB oracle: candidates + pairwise
+    sims as CTEs, then 5 recursion steps appending the argmax pick;
+    scores round to 6 dp on both sides before comparison (the golden
+    in-test replica in test_datapipe.py stays as a second witness)."""
     from feathub_spark.datapipe.retrieval import mmr_rerank
     from feathub_spark.datapipe.similarity import brute_force_topk
 
@@ -6238,6 +6242,69 @@ def _q_mmr_rerank(spark, sf_dir):
     return mmr_rerank(
         with_vecs, "query_id", "item_id", "rel", "vec", k=5, lam=0.7
     )
+
+
+# Greedy-recurrence replay: each recursion step picks the argmax of
+# round(lam*rel - (1-lam)*max_sim_to_selected, 6) via one LATERAL subquery
+# (ties on smaller item_id, same as mmr_rerank's pandas stage).  rel is the
+# 6-dp-rounded candidate cosine (identical to _ORACLE_ANN_TOPK's formula);
+# pairwise sims stay UNROUNDED like the numpy unit-vector dots, and the
+# final 6-dp score rounding absorbs the float-summation-order noise.
+_ORACLE_MMR_RERANK = """
+WITH RECURSIVE
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN (5, 17, 99, 123)),
+scored AS (
+    SELECT q.query_id, e.vec_id AS item_id, e.embedding AS vec,
+           round(
+             list_aggregate(list_transform(range(1, len(q.qv) + 1),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+           6) AS rel
+    FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+cands AS (
+    SELECT query_id, item_id, rel, vec FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, item_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 20
+),
+pairsim AS (
+    SELECT a.query_id, a.item_id AS ia, b.item_id AS ib,
+           list_aggregate(list_transform(range(1, len(a.vec) + 1),
+               i -> CAST(a.vec[i] AS DOUBLE) * CAST(b.vec[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(a.vec, x -> CAST(x AS DOUBLE) * x), 'sum'))
+              * sqrt(list_aggregate(list_transform(b.vec, x -> CAST(x AS DOUBLE) * x), 'sum'))) AS sim
+    FROM cands a JOIN cands b
+      ON a.query_id = b.query_id AND a.item_id <> b.item_id
+),
+step AS (
+    SELECT query_id, []::BIGINT[] AS picked, []::DOUBLE[] AS scores, 0 AS r
+    FROM (SELECT DISTINCT query_id FROM cands)
+  UNION ALL
+    SELECT s.query_id, list_append(s.picked, w.item_id),
+           list_append(s.scores, w.score), s.r + 1
+    FROM step s, LATERAL (
+        SELECT c.item_id,
+               round(0.7 * c.rel - 0.3 * coalesce((
+                   SELECT max(p.sim) FROM pairsim p
+                   WHERE p.query_id = s.query_id AND p.ia = c.item_id
+                     AND list_contains(s.picked, p.ib)), 0.0), 6) AS score
+        FROM cands c
+        WHERE c.query_id = s.query_id
+          AND NOT list_contains(s.picked, c.item_id)
+        ORDER BY score DESC, c.item_id ASC
+        LIMIT 1
+    ) w
+    WHERE s.r < 5
+)
+SELECT s.query_id, s.picked[t.i] AS item_id, CAST(t.i AS BIGINT) AS mmr_rank,
+       s.scores[t.i] AS mmr_score
+FROM step s, generate_series(1, 5) t(i)
+WHERE s.r = 5
+"""
 
 
 def _q_bpe_tokenize(spark, sf_dir):
@@ -6309,6 +6376,63 @@ def _q_pca_whiten(spark, sf_dir):
             "pca_whitened"
         ),
     )
+
+
+def _pca_apply_model():
+    """Pinned 4x64 rotation + mean for the pca_apply oracle twin,
+    generated by a fixed-constant LCG so the EXACT same <=6-dp decimal
+    literals drive both the Spark projection and the DuckDB oracle
+    (short decimal literals parse to identical doubles in both
+    engines)."""
+
+    def _vals(seed, n, scale):
+        s = seed
+        out = []
+        for _ in range(n):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            out.append(
+                round((((s >> 11) % 2000001) - 1000000) / 1e6 * scale, 6)
+            )
+        return out
+
+    mean = _vals(20260816, 64, 0.05)
+    comps = [_vals(101 + j, 64, 0.25) for j in range(4)]
+    return mean, comps
+
+
+def _q_pca_apply(spark, sf_dir):
+    """APPLICATION phase of the PCA/whitening pipeline with a PINNED
+    rotation — the oracle-gateable twin of pca_whiten: the fit's
+    eigensolve has no SQL form, but the projection is a pure matmul
+    DuckDB replays exactly (explicit per-coordinate dot products).
+    Exercises the same pca_project Arrow path (decompose.py) pca_whiten
+    uses — broadcast (d x k) matrix inside the UDF closure, one numpy
+    matmul per batch, zero shuffle; 4-dp rounding on both sides absorbs
+    summation-order float noise."""
+    from feathub_spark.datapipe.decompose import pca_project
+
+    mean, comps = _pca_apply_model()
+    emb = _pq(spark, sf_dir, "embeddings")
+    out = pca_project(
+        emb, "embedding", model=(mean, comps, [1.0] * len(comps)),
+        round_to=4,
+    )
+    return out.select(
+        "vec_id",
+        *[F.col("pca")[j].alias(f"pc{j}") for j in range(len(comps))],
+    )
+
+
+def _oracle_pca_apply_sql() -> str:
+    mean, comps = _pca_apply_model()
+    cols = []
+    for j, comp in enumerate(comps):
+        terms = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - ({mean[i]!r})) * ({comp[i]!r})"
+            for i in range(64)
+        )
+        cols.append(f"round({terms}, 4) AS pc{j}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
 
 
 def _q_zorder_key(spark, sf_dir):
@@ -6868,10 +6992,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # should rotate slots 1-50 onto the oldest-checked §2-core queries
 # (everything last green in r6/r7: the over_*/sliding_* families,
 # expr_filter, pit_join, sql_view_tpch_q1/q5, udf_token_count, dedup/ANN
-# basics...) so cumulative driver coverage keeps cycling; keep the 5
-# rows-only queries (mmr_rerank, remove_dup_passages_fast,
-# index_match_fast, compression_ratio, bpe_tokenize, pca_whiten) behind
-# position 50 — they can never hash-match and waste verifiable slots.
+# basics...) so cumulative driver coverage keeps cycling; keep the
+# PERMANENTLY rows-only queries (remove_dup_passages_fast,
+# index_match_fast, compression_ratio — zlib/xxhash64 DuckDB can't run —
+# bpe_tokenize and pca_whiten, whose training/eigensolve phases have no
+# SQL form) behind position 50 — they can never hash-match and waste
+# verifiable slots.  mmr_rerank (recursive-CTE greedy replay) and
+# pca_apply (pinned-rotation projection twin of pca_whiten) became
+# oracle-gated in r13 and queue for the r14 window top.
 # `python tools/rotate_window.py --apply` mechanizes the rotation (oldest
 # hash-green evidence first); self-verify at sf0.01+sf0.1 after applying.
 _RAW_QUERIES = {
@@ -7032,6 +7160,7 @@ _RAW_QUERIES = {
         "compression_ratio": _q_compression_ratio,
         "bpe_tokenize": _q_bpe_tokenize,
         "pca_whiten": _q_pca_whiten,
+        "pca_apply": _q_pca_apply,
 }
 
 
@@ -7092,6 +7221,8 @@ def oracle_sql() -> dict[str, str]:
         "over_auto_salt_1h": _ORACLE_OVER_RANGE_1H,
         "minhash_index_match": _ORACLE_MINHASH_INDEX_MATCH,
         "zorder_key": _oracle_zorder_key_sql(),
+        "mmr_rerank": _ORACLE_MMR_RERANK,
+        "pca_apply": _oracle_pca_apply_sql(),
         "dedup_clusters_star": _ORACLE_DEDUP_CLUSTERS,
         "approx_quantiles": _ORACLE_APPROX_QUANTILES,
         "pit_join_expiry": _ORACLE_PIT_JOIN_EXPIRY,
