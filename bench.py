@@ -29,6 +29,15 @@ DRIFT_CONTROLS = ["char_entropy", "over_salted_1h"]
 R6_BASELINE = { "expr_filter": 0.629, "scalar_funcs": 0.727, "over_cumulative": 0.719, "over_range_1h": 0.663, "over_salted_1h": 1.434, "over_rows_limit": 0.471, "over_filtered": 0.464, "over_first_last": 0.445, "pit_join": 0.853, "sliding_2d_1d": 0.533, "sliding_value_counts": 1.226, "sliding_filtered": 0.448, "sliding_tumbling_1d": 0.384, "sql_view_tpch_q1": 0.251, "udf_token_count": 0.678, "datagen_seq": 0.076, "dedup_exact": 0.19, "text_stats": 0.416, "ngram_jaccard": 2.339, "minhash_dedup": 1.282, "simhash_pairs": 0.998, "ann_topk": 0.487, "embedding_neardup": 0.417, "value_counts": 1.209, "value_counts_2d": 1.916, "key_time_filter": 0.218, "multimodal_meta": 0.292, "multimodal_real": 0.291, "resize_plan": 0.285, "audio_meta": 0.295, "frame_sample": 0.137, "dsl_functions": 0.904, "over_on_joined": 1.187, "sliding_first_last": 0.556, "over_collect_list": 0.438, "token_metrics": 0.183, "lsh_ann": 0.786, "dedup_clusters": 3.089, "ivf_ann": 0.954, "ivf_ann_trained": 1.573, "sample_shard": 0.186, "pack_sequences": 0.336, "pii_redact": 0.521, "char_entropy": 1.696, "token_quantiles": 0.63, "ngram_topk": 0.697, "ngram_topk_global": 0.718, "repetition_signals": 0.904, "contamination": 1.026, "select_survivors": 3.149, "dup_passages": 1.542, "temperature_sample": 0.234, "normalize_text": 0.472, "remove_dup_passages": 12.507, "token_surprisal": 0.745, "video_meta": 0.41, "cluster_sample": 0.743, "boilerplate_lines": 1.58, "domain_filter": 0.33, "text_signals": 2.276, "index_match": 6.37, "compression_ratio": 0.44 }
 
 
+# round-12 per-query bench medians (sf0.1, median-of-3, drift-control
+# host factor 0.991 — the neutral-host run BASELINE.md 'Round-12 pin
+# table' records).  Covers ALL 157 r12 queries, so the >2x perf gate
+# has a denominator for the 95 post-r6 queries R6_BASELINE misses;
+# queries added after r12 (pca_apply...) get pinned at their first
+# neutral-host round.
+R12_BASELINE = { "pit_join": 1.215, "tokenize_ids": 1.606, "domain_filter": 0.293, "sql_view_tpch_q4": 0.496, "sql_view_tpch_q6": 0.232, "sql_view_tpch_q7": 1.016, "sql_view_tpch_q8": 1.108, "sql_view_tpch_q9": 0.98, "sql_view_tpch_q10": 0.866, "sql_view_tpch_q12": 0.499, "sql_view_tpch_q13": 0.579, "sql_view_tpch_q14": 0.367, "sql_view_tpch_q15": 0.477, "sql_view_tpch_q17": 0.525, "sql_view_tpch_q19": 0.487, "sql_view_tpch_q21": 1.079, "sql_view_tpch_q22": 0.489, "sql_view_running_total": 0.397, "sql_view_rollup": 0.602, "over_auto_salt_1h": 1.282, "minhash_index_match": 1.524, "zorder_key": 1.768, "dedup_clusters_star": 4.091, "approx_quantiles": 2.671, "pit_join_expiry": 0.843, "map_entry_join": 0.674, "lookup_join": 0.458, "cluster_split": 3.091, "dup_passage_pairs": 4.979, "quantile_sample": 0.245, "scd2_intervals": 0.725, "scd2_snapshot": 0.66, "scd2_merge": 1.659, "importance_weights": 0.847, "dedup_paragraphs": 0.184, "quantized_ann": 2.416, "hamming_ann": 0.704, "binary_rerank_ann": 1.292, "quantized_ann_arrow": 0.931, "time_weighted_avg": 0.696, "fuzzy_match": 0.197, "cohort_retention": 0.792, "attribution": 0.675, "transition_matrix": 0.858, "target_encode": 0.828, "cross_surprisal": 0.984, "strip_html": 0.222, "triangle_counts": 2.217, "clustering_coeff": 2.376, "char_entropy": 2.086, "pq_ann": 1.005, "ivf_pq_ann": 1.262, "sessionize": 1.041, "session_stats": 0.941, "funnel_steps": 0.675, "winsorize": 0.525, "snapshot_diff": 1.114, "bloom_prune": 1.049, "key_skew": 1.095, "json_features": 0.315, "negative_samples": 0.582, "resample_ffill": 0.592, "validate_rules": 1.175, "rank_normalize": 0.559, "robust_zscore": 1.125, "token_pmi": 0.798, "weighted_sample": 0.379, "merge_aggregates": 0.59, "weighted_sample_grouped": 0.745, "quality_buckets": 1.388, "decayed_sum": 1.006, "chunk_docs": 0.153, "bigram_surprisal": 1.48, "interval_join": 0.436, "corpus_drift": 0.872, "dataset_split": 0.09, "price_histogram": 1.144, "profile_stats": 1.934, "hll_distinct": 0.998, "cms_heavy_hitters": 1.013, "phrase_search": 0.645, "frame_sample_real": 0.352, "url_normalize": 0.192, "bm25_search": 1.391, "hybrid_rrf": 2.241, "dup_passages": 1.789, "temperature_sample": 0.38, "normalize_text": 0.538, "remove_dup_passages": 1.526, "token_surprisal": 0.912, "video_meta": 0.306, "video_meta_v1": 0.327, "multimodal_tolerant": 0.372, "cluster_sample": 0.538, "semantic_dedup": 1.169, "boilerplate_lines": 0.936, "text_signals": 1.321, "index_match": 2.382, "sql_view_tpch_q3": 0.714, "sql_view_tpch_q18": 1.001, "sample_shard": 0.221, "pack_sequences": 0.463, "pii_redact": 0.598, "token_quantiles": 0.556, "ngram_topk": 0.715, "ngram_topk_global": 0.689, "repetition_signals": 1.041, "contamination": 0.978, "expr_filter": 0.282, "scalar_funcs": 0.455, "over_cumulative": 0.46, "over_range_1h": 0.372, "over_salted_1h": 1.088, "over_rows_limit": 0.4, "over_filtered": 0.386, "over_first_last": 0.372, "sliding_2d_1d": 0.417, "sliding_value_counts": 1.057, "sliding_filtered": 0.511, "sliding_tumbling_1d": 0.425, "sql_view_tpch_q1": 0.29, "sql_view_tpch_q5": 1.133, "udf_token_count": 0.977, "datagen_seq": 0.056, "dedup_exact": 0.114, "text_stats": 0.226, "ngram_jaccard": 2.261, "minhash_dedup": 1.479, "simhash_pairs": 1.083, "ann_topk": 0.595, "embedding_neardup": 0.355, "value_counts": 1.401, "value_counts_2d": 2.406, "key_time_filter": 0.396, "multimodal_meta": 0.37, "multimodal_real": 0.29, "resize_plan": 0.262, "audio_meta": 0.26, "frame_sample": 0.075, "dsl_functions": 0.978, "over_on_joined": 1.356, "sliding_first_last": 0.696, "over_collect_list": 0.415, "token_metrics": 0.112, "lsh_ann": 0.941, "lsh_ann_multiprobe": 0.978, "dedup_clusters": 2.373, "pagerank": 2.756, "ivf_ann": 0.937, "ivf_ann_trained": 1.696, "select_survivors": 2.823, "mmr_rerank": 0.824, "remove_dup_passages_fast": 1.601, "index_match_fast": 1.856, "compression_ratio": 0.366, "bpe_tokenize": 1.339, "pca_whiten": 0.764 }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -109,6 +118,17 @@ def main() -> None:
     r6_total = sum(timings[q] for q in common)
     base_total = sum(R6_BASELINE[q] for q in common)
     vs_r6 = round(r6_total / base_total, 4) if base_total and sf == 0.1 else None
+    # same ratio vs the round-12 pins — these cover the WHOLE r12 surface
+    # (157 queries), so the 2x-per-query perf gate has a denominator for
+    # every query, not just the 62 r6 veterans
+    common12 = [q for q in R12_BASELINE if q in timings]
+    r12_total = sum(timings[q] for q in common12)
+    base12_total = sum(R12_BASELINE[q] for q in common12)
+    vs_r12 = (
+        round(r12_total / base12_total, 4)
+        if base12_total and sf == 0.1
+        else None
+    )
 
     drift_end = _time_controls()
     drift_control = {
@@ -135,7 +155,30 @@ def main() -> None:
             ),
             3,
         ) if sf == 0.1 and drift_start else None,
+        # same control-derived factor vs the r12 pins: divide a query's
+        # ratio-to-r12-pin by this before calling it a regression
+        "vs_r12_host_factor": round(
+            statistics.median(
+                [
+                    statistics.median([drift_start[n], drift_end[n]])
+                    / R12_BASELINE[n]
+                    for n in drift_start
+                    if n in R12_BASELINE
+                ]
+            ),
+            3,
+        ) if sf == 0.1 and drift_start else None,
     }
+
+    # the per-query 2x gate over the FULL pinned surface: a query reading
+    # more than 2x its r12 pin after host-factor normalization needs
+    # same-round closure (BASELINE.md perf-closure protocol)
+    hf12 = drift_control.get("vs_r12_host_factor") or 1.0
+    over_2x_r12_pin = sorted(
+        q
+        for q in common12
+        if timings[q] / (R12_BASELINE[q] * hf12) > 2.0
+    ) if sf == 0.1 else []
 
     # The grading driver keeps only the LAST 2000 characters of stdout and
     # parses the JSON line from them — 157 query timings overflow that
@@ -158,6 +201,8 @@ def main() -> None:
         "unit": "sec",
         "value": round(total, 3),
         "vs_r6_baseline": vs_r6,
+        "vs_r12_baseline": vs_r12,
+        "over_2x_r12_pin": over_2x_r12_pin,
         "sf": sf,
     }
     full = dict(queries=timings, queries_total_count=len(timings), **base)
