@@ -258,3 +258,105 @@ def test_randomized_stateful_asof_matches_batch(client, tmp_path):
     )
     assert len(stream_rows) == N_ROWS
     assert stream_rows == batch_rows
+
+
+def test_randomized_asof_map_payload_ties(client, tmp_path):
+    """Map-typed joined feature + DUPLICATE (key, ts) right rows: maps are
+    unorderable in Spark, so neither plan can rank tied payloads — batch
+    keeps an arbitrary (partition-layout-dependent) winner, streaming
+    keeps the LAST-ARRIVED of the tied rows (stateful_asof_join._tie_encode
+    collapses every dict to the same key, so the stable sort preserves
+    arrival order).  This is the one documented stream/batch divergence of
+    the as-of tie rule (orderable payloads are deterministic on both
+    sides, join_utils.py / stateful_asof_join.py).  The conformance
+    contract verified here: every joined value — on BOTH sides — is the
+    map of one of the TIED rows at the as-of timestamp, and left rows
+    whose as-of match is unique agree exactly."""
+    rnd = random.Random(311)
+
+    def _mnorm(x):
+        # _norm assumes int map keys (the VALUE_COUNTS shape); this join
+        # feature carries string keys
+        if x is None:
+            return None
+        return tuple(sorted((k, int(v)) for k, v in x.items()))
+
+    left_rows = _gen_rows(rnd, allow_nulls=False)
+
+    # right rows with explicit duplicate (k, t): ~1/3 of the grid points
+    # carry 2-3 rows with distinct v
+    right_rows = []
+    vsrc = 0
+    for k in KEYS:
+        for t in sorted(rnd.sample(range(1, SPAN_S + 1), 12)):
+            n = rnd.choice([1, 1, 2, 3])
+            for _ in range(n):
+                right_rows.append((k, vsrc, t))
+                vsrc += 1
+
+    span = SPAN_S * 2
+    sentinel_t = 2 * span + 100
+    ld = _write_shuffled_files(tmp_path, "mt_l", left_rows, rnd, sentinel_t=sentinel_t)
+    rd = _write_shuffled_files(tmp_path, "mt_r", right_rows, rnd, sentinel_t=sentinel_t)
+    lsrc = _source(ld, "mt_left", ooo_s=span)
+    rsrc = _source(rd, "mt_right", ooo_s=span)
+
+    rview = DerivedFeatureView(
+        name="mt_rv",
+        source=rsrc,
+        features=[Feature("rv", transform="MAP('a', v)", keys=["k"])],
+        keep_source_fields=True,
+    )
+
+    def make_view(name):
+        return DerivedFeatureView(
+            name=name,
+            source=lsrc,
+            features=["mt_rv.rv"],
+            keep_source_fields=True,
+        )
+
+    client.build_features([rsrc, rview])
+    stream_view = make_view("mt_stream")
+    client.build_features([lsrc, stream_view])
+    out = _run_to_memory(client.spark, client.processor, stream_view, "mt_out")
+    stream_rows = {
+        (r["k"], r["t"], r["v"]): _mnorm(r["rv"])
+        for r in out.collect() if r["k"] != "zz"
+    }
+
+    batch_view = make_view("mt_batch")
+    client.build_features([batch_view])
+    batch = client.get_features(batch_view).to_pandas()
+    batch_rows = {
+        (r["k"], int(r["t"]), int(r["v"])): _mnorm(r["rv"])
+        for _, r in batch.iterrows() if r["k"] != "zz"
+    }
+    assert len(stream_rows) == N_ROWS
+    assert set(stream_rows) == set(batch_rows)
+
+    # pure-Python as-of model: latest right t <= left t per key; the
+    # allowed values are ALL tied rows at that timestamp
+    by_key = {}
+    for k, v, t in right_rows:
+        by_key.setdefault(k, []).append((t, v))
+    n_tied_hits = 0
+    for (k, t, _v), got_stream in stream_rows.items():
+        at_or_before = [(rt, rv) for rt, rv in by_key.get(k, []) if rt <= t]
+        got_batch = batch_rows[(k, t, _v)]
+        if not at_or_before:
+            assert got_stream is None and got_batch is None
+            continue
+        best_t = max(rt for rt, _ in at_or_before)
+        allowed = {
+            _mnorm({"a": rv}) for rt, rv in at_or_before if rt == best_t
+        }
+        assert got_stream in allowed
+        assert got_batch in allowed
+        if len(allowed) == 1:
+            # unique as-of match: the two plans MUST agree exactly
+            assert got_stream == got_batch
+        else:
+            n_tied_hits += 1
+    # the generated data must actually exercise the tie path
+    assert n_tied_hits > 0
