@@ -98,6 +98,30 @@ class MemoryLookup:
         return out
 
 
+class RedisLookup:
+    """Snapshot provider over a RedisSource: plan-time SCAN snapshot via
+    load_redis_snapshot (import-gated redis client).  The snapshot is the
+    per-key latest-row table RedisSink maintains — small by construction,
+    so lookup_join broadcasts it; dtypes come from the source's declared
+    schema, stable even when the namespace is empty."""
+
+    def __init__(self, source) -> None:
+        self.source = source
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        from feathub_spark.processors.spark.source_sink_utils import (
+            load_redis_snapshot,
+        )
+
+        snap = load_redis_snapshot(spark, self.source)
+        if self.source.keys:
+            # defensive latest-wins dedup: HSET upserts keep one hash per
+            # key, so duplicates only appear if key_expr fans out — keep
+            # the join 1:1 regardless
+            snap = snap.dropDuplicates(list(self.source.keys))
+        return snap
+
+
 def lookup_join(
     left: DataFrame,
     lookup,

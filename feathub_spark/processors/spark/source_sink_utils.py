@@ -275,13 +275,68 @@ def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFr
         return append_event_time(spark.createDataFrame(pdf), source)
 
     if isinstance(source, RedisSource):
-        raise PlanError(
-            f"RedisSource {source.name!r} is a lookup table: load a snapshot "
-            "DataFrame client-side and register it, or use it as the right "
-            "side of a lookup join in streaming foreachBatch."
-        )
+        return append_event_time(load_redis_snapshot(spark, source), source)
 
     raise PlanError(f"Unsupported source type {type(source).__name__}.")
+
+
+def load_redis_snapshot(spark: SparkSession, source) -> DataFrame:
+    """Batch snapshot of a RedisSource: SCAN the namespace's keys and
+    HGETALL each hash through the redis client (import-gated), decode the
+    RedisSink hash-field JSON codec, and build a DataFrame with the
+    declared schema.
+
+    Scale contract: the scan runs client-side at plan-build time because a
+    Redis lookup table is by construction the SMALL side (the reference
+    reads Redis only as a lookup source, redis_source.py:23-110 — the big
+    side streams past it); the snapshot feeds broadcast/lookup joins.  A
+    KV table too large to snapshot on the driver belongs in parquet, not
+    Redis.  Timestamp-typed fields round-trip through the codec's
+    ISO-string form; Bytes fields are not representable in the JSON hash
+    codec and are rejected by RedisSink at write time.
+    """
+    try:
+        import redis
+    except ImportError as e:
+        raise PlanError(
+            "RedisSource requires the 'redis' package, which is not installed."
+        ) from e
+
+    import datetime as _dt
+
+    from feathub_spark.online_stores.redis_client import decode_field
+
+    client = redis.Redis(host=source.host, port=source.port, db=source.db_num)
+    if source.key_expr:
+        pattern = (
+            source.key_expr.replace("__NAMESPACE__", source.namespace)
+            .replace("__KEYS__", "*")
+            .replace("__FEATURE_NAME__", "*")
+        )
+    else:
+        pattern = f"{source.namespace}:*"
+    names = list(source.schema.field_names)
+    ts_fields = {
+        n
+        for n, t in zip(source.schema.field_names, source.schema.field_types)
+        if getattr(t, "basic_dtype", None) is not None
+        and t.basic_dtype.name == "TIMESTAMP"
+    }
+    rows = []
+    for key in client.scan_iter(match=pattern):
+        raw = client.hgetall(key)
+        rec = {}
+        for c, v in raw.items():
+            name = c.decode("utf-8") if isinstance(c, (bytes, bytearray)) else c
+            if name not in names:
+                continue
+            val = decode_field(v)
+            if name in ts_fields and isinstance(val, str):
+                val = _dt.datetime.fromisoformat(val)
+            rec[name] = val
+        rows.append(tuple(rec.get(n) for n in names))
+    struct = source.schema.to_spark_struct()
+    return spark.createDataFrame(rows, struct)
 
 
 def _parse_kafka_value(raw: DataFrame, source) -> DataFrame:
