@@ -325,6 +325,10 @@ def load_redis_snapshot(spark: SparkSession, source) -> DataFrame:
     rows = []
     for key in client.scan_iter(match=pattern):
         raw = client.hgetall(key)
+        if not raw:
+            # key deleted between SCAN and HGETALL — skip instead of
+            # fabricating an all-NULL row
+            continue
         rec = {}
         for c, v in raw.items():
             name = c.decode("utf-8") if isinstance(c, (bytes, bytearray)) else c
