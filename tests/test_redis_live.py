@@ -225,6 +225,59 @@ def test_lookup_join_against_live_redis(spark, miniredis, redis_shim):
     assert got[99]["name"] is None  # LEFT join: unmatched fact row survives
 
 
+def test_streaming_enrich_sees_live_store_updates(
+    spark, miniredis, redis_shim, tmp_path
+):
+    """foreachBatch enrichment takes its snapshot PER MICRO-BATCH, so a
+    Redis update between batches is visible to the next batch — the
+    processing-time semantics the reference's lookup join defines
+    (join_utils.py:185-222)."""
+    import os
+
+    from feathub_spark.online_stores.redis_client import RedisOnlineStore
+    from feathub_spark.processors.spark.lookup_join import (
+        RedisLookup,
+        streaming_lookup_enrich,
+    )
+
+    spark.sparkContext.addPyFile(_SHIM_PATH)
+    dim = RedisSource(
+        name="r_stream_dim", schema=SCHEMA, keys=["user"],
+        host=miniredis.host, port=miniredis.port, namespace="it_str",
+    )
+    store = RedisOnlineStore(
+        host=miniredis.host, port=miniredis.port, namespace="it_str"
+    )
+    store.put(pd.DataFrame({"user": [1], "name": ["v1"]}), ["user"])
+
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.csv"), "w") as f:
+        f.write("user,amount\n1,10\n")
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user long, amount double")
+        .option("header", "true")
+        .load(d)
+    )
+    collected = []
+
+    def sink_fn(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    q = streaming_lookup_enrich(stream, RedisLookup(dim), ["user"], sink_fn)
+    q.processAllAvailable()
+    # mutate the store BETWEEN micro-batches, then feed a second file
+    store.put(pd.DataFrame({"user": [1], "name": ["v2"]}), ["user"])
+    with open(os.path.join(d, "b.csv"), "w") as f:
+        f.write("user,amount\n1,20\n")
+    q.processAllAvailable()
+    q.stop()
+
+    by_amount = {r["amount"]: r["name"] for r in collected}
+    assert by_amount == {10.0: "v1", 20.0: "v2"}
+
+
 def test_wire_protocol_edges(miniredis, redis_shim):
     """Protocol-level checks straight through the shim client: MULTI/EXEC
     pipelines, 1 MiB bulk strings, WRONGTYPE errors, SCAN MATCH."""
