@@ -176,8 +176,15 @@ def get_source_dataframe(spark: SparkSession, source: TableDescriptor) -> DataFr
                 f"KafkaSource {source.name!r} is unbounded; use the streaming "
                 "builder (get_stream_dataframe) or get_bounded_view()."
             )
+        from feathub_spark.processors.spark.kafka_python_source import (
+            kafka_format_for,
+        )
+
+        # "kafka" (JVM connector) when the jar is on the classpath, else
+        # the pure-Python "kafka_py" data source — identical options and
+        # output schema, so everything downstream is format-agnostic.
         reader = (
-            spark.read.format("kafka")
+            spark.read.format(kafka_format_for(spark))
             .option("kafka.bootstrap.servers", source.bootstrap_server)
             .option("subscribe", source.topic)
             .option("endingOffsets", "latest")
@@ -438,10 +445,15 @@ def insert_into_sink(df: DataFrame, sink, descriptor: TableDescriptor = None) ->
                 F.to_json(F.struct(*[F.col(k) for k in keys])).alias("key"),
                 value.alias("value"),
             )
+        from feathub_spark.processors.spark.kafka_python_source import (
+            kafka_format_for,
+        )
+
         (
-            out.write.format("kafka")
+            out.write.format(kafka_format_for(df.sparkSession))
             .option("kafka.bootstrap.servers", sink.bootstrap_server)
             .option("topic", sink.topic)
+            .mode("append")  # both connectors treat Kafka writes as append
             .save()
         )
         return

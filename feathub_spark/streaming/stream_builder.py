@@ -80,8 +80,12 @@ class SparkStreamBuilder:
                 )
             df = reader.load(source.path)
         elif isinstance(source, KafkaSource):
+            from feathub_spark.processors.spark.kafka_python_source import (
+                kafka_format_for,
+            )
+
             kreader = (
-                self._spark.readStream.format("kafka")
+                self._spark.readStream.format(kafka_format_for(self._spark))
                 .option("kafka.bootstrap.servers", source.bootstrap_server)
                 .option("subscribe", source.topic)
             )
@@ -610,8 +614,12 @@ def write_stream(
         kwriter = out.writeStream.outputMode(output_mode)
         if query_name:
             kwriter = kwriter.queryName(query_name)
+        from feathub_spark.processors.spark.kafka_python_source import (
+            kafka_format_for,
+        )
+
         query = (
-            kwriter.format("kafka")
+            kwriter.format(kafka_format_for(df.sparkSession))
             .option("kafka.bootstrap.servers", sink.bootstrap_server)
             .option("topic", sink.topic)
             .option("checkpointLocation", checkpoint_dir)

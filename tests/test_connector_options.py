@@ -286,6 +286,10 @@ def test_redis_source_batch_scan_import_gated():
 # --------------------------- sinks -----------------------------------------
 
 def test_kafka_sink_writer_options_and_key_value(spark, recorded_write):
+    from feathub_spark.processors.spark.kafka_python_source import (
+        kafka_format_for,
+    )
+
     df = spark.createDataFrame([(1, 5)], "a long, t long")
     sink = KafkaSink(bootstrap_server="broker:9092", topic="out")
     desc = KafkaSource(
@@ -293,12 +297,15 @@ def test_kafka_sink_writer_options_and_key_value(spark, recorded_write):
         keys=["a"], is_bounded=True,
     )
     insert_into_sink(df, sink, desc)
+    # "kafka" with the JVM connector jar, "kafka_py" (the pure-Python
+    # fallback) without it — the option/column assembly is identical
     assert recorded_write == [{
-        "format": "kafka",
+        "format": kafka_format_for(spark),
         "options": {
             "kafka.bootstrap.servers": "broker:9092",
             "topic": "out",
         },
+        "mode": "append",
         "path": None,
         "columns": ["key", "value"],
     }]
