@@ -385,73 +385,102 @@ def iter_records(data: bytes, verify_crc: bool = True, progress: list = None):
         if progress is not None:
             progress[0] = base_offset + last_offset_delta + 1
         bpos = pos + 61
-        for _ in range(count):
-            # inlined zigzag varints: length, attr(i8), tsDelta, offDelta,
-            # keyLen(+key), valLen(+value), headerCount(+skipped headers)
-            shift = 0
-            zz = 0
-            while True:
-                b = data[bpos]
-                bpos += 1
-                zz |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-            rec_end = bpos + ((zz >> 1) ^ -(zz & 1))
-            bpos += 1  # record attributes
-            shift = 0
-            zz = 0
-            while True:
-                b = data[bpos]
-                bpos += 1
-                zz |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-            ts_delta = (zz >> 1) ^ -(zz & 1)
-            shift = 0
-            zz = 0
-            while True:
-                b = data[bpos]
-                bpos += 1
-                zz |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-            off_delta = (zz >> 1) ^ -(zz & 1)
-            shift = 0
-            zz = 0
-            while True:
-                b = data[bpos]
-                bpos += 1
-                zz |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-            klen = (zz >> 1) ^ -(zz & 1)
-            if klen >= 0:
-                key = data[bpos : bpos + klen]
-                bpos += klen
-            else:
-                key = None
-            shift = 0
-            zz = 0
-            while True:
-                b = data[bpos]
-                bpos += 1
-                zz |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-            vlen = (zz >> 1) ^ -(zz & 1)
-            if vlen >= 0:
-                value = data[bpos : bpos + vlen]
-                bpos += vlen
-            else:
-                value = None
-            yield (base_offset + off_delta, base_ts + ts_delta, key, value)
-            bpos = rec_end  # skip headers wholesale
+        try:
+            for offset, ts, key, value in _iter_batch_records(
+                data, bpos, end, count, base_offset, base_ts
+            ):
+                yield (offset, ts, key, value)
+        except IndexError:
+            # only reachable with verify_crc=False: a record body cut
+            # short inside a structurally-complete batch frame
+            raise ValueError(
+                "truncated record data inside record batch "
+                f"(baseOffset {base_offset})"
+            ) from None
         pos = end
+
+
+def _iter_batch_records(data, bpos, end, count, base_offset, base_ts):
+    """One batch's records with the varint decoding inlined (the per-record
+    function-call overhead is the hot-path cost iter_records exists to
+    avoid; this helper is called once per BATCH, not per record).  Bounds
+    violations raise IndexError — the caller rewrites them to ValueError
+    with batch context.  The explicit rec_end/slice checks matter because
+    a Python slice past len(data) silently TRUNCATES rather than raising,
+    which with verify_crc=False would yield a short key/value instead of
+    an error."""
+    for _ in range(count):
+        # inlined zigzag varints: length, attr(i8), tsDelta, offDelta,
+        # keyLen(+key), valLen(+value), headerCount(+skipped headers)
+        shift = 0
+        zz = 0
+        while True:
+            b = data[bpos]
+            bpos += 1
+            zz |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        rec_end = bpos + ((zz >> 1) ^ -(zz & 1))
+        if rec_end > end:
+            raise IndexError("record length past batch end")
+        bpos += 1  # record attributes
+        shift = 0
+        zz = 0
+        while True:
+            b = data[bpos]
+            bpos += 1
+            zz |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        ts_delta = (zz >> 1) ^ -(zz & 1)
+        shift = 0
+        zz = 0
+        while True:
+            b = data[bpos]
+            bpos += 1
+            zz |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        off_delta = (zz >> 1) ^ -(zz & 1)
+        shift = 0
+        zz = 0
+        while True:
+            b = data[bpos]
+            bpos += 1
+            zz |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        klen = (zz >> 1) ^ -(zz & 1)
+        if klen >= 0:
+            if bpos + klen > rec_end:
+                raise IndexError("record key past record end")
+            key = data[bpos : bpos + klen]
+            bpos += klen
+        else:
+            key = None
+        shift = 0
+        zz = 0
+        while True:
+            b = data[bpos]
+            bpos += 1
+            zz |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        vlen = (zz >> 1) ^ -(zz & 1)
+        if vlen >= 0:
+            if bpos + vlen > rec_end:
+                raise IndexError("record value past record end")
+            value = data[bpos : bpos + vlen]
+            bpos += vlen
+        else:
+            value = None
+        yield (base_offset + off_delta, base_ts + ts_delta, key, value)
+        bpos = rec_end  # skip headers wholesale
 
 
 def rebase_batch(batch: bytes, new_base_offset: int) -> bytes:

@@ -444,11 +444,33 @@ class KafkaPyStreamReader(DataSourceStreamReader):
         # authoritative re-anchor: on restart Spark replans the last batch
         # straight from the checkpoint without calling initialOffset()
         self._pos = dict(end)
+        # a partition created AFTER the query started appears in `end`
+        # with no `start` entry; the JVM source reads it from EARLIEST.
+        # Defaulting to 0 instead would hit OFFSET_OUT_OF_RANGE on any
+        # broker whose retention already aged out the low offsets.
+        new_keys = [k for k in end if k not in start]
+        new_starts: Dict[str, int] = {}
+        if new_keys:
+            new_starts = {
+                _tp_key(t, p): off
+                for (t, p), off in self._with_conn(
+                    lambda client: client.list_offsets(
+                        {_tp_unkey(k): EARLIEST_TIMESTAMP for k in new_keys}
+                    )
+                ).items()
+            }
         parts: List[KafkaRangePartition] = []
         for key, e in sorted(end.items()):
             t, p = _tp_unkey(key)
-            s = start.get(key, 0)
+            s = start.get(key, new_starts.get(key, 0))
             parts.append(KafkaRangePartition(self._bootstrap, t, p, s, e))
+        min_parts = _opt(self._options, "minPartitions")
+        if min_parts:
+            # same contract as the batch reader (and the JVM source, which
+            # honors minPartitions per micro-batch): slice oversized offset
+            # ranges so a 2-partition topic still fans out across the
+            # cluster when one trigger carries a large backlog
+            parts = _slice_partitions(parts, int(min_parts))
         return parts
 
     def read(self, partition: KafkaRangePartition) -> Iterator[tuple]:

@@ -441,6 +441,55 @@ def test_fetch_mid_batch_returns_containing_batch(broker, wire):
     assert [r.offset for r in records] == [0, 1, 2]
 
 
+def test_stream_partitions_new_partition_starts_at_earliest():
+    """A topic-partition that appears in `end` with no `start` entry (a
+    partition added after the query started) must begin at the broker's
+    EARLIEST offset, like the JVM source — not at literal 0, which hits
+    OFFSET_OUT_OF_RANGE once retention ages out the low offsets."""
+    from feathub_spark.processors.spark.kafka_python_source import (
+        KafkaPyStreamReader,
+    )
+
+    reader = KafkaPyStreamReader(
+        {"kafka.bootstrap.servers": "stub:0", "subscribe": "t"}
+    )
+
+    class _StubClient:
+        def list_offsets(self, requests):
+            assert set(requests.values()) == {EARLIEST_TIMESTAMP}
+            return {k: 5 for k in requests}  # retention-aged log start
+
+        def close(self):
+            pass
+
+    reader._client = _StubClient()
+    parts = reader.partitions({"t 0": 3}, {"t 0": 9, "t 1": 8})
+    got = {(p.topic, p.partition): (p.start, p.end) for p in parts}
+    assert got == {("t", 0): (3, 9), ("t", 1): (5, 8)}
+
+
+def test_stream_partitions_honor_min_partitions():
+    """minPartitions slices streaming micro-batch offset ranges too (JVM
+    source parity): one 100-record backlog on a single topic-partition
+    fans out across the cluster instead of one task."""
+    from feathub_spark.processors.spark.kafka_python_source import (
+        KafkaPyStreamReader,
+    )
+
+    reader = KafkaPyStreamReader(
+        {
+            "kafka.bootstrap.servers": "stub:0",
+            "subscribe": "t",
+            "minpartitions": "4",
+        }
+    )
+    parts = reader.partitions({"t 0": 0}, {"t 0": 100})
+    assert len(parts) >= 4
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == 100
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+
 def test_produce_corrupt_batch_rejected(broker):
     from feathub_spark.common.kafkawire import (
         KafkaWireError,

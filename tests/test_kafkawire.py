@@ -221,6 +221,25 @@ def test_iter_records_partial_trailing_batch_dropped():
     assert [(o, v) for o, _, _, v in out] == [(0, b"1")]
 
 
+def test_iter_records_truncated_record_raises_valueerror():
+    """A record body cut short INSIDE a structurally-complete batch frame
+    (batch_len patched down so the frame parses) must raise ValueError,
+    not leak IndexError — and must NOT silently yield a short value, which
+    is what an unchecked Python slice would do."""
+    batch = bytearray(encode_record_batch([(b"key", b"v" * 64, 10)]))
+    cut = 32
+    old_len = struct.unpack(">i", batch[8:12])[0]
+    truncated = batch[: len(batch) - cut]
+    truncated[8:12] = struct.pack(">i", old_len - cut)
+    # CRC no longer matches the shortened payload: the default path reports
+    # the corruption as a CRC error before record parsing starts
+    with pytest.raises(ValueError, match="CRC32C"):
+        list(iter_records(bytes(truncated)))
+    # with verification off the bounds checks are the only guard
+    with pytest.raises(ValueError, match="truncated record"):
+        list(iter_records(bytes(truncated), verify_crc=False))
+
+
 # --------------------------- primitives -------------------------------------
 
 def test_writer_reader_primitives_round_trip():
