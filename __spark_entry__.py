@@ -6327,20 +6327,23 @@ def _q_bpe_tokenize(spark, sf_dir):
 
 
 def _q_approx_quantiles(spark, sf_dir):
-    """Mergeable GK quantile sketch (Spark's percentile_approx — per-
-    partition sketches merge map-side, one shuffle, never a global sort).
-    The permitted rank error is ceil(rows/accuracy): accuracy=1e8 keeps
-    it BELOW ONE RANK at every test SF (1e6 allowed a +-1-rank slip at
-    sf0.1's 600k rows and the p=0.01 cut actually took it), so the
-    sketch answer equals DuckDB's exact quantile_disc; at 100 TB the
-    identical plan keeps the documented rows/accuracy rank-error bound
-    instead."""
-    from feathub_spark.datapipe.profile import approx_quantiles
+    """EXACT distributed quantile_disc via value-counts + two-level rank
+    prefix sums (datapipe/profile.py exact_quantiles): one map-side-
+    combinable groupBy bounds every later shuffle by the DISTINCT-value
+    count, deterministic uniform buckets give scalable global ranks, and
+    each probability picks the value whose [lo, hi] rank interval covers
+    max(1, ceil(p*n)) — DuckDB's quantile_disc rank rule, so the oracle
+    matches BY CONSTRUCTION.  Replaces the earlier
+    percentile_approx(accuracy=1e8) form, whose exactness held only
+    while rows <= accuracy and whose GK sketch holds O(accuracy) entries
+    per merged partition — at 100 TB that is the data, not a sketch.
+    approx_quantiles (sane accuracy) remains the unbounded-cardinality
+    fallback; this is the bounded-domain scale path."""
+    from feathub_spark.datapipe.profile import exact_quantiles
 
     li = _pq(spark, sf_dir, "lineitem")
-    return approx_quantiles(
-        li, ["l_extendedprice", "l_quantity"],
-        [0.01, 0.25, 0.5, 0.75, 0.99], accuracy=100_000_000,
+    return exact_quantiles(
+        li, ["l_extendedprice", "l_quantity"], [0.01, 0.25, 0.5, 0.75, 0.99],
     )
 
 

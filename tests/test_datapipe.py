@@ -1509,6 +1509,66 @@ def test_approx_quantiles_exact_at_full_accuracy(spark):
             assert grouped[(g, p)] == disc(data, p), (g, p)
 
 
+def test_exact_quantiles_matches_discrete_rank_rule(spark):
+    """exact_quantiles must return the element at 1-based rank
+    max(1, ceil(p*n)) — the quantile_disc rule — for random data with
+    duplicates, at the edges p=0/p=1, on a constant column, and per
+    group; exactness comes from rank arithmetic (two-level prefix sums
+    over deterministic value buckets), not from a sketch, so there is no
+    accuracy knob to outgrow."""
+    import math
+    import random
+
+    from feathub_spark.datapipe.profile import exact_quantiles
+
+    rng = random.Random(31)
+
+    def disc(data, p):
+        s = sorted(data)
+        return s[max(int(math.ceil(p * len(s))) - 1, 0)]
+
+    probs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    # n=400 and n=100 make p*n land exactly on integers (the float-ceil
+    # edge); duplicates exercise the [lo, hi] rank-interval cover
+    for n in (1, 4, 100, 400, 97):
+        data = [round(rng.uniform(-50, 50), 2) for _ in range(n)]
+        data += data[: n // 3]
+        df = spark.createDataFrame(
+            [(v, v * 2) for v in data], "a double, b double"
+        ).repartition(5)
+        got = {
+            (r["column"], r["prob"]): r["value"]
+            for r in exact_quantiles(df, ["a", "b"], probs).collect()
+        }
+        for p in probs:
+            assert got[("a", p)] == disc(data, p), (n, p)
+            assert got[("b", p)] == disc([v * 2 for v in data], p), (n, p)
+
+    # constant column (bucket width 0) and NULL handling
+    cdf = spark.createDataFrame(
+        [(7.0,)] * 5 + [(None,)] * 3, "a double"
+    )
+    cgot = {
+        r["prob"]: r["value"]
+        for r in exact_quantiles(cdf, ["a"], [0.1, 0.9]).collect()
+    }
+    assert cgot == {0.1: 7.0, 0.9: 7.0}
+
+    # grouped path: ranks are per (group, column)
+    rows = [("x", float(v)) for v in range(1, 9)] + [
+        ("y", float(v)) for v in range(1, 12)
+    ]
+    gdf = spark.createDataFrame(rows, "g string, a double").repartition(4)
+    ggot = {
+        (r["g"], r["prob"]): r["value"]
+        for r in exact_quantiles(gdf, ["a"], [0.5, 0.9], by=["g"]).collect()
+    }
+    for g in ("x", "y"):
+        data = [v for gg, v in rows if gg == g]
+        for p in (0.5, 0.9):
+            assert ggot[(g, p)] == disc(data, p), (g, p)
+
+
 def test_quantize_embeddings_and_quantized_topk(spark):
     """int8 quantization semantics (per-vector scale, zero-vector code,
     tinyint range) and integer-cosine top-k agreement with the exact
