@@ -274,3 +274,52 @@ def test_reader_truncation_raises():
 def test_bootstrap_parse_rejects_unreachable():
     with pytest.raises(ConnectionError):
         KafkaWireClient.from_bootstrap("127.0.0.1:1", timeout=0.2)
+
+
+# ----------------------- randomized round-trip fuzz --------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_payload = st.one_of(st.none(), st.binary(max_size=64))
+_ts_ms = st.integers(min_value=-(2**40), max_value=2**40)
+_records = st.lists(
+    st.tuples(_payload, _payload, _ts_ms), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(batches=st.lists(_records, min_size=1, max_size=4))
+def test_record_batch_roundtrip_fuzz(batches):
+    """encode -> decode is the identity for any (key, value, ts) triples —
+    None vs b'' preserved, non-monotonic and negative timestamp deltas
+    survive zigzag, offsets run across concatenated batches — and the
+    inlined iter_records fast path agrees with decode_record_batches on
+    the same bytes, with and without CRC verification."""
+    blob = b""
+    base = 0
+    expected = []
+    for recs in batches:
+        blob += encode_record_batch(recs, base_offset=base)
+        for i, (k, v, ts) in enumerate(recs):
+            expected.append((base + i, ts, k, v))
+        base += len(recs)
+    decoded = [
+        (r.offset, r.timestamp, r.key, r.value)
+        for _, _, recs in decode_record_batches(blob)
+        for r in recs
+    ]
+    assert decoded == expected
+    assert list(iter_records(blob)) == expected
+    assert list(iter_records(blob, verify_crc=False)) == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(recs=_records, new_base=st.integers(min_value=0, max_value=2**40))
+def test_rebase_roundtrip_fuzz(recs, new_base):
+    """rebase_batch keeps the CRC valid (the v2 checksum starts after the
+    baseOffset field) and shifts every record offset by the same delta."""
+    blob = rebase_batch(encode_record_batch(recs, base_offset=0), new_base)
+    out = list(iter_records(blob))
+    assert [o for o, _, _, _ in out] == [new_base + i for i in range(len(recs))]
+    assert [(t, k, v) for _, t, k, v in out] == [(t, k, v) for k, v, t in recs]
