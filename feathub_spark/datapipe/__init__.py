@@ -28,6 +28,7 @@ from feathub_spark.datapipe.graph import (
 from feathub_spark.datapipe.profile import (
     approx_quantiles,
     cms_heavy_hitters,
+    exact_quantiles,
     hll_distinct,
     key_skew,
     numeric_histogram,
@@ -116,7 +117,7 @@ __all__ = [
     "binarize_embeddings", "binary_rerank_topk", "hamming_topk",
     "bloom_filter_bits", "bloom_prune", "bm25_search", "brute_force_topk",
     "cluster_balanced_sample", "cms_heavy_hitters", "dedup_clusters",
-    "diff_snapshots", "approx_quantiles", "exact_dedup", "fuzzy_match_pairs", "fit_pca", "pca_project", "funnel_steps", "hll_distinct",
+    "diff_snapshots", "approx_quantiles", "exact_dedup", "exact_quantiles", "fuzzy_match_pairs", "fit_pca", "pca_project", "funnel_steps", "hll_distinct",
     "importance_weights", "ivf_pq_topk", "ivf_topk", "key_skew", "lsh_topk",
     "bpe_encode", "bpe_train", "word_frequencies",
     "match_minhash_index", "merge_aggregates", "minhash_index",
