@@ -889,10 +889,15 @@ def dedup_clusters(
     from feathub_spark.common.plan_shapes import symmetrize_pairs
 
     edges = symmetrize_pairs(pairs, id_a, id_b, "s", "d").distinct().persist()
-    labels = (
-        edges.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
+    # seed each node with min(id, min direct neighbor) — the same shuffle
+    # the old distinct-ids init paid, but it folds the first propagation
+    # hop into initialization: a clique (the typical near-dup component)
+    # is already at its fixpoint, so the loop runs ONE confirm round
+    # instead of propagate + confirm, and a diameter-k chain converges in
+    # k-1 rounds instead of k.  The fixpoint itself (min reachable id) is
+    # unchanged — labels only ever decrease toward it
+    labels = edges.groupBy(F.col("s").alias("id")).agg(
+        F.least(F.min("d"), F.min("s")).alias("cluster_id")
     )
     converged = False
     prev_ckpt = None
