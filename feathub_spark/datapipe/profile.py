@@ -513,7 +513,11 @@ def exact_quantiles(
             ).alias("__m__"),
         )
         .select(*by, "__m__.column", "__m__.__v__")
-        .filter(F.col("__v__").isNotNull())
+        # NaN drops with NULL: Spark's ordering ranks NaN as the LARGEST
+        # double (p=1.0 would return NaN) while SQL engines like DuckDB
+        # exclude it from quantiles — a quantile over NaN is meaningless,
+        # so take the exclude semantics both for sanity and oracle parity
+        .filter(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
     )
     # the value-count table feeds ranks, bucket stats, per-bucket offsets
     # AND the probability targets; its shuffle subplan repeats per branch

@@ -1544,15 +1544,17 @@ def test_exact_quantiles_matches_discrete_rank_rule(spark):
             assert got[("a", p)] == disc(data, p), (n, p)
             assert got[("b", p)] == disc([v * 2 for v in data], p), (n, p)
 
-    # constant column (bucket width 0) and NULL handling
+    # constant column (bucket width 0), NULL handling, and NaN exclusion
+    # (Spark orders NaN as the largest double; quantiles drop it like
+    # NULL for DuckDB quantile_disc parity — p=1.0 must NOT return NaN)
     cdf = spark.createDataFrame(
-        [(7.0,)] * 5 + [(None,)] * 3, "a double"
+        [(7.0,)] * 5 + [(None,)] * 3 + [(float("nan"),)] * 2, "a double"
     )
     cgot = {
         r["prob"]: r["value"]
-        for r in exact_quantiles(cdf, ["a"], [0.1, 0.9]).collect()
+        for r in exact_quantiles(cdf, ["a"], [0.1, 0.9, 1.0]).collect()
     }
-    assert cgot == {0.1: 7.0, 0.9: 7.0}
+    assert cgot == {0.1: 7.0, 0.9: 7.0, 1.0: 7.0}
 
     # grouped path: ranks are per (group, column)
     rows = [("x", float(v)) for v in range(1, 9)] + [
