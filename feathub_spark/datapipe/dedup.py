@@ -1047,10 +1047,11 @@ def _dedup_clusters_star(
         )
         track_checkpoint(new_e)
         new_fp = _fingerprint(new_e)
-        unchanged = new_fp == fp and (
-            new_e.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(new_e).limit(1).count() == 0
-        )
+        # one-directional confirm suffices: a matching fingerprint already
+        # pins equal cardinality (n rides in the fingerprint), and for
+        # equal-size multisets new_e \ e == {} implies equality — the
+        # reverse exceptAll could never find anything
+        unchanged = new_fp == fp and new_e.exceptAll(e).limit(1).count() == 0
         # new_e is materialized (eager) and the convergence probe has
         # consumed the old round — free its blocks before moving on
         old_e = e
