@@ -191,57 +191,67 @@ def _bucket_pairs(df: DataFrame, bucket_cols, payload_struct_sql: str) -> DataFr
 
 
 def _triu_expand_generator(array_cols, out_names, flush_pairs=1 << 20):
-    """Shared numpy core for the Arrow pair-expansion twins: for each
-    posting row, index the aligned array columns by ``triu_indices`` and
-    buffer the (upper, lower) halves per output column.  Buffers FLUSH
-    every ``flush_pairs`` expanded pairs — an Arrow batch holds thousands
-    of posting rows, and rows near a doc-frequency cap of 1024 expand to
-    ~524k pairs each, so accumulating a whole batch before yielding (the
-    first version of this twin) could hold gigabytes in one Python
-    worker where the Catalyst explode streamed row-at-a-time.  Memory is
-    now bounded by flush_pairs plus one row's expansion."""
+    """Shared Arrow-native core for the pair-expansion twins (consumed via
+    ``mapInArrow``): posting rows arrive as Arrow list arrays — flat value
+    buffers plus offsets, NO per-row Python objects — and pairs expand by
+    grouping rows by list LENGTH: every row of length m shares one cached
+    ``triu_indices(m, 1)`` grid, so the (upper, lower) gather positions
+    for a whole length-group are one broadcasted numpy add and the value
+    gather is one ``pyarrow.compute.take`` per output column.  Python-
+    level work per batch is O(distinct lengths), not O(rows) — the
+    previous per-row numpy loop spent ~30 µs/row on ~10^5-row posting
+    batches, which WAS the expansion stage (guide §4: hand whole batches
+    to vectorized native code).
+
+    Memory stays bounded two ways: length-groups emit in chunks of at
+    most ``flush_pairs`` expanded pairs (a row near a 1024 doc-frequency
+    cap expands to ~524k pairs), and the triu grid cache only keeps
+    lengths <= 128 — posting lengths cluster heavily at the small end, so
+    the win concentrates there while a heavy tail of large lists cannot
+    accumulate multi-GB of cached index arrays (the r13 advisor flag)."""
 
     def _expand(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        bufs = [[] for _ in out_names]
-        buffered = 0
-        # triu_indices allocates and re-derives the index grid on every
-        # call; posting lists cluster heavily around small sizes, so one
-        # cached (iu, ju) pair per length turns ~N_postings allocations
-        # into ~N_distinct_lengths (measured ~15% off the expansion stage
-        # on the documents fixture)
         triu_cache: dict = {}
 
-        def _flush():
-            out = pd.DataFrame({
-                nm: np.concatenate(b) for nm, b in zip(out_names, bufs)
-            })
-            for b in bufs:
-                b.clear()
-            return out
+        def _triu(m: int):
+            if m > 128:
+                return np.triu_indices(m, 1)
+            got = triu_cache.get(m)
+            if got is None:
+                got = triu_cache[m] = np.triu_indices(m, 1)
+            return got
 
-        for pdf in batches:
-            cols = [pdf[c] for c in array_cols]
-            for row in zip(*cols):
-                m = len(row[0])
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            cols = [rb.column(c) for c in array_cols]
+            lens = pc.fill_null(
+                pc.list_value_length(cols[0]), 0
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            # flatten() honors slicing/validity, so cumsum(lens) are the
+            # flattened-value offsets regardless of the batch's window
+            flats = [c.flatten() for c in cols]
+            starts = np.zeros(lens.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            for m in np.unique(lens):
                 if m < 2:
                     continue
-                cached = triu_cache.get(m)
-                if cached is None:
-                    cached = triu_cache[m] = np.triu_indices(m, 1)
-                iu, ju = cached
-                for k, vals in enumerate(row):
-                    a = np.asarray(vals)
-                    bufs[2 * k].append(a[iu])
-                    bufs[2 * k + 1].append(a[ju])
-                buffered += len(iu)
-                if buffered >= flush_pairs:
-                    yield _flush()
-                    buffered = 0
-        if buffered:
-            yield _flush()
+                rows = np.nonzero(lens == m)[0]
+                iu, ju = _triu(int(m))
+                chunk = max(1, flush_pairs // iu.size)
+                for s in range(0, rows.size, chunk):
+                    base = starts[rows[s : s + chunk]]
+                    ia = pa.array((base[:, None] + iu[None, :]).ravel())
+                    ib = pa.array((base[:, None] + ju[None, :]).ravel())
+                    out = []
+                    for fl in flats:
+                        out.append(pc.take(fl, ia))
+                        out.append(pc.take(fl, ib))
+                    yield pa.RecordBatch.from_arrays(out, out_names)
 
     return _expand
 
@@ -253,11 +263,12 @@ def _expand_sized_pairs(postings: DataFrame, impl: str = "auto") -> DataFrame:
     shuffle, exactly like :func:`_bucket_pairs`, but the per-member size
     payload rides along so the consumer never joins a sizes table.
 
-    ``impl="auto"`` uses an Arrow ``mapInPandas`` twin
+    ``impl="auto"`` uses an Arrow ``mapInArrow`` twin
     (:func:`_triu_expand_generator` — the Catalyst nested transform/slice
     lambdas are interpreted and measured ~2x slower on real posting
-    shapes); ``impl="sql"`` keeps the pure-Catalyst form.  Both emit
-    identical rows, pinned by a randomized conformance test."""
+    shapes, and the batch-vectorized gather beats even a per-row numpy
+    loop by another ~2x); ``impl="sql"`` keeps the pure-Catalyst form.
+    Both emit identical rows, pinned by a randomized conformance test."""
     postings = postings.filter(F.size("__mem__") >= 2)
     if impl == "sql":
         pair_expr = (
@@ -286,13 +297,13 @@ def _expand_sized_pairs(postings: DataFrame, impl: str = "auto") -> DataFrame:
         T.StructField("n_a", T.LongType()),
         T.StructField("n_b", T.LongType()),
     ])
-    # two ALIGNED primitive arrays serialize to numpy-friendly Arrow lists
-    # (a list<struct> column would arrive as python dicts per element)
+    # two ALIGNED primitive arrays arrive as flat Arrow value buffers with
+    # shared offsets (a list<struct> column would interleave the fields)
     proj = postings.select(
         F.expr("transform(__mem__, x -> x.i)").alias("__ids__"),
         F.expr("transform(__mem__, x -> x.n)").alias("__ns__"),
     )
-    return proj.mapInPandas(
+    return proj.mapInArrow(
         _triu_expand_generator(
             ["__ids__", "__ns__"], ["id_a", "id_b", "n_a", "n_b"]
         ),
@@ -329,7 +340,7 @@ def _expand_id_pairs(
         T.StructField("id_b", id_type),
     ])
     proj = postings.select(F.col(ids_col).alias("__ids__"))
-    return proj.mapInPandas(
+    return proj.mapInArrow(
         _triu_expand_generator(["__ids__"], ["id_a", "id_b"]), out_schema
     )
 

@@ -423,6 +423,147 @@ def _winnow_col(
     return df.withColumn(out_col, F.expr(sel))
 
 
+def _winnow_exploded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int,
+    window: int,
+    hash_fn: str,
+    with_count: bool = False,
+    outer: bool = False,
+    positions: bool = False,
+) -> DataFrame:
+    """Flat (id[, __nfp__], __fp__[, __pos__]) rows straight out of the
+    winnow selection — the shape every exploding consumer (posting lists,
+    index builds, doc-frequency stats) reduces to anyway.
+
+    The array-column route (``winnow_fingerprints`` + ``explode``) builds
+    one Python list element per selected fingerprint inside the pandas
+    UDF, ships them as Arrow list arrays, and pays a JVM explode — for a
+    corpus emitting millions of selections that is millions of transient
+    Python objects plus a wide intermediate (guide §4: keep batches in
+    native code).  Here a ``mapInArrow`` pass keeps every selection in
+    numpy end-to-end: per input batch it concatenates the per-row
+    selections into flat int64 buffers and yields ONE Arrow batch of
+    already-exploded rows (ids gathered via ``pyarrow.compute.take``, so
+    any id type survives unchanged).
+
+    ``outer=True`` mirrors ``explode_outer``: rows with zero selections
+    emit one (id, 0, NULL) row.  Selection-set semantics are identical to
+    the array route (distinct values; for ``positions`` distinct
+    (fp, pos) pairs with the first-position min tie rule) — only row
+    order differs, which no consumer observes.  Falls back to the
+    array+explode route for hash functions without a numpy twin."""
+    if positions and outer:
+        raise ValueError("positions with outer is not supported")
+    if hash_fn not in _GRAM_HASHES_NP:
+        out_col = "__fpp__" if positions else "__fps__"
+        base = _winnow_col(
+            df, text_col, gram_len, window, hash_fn, "sql",
+            positions=positions, out_col=out_col,
+        )
+        explode = F.explode_outer if outer else F.explode
+        proj = [F.col(id_col)]
+        if with_count:
+            proj.append(F.size(out_col).cast("long").alias("__nfp__"))
+        proj.append(explode(out_col).alias("__e__"))
+        flat = base.select(*proj)
+        if positions:
+            return flat.select(
+                *[c for c in flat.columns if c != "__e__"],
+                F.col("__e__.fp").alias("__fp__"),
+                F.col("__e__.pos").alias("__pos__"),
+            )
+        return flat.withColumnRenamed("__e__", "__fp__")
+
+    gram_hashes = _GRAM_HASHES_NP[hash_fn]
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    fields = [T.StructField(id_col, id_type)]
+    if with_count:
+        fields.append(T.StructField("__nfp__", T.LongType()))
+    fields.append(T.StructField("__fp__", T.LongType()))
+    if positions:
+        fields.append(T.StructField("__pos__", T.IntegerType()))
+    out_schema = T.StructType(fields)
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            texts = rb.column(1).to_pylist()
+            counts = np.empty(n, dtype=np.int64)
+            sels, poss = [], []
+            for r, t in enumerate(texts):
+                fp = gram_hashes(t, gram_len)
+                if fp is None or fp.size == 0:
+                    counts[r] = 0
+                    continue
+                w_eff = min(window, fp.size)
+                sw = sliding_window_view(fp, w_eff)
+                mins = sw.min(axis=1)
+                if positions:
+                    # first-min-index tie rule = SQL array_position, then
+                    # first-occurrence-distinct (fp, pos) pairs; np.unique
+                    # over the stacked pair matrix keeps the same SET
+                    pos = np.arange(sw.shape[0], dtype=np.int64) + sw.argmin(axis=1) + 1
+                    pairs = np.unique(np.stack([mins, pos], axis=1), axis=0)
+                    sel, p = pairs[:, 0], pairs[:, 1]
+                    poss.append(p)
+                else:
+                    sel = np.unique(mins)
+                counts[r] = sel.size
+                sels.append(sel)
+            rep = np.maximum(counts, 1) if outer else counts
+            idx = np.repeat(np.arange(n, dtype=np.int64), rep)
+            total = int(rep.sum())
+            if total == 0:
+                continue
+            if outer:
+                # rows with zero selections carry one NULL-fp output row
+                vals = np.zeros(total, dtype=np.int64)
+                mask = np.zeros(total, dtype=bool)
+                ends = np.cumsum(rep)
+                starts = ends - rep
+                k = 0
+                for r in range(n):
+                    if counts[r] == 0:
+                        mask[starts[r]] = True
+                    else:
+                        vals[starts[r] : ends[r]] = sels[k]
+                        k += 1
+                fp_arr = pa.array(vals, mask=mask)
+            else:
+                fp_arr = pa.array(
+                    np.concatenate(sels) if sels
+                    else np.empty(0, dtype=np.int64)
+                )
+            cols = [pc.take(ids, pa.array(idx))]
+            if with_count:
+                cols.append(pa.array(np.repeat(counts, rep)))
+            cols.append(fp_arr)
+            if positions:
+                cols.append(
+                    pa.array(
+                        (np.concatenate(poss) if poss
+                         else np.empty(0, dtype=np.int64)).astype(np.int32)
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(cols, [f.name for f in fields])
+
+    proj = ensure_parallelism(df).select(F.col(id_col), F.col(text_col))
+    return proj.mapInArrow(gen, out_schema)
+
+
 def winnow_fingerprint_positions(
     df: DataFrame,
     text_col: str,
@@ -493,17 +634,13 @@ def remove_duplicate_passages(
     and text rebuild are per-row Catalyst folds over the doc's own span
     list (bounded by ~2·len/(window+1) winnowing selections), so the heavy
     string work never leaves codegen."""
-    # base feeds BOTH the occurrence side and the final text join — cache
-    # it (one winnow UDF pass), not the exploded occurrences (which would
-    # leave the text side re-running the UDF end-to-end)
-    base = register_cache(
-        winnow_fingerprint_positions(
-            df, text_col, id_col, gram_len, window, hash_fn
-        ).select(F.col(id_col), F.col(text_col), "__fpp__")
-    )
-    occ = base.select(
-        id_col, F.explode("__fpp__").alias("__o__")
-    ).select(id_col, F.col("__o__.fp").alias("__fp__"), F.col("__o__.pos").alias("__pos__"))
+    # the flat (id, fp, pos) occurrence emit feeds BOTH the duplicated-
+    # fingerprint aggregate and the position join — cache the narrow
+    # occurrence rows (one winnow UDF pass); the text side no longer
+    # needs the UDF at all, it re-reads the source columns directly
+    occ = register_cache(_winnow_exploded(
+        df, text_col, id_col, gram_len, window, hash_fn, positions=True
+    ))
     dup = (
         occ.groupBy("__fp__")
         .agg(F.count(F.lit(1)).alias("__n__"))
@@ -515,7 +652,11 @@ def remove_duplicate_passages(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("__pos__")).alias("__dpos__"))
     )
-    out = base.drop("__fpp__").join(doc_pos, on=id_col, how="left")
+    out = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.col(text_col))
+        .join(doc_pos, on=id_col, how="left")
+    )
     L = gram_len
     merged = (
         f"aggregate(coalesce(__dpos__, CAST(array() AS ARRAY<INT>)), "
@@ -562,15 +703,13 @@ def dup_passage_stats(
     n_fingerprints`` (0.0 for fingerprint-less short docs).  The standard
     corpus-hygiene filter is ``dup_fraction > threshold``.
 
-    Shuffle budget: explode (narrow) -> groupBy fingerprint (map-side
-    combinable; counts reuse the exchange for the join) -> groupBy doc.
-    The exploded projection is persisted because it feeds both the
-    doc-frequency aggregate and the join back."""
-    base = winnow_fingerprints(
-        df, text_col, id_col, gram_len, window, hash_fn
-    ).select(F.col(id_col), F.size("__fps__").alias("__nfp__"), "__fps__")
-    fps = register_cache(base.select(
-        id_col, "__nfp__", F.explode_outer("__fps__").alias("__fp__")
+    Shuffle budget: flat fingerprint emit (narrow) -> groupBy fingerprint
+    (map-side combinable; counts reuse the exchange for the join) ->
+    groupBy doc.  The exploded projection is persisted because it feeds
+    both the doc-frequency aggregate and the join back."""
+    fps = register_cache(_winnow_exploded(
+        df, text_col, id_col, gram_len, window, hash_fn,
+        with_count=True, outer=True,
     ))
     # docs contributing a fingerprint at most once (array_distinct upstream)
     # => count(*) per fingerprint == number of docs containing it
@@ -623,9 +762,9 @@ def dup_passage_pairs(
     ``max_doc_freq=None`` for exact recall on small corpora.
 
     Returns (id_a, id_b, n_shared_fingerprints)."""
-    fps = winnow_fingerprints(
+    fps = _winnow_exploded(
         df, text_col, id_col, gram_len, window, hash_fn
-    ).select(F.col(id_col).alias("__id__"), F.explode("__fps__").alias("__fp__"))
+    ).select(F.col(id_col).alias("__id__"), "__fp__")
     # one shuffle builds the sorted posting list per fingerprint; the
     # doc-frequency cut is a free size() filter on it, and pairs expand
     # in-array map-side (a < b once each, by the sorted order)
@@ -786,9 +925,9 @@ def winnow_index(
     then check every NEW ingest shard against it with
     :func:`match_against_index` — no need to re-fingerprint the historical
     corpus per ingest."""
-    return winnow_fingerprints(df, text_col, id_col, gram_len, window, hash_fn).select(
-        F.explode("__fps__").alias("fp"), F.col(id_col).alias("doc_id")
-    )
+    return _winnow_exploded(
+        df, text_col, id_col, gram_len, window, hash_fn
+    ).select(F.col("__fp__").alias("fp"), F.col(id_col).alias("doc_id"))
 
 
 def match_against_index(
@@ -812,10 +951,10 @@ def match_against_index(
     corpus is touched as a semi-joined key set.
 
     Returns (id_col, n_fingerprints, n_matched, dup_fraction)."""
-    fps = winnow_fingerprints(
-        new_df, text_col, id_col, gram_len, window, hash_fn
-    ).select(F.col(id_col), F.size("__fps__").alias("__nfp__"),
-             F.explode_outer("__fps__").alias("fp"))
+    fps = _winnow_exploded(
+        new_df, text_col, id_col, gram_len, window, hash_fn,
+        with_count=True, outer=True,
+    ).withColumnRenamed("__fp__", "fp")
     hits = index.select("fp").distinct().withColumn("__hit__", F.lit(True))
     return (
         fps.join(hits, on="fp", how="left")

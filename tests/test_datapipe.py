@@ -2307,10 +2307,10 @@ def test_triu_expand_flush_bounded_buffers(spark):
         T.StructField("id_a", T.LongType()),
         T.StructField("id_b", T.LongType()),
     ])
-    big = sorted(map(tuple, pdf.mapInPandas(
+    big = sorted(map(tuple, pdf.mapInArrow(
         _triu_expand_generator(["__ids__"], ["id_a", "id_b"]), schema
     ).collect()))
-    tiny = sorted(map(tuple, pdf.mapInPandas(
+    tiny = sorted(map(tuple, pdf.mapInArrow(
         _triu_expand_generator(["__ids__"], ["id_a", "id_b"], flush_pairs=7),
         schema,
     ).collect()))
