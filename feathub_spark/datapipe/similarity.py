@@ -816,9 +816,23 @@ def train_ivf_codebook(
                 F.col("cell").alias("__cid__"),
             )
         else:
-            scored = base.crossJoin(F.broadcast(cents)).withColumn(
-                "__acos__",
-                F.round(F.expr(cosine_expr("__mv__", "__cvec__")), 6),
+            # norms hoisted out of the pair cosine (identical division
+            # tree, bit-identical scores — see ivf_topk): the row norm is
+            # computed once per corpus row, the centroid norm once per
+            # centroid per round, instead of once per (row, centroid)
+            scored = (
+                base.withColumn("__mn__", F.expr(_NORM.format(v="__mv__")))
+                .crossJoin(F.broadcast(
+                    cents.withColumn("__cn__", F.expr(_NORM.format(v="__cvec__")))
+                ))
+                .withColumn(
+                    "__acos__",
+                    F.round(
+                        F.expr(_DOT.format(a="__mv__", b="__cvec__"))
+                        / (F.col("__mn__") * F.col("__cn__")),
+                        6,
+                    ),
+                )
             )
             w = Window.partitionBy("__mid__").orderBy(
                 F.col("__acos__").desc(), F.col("__cid__").asc()
@@ -899,13 +913,32 @@ def ivf_topk(
 
     def assign(df: DataFrame, ident: str, out_id: str, top_n: int) -> DataFrame:
         if impl == "arrow":
-            return _nearest_cells_arrow(df, ident, vec_col, cents, top_n, out_id)
+            out = _nearest_cells_arrow(df, ident, vec_col, cents, top_n, out_id)
+            return out.withColumn(
+                f"__{out_id}_n__",
+                F.expr(_NORM.format(v=f"__{out_id}_v__")),
+            )
+        # row and centroid norms hoisted OUT of the pair cosine: the
+        # interpreted O(d) norm fold otherwise re-runs once per
+        # (row, centroid) pair — n_centroids copies of identical work.
+        # The division tree is unchanged (dot / (vn * cn)), so scores are
+        # bit-identical to the inlined cosine_expr form the oracles use.
         scored = (
-            df.select(F.col(ident).alias(out_id), F.col(vec_col).alias(f"__{out_id}_v__"))
-            .crossJoin(F.broadcast(cents))
+            df.select(
+                F.col(ident).alias(out_id),
+                F.col(vec_col).alias(f"__{out_id}_v__"),
+                F.expr(_NORM.format(v=f"`{vec_col}`")).alias(f"__{out_id}_n__"),
+            )
+            .crossJoin(F.broadcast(
+                cents.withColumn("__cn__", F.expr(_NORM.format(v="__cvec__")))
+            ))
             .withColumn(
                 "__acos__",
-                F.round(F.expr(cosine_expr(f"__{out_id}_v__", "__cvec__")), 6),
+                F.round(
+                    F.expr(_DOT.format(a=f"__{out_id}_v__", b="__cvec__"))
+                    / (F.col(f"__{out_id}_n__") * F.col("__cn__")),
+                    6,
+                ),
             )
         )
         w = Window.partitionBy(out_id).orderBy(
@@ -914,7 +947,10 @@ def ivf_topk(
         return (
             scored.withColumn("__arank__", F.row_number().over(w))
             .filter(F.col("__arank__") <= top_n)
-            .select(out_id, f"__{out_id}_v__", F.col("__cid__").alias("cell"))
+            .select(
+                out_id, f"__{out_id}_v__", f"__{out_id}_n__",
+                F.col("__cid__").alias("cell"),
+            )
         )
 
     members = assign(ensure_parallelism(corpus), id_col, "neighbor_id", 1)
@@ -922,9 +958,15 @@ def ivf_topk(
     cand = members.join(F.broadcast(probes), on="cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # norms carried through the assignment — the candidate cosine pays
+    # only the O(d) dot fold per pair
     scored = cand.withColumn(
         "cosine",
-        F.round(F.expr(cosine_expr("__query_id_v__", "__neighbor_id_v__")), 6),
+        F.round(
+            F.expr(_DOT.format(a="__query_id_v__", b="__neighbor_id_v__"))
+            / (F.col("__query_id_n__") * F.col("__neighbor_id_n__")),
+            6,
+        ),
     ).filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     # ^ same zero-norm guard as brute_force_topk: NaN (0/0) would rank
     # FIRST under DESC and evict true neighbors
@@ -1019,13 +1061,18 @@ def lsh_topk(
         df: DataFrame, ident: str, out_id: str, probes: int = 0
     ) -> DataFrame:
         sig = _srp_signature(vec_col, planes, dims, seed, weight_fn)
+        # the row norm is hoisted here (once per input row) rather than
+        # recomputed inside the per-candidate cosine — same division tree,
+        # bit-identical scores (see ivf_topk)
         base = df.select(
             F.col(ident).alias(out_id),
             F.col(vec_col).alias(f"__{out_id}_v__"),
+            F.expr(_NORM.format(v=f"`{vec_col}`")).alias(f"__{out_id}_n__"),
             F.expr(sig).alias("__bits__"),
         ).select(
             out_id,
             f"__{out_id}_v__",
+            f"__{out_id}_n__",
             F.explode(
                 F.expr(
                     f"transform(sequence(0, {bands - 1}), "
@@ -1033,7 +1080,7 @@ def lsh_topk(
                     f"array_join(slice(__bits__, b * {width} + 1, {width}), '') AS bucket))"
                 )
             ).alias("bb"),
-        ).select(out_id, f"__{out_id}_v__", "bb.band", "bb.bucket")
+        ).select(out_id, f"__{out_id}_v__", f"__{out_id}_n__", "bb.band", "bb.bucket")
         if probes <= 0:
             return base
         # f = 0 keeps the home bucket; f = 1..probes flips bit f
@@ -1045,11 +1092,11 @@ def lsh_topk(
         )
         return (
             base.select(
-                out_id, f"__{out_id}_v__", "band", "bucket",
+                out_id, f"__{out_id}_v__", f"__{out_id}_n__", "band", "bucket",
                 F.explode(F.expr(f"sequence(0, {probes})")).alias("f"),
             )
             .select(
-                out_id, f"__{out_id}_v__", "band",
+                out_id, f"__{out_id}_v__", f"__{out_id}_n__", "band",
                 F.expr(flip).alias("bucket"),
             )
         )
@@ -1063,7 +1110,11 @@ def lsh_topk(
     )
     scored = cand.withColumn(
         "cosine",
-        F.round(F.expr(cosine_expr("__query_id_v__", "__neighbor_id_v__")), 6),
+        F.round(
+            F.expr(_DOT.format(a="__query_id_v__", b="__neighbor_id_v__"))
+            / (F.col("__query_id_n__") * F.col("__neighbor_id_n__")),
+            6,
+        ),
     ).filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     # ^ zero-norm guard, same as brute_force_topk (NaN ranks first DESC)
     return _two_stage_topk(
@@ -1109,13 +1160,25 @@ def cluster_balanced_sample(
             corpus, id_col, vec_col, cents, 1, "mid"
         ).select(F.col("mid").alias(id_col), "cell")
     else:
+        # norms hoisted out of the pair cosine (bit-identical scores —
+        # see ivf_topk): once per row / per centroid, not per pair
         scored = (
             ensure_parallelism(corpus)
-            .select(F.col(id_col), F.col(vec_col).alias("__v__"))
-            .crossJoin(F.broadcast(cents))
+            .select(
+                F.col(id_col),
+                F.col(vec_col).alias("__v__"),
+                F.expr(_NORM.format(v=f"`{vec_col}`")).alias("__vn__"),
+            )
+            .crossJoin(F.broadcast(
+                cents.withColumn("__cn__", F.expr(_NORM.format(v="__cvec__")))
+            ))
             .withColumn(
                 "__acos__",
-                F.round(F.expr(cosine_expr("__v__", "__cvec__")), 6),
+                F.round(
+                    F.expr(_DOT.format(a="__v__", b="__cvec__"))
+                    / (F.col("__vn__") * F.col("__cn__")),
+                    6,
+                ),
             )
         )
         w_assign = Window.partitionBy(id_col).orderBy(
@@ -1381,14 +1444,24 @@ def ivf_pq_topk(
     )
     cb = register_cache(pq_codebook(corpus, vec_col, id_col, m, n_codes, seed))
 
-    # centroids collapsed to one sorted broadcast array row
+    # centroids collapsed to one sorted broadcast array row; each entry
+    # carries its norm so the per-row assignment fold never recomputes it
+    # (array_sort still orders by the leading unique cid — adding a
+    # trailing field cannot change the order)
     cents1 = cents.agg(
         F.expr(
             "array_sort(collect_list(named_struct("
-            "'cid', __cid__, 'cvec', __cvec__)))"
+            "'cid', __cid__, 'cvec', __cvec__, "
+            f"'cn', {_NORM.format(v='__cvec__')})))"
         ).alias("__cents__")
     )
-    cos = cosine_expr("`" + vec_col + "`", "e.cvec")
+    # row norm hoisted to __vn__ (once per corpus row instead of once per
+    # centroid inside the fold); the division tree is unchanged, so the
+    # scores are bit-identical to the inlined cosine_expr the oracle uses
+    cos = (
+        f"({_DOT.format(a='`' + vec_col + '`', b='e.cvec')})"
+        " / (__vn__ * e.cn)"
+    )
     # accumulator 'c' is typed by the ID COLUMN, not hard-cast to bigint:
     # CAST('doc-a1' AS BIGINT) is NULL in non-ANSI mode, which silently
     # emptied every cell for non-numeric ids (review finding)
@@ -1409,6 +1482,7 @@ def ivf_pq_topk(
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col),
+            F.expr(_NORM.format(v=f"`{vec_col}`")).alias("__vn__"),
             F.expr(_pq_subs_expr(vec_col, m)).alias("__subs__"),
         )
         .crossJoin(F.broadcast(cents1))
@@ -1424,8 +1498,19 @@ def ivf_pq_topk(
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
     )
-    probe_scored = qv.crossJoin(F.broadcast(cents)).withColumn(
-        "__acos__", F.round(F.expr(cosine_expr("__qv__", "__cvec__")), 6)
+    probe_scored = (
+        qv.withColumn("__qn__", F.expr(_NORM.format(v="__qv__")))
+        .crossJoin(F.broadcast(
+            cents.withColumn("__cn__", F.expr(_NORM.format(v="__cvec__")))
+        ))
+        .withColumn(
+            "__acos__",
+            F.round(
+                F.expr(_DOT.format(a="__qv__", b="__cvec__"))
+                / (F.col("__qn__") * F.col("__cn__")),
+                6,
+            ),
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__acos__").desc(), F.col("__cid__").asc()
@@ -1516,13 +1601,19 @@ def semantic_dedup(
         if codebook is not None
         else ivf_codebook(corpus, vec_col, id_col, n_centroids, seed)
     )
+    # each broadcast centroid entry carries its norm; the trailing field
+    # cannot change array_sort order (leading cid is unique)
     cents1 = cents.agg(
         F.expr(
             "array_sort(collect_list(named_struct("
-            "'cid', __cid__, 'cvec', __cvec__)))"
+            "'cid', __cid__, 'cvec', __cvec__, "
+            f"'cn', {_NORM.format(v='__cvec__')})))"
         ).alias("__cents__")
     )
-    cos = cosine_expr("__v__", "e.cvec")
+    # row norm hoisted to __vn__ — computed once per corpus row instead of
+    # once per centroid inside the fold and once per candidate pair in the
+    # verify join; identical division tree, bit-identical scores
+    cos = f"({_DOT.format(a='__v__', b='e.cvec')}) / (__vn__ * e.cn)"
     # argmax-cosine fold over the broadcast centroid array; strict > keeps
     # the smallest cid on ties (array is cid-sorted), matching the oracle's
     # (acos DESC, cid ASC) rank.  The accumulator's 'c' is typed by the id
@@ -1538,12 +1629,17 @@ def semantic_dedup(
     )
     members = register_cache(
         ensure_parallelism(corpus)
-        .select(F.col(id_col), F.col(vec_col).alias("__v__"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v__"),
+            F.expr(_NORM.format(v=f"`{vec_col}`")).alias("__vn__"),
+        )
         .crossJoin(F.broadcast(cents1))
         .withColumn("__a__", F.expr(assign_fold))
         .select(
             F.col(id_col),
             F.col("__v__"),
+            F.col("__vn__"),
             F.col("__a__.c").alias("cell"),
             F.col("__a__.s").alias("centroid_cos"),
         )
@@ -1551,12 +1647,14 @@ def semantic_dedup(
     ma = members.select(
         F.col(id_col).alias("__ida__"),
         F.col("__v__").alias("__va__"),
+        F.col("__vn__").alias("__na__"),
         "cell",
         F.col("centroid_cos").alias("__ca__"),
     )
     mb = members.select(
         F.col(id_col).alias("__idb__"),
         F.col("__v__").alias("__vb__"),
+        F.col("__vn__").alias("__nb__"),
         F.col("cell").alias("__cellb__"),
         F.col("centroid_cos").alias("__cb__"),
     )
@@ -1564,7 +1662,12 @@ def semantic_dedup(
         ma.join(mb, F.col("cell") == F.col("__cellb__"))
         .filter(F.col("__ida__") != F.col("__idb__"))
         .withColumn(
-            "__pcos__", F.round(F.expr(cosine_expr("__va__", "__vb__")), 6)
+            "__pcos__",
+            F.round(
+                F.expr(_DOT.format(a="__va__", b="__vb__"))
+                / (F.col("__na__") * F.col("__nb__")),
+                6,
+            ),
         )
         # NaN >= threshold is TRUE in Spark's ordering — a zero-norm
         # vector must not be "a duplicate of" a row it has no defined
