@@ -122,6 +122,135 @@ def _shingles_col(text_col: str, k: int, impl: str = "auto"):
     return _sh(F.col(text_col))
 
 
+def _shingle_rows_arrow(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Flat ``(__id__, __n__, __gram__)`` shingle rows via ``mapInArrow`` —
+    the already-exploded shape the inverted-index consumers reduce the
+    shingle ARRAY to anyway, produced without per-gram Python lists or a
+    JVM explode (guide §4).
+
+    Per batch: texts lower+trim per row in Python (Python ``str.lower``
+    matches Spark's JVM lowering incl. final-sigma / dotted-I — pinned by
+    the shingle fuzz; pyarrow's ``utf8_lower`` would NOT apply the
+    context-sensitive final-sigma rule), then everything downstream is
+    vectorized C: RE2 ``split_pattern_regex`` on the ASCII-\\s class,
+    empty-token filter at the flat level, k-gram strings via k shifted
+    ``take`` gathers + one ``binary_join_element_wise``, and per-doc
+    distinct via ``dictionary_encode`` + one ``np.unique`` over packed
+    (doc, code) keys.  Value semantics are exactly ``_shingles_sql``
+    exploded: NULL text -> one NULL gram (n=1), fewer than k tokens ->
+    one join-all gram (n=1, '' for empty), else distinct k-grams with
+    ``__n__`` = the distinct count.  Row order differs (no consumer
+    observes it).  Rows with NULL id must be filtered by the CALLER
+    before this emit (matching the None-path contract)."""
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("__id__", id_type),
+        T.StructField("__n__", T.LongType()),
+        T.StructField("__gram__", T.StringType()),
+    ])
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            n_rows = rb.num_rows
+            if n_rows == 0:
+                continue
+            ids = rb.column(0)
+            raw = rb.column(1).to_pylist()
+            lowered = pa.array(
+                [t.lower().strip(" ") if t is not None else None for t in raw],
+                type=pa.string(),
+            )
+            toks = pc.split_pattern_regex(lowered, pattern="[ \t\n\x0b\f\r]+")
+            lens = pc.fill_null(
+                pc.list_value_length(toks), 0
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            null_text = np.asarray(
+                pc.is_null(lowered).to_numpy(zero_copy_only=False), dtype=bool
+            )
+            flat = toks.flatten()
+            doc_of_tok = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            keep = np.asarray(
+                pc.not_equal(flat, "").to_numpy(zero_copy_only=False), dtype=bool
+            )
+            kept = flat.filter(pa.array(keep))
+            kdoc = doc_of_tok[keep]
+            kl = np.bincount(kdoc, minlength=n_rows)
+            koff = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(kl, out=koff[1:])
+
+            out_doc_parts, out_n_parts, out_gram_parts = [], [], []
+
+            # normal docs: kl >= k -> kl - k + 1 raw grams, then per-doc distinct
+            normal = np.nonzero(~null_text & (kl >= k))[0]
+            if normal.size:
+                gcounts = kl[normal] - k + 1
+                total = int(gcounts.sum())
+                doc_idx_g = np.repeat(normal, gcounts)
+                gends = np.cumsum(gcounts)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    gends - gcounts, gcounts
+                )
+                starts = np.repeat(koff[normal], gcounts) + within
+                parts = [pc.take(kept, pa.array(starts + j)) for j in range(k)]
+                grams = (
+                    parts[0] if k == 1
+                    else pc.binary_join_element_wise(*parts, " ")
+                )
+                enc = pc.dictionary_encode(grams)
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                packed = doc_idx_g * (len(enc.dictionary) + 1) + codes
+                _, first_idx = np.unique(packed, return_index=True)
+                out_doc = doc_idx_g[first_idx]
+                ndist = np.bincount(out_doc, minlength=n_rows)
+                out_doc_parts.append(out_doc)
+                out_n_parts.append(ndist[out_doc])
+                out_gram_parts.append(pc.take(grams, pa.array(first_idx)))
+
+            # short docs: kl < k -> ONE join-all gram ('' when tokenless)
+            for c in range(k):
+                short = np.nonzero(~null_text & (kl == c))[0]
+                if not short.size:
+                    continue
+                if c == 0:
+                    g = pa.array([""] * short.size, type=pa.string())
+                else:
+                    base = koff[short]
+                    sp = [pc.take(kept, pa.array(base + j)) for j in range(c)]
+                    g = sp[0] if c == 1 else pc.binary_join_element_wise(*sp, " ")
+                out_doc_parts.append(short)
+                out_n_parts.append(np.ones(short.size, dtype=np.int64))
+                out_gram_parts.append(g)
+
+            # NULL text -> one NULL gram row (n = 1), like explode([NULL])
+            nulls = np.nonzero(null_text)[0]
+            if nulls.size:
+                out_doc_parts.append(nulls)
+                out_n_parts.append(np.ones(nulls.size, dtype=np.int64))
+                out_gram_parts.append(pa.nulls(nulls.size, pa.string()))
+
+            if not out_doc_parts:
+                continue
+            all_doc = np.concatenate(out_doc_parts)
+            all_n = np.concatenate(out_n_parts)
+            all_grams = pa.concat_arrays([
+                g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+                for g in out_gram_parts
+            ])
+            yield pa.RecordBatch.from_arrays(
+                [pc.take(ids, pa.array(all_doc)), pa.array(all_n), all_grams],
+                ["__id__", "__n__", "__gram__"],
+            )
+
+    proj = ensure_parallelism(df).select(F.col(id_col), F.col(text_col))
+    return proj.mapInArrow(gen, out_schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -562,21 +691,11 @@ def ngram_jaccard_pairs(
         # doc's gram-count rides INSIDE the posting entry the jaccard
         # needs no join back onto a sizes table — two fewer exchanges,
         # and the gram projection is consumed exactly once (no cache).
-        inverted = (
-            ensure_parallelism(df)
-            .select(
-                F.col(id_col).alias("__id__"),
-                _shingles_col(text_col, n).alias("__grams__"),
-            )
-            # NULL ids would ride inside the (always non-null) struct;
-            # the cut path's bare collect_list skips them — keep the two
-            # paths row-identical on any input
-            .filter(F.col("__id__").isNotNull())
-            .select(
-                "__id__",
-                F.size("__grams__").cast("long").alias("__n__"),
-                F.explode("__grams__").alias("__gram__"),
-            )
+        # NULL-id rows are dropped BEFORE the flat emit: the cut path's
+        # bare collect_list skips them — keep the two paths row-identical
+        # on any input.
+        inverted = _shingle_rows_arrow(
+            df.filter(F.col(id_col).isNotNull()), text_col, id_col, n
         )
         postings = inverted.groupBy("__gram__").agg(
             F.sort_array(

@@ -2220,6 +2220,53 @@ def test_ivf_assignment_arrow_matches_sql(spark):
     assert ta == tb
 
 
+def test_shingle_rows_arrow_matches_sql_explode(spark):
+    """The flat (id, n, gram) mapInArrow shingle emit must equal the SQL
+    fold's size+explode rows as a SET on the full fuzz alphabet — incl.
+    final-sigma/dotted-I lowering, NULL text -> one NULL gram (n=1),
+    short/empty collapse, and within-doc gram dedup."""
+    import random
+
+    from feathub_spark.datapipe.dedup import _shingle_rows_arrow, _shingles_sql
+
+    rnd = random.Random(78)
+    alphabet = list("abc XYZ \t\n\x0b\f\r") + [
+        "\xa0", " ", "İ", "ß", "ẞ", "Σ", "ΟΣ", "é", "漢", "🙂", "'",
+        '"', "\\", "`", "0", ".",
+    ]
+    texts = [None, "", " ", "   ", "a", "a b", "\t\n", "\xa0", "ΣΑΣ ΟΣ Σ",
+             "a b a b a b"]
+    texts += [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    for k in (1, 3):
+        got = sorted(
+            map(tuple, _shingle_rows_arrow(df, "t", "i", k).collect()),
+            key=repr,
+        )
+        want = sorted(
+            map(
+                tuple,
+                df.select(
+                    F.col("i").alias("__id__"),
+                    F.expr(_shingles_sql("t", k)).alias("__g__"),
+                )
+                .select(
+                    "__id__",
+                    F.size("__g__").cast("long").alias("__n__"),
+                    F.explode("__g__").alias("__gram__"),
+                )
+                .collect(),
+            ),
+            key=repr,
+        )
+        assert got == want, (k, got[:3], want[:3], len(got), len(want))
+
+
 def test_expand_sized_pairs_arrow_matches_sql(spark):
     """The numpy triangular-expansion twin must emit exactly the rows of
     the Catalyst transform/slice form — ragged lists, singletons (dropped),
