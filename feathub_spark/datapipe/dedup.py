@@ -719,33 +719,45 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    # grams are scanned 4x in this plan (inverted index, two verify joins,
-    # sizes) — tokenize once and persist the narrow projection.
-    grams = register_cache(ensure_parallelism(df).select(
-        F.col(id_col).alias("__id__"),
-        _shingles_col(text_col, n).alias("__grams__"),
-    ))
-    sizes = grams.select("__id__", F.size("__grams__").alias("__n__"))
-    inverted = grams.select(
-        "__id__", F.explode("__grams__").alias("__gram__")
+    # Flat (id, n, gram) rows from ONE mapInArrow pass — the same emit
+    # as the complete-index path above (no per-row Python gram lists, no
+    # JVM explode, no full-corpus gram-ARRAY cache); cached because the
+    # index build and the survivor verify both read it.  NULL-id rows
+    # are dropped up front exactly like the old bare collect_list did.
+    from feathub_spark.common.caching import register_cache
+
+    flat = register_cache(
+        _shingle_rows_arrow(
+            df.filter(F.col(id_col).isNotNull()), text_col, id_col, n
+        )
     )
-    # One shuffle builds the posting list (sorted doc ids) per gram; pair
-    # candidates then expand IN-ARRAY from the posting list — map-side work
-    # after that single shuffle — instead of a self-join of the exploded
-    # index (which shuffles the full index twice more and sort-merges it).
-    # The doc-frequency cut becomes a free size() filter on the posting
-    # list.  With max_doc_freq=None a corpus-wide stop-gram materializes
-    # its full posting array (the same n² hazard the self-join had) — the
-    # cut is what makes this scale-safe.
-    postings = inverted.groupBy("__gram__").agg(
-        F.sort_array(F.collect_list("__id__")).alias("__ids__")
+    # One shuffle builds the sorted posting list per gram, each entry
+    # carrying its doc's full distinct-gram count — candidate counting
+    # AND the exactness-preserving prune below then need no join back
+    # onto a separate sizes table.  Pair candidates expand IN-ARRAY from
+    # the posting list — map-side work after that single shuffle —
+    # instead of a self-join of the exploded index (which shuffles the
+    # full index twice more and sort-merges it).  The doc-frequency cut
+    # becomes a free size() filter on the posting list.  With
+    # max_doc_freq=None a corpus-wide stop-gram materializes its full
+    # posting array (the same n² hazard the self-join had) — the cut is
+    # what makes this scale-safe.
+    postings = flat.groupBy("__gram__").agg(
+        F.sort_array(
+            F.collect_list(F.struct(
+                F.col("__id__").alias("i"), F.col("__n__").alias("n")
+            ))
+        ).alias("__mem__")
     )
     if max_doc_freq == "auto":
-        # count the CACHED grams projection, not the raw input — counting
-        # df re-executed the entire upstream plan (strip_html -> normalize
-        # -> ...) end-to-end just to produce one number; grams has the
-        # same row count and reads the persisted cache
-        cut_row = grams.select(
+        # corpus row count from a one-COLUMN projection of the input —
+        # column pruning reaches the scan and the tokenize never
+        # re-executes.  (The old array route counted its cached
+        # full-gram-array projection instead; the flat cache has no
+        # one-row-per-doc shape to count, and the pruned id scan is the
+        # cheaper read anyway.)  Count of INPUT rows, NULL ids included,
+        # exactly as before.
+        cut_row = df.select(F.col(id_col)).agg(
             F.least(
                 F.lit(1024).cast("long"),
                 F.greatest(
@@ -756,41 +768,34 @@ def ngram_jaccard_pairs(
         )
         postings = (
             postings.join(F.broadcast(cut_row))
-            .filter(F.size("__ids__") <= F.col("__cut__"))
+            .filter(F.size("__mem__") <= F.col("__cut__"))
             .drop("__cut__")
         )
     else:
-        postings = postings.filter(F.size("__ids__") <= max_doc_freq)
-    # ids are sorted and distinct, so the triangular expansion yields each
-    # (id_a < id_b) pair once per shared gram
+        postings = postings.filter(F.size("__mem__") <= max_doc_freq)
+    # ids are sorted and distinct, so the triangular expansion yields
+    # each (id_a < id_b) pair once per shared gram
     co = (
-        _expand_id_pairs(postings)
-        .groupBy("id_a", "id_b")
+        _expand_sized_pairs(postings)
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     # With the doc-freq cut the index undercounts intersections, so
     # candidates must be re-verified against the FULL gram sets.  The
-    # array_intersect verify is the expensive step (candidates sharing one
-    # rare gram vastly outnumber true near-dups), so prune first with an
+    # verify is the expensive step (candidates sharing one rare gram
+    # vastly outnumber true near-dups), so prune first with an
     # exactness-preserving upper bound: the cut can hide at most
     # min(stop_a, stop_b) shared grams, where stop_x = |X| - (grams of x
     # surviving the cut), hence
     #   true_jaccard <= (common + m) / (n_a + n_b - common - m),
     # m = min(stop_a, stop_b).  Pairs whose bound cannot reach the
-    # threshold are dropped WITHOUT touching the gram arrays; survivors
-    # (roughly the true near-dups) get the exact array verify.
+    # threshold are dropped WITHOUT touching the gram rows again.  Every
+    # doc in co shares >= 1 surviving gram, so the inner rare-count
+    # join loses nobody.
     rare_counts = (
-        postings.select(F.explode("__ids__").alias("__id__"))
-        .groupBy("__id__")
+        postings.select(F.explode("__mem__").alias("__e__"))
+        .groupBy(F.col("__e__.i").alias("__id__"))
         .agg(F.count(F.lit(1)).alias("__rare__"))
-    )
-    stats = (
-        sizes.join(rare_counts, "__id__", "left")
-        .select(
-            "__id__",
-            F.col("__n__"),
-            (F.col("__n__") - F.coalesce(F.col("__rare__"), F.lit(0))).alias("__stop__"),
-        )
     )
     m = F.least(F.col("stop_a"), F.col("stop_b"))
     ubound = (F.col("common") + m) / F.greatest(
@@ -798,42 +803,53 @@ def ngram_jaccard_pairs(
     )
     survivors = (
         co.join(
-            stats.select(
+            rare_counts.select(
                 F.col("__id__").alias("id_a"),
-                F.col("__n__").alias("n_a"),
-                F.col("__stop__").alias("stop_a"),
+                F.col("__rare__").alias("__ra__"),
             ),
             "id_a",
         )
         .join(
-            stats.select(
+            rare_counts.select(
                 F.col("__id__").alias("id_b"),
-                F.col("__n__").alias("n_b"),
-                F.col("__stop__").alias("stop_b"),
+                F.col("__rare__").alias("__rb__"),
             ),
             "id_b",
         )
+        .withColumn("stop_a", F.col("n_a") - F.col("__ra__"))
+        .withColumn("stop_b", F.col("n_b") - F.col("__rb__"))
         # 1e-6 slack: the final filter rounds to 6 decimals, so a true
         # jaccard as low as threshold - 5e-7 can still round in
         .filter(ubound >= threshold - 1e-6)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "n_a", "n_b")
+    )
+    # Exact full-set intersection for the (few) survivors by recounting
+    # shared grams from the flat rows — null-safe gram equality so two
+    # NULL-text documents (one NULL gram each) still intersect, exactly
+    # like array_intersect did on the array route.  Gram sets are
+    # distinct per doc, so |A u B| = n_a + n_b - |A n B| and the
+    # count/(n_a + n_b - count) division tree is the same double
+    # division the array form evaluated — scores identical to the bit.
+    fa = flat.select(
+        F.col("__id__").alias("id_a"), F.col("__gram__").alias("__ga__")
+    )
+    fb = flat.select(
+        F.col("__id__").alias("__idb__"), F.col("__gram__").alias("__gb__")
     )
     verified = (
-        survivors.join(
-            grams.select(F.col("__id__").alias("id_a"), F.col("__grams__").alias("ga")),
-            "id_a",
-        )
+        survivors.join(fa, "id_a")
         .join(
-            grams.select(F.col("__id__").alias("id_b"), F.col("__grams__").alias("gb")),
-            "id_b",
+            fb,
+            on=(F.col("id_b") == F.col("__idb__"))
+            & F.col("__ga__").eqNullSafe(F.col("__gb__")),
         )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("__common__"))
         .withColumn(
             "jaccard",
             F.round(
-                F.expr(
-                    "CAST(size(array_intersect(ga, gb)) AS DOUBLE) / "
-                    "size(array_union(ga, gb))"
-                ),
+                F.col("__common__")
+                / (F.col("n_a") + F.col("n_b") - F.col("__common__")),
                 6,
             ),
         )

@@ -2364,6 +2364,38 @@ def test_triu_expand_flush_bounded_buffers(spark):
     assert big == tiny and len(big) > 10_000
 
 
+def test_ngram_jaccard_cut_path_matches_exact_incl_null_text(spark):
+    """The flat-emit cut path must reproduce the exact (None) path
+    whenever the cut is a no-op — including the degenerate corners the
+    survivor-verify recount has to get right: NULL-text docs (one NULL
+    gram each; null-safe intersection pairs them at jaccard 1.0),
+    empty/short docs (join-all gram), and ordinary near-dups."""
+    import random
+
+    from feathub_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    rnd = random.Random(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [(1, None), (2, None), (3, ""), (4, "  "), (5, "alpha")]
+    rows += [
+        (10 + i, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(0, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.2, 0.5):
+        exact = sorted(
+            map(tuple, ngram_jaccard_pairs(
+                df, "text", "doc_id", n=2, threshold=thr, max_doc_freq=None
+            ).collect())
+        )
+        cut = sorted(
+            map(tuple, ngram_jaccard_pairs(
+                df, "text", "doc_id", n=2, threshold=thr, max_doc_freq=10_000
+            ).collect())
+        )
+        assert cut == exact and ((1, 2, 1.0) in cut)
+
+
 def test_ngram_jaccard_none_path_drops_null_ids(spark):
     """max_doc_freq=None must exclude NULL-id documents exactly like the
     cut path (whose bare collect_list skips them)."""
