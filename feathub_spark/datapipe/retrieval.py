@@ -2,15 +2,17 @@
 statistics — the lexical half of hybrid search (compose with
 ``similarity``'s ANN family for the vector half).
 
-Plan shape: ONE tokenize pass yields per-(doc, term) frequencies WITH the
-document length carried through the aggregation (no second scan, no
-doc-length self-join); document frequencies are computed per term and then
-semi-joined down to the QUERY vocabulary before broadcasting (the
-broadcast side is bounded by distinct query terms, never corpus vocab);
-corpus totals (N, avgdl) attach as a 1-row broadcast.  Per-term partial
-scores round into integer micro-units so the per-(query, doc) sum is
-exact bigint arithmetic in any engine, and the final per-query top-k runs
-the salted two-stage rank.
+Plan shape: the token stream is pruned to the QUERY vocabulary (a
+broadcast of distinct query terms) BEFORE the per-(doc, term) frequency
+aggregation, so the only corpus-sized shuffle is gone — postings for
+non-query terms never leave the scan (same pattern as phrase_search);
+the document length rides through that pruned aggregation (no
+doc-length self-join).  Corpus totals (N, avgdl) come from a separate
+length-only pass whose shuffle is bounded by the DOCUMENT count, and
+attach as a 1-row broadcast.  Per-term partial scores round into
+integer micro-units so the per-(query, doc) sum is exact bigint
+arithmetic in any engine, and the final per-query top-k runs the salted
+two-stage rank.
 """
 
 from __future__ import annotations
@@ -46,58 +48,69 @@ def bm25_search(
         f"filter(split(trim(lower(`{query_text_col}`)), '\\\\s+'), "
         f"t -> t <> '')"
     )
-    # ONE tokenize per document: the array materializes in an inner
-    # projection (split+filter is non-cheap, so CollapseProject keeps it
-    # single-evaluated) and size/explode both read it.  explode_OUTER
-    # keeps zero-token documents as a NULL-term row: Okapi's N and avgdl
-    # are corpus-wide — deriving them from token-bearing docs only
-    # deflates every idf as the empty-doc fraction grows.
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.expr(f"array_distinct({qtoks})")).alias("__term__"),
+    )
+    qvocab = F.broadcast(qterms.select("__term__").distinct())
+    # Token stream pruned to the query vocabulary BEFORE the (doc, term)
+    # aggregate: the broadcast hash semi-filter runs at the scan, so the
+    # groupBy's shuffle is bounded by query-term occurrences, never the
+    # corpus token count.  The length rides along (coalesce: size(NULL)
+    # is NULL, and a NULL-text doc must carry len 0 like an empty one).
+    # Plain explode is enough here — a NULL/empty doc has no term to
+    # match the vocabulary anyway; such docs enter the corpus stats
+    # through the separate length pass below.
     exploded = (
         ensure_parallelism(docs)
         .select(F.col(id_col), F.expr(toks).alias("__toks__"))
         .select(
             F.col(id_col),
-            # coalesce: size(NULL) is NULL, and a NULL-text doc must carry
-            # len 0 like an empty one — it counts toward N, so excluding
-            # it from avgdl (avg skips NULLs) would inflate every
-            # document's length normalization
             F.coalesce(F.size("__toks__").cast("double"), F.lit(0.0)).alias(
                 "__len__"
             ),
-            F.explode_outer("__toks__").alias("__term__"),
+            F.explode("__toks__").alias("__term__"),
         )
     )
-    # (doc, term, tf, len) feeds corpus stats, query-vocabulary document
-    # frequencies AND the scoring join — three scans of the tokenize+
-    # explode+aggregate otherwise (caller releases via release_caches())
+    # (doc, query-term, tf, len) feeds the document frequencies AND the
+    # scoring join — two scans of the tokenize+explode+filter otherwise
+    # (caller releases via release_caches()); bounded by query-term
+    # occurrences, not the corpus
     from feathub_spark.common.caching import register_cache
 
-    all_terms = register_cache(
-        exploded.groupBy(id_col, "__term__").agg(
+    doc_terms = register_cache(
+        exploded.join(qvocab, on="__term__")
+        .groupBy(id_col, "__term__")
+        .agg(
             F.count(F.lit(1)).cast("double").alias("__tf__"),
             F.first("__len__").alias("__len__"),
         )
     )
-    doc_terms = all_terms.filter(F.col("__term__").isNotNull())
-    # corpus totals over EVERY document (empty docs carry __len__ = 0)
-    doclens = all_terms.groupBy(id_col).agg(F.first("__len__").alias("__l__"))
+    # corpus totals over EVERY document (empty/NULL-text docs carry
+    # __len__ = 0 — Okapi's N and avgdl are corpus-wide, so deriving
+    # them from token-bearing docs only would deflate every idf as the
+    # empty-doc fraction grows).  Length-only pass: the groupBy (dup-id
+    # collapse, matching the previous doclens contract) shuffles one
+    # narrow row per document, nothing term-sized.
+    doclens = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.size(F.expr(toks)).cast("double"), F.lit(0.0)
+            ).alias("__l__"),
+        )
+        .groupBy(id_col)
+        .agg(F.first("__l__").alias("__l__"))
+    )
     stats = doclens.alias("__dl__").agg(
         F.count(F.lit(1)).cast("double").alias("__N__"),
         F.avg("__l__").alias("__avgdl__"),
     )
-    qterms = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(F.expr(f"array_distinct({qtoks})")).alias("__term__"),
-    )
-    # document frequencies ONLY for the query vocabulary: semi-join the
-    # per-term df table down before broadcasting
-    dfreq = (
-        doc_terms.join(
-            F.broadcast(qterms.select("__term__").distinct()),
-            on="__term__",
-        )
-        .groupBy("__term__")
-        .agg(F.count(F.lit(1)).cast("double").alias("__df__"))
+    # document frequencies: doc_terms is already one row per (doc, term)
+    # restricted to the query vocabulary, so df(t) is a plain count
+    dfreq = doc_terms.groupBy("__term__").agg(
+        F.count(F.lit(1)).cast("double").alias("__df__")
     )
     qside = (
         qterms.join(F.broadcast(dfreq), on="__term__")
