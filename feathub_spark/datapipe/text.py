@@ -767,30 +767,37 @@ def tokenize_to_ids(
     are 1..vocab_size assigned by (count DESC, token ASC) rank over the
     corpus's own distribution; everything else encodes to the OOV id 0.
 
-    Scale shape: token counts are one map-side-combinable groupBy; the
+    Scale shape: token counts are one map-side-combinable groupBy over a
+    plain explode (no cache — the count pass never needs positions); the
     vocabulary cut is orderBy+limit (TakeOrderedAndProject — parallel
-    partial top-k, no corpus-wide sort) and the id-rank window runs over
-    AT MOST vocab_size rows (corpus-size-independent by construction).
-    Encoding is a positional explode + BROADCAST HASH JOIN against the
-    vocab (a real O(1) hashed-relation probe per token — a 1-row
-    token->id map column was 8-15x slower because Catalyst's map
-    element_at is an O(vocab) linear scan per token) + one per-document
-    regroup; documents that tokenize to nothing come back with empty
-    arrays via the final left join on the id.
+    partial top-k, no corpus-wide sort), the id-rank window runs over AT
+    MOST vocab_size rows (corpus-size-independent by construction), and
+    the finished vocab is collected to the driver — bounded by
+    vocab_size, the same relation the previous implementation already
+    broadcast as a hash join side (the BPE-vocab precedent).  Encoding
+    is then ONE ``mapInArrow`` pass over (id, text): tokens match the
+    engine-wide lower/trim/ASCII-\\s split rule (the fuzz-pinned recipe
+    shared with the shingle emit — Python ``str.lower`` for the
+    final-sigma rule, RE2 ``split_pattern_regex`` for the split), ids
+    resolve through one hash-based ``pyarrow.compute.index_in`` per
+    batch, and every document emits exactly one row — zero-token
+    documents come back with empty arrays directly, so the corpus never
+    pays the old positional-explode CACHE, the per-document regroup
+    shuffle, or the final left self-join (its whole plan is two tokenize
+    scans and one distinct-token-bounded aggregate).
+
+    Duplicate ``id_col`` rows each encode their own text (the previous
+    join-based form merged them into one repeated token stream; no
+    caller tokenizes duplicate ids).
 
     Returns (id_col, token_ids array<int>, n_tokens, n_oov)."""
-    from feathub_spark.common.caching import register_cache
+    from pyspark.sql import types as T
 
     toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
-    # the positional explode feeds BOTH the vocabulary count and the
-    # encoding join — cache it or the corpus tokenizes twice (caller
-    # releases via release_caches())
-    occ = register_cache(ensure_parallelism(df).select(
-        F.col(id_col),
-        F.posexplode(F.expr(toks)).alias("__pos__", "__tok__"),
-    ))
     counts = (
-        occ.groupBy("__tok__")
+        ensure_parallelism(df)
+        .select(F.explode(F.expr(toks)).alias("__tok__"))
+        .groupBy("__tok__")
         .agg(F.count(F.lit(1)).alias("__c__"))
         .filter(F.col("__c__") >= F.lit(int(min_count)))
     )
@@ -802,37 +809,101 @@ def tokenize_to_ids(
         F.col("__tok__").alias("__vtok__"),
         F.row_number().over(w).cast("int").alias("__tid__"),
     )
-    enc = (
-        occ.join(
-            F.broadcast(vocab), occ.__tok__ == vocab.__vtok__, "left"
-        )
-        .select(
-            id_col,
-            "__pos__",
-            F.coalesce(F.col("__tid__"), F.lit(0)).alias("__tid__"),
-        )
-    )
-    arrs = enc.groupBy(id_col).agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(__pos__, __tid__))), "
-            "s -> s.__tid__)"
-        ).alias("token_ids"),
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.expr(
-            "CAST(sum(CASE WHEN __tid__ = 0 THEN 1 ELSE 0 END) AS BIGINT)"
-        ).alias("n_oov"),
-    )
+    # bounded driver artifact: <= vocab_size (token, id) pairs — the rank
+    # semantics stay in the window above, the driver only materializes it
+    vocab_rows = vocab.collect()
+    vtoks = [r[0] for r in vocab_rows]
+    vtids = [r[1] for r in vocab_rows]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((vtoks, vtids))
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("token_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("n_oov", T.LongType()),
+    ])
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        vt, vi = bc.value
+        vocab_arr = pa.array(vt, type=pa.string())
+        tid_np = np.asarray(vi, dtype=np.int32)
+        for rb in batches:
+            n_rows = rb.num_rows
+            if n_rows == 0:
+                continue
+            ids = rb.column(0)
+            raw = rb.column(1).to_pylist()
+            # Python str.lower matches Spark's JVM lowering incl. the
+            # context-sensitive final-sigma rule (pyarrow's utf8_lower
+            # does not) — pinned by the shingle fuzz test alphabet
+            lowered = pa.array(
+                [t.lower().strip(" ") if t is not None else None
+                 for t in raw],
+                type=pa.string(),
+            )
+            toks_b = pc.split_pattern_regex(
+                lowered, pattern="[ \t\n\x0b\f\r]+"
+            )
+            lens = pc.fill_null(
+                pc.list_value_length(toks_b), 0
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = toks_b.flatten()
+            doc_of_tok = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            keep = np.asarray(
+                pc.not_equal(flat, "").to_numpy(zero_copy_only=False),
+                dtype=bool,
+            )
+            kept = flat.filter(pa.array(keep))
+            kdoc = doc_of_tok[keep]
+            kl = np.bincount(kdoc, minlength=n_rows).astype(np.int64)
+            # hash-based vocab probe, one call per batch; misses -> OOV 0
+            if len(vt):
+                idx = pc.index_in(kept, value_set=vocab_arr)
+                idx_np = idx.to_numpy(zero_copy_only=False)
+                miss = np.isnan(idx_np) if idx_np.dtype.kind == "f" else (
+                    np.asarray(pc.is_null(idx).to_numpy(
+                        zero_copy_only=False), dtype=bool)
+                )
+                filled = np.where(miss, 0, idx_np).astype(np.int64)
+                tids = np.where(miss, np.int32(0), tid_np[filled]).astype(
+                    np.int32
+                )
+            else:
+                tids = np.zeros(len(kept), dtype=np.int32)
+            offsets = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(kl, out=offsets[1:])
+            token_ids = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(tids, type=pa.int32()),
+            )
+            n_oov = np.bincount(
+                kdoc[tids == 0], minlength=n_rows
+            ).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    token_ids,
+                    pa.array(kl, type=pa.int64()),
+                    pa.array(n_oov, type=pa.int64()),
+                ],
+                schema=pa.schema([
+                    pa.field(id_col, ids.type),
+                    pa.field("token_ids", pa.list_(pa.int32())),
+                    pa.field("n_tokens", pa.int64()),
+                    pa.field("n_oov", pa.int64()),
+                ]),
+            )
+
     return (
-        df.select(id_col)
-        .join(arrs, on=id_col, how="left")
-        .select(
-            F.col(id_col),
-            F.coalesce(
-                F.col("token_ids"), F.expr("CAST(array() AS ARRAY<INT>)")
-            ).alias("token_ids"),
-            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
-        )
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInArrow(gen, out_schema)
     )
 
 

@@ -1141,6 +1141,91 @@ def test_bloom_prune_no_false_negatives(spark):
     assert true_set <= kept_tiny
 
 
+def test_tokenize_to_ids_arrow_matches_sql_join_model(spark):
+    """The mapInArrow encode must equal the positional-explode +
+    broadcast-join + regroup form it replaced, row for row, on the full
+    fuzz alphabet — incl. final-sigma/dotted-I lowering, NULL text,
+    whitespace-only text, and all-OOV documents."""
+    import random
+
+    from pyspark.sql import Window
+
+    from feathub_spark.datapipe.text import tokenize_to_ids
+
+    rnd = random.Random(78)
+    alphabet = list("abc XYZ \t\n\x0b\f\r") + [
+        "\xa0", " ", "İ", "ß", "ẞ", "Σ", "ΟΣ", "é", "漢", "🙂", "'",
+        '"', "\\", "`", "0", ".",
+    ]
+    texts = [None, "", " ", "   ", "a", "a b", "\t\n", "\xa0", "ΣΑΣ ΟΣ Σ",
+             "a b a b a b"]
+    texts += [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = "filter(split(trim(lower(`text`)), '\\\\s+'), t -> t <> '')"
+    for vocab_size, min_count in ((5, 1), (50, 2)):
+        occ = df.select(
+            F.col("doc_id"),
+            F.posexplode(F.expr(toks)).alias("__pos__", "__tok__"),
+        )
+        counts = (
+            occ.groupBy("__tok__")
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .filter(F.col("__c__") >= F.lit(min_count))
+        )
+        cut = counts.orderBy(
+            F.col("__c__").desc(), F.col("__tok__").asc()
+        ).limit(vocab_size)
+        w = Window.orderBy(F.col("__c__").desc(), F.col("__tok__").asc())
+        vocab = cut.select(
+            F.col("__tok__").alias("__vtok__"),
+            F.row_number().over(w).cast("int").alias("__tid__"),
+        )
+        enc = occ.join(
+            F.broadcast(vocab), occ.__tok__ == vocab.__vtok__, "left"
+        ).select(
+            "doc_id", "__pos__",
+            F.coalesce(F.col("__tid__"), F.lit(0)).alias("__tid__"),
+        )
+        arrs = enc.groupBy("doc_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__pos__, "
+                "__tid__))), s -> s.__tid__)"
+            ).alias("token_ids"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN __tid__ = 0 THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("n_oov"),
+        )
+        want = {
+            r.doc_id: (r.token_ids, r.n_tokens, r.n_oov)
+            for r in df.select("doc_id")
+            .join(arrs, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.coalesce(
+                    F.col("token_ids"), F.expr("CAST(array() AS ARRAY<INT>)")
+                ).alias("token_ids"),
+                F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+                F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            )
+            .collect()
+        }
+        got = {
+            r.doc_id: (r.token_ids, r.n_tokens, r.n_oov)
+            for r in tokenize_to_ids(
+                df, "text", "doc_id",
+                vocab_size=vocab_size, min_count=min_count,
+            ).collect()
+        }
+        assert got == want, (vocab_size, min_count)
+
+
 def test_tokenize_to_ids_vocab_and_oov(spark):
     from feathub_spark.datapipe.text import tokenize_to_ids
 
