@@ -101,19 +101,29 @@ def pagerank(
     e.count()
     if raw_cache is not None:
         raw_cache.unpersist()
-    nodes = (
+    # LOOP-INVARIANT hoists: every iteration used to recompute the
+    # node-id distinct AND re-join the edge list against the degree
+    # table — both depend only on the (cached, frozen) edge set, so
+    # materialize them once.  ``ed`` (src, dst, __deg__) replaces the
+    # per-round e⋈deg join; once it and ``nodes`` are built the plain
+    # edge cache is dead and is freed immediately (the raw_cache
+    # pattern above), so peak cached state stays one edge-sized table.
+    nodes = register_cache(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
+    nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg__"))
+    ed = register_cache(e.join(deg, on="src"))
+    ed.count()
+    e.unpersist()
     base = int((100 - damping_pct) * UNIT) // 100
 
     ranks = nodes.withColumn("rank_units", F.lit(UNIT).cast("bigint"))
     for _ in range(int(iterations)):
         contrib = (
-            e.join(ranks, e.src == ranks.id)
-            .join(deg, on="src")
+            ed.join(ranks, ed.src == ranks.id)
             .select(
                 F.col("dst").alias("id"),
                 F.expr("rank_units div __deg__").alias("__c__"),
