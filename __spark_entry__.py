@@ -7006,6 +7006,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # `python tools/rotate_window.py --apply` mechanizes the rotation (oldest
 # hash-green evidence first); self-verify at sf0.01+sf0.1 after applying.
 _RAW_QUERIES = {
+        "mmr_rerank": _q_mmr_rerank,
+        "pca_apply": _q_pca_apply,
+        "ivf_ann_trained": _q_ivf_ann_trained,
+        "pq_ann": _q_pq_ann,
+        "ivf_pq_ann": _q_ivf_pq_ann,
+        "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
+        "funnel_steps": _q_funnel_steps,
+        "winsorize": _q_winsorize,
+        "snapshot_diff": _q_snapshot_diff,
+        "bloom_prune": _q_bloom_prune,
+        "key_skew": _q_key_skew,
+        "json_features": _q_json_features,
+        "negative_samples": _q_negative_samples,
+        "resample_ffill": _q_resample_ffill,
+        "validate_rules": _q_validate_rules,
+        "rank_normalize": _q_rank_normalize,
+        "robust_zscore": _q_robust_zscore,
+        "token_pmi": _q_token_pmi,
+        "weighted_sample": _q_weighted_sample,
+        "merge_aggregates": _q_merge_aggregates,
+        "weighted_sample_grouped": _q_weighted_sample_grouped,
+        "quality_buckets": _q_quality_buckets,
+        "decayed_sum": _q_decayed_sum,
+        "chunk_docs": _q_chunk_docs,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "interval_join": _q_interval_join,
+        "corpus_drift": _q_corpus_drift,
+        "dataset_split": _q_dataset_split,
+        "price_histogram": _q_price_histogram,
+        "profile_stats": _q_profile_stats,
+        "hll_distinct": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "phrase_search": _q_phrase_search,
+        "frame_sample_real": _q_frame_sample_real,
+        "url_normalize": _q_url_normalize,
+        "bm25_search": _q_bm25_search,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "dup_passages": _q_dup_passages,
+        "temperature_sample": _q_temperature_sample,
+        "normalize_text": _q_normalize_text,
+        "remove_dup_passages": _q_remove_dup_passages,
+        "token_surprisal": _q_token_surprisal,
+        "video_meta": _q_video_meta,
+        "video_meta_v1": _q_video_meta_v1,
+        "multimodal_tolerant": _q_multimodal_tolerant,
+        "cluster_sample": _q_cluster_sample,
+        "semantic_dedup": _q_semantic_dedup,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "text_signals": _q_text_signals,
         "select_survivors": _q_select_survivors,
         "sample_shard": _q_sample_shard,
         "pack_sequences": _q_pack_sequences,
@@ -7106,64 +7156,14 @@ _RAW_QUERIES = {
         "triangle_counts": _q_triangle_counts,
         "clustering_coeff": _q_clustering_coeff,
         "char_entropy": _q_char_entropy,
-        "pq_ann": _q_pq_ann,
-        "ivf_pq_ann": _q_ivf_pq_ann,
-        "sessionize": _q_sessionize,
-        "session_stats": _q_session_stats,
-        "funnel_steps": _q_funnel_steps,
-        "winsorize": _q_winsorize,
-        "snapshot_diff": _q_snapshot_diff,
-        "bloom_prune": _q_bloom_prune,
-        "key_skew": _q_key_skew,
-        "json_features": _q_json_features,
-        "negative_samples": _q_negative_samples,
-        "resample_ffill": _q_resample_ffill,
-        "validate_rules": _q_validate_rules,
-        "rank_normalize": _q_rank_normalize,
-        "robust_zscore": _q_robust_zscore,
-        "token_pmi": _q_token_pmi,
-        "weighted_sample": _q_weighted_sample,
-        "merge_aggregates": _q_merge_aggregates,
-        "weighted_sample_grouped": _q_weighted_sample_grouped,
-        "quality_buckets": _q_quality_buckets,
-        "decayed_sum": _q_decayed_sum,
-        "chunk_docs": _q_chunk_docs,
-        "bigram_surprisal": _q_bigram_surprisal,
-        "interval_join": _q_interval_join,
-        "corpus_drift": _q_corpus_drift,
-        "dataset_split": _q_dataset_split,
-        "price_histogram": _q_price_histogram,
-        "profile_stats": _q_profile_stats,
-        "hll_distinct": _q_hll_distinct,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "phrase_search": _q_phrase_search,
-        "frame_sample_real": _q_frame_sample_real,
-        "url_normalize": _q_url_normalize,
-        "bm25_search": _q_bm25_search,
-        "hybrid_rrf": _q_hybrid_rrf,
-        "dup_passages": _q_dup_passages,
-        "temperature_sample": _q_temperature_sample,
-        "normalize_text": _q_normalize_text,
-        "remove_dup_passages": _q_remove_dup_passages,
-        "token_surprisal": _q_token_surprisal,
-        "video_meta": _q_video_meta,
-        "video_meta_v1": _q_video_meta_v1,
-        "multimodal_tolerant": _q_multimodal_tolerant,
-        "cluster_sample": _q_cluster_sample,
-        "semantic_dedup": _q_semantic_dedup,
-        "boilerplate_lines": _q_boilerplate_lines,
-        "text_signals": _q_text_signals,
         "index_match": _q_index_match,
         "sql_view_tpch_q3": _q_sql_view_q3,
         "sql_view_tpch_q18": _q_sql_view_q18,
-        "ivf_ann_trained": _q_ivf_ann_trained,
-        "mmr_rerank": _q_mmr_rerank,
         "remove_dup_passages_fast": _q_remove_dup_passages_fast,
         "index_match_fast": _q_index_match_fast,
         "compression_ratio": _q_compression_ratio,
         "bpe_tokenize": _q_bpe_tokenize,
         "pca_whiten": _q_pca_whiten,
-        "pca_apply": _q_pca_apply,
 }
 
 
