@@ -551,7 +551,11 @@ class KafkaWireClient:
                 client = cls(host, int(port), client_id, timeout)
                 client._ensure_connected()
                 return client
-            except OSError as e:  # try the next bootstrap entry
+            except (OSError, ValueError) as e:
+                # OSError: entry unreachable; ValueError: malformed entry
+                # (missing/non-numeric port, e.g. 'host' or a trailing
+                # comma) — both skip to the next entry instead of
+                # bypassing the aggregated ConnectionError below
                 last_err = e
         raise ConnectionError(
             f"no Kafka bootstrap server reachable in {bootstrap!r}: {last_err}"

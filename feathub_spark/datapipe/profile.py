@@ -603,13 +603,69 @@ def exact_quantiles(
             ])
         ).alias("__t__"),
     ).select(*join_keys, "__t__.prob", "__t__.__r__")
-    return (
-        ranked.join(F.broadcast(targets), on=join_keys)
-        .filter(
-            (F.col("__r__") >= F.col("__lo__")) & (F.col("__r__") <= F.col("__hi__"))
+    if by:
+        # null-safe on the group keys: groupBy keeps NULL as a real group,
+        # so a plain equi-join here would silently drop that group's
+        # quantiles (still a BroadcastHashJoin — Spark hashes null-safe
+        # keys via coalesce).  'column' is a literal, never NULL.
+        jcond = F.col("__rk__.column") == F.col("__tg__.column")
+        for c in by:
+            jcond = jcond & F.col(f"__rk__.{c}").eqNullSafe(F.col(f"__tg__.{c}"))
+        found = (
+            ranked.alias("__rk__")
+            .join(F.broadcast(targets).alias("__tg__"), on=jcond)
+            .filter(
+                (F.col("__tg__.__r__") >= F.col("__rk__.__lo__"))
+                & (F.col("__tg__.__r__") <= F.col("__rk__.__hi__"))
+            )
+            .select(
+                *[F.col(f"__rk__.{c}").alias(c) for c in by],
+                F.col("__rk__.column").alias("column"),
+                F.col("__tg__.prob").alias("prob"),
+                F.col("__rk__.__v__").alias("value"),
+            )
         )
-        .select(*by, "column", "prob", F.col("__v__").alias("value"))
+    else:
+        found = (
+            ranked.join(F.broadcast(targets), on=join_keys)
+            .filter(
+                (F.col("__r__") >= F.col("__lo__"))
+                & (F.col("__r__") <= F.col("__hi__"))
+            )
+            .select("column", "prob", F.col("__v__").alias("value"))
+        )
+    # Contract parity with approx_quantiles: a (group,) column whose values
+    # are ALL NULL/NaN survives the filter nowhere, so totals carries no row
+    # for it and it would silently vanish from the report — approx_quantiles
+    # instead surfaces it as NULL-value rows (its coalesce-to-NULL).  Emit
+    # the same (by..., column, prob, NULL) rows for every requested
+    # combination absent from totals.  The requested-columns frame is a
+    # bounded driver literal; grouped calls pay one extra distinct over the
+    # by-columns (the group list is not derivable from the value-filtered
+    # stream), ungrouped calls only an anti-join against the tiny totals.
+    req_cols = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column string"
     )
+    if by:
+        req = df.select(*by).distinct().crossJoin(F.broadcast(req_cols))
+        present = totals.select(*join_keys)
+        cond = F.col("__rq__.column") == F.col("__pr__.column")
+        for c in by:  # null-safe: NULL is a real group key in a groupBy
+            cond = cond & F.col(f"__rq__.{c}").eqNullSafe(F.col(f"__pr__.{c}"))
+        missing = req.alias("__rq__").join(
+            present.alias("__pr__"), on=cond, how="left_anti"
+        )
+    else:
+        missing = req_cols.join(
+            totals.select("column"), on="column", how="left_anti"
+        )
+    null_rows = missing.select(
+        *by,
+        "column",
+        F.explode(F.array(*[F.lit(p) for p in probs])).alias("prob"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    return found.unionByName(null_rows)
 
 
 def approx_quantiles(

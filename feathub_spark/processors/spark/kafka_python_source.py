@@ -598,6 +598,16 @@ class _KafkaWriteCore:
                 if ts is None:
                     ts_ms = int(time.time() * 1000)
                 elif isinstance(ts, datetime):
+                    # naive datetimes here are OS-LOCAL wall times, not
+                    # session-tz ones: the data-source write worker
+                    # converts TimestampType via astimezone().replace(
+                    # tzinfo=None) (pyspark.sql.conversion
+                    # ArrowTableToRowsConversion), so .timestamp() — which
+                    # interprets naive values in the OS zone — exactly
+                    # round-trips the epoch regardless of
+                    # spark.sql.session.timeZone.  TimestampNTZ wall times
+                    # carry no zone at all and are likewise taken as
+                    # OS-local.  tz-aware values are exact by definition.
                     ts_ms = int(ts.timestamp() * 1000)
                 else:
                     ts_ms = int(ts)

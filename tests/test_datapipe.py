@@ -1656,6 +1656,55 @@ def test_exact_quantiles_matches_discrete_rank_rule(spark):
             assert ggot[(g, p)] == disc(data, p), (g, p)
 
 
+def test_exact_quantiles_all_null_column_surfaces_null_rows(spark):
+    """Contract parity with approx_quantiles: a column whose values are all
+    NULL must surface as (column, prob, NULL) rows instead of silently
+    vanishing from the report — ungrouped AND per-group (incl. a NULL group
+    key, which groupBy treats as a real group).  NaN is where the two
+    deliberately differ: exact_quantiles excludes NaN like NULL (its
+    documented rank rule), while approx_quantiles rides percentile_approx,
+    for which NaN is a real value sorting above everything — that pinned
+    oracle semantics must NOT change, so the NaN case is exact-only."""
+    from feathub_spark.datapipe.profile import approx_quantiles, exact_quantiles
+
+    probs = [0.5, 0.9]
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None)], "a double, b double"
+    )
+    for fn in (exact_quantiles, approx_quantiles):
+        got = {(r["column"], r["prob"]): r["value"] for r in fn(df, ["a", "b"], probs).collect()}
+        assert set(got) == {("a", p) for p in probs} | {("b", p) for p in probs}, fn
+        assert all(got[("b", p)] is None for p in probs), fn
+        assert all(got[("a", p)] is not None for p in probs), fn
+
+    # exact-only: a column that is NULL-except-NaN also surfaces NULL rows
+    # (exact_quantiles filters NaN out with the NULLs)
+    ndf = spark.createDataFrame(
+        [(1.0, None), (2.0, float("nan"))], "a double, b double"
+    )
+    ngot = {
+        (r["column"], r["prob"]): r["value"]
+        for r in exact_quantiles(ndf, ["a", "b"], probs).collect()
+    }
+    assert set(ngot) == {(c, p) for c in ("a", "b") for p in probs}
+    assert all(ngot[("b", p)] is None for p in probs)
+
+    gdf = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("y", None), (None, None), (None, 4.0)],
+        "g string, a double",
+    )
+    for fn in (exact_quantiles, approx_quantiles):
+        got = {
+            (r["g"], r["prob"]): r["value"]
+            for r in fn(gdf, ["a"], probs, by=["g"]).collect()
+        }
+        # group y is all-NULL -> NULL rows; groups x and NULL have values
+        assert set(got) == {(g, p) for g in ("x", "y", None) for p in probs}, fn
+        assert all(got[("y", p)] is None for p in probs), fn
+        assert all(got[("x", p)] is not None for p in probs), fn
+        assert all(got[(None, p)] == 4.0 for p in probs), fn
+
+
 def test_quantize_embeddings_and_quantized_topk(spark):
     """int8 quantization semantics (per-vector scale, zero-vector code,
     tinyint range) and integer-cosine top-k agreement with the exact

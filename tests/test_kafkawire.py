@@ -276,6 +276,16 @@ def test_bootstrap_parse_rejects_unreachable():
         KafkaWireClient.from_bootstrap("127.0.0.1:1", timeout=0.2)
 
 
+def test_bootstrap_malformed_entries_skip_to_next():
+    """A port-less or non-numeric entry must not bypass the try-next-entry
+    loop with a bare ValueError: 'host', a trailing comma, and a bad port
+    all skip to the next entry and the aggregate ConnectionError reports
+    the last failure."""
+    for bootstrap in ("justahost", "127.0.0.1:notaport,", "a:1x,b"):
+        with pytest.raises(ConnectionError):
+            KafkaWireClient.from_bootstrap(bootstrap, timeout=0.2)
+
+
 # ----------------------- randomized round-trip fuzz --------------------------
 
 from hypothesis import given, settings
