@@ -115,6 +115,29 @@ def _opt(options, name: str, default: Optional[str] = None) -> Optional[str]:
     return options.get(name.lower(), options.get(name, default))
 
 
+def _reject_unsupported_security(options) -> None:
+    """kafka_py speaks PLAINTEXT only.  A source configured for SASL/SSL
+    must fail HERE with the real cause, not degrade to a plaintext TCP
+    attempt whose eventual connection error never names security as the
+    reason (and silently skipping auth against a secured broker would be
+    worse).  The JVM connector supports these options — point there."""
+    proto = _opt(options, "kafka.security.protocol")
+    offending = [
+        k
+        for k in options
+        if k.lower().startswith(("kafka.sasl.", "kafka.ssl."))
+    ]
+    if proto and proto.strip().upper() != "PLAINTEXT":
+        offending.insert(0, f"kafka.security.protocol={proto}")
+    if offending:
+        raise ValueError(
+            "kafka_py (the pure-Python fallback) supports PLAINTEXT only; "
+            f"unsupported security options: {sorted(set(offending))}. "
+            "Install the spark-sql-kafka-0-10 connector jar to use "
+            "SASL/SSL-secured brokers."
+        )
+
+
 def _topics_of(options) -> List[str]:
     sub = _opt(options, "subscribe")
     if not sub:
@@ -250,6 +273,7 @@ def _verify_crc_opt(options) -> bool:
 class KafkaPyBatchReader(DataSourceReader):
     def __init__(self, options) -> None:
         self._options = options
+        _reject_unsupported_security(options)
         self._bootstrap = _opt(options, "kafka.bootstrap.servers")
         self._verify_crc = _verify_crc_opt(options)
         if not self._bootstrap:
@@ -337,6 +361,7 @@ def _tp_unkey(key: str) -> Tuple[str, int]:
 class KafkaPyStreamReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
         self._options = options
+        _reject_unsupported_security(options)
         self._bootstrap = _opt(options, "kafka.bootstrap.servers")
         if not self._bootstrap:
             raise ValueError("kafka_py requires 'kafka.bootstrap.servers'")
@@ -551,6 +576,7 @@ class _KafkaWriteCore:
     """Shared by the batch and streaming writers (one instance per task)."""
 
     def __init__(self, options, schema) -> None:
+        _reject_unsupported_security(options)
         self._bootstrap = _opt(options, "kafka.bootstrap.servers")
         if not self._bootstrap:
             raise ValueError("kafka_py requires 'kafka.bootstrap.servers'")

@@ -468,6 +468,48 @@ def test_stream_partitions_new_partition_starts_at_earliest():
     assert got == {("t", 0): (3, 9), ("t", 1): (5, 8)}
 
 
+def test_unsupported_security_options_raise_with_jar_guidance():
+    """kafka_py is PLAINTEXT-only: a source/sink configured for SASL/SSL
+    must raise AT CONSTRUCTION naming the unsupported options and the JVM
+    connector escape hatch — not degrade to a plaintext TCP attempt whose
+    connection error never mentions security (reader, stream reader, and
+    writer alike).  PLAINTEXT itself stays accepted."""
+    import pytest
+
+    from feathub_spark.processors.spark.kafka_python_source import (
+        KafkaPyBatchReader,
+        KafkaPyStreamReader,
+        _KafkaWriteCore,
+    )
+
+    class _Field:
+        def __init__(self, name):
+            self.name = name
+
+    class _Schema:
+        fields = [_Field("value")]
+
+    base = {"kafka.bootstrap.servers": "stub:0", "subscribe": "t"}
+    for bad in (
+        {"kafka.security.protocol": "SASL_SSL"},
+        {"kafka.sasl.jaas.config": "org.example required;"},
+        {"kafka.ssl.truststore.location": "/tmp/ts.jks"},
+    ):
+        opts = {**base, **{k.lower(): v for k, v in bad.items()}}
+        for ctor in (
+            lambda o: KafkaPyBatchReader(o),
+            lambda o: KafkaPyStreamReader(o),
+            lambda o: _KafkaWriteCore({**o, "topic": "t"}, _Schema()),
+        ):
+            with pytest.raises(ValueError, match="PLAINTEXT only.*jar"):
+                ctor(opts)
+
+    # explicit PLAINTEXT is not an error
+    KafkaPyBatchReader(
+        {**base, "kafka.security.protocol": "PLAINTEXT"}
+    )
+
+
 def test_stream_partitions_honor_min_partitions():
     """minPartitions slices streaming micro-batch offset ranges too (JVM
     source parity): one 100-record backlog on a single topic-partition
