@@ -1069,7 +1069,15 @@ def dedup_clusters(
                 ).alias("__changed__"),
             )
             .withColumnRenamed("new_cluster_id", "cluster_id")
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the probe below is the materializing
+            # action.  Its job computes EVERY partition (LocalLimit(1)
+            # runs per partition, and a persisted partition materializes
+            # wholesale on first compute), persisting the round's blocks
+            # and truncating lineage in the SAME job the eager form spent
+            # a separate materialize job + a cache-read probe pass on —
+            # one job and one pass over the label table per round instead
+            # of two
+            .localCheckpoint(eager=False)
         )
         # tracked AT CREATION so an exception below (a failed probe job,
         # an interrupt) leaves the frame releasable; free_checkpoint on
@@ -1138,6 +1146,10 @@ def _dedup_clusters_star(
     )
     # every checkpoint is tracked AT CREATION (exception paths stay
     # releasable); free_checkpoint on superseded rounds drops their ids
+    # LAZY checkpoint: the fingerprint aggregate below consumes every
+    # row, so its job materializes the blocks and truncates lineage —
+    # no separate eager-materialize job followed by a cache-read pass
+    # (the same fusion as the round loop below)
     e = track_checkpoint(
         base.select(
             F.greatest(F.col("x"), F.col("y")).alias("a"),
@@ -1145,7 +1157,7 @@ def _dedup_clusters_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(edges: DataFrame):
@@ -1189,7 +1201,11 @@ def _dedup_clusters_star(
             .select(F.col("__e__.x").alias("a"), F.col("__e__.y").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY: the fingerprint job is the materializing action (it
+            # consumes every row of every partition) — one job and one
+            # pass over the round's edge set instead of an eager
+            # materialize job plus a cache-read fingerprint pass
+            .localCheckpoint(eager=False)
         )
         track_checkpoint(new_e)
         new_fp = _fingerprint(new_e)

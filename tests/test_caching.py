@@ -113,6 +113,43 @@ def test_free_checkpoint_drops_superseded_round(spark):
     free_checkpoint(b)
 
 
+def test_cc_round_probe_materializes_lazy_checkpoint(spark):
+    """The CC loops' per-round checkpoints are LAZY; the convergence
+    probe is the materializing action (one job and one pass per round
+    instead of an eager-materialize job plus a cache-read probe pass).
+    Materialize-before-free is correctness-critical, not just fast: the
+    loop frees the superseded round right after the probe, and a
+    checkpointed frame's lineage is truncated at materialization — a
+    partition the probe job somehow skipped would have nothing left to
+    recompute from once its parent's blocks are gone.  Pin that when the
+    loop returns (no caller action yet) every still-tracked checkpoint
+    id already has blocks in RDD storage, for both algorithms."""
+    import feathub_spark.common.caching as caching
+    from feathub_spark.datapipe.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30, 2)] + [(1, 2), (3, 4)],
+        "id_a long, id_b long",
+    )
+    expected = None
+    for algo in ("label", "star"):
+        release_caches()
+        spark.catalog.clearCache()
+        out = dedup_clusters(pairs, algorithm=algo)
+        live = set(caching._CHECKPOINT_IDS)
+        assert live, "the loop should leave tracked checkpoints"
+        missing = live - _cached_rdd_ids(spark)
+        assert not missing, (
+            f"{algo}: tracked checkpoint RDDs {missing} not materialized "
+            "by the probe job"
+        )
+        got = {r.id: r.cluster_id for r in out.collect()}
+        if expected is None:
+            expected = got
+        assert got == expected
+    release_caches()
+
+
 def test_iterative_operators_leave_no_checkpoint_residue(spark):
     """dedup_clusters (label + star) and pagerank checkpoint per round;
     after the caller's action + release_caches() the RDD storage must be
