@@ -800,47 +800,73 @@ def remove_boilerplate_lines(
     the CCNet paragraph-hash convention; the ORIGINAL line text is what
     survives into the output.
 
-    Plan shape: posexplode (narrow) -> distinct (line-key, doc) pairs ->
-    map-side-combinable count per line key (the md5 key keeps the shuffle
-    rows fixed-width regardless of line length) -> join back on the key ->
-    one groupBy(doc) that sorts the surviving lines by position and
-    rebuilds the text.  Documents whose every line is boilerplate come
-    back with an empty string, not dropped.
+    Plan shape — decide with small rows, move the text once (each input
+    ROW is one document; ``id_col`` is assumed unique per document): the
+    decision side explodes (doc, pos, md5-key) ONLY — line text never
+    enters a shuffle — distinct (key, doc) pairs feed a map-side-
+    combinable count per key, surviving keys join back against the
+    exploded keys, and ONE per-doc aggregate collects the removed
+    POSITIONS (an int array bounded by lines-per-doc).  The rebuild is a
+    per-row Catalyst index-aware ``filter`` of the re-split original text
+    against that position array, so the only exchange the text itself can
+    cross is the final decision join (broadcast when the removed-position
+    table is small).  The previous shape regrouped every (pos, removed,
+    line-text) struct per document through a corpus-sized shuffle + sort.
+    Documents whose every line is boilerplate come back with an empty
+    string, not dropped.
 
     Returns (id_col, clean_text, n_lines, n_removed)."""
     norm = (
         f"md5(trim(lower(__line__)))" if normalize else "md5(__line__)"
     )
-    lines = ensure_parallelism(df).select(
-        F.col(id_col),
-        # NULL text would posexplode to zero rows and silently DROP the
-        # document; coalesce keeps it as a single empty (always-kept) line
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
-        ).alias("__pos__", "__line__"),
-    ).withColumn("__k__", F.expr(norm)).withColumn(
-        "__blank__", F.trim("__line__") == ""
+    src = ensure_parallelism(df)
+    # NULL text would posexplode to zero rows and silently DROP the
+    # document; coalesce keeps it as a single empty (always-kept) line
+    split_lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+    # blank/whitespace-only lines never count as boilerplate and are
+    # always kept, so they can be dropped from the decision side entirely
+    keyed = (
+        src.select(
+            F.col(id_col),
+            F.posexplode(split_lines).alias("__pos__", "__line__"),
+        )
+        .filter(F.trim("__line__") != "")
+        .select(id_col, "__pos__", F.expr(norm).alias("__k__"))
     )
-    counts = (
-        lines.filter(~F.col("__blank__"))
-        .select("__k__", id_col)
+    boiler_keys = (
+        keyed.select("__k__", id_col)
         .distinct()
         .groupBy("__k__")
         .agg(F.count(F.lit(1)).alias("__nd__"))
         .filter(F.col("__nd__") >= min_docs)
-        .select("__k__", F.lit(True).alias("__boiler__"))
+        .select("__k__")
     )
-    flagged = lines.join(counts, on="__k__", how="left").withColumn(
-        "__removed__", F.coalesce("__boiler__", F.lit(False)) & ~F.col("__blank__")
+    removed = (
+        keyed.join(boiler_keys, on="__k__")
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos__").alias("__rm__"))
     )
-    return flagged.groupBy(id_col).agg(
-        F.expr(
-            "array_join(transform(filter("
-            "array_sort(collect_list(struct(__pos__, __removed__, __line__))), "
-            "s -> NOT s.__removed__), s -> s.__line__), '\\n')"
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.sum(F.col("__removed__").cast("int")).cast("bigint").alias("n_removed"),
+    return (
+        src.join(removed, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.coalesce(
+                F.col("__rm__"), F.expr("CAST(array() AS array<int>)")
+            ).alias("__rm__"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.filter(
+                    split_lines,
+                    lambda l, i: ~F.array_contains(F.col("__rm__"), i),
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.size(split_lines).cast("bigint").alias("n_lines"),
+            F.size("__rm__").cast("bigint").alias("n_removed"),
+        )
     )
 
 
