@@ -81,9 +81,34 @@ def main() -> None:
 
     drift_start = _time_controls()
 
+    # Interleaved sub-second control (r15, additions-only): the start/end
+    # drift pair cannot see MID-SESSION host bursts, which r13/r14 showed
+    # dominate individual per-query readings on this host.  One rep of a
+    # cheap pinned control (expr_filter) every CTL_EVERY queries yields a
+    # LOCAL host factor for each query's neighborhood; each query's
+    # ctl_norm = (median / r12 pin) / nearest control factor is the
+    # burst-corrected ratio the perf gate should read first.
+    CTL_NAME = "expr_filter"
+    CTL_PIN = R12_BASELINE.get(CTL_NAME)
+    CTL_EVERY = 8
+    ctl_samples: list[tuple[int, float]] = []  # (query_index, seconds)
+
+    def _sample_control(idx: int) -> None:
+        if CTL_NAME not in qs or not CTL_PIN:
+            return
+        t0 = time.time()
+        qs[CTL_NAME](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        ctl_samples.append((idx, time.time() - t0))
+        release_caches()
+        spark.catalog.clearCache()
+
     timings = {}
     total = 0.0
-    for name, fn in qs.items():
+    for qi, (name, fn) in enumerate(qs.items()):
+        if qi % CTL_EVERY == 0:
+            _sample_control(qi)
         runs = []
         for _ in range(repeats):
             t0 = time.time()
@@ -98,6 +123,26 @@ def main() -> None:
         med = statistics.median(runs)
         timings[name] = round(med, 3)
         total += med
+    _sample_control(len(qs))
+
+    # per-query control-normalized ratio vs the r12 pin, using the control
+    # sample nearest (by queue position) to when the query ran
+    def _ctl_norm_for(name: str, idx: int):
+        pin = R12_BASELINE.get(name)
+        # pins are sf0.1 medians — the ratio is meaningless elsewhere
+        if sf != 0.1 or not pin or not ctl_samples or not CTL_PIN:
+            return None
+        nearest = min(ctl_samples, key=lambda s: abs(s[0] - idx))
+        factor = nearest[1] / CTL_PIN
+        if factor <= 0:
+            return None
+        return round((timings[name] / pin) / factor, 3)
+
+    ctl_norm = {}
+    for qi, name in enumerate(qs):
+        r = _ctl_norm_for(name, qi)
+        if r is not None:
+            ctl_norm[name] = r
 
     # Round-over-round comparability: the query set GROWS every round, so
     # the all-queries total is not comparable to earlier rounds' numbers.
@@ -192,8 +237,32 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:40]
     ) if len(timings) > 40 else timings
+    # the gate list re-read through the interleaved control: queries whose
+    # ctl_norm still exceeds 2.0 after LOCAL burst correction (the raw
+    # over_2x_r12_pin list stays printed unchanged for continuity)
+    over_2x_ctl = sorted(
+        q for q, r in ctl_norm.items() if r > 2.0
+    ) if sf == 0.1 else []
+
+    ctl_factors = (
+        [s / CTL_PIN for _, s in ctl_samples] if CTL_PIN else []
+    )
+    # slim block for the printed line (the driver keeps only ~2000 chars
+    # of stdout); the full sample list + per-query ratios go to
+    # BENCH_LOCAL.json
+    ctl_slim = {
+        "control": CTL_NAME,
+        "n": len(ctl_samples),
+        "median_factor": round(statistics.median(ctl_factors), 3)
+        if ctl_factors else None,
+        "min_factor": round(min(ctl_factors), 3) if ctl_factors else None,
+        "max_factor": round(max(ctl_factors), 3) if ctl_factors else None,
+    }
+
     base = {
         "drift_control": drift_control,
+        "ctl_interleaved": ctl_slim,
+        "over_2x_r12_pin_ctl_norm": over_2x_ctl,
         "runs_per_query": repeats,
         "r5_subset_total": round(r5_total, 3),
         "r6_subset_total": round(r6_total, 3),
@@ -206,6 +275,13 @@ def main() -> None:
         "sf": sf,
     }
     full = dict(queries=timings, queries_total_count=len(timings), **base)
+    full["queries_ctl_norm"] = ctl_norm
+    full["ctl_interleaved"] = dict(
+        ctl_slim,
+        pin=CTL_PIN,
+        every=CTL_EVERY,
+        samples=[[i, round(s, 3)] for i, s in ctl_samples],
+    )
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -214,16 +290,29 @@ def main() -> None:
             f.write(json.dumps(full, separators=(",", ":")) + "\n")
     except OSError:
         pass  # read-only checkout: stdout still carries the headline line
-    print(json.dumps(
-        dict(
-            queries=slowest,
-            queries_total_count=len(timings),
-            queries_shown=len(slowest),
-            full_record_file="BENCH_LOCAL.json",
-            **base,
-        ),
-        separators=(",", ":"),
-    ))
+    # ctl_norm ratios for the SHOWN queries, as an array aligned with the
+    # `queries` dict's key order (a parallel keyed dict would blow the
+    # driver's 2000-char stdout window; null = no r12 pin / no control)
+    ctl_norm_shown = [
+        round(ctl_norm[q], 2) if q in ctl_norm else None for q in slowest
+    ]
+    printed = dict(
+        queries=slowest,
+        ctl_norm_shown=ctl_norm_shown,
+        queries_total_count=len(timings),
+        queries_shown=len(slowest),
+        full_record_file="BENCH_LOCAL.json",
+        **base,
+    )
+    line = json.dumps(printed, separators=(",", ":"))
+    if len(line) > 1950:
+        # the driver parses the JSON line out of the LAST 2000 chars of
+        # stdout — on a pathological run (many flag entries) drop the
+        # shown-ratio array rather than risk truncating the line; the
+        # full per-query ctl_norm map is in BENCH_LOCAL.json regardless
+        printed.pop("ctl_norm_shown", None)
+        line = json.dumps(printed, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

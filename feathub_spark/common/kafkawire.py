@@ -14,9 +14,11 @@ that page) good enough to read and write topics:
 - five APIs at pinned old versions that predate tagged fields:
   ApiVersions v0, Metadata v1, ListOffsets v1, Fetch v4, Produce v3.
 
-Compression attributes are not implemented (attributes bits 0-2 must be 0);
-the fallback reader/writer always produces uncompressed batches and raises
-on compressed input rather than mis-decoding it.
+Compression on READ: gzip batches (attributes bits 0-2 == 1) decompress
+through stdlib zlib — the records section after the batch header is one
+gzip stream per the spec; snappy/lz4/zstd raise a clear error NAMING the
+codec and the JVM-jar escape hatch (no pure-stdlib codec exists for
+them).  The fallback WRITER always produces uncompressed batches.
 
 This codec is the SLOW path by design: it exists so KafkaSource/KafkaSink
 keep working when the JVM connector jar is absent (processors/spark/
@@ -266,6 +268,34 @@ def encode_record_batch(
     return out.getvalue()
 
 
+_COMPRESSION_NAMES = {1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+
+
+def _decompress_records(codec: int, blob: bytes) -> bytes:
+    """Decompress a v2 batch's records section.  gzip (codec 1) is one
+    gzip stream over the concatenated records — stdlib zlib handles it
+    (wbits=47 auto-detects the gzip/zlib header).  snappy/lz4/zstd have
+    no stdlib codec: raise naming the codec and the JVM-jar escape
+    hatch instead of mis-decoding."""
+    if codec == 1:
+        import zlib
+
+        try:
+            return zlib.decompress(blob, 47)
+        except zlib.error as exc:
+            raise ValueError(
+                f"gzip-compressed record batch failed to decompress: {exc}"
+            ) from exc
+    name = _COMPRESSION_NAMES.get(codec, f"codec {codec}")
+    raise ValueError(
+        f"{name}-compressed record batches are not supported by the "
+        "pure-Python Kafka fallback (only uncompressed and gzip are); "
+        "install the spark-sql-kafka-0-10 connector jars to read this "
+        "topic through the JVM client, or set compression.type=gzip/"
+        "none on the producer"
+    )
+
+
 def decode_record_batches(
     data: bytes, verify_crc: bool = True
 ) -> List[Tuple[int, int, List[Record]]]:
@@ -291,11 +321,6 @@ def decode_record_batches(
             raise ValueError("record batch CRC32C mismatch")
         r = Reader(payload)
         attributes = r.int16()
-        if attributes & 0x07:
-            raise ValueError(
-                "compressed record batches are not supported by the "
-                "pure-Python Kafka fallback (attributes bits 0-2 set)"
-            )
         last_offset_delta = r.int32()
         base_ts = r.int64()
         r.int64()  # maxTimestamp
@@ -306,6 +331,9 @@ def decode_record_batches(
         records: List[Record] = []
         buf = payload
         bpos = len(payload) - r.remaining()
+        if attributes & 0x07:
+            buf = _decompress_records(attributes & 0x07, payload[bpos:])
+            bpos = 0
         for _ in range(count):
             length, bpos = decode_varint(buf, bpos)
             rec_end = bpos + length
@@ -374,20 +402,19 @@ def iter_records(data: bytes, verify_crc: bool = True, progress: list = None):
             if crc32c(data[pos + 21 : end]) != crc_stored:
                 raise ValueError("record batch CRC32C mismatch")
         attributes = unpack_q(">h", data, pos + 21)[0]
-        if attributes & 0x07:
-            raise ValueError(
-                "compressed record batches are not supported by the "
-                "pure-Python Kafka fallback (attributes bits 0-2 set)"
-            )
         last_offset_delta = unpack_q(">i", data, pos + 23)[0]
         base_ts = unpack_q(">q", data, pos + 27)[0]
         count = unpack_q(">i", data, pos + 57)[0]
         if progress is not None:
             progress[0] = base_offset + last_offset_delta + 1
-        bpos = pos + 61
+        if attributes & 0x07:
+            rbuf = _decompress_records(attributes & 0x07, data[pos + 61 : end])
+            rpos, rend = 0, len(rbuf)
+        else:
+            rbuf, rpos, rend = data, pos + 61, end
         try:
             for offset, ts, key, value in _iter_batch_records(
-                data, bpos, end, count, base_offset, base_ts
+                rbuf, rpos, rend, count, base_offset, base_ts
             ):
                 yield (offset, ts, key, value)
         except IndexError:

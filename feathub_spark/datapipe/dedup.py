@@ -122,6 +122,12 @@ def _shingles_col(text_col: str, k: int, impl: str = "auto"):
     return _sh(F.col(text_col))
 
 
+# per-slice text-byte bound for the flat shingle emit: the expansion holds
+# ~k x this many bytes in flight per task (see sliced() below); module-level
+# so the conformance test can shrink it to force the slicing path
+_SHINGLE_SLICE_BYTES = 32 << 20
+
+
 def _shingle_rows_arrow(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """Flat ``(__id__, __n__, __gram__)`` shingle rows via ``mapInArrow`` —
     the already-exploded shape the inverted-index consumers reduce the
@@ -151,15 +157,48 @@ def _shingle_rows_arrow(df: DataFrame, text_col: str, id_col: str, k: int) -> Da
         T.StructField("__gram__", T.StringType()),
     ])
 
+    # captured at plan-build time so the closure ships the value to the
+    # Python workers (a module-global read would see each worker's own
+    # fresh import, making the bound untestable from the driver)
+    slice_bytes = _SHINGLE_SLICE_BYTES
+
     def gen(batches):
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        for rb in batches:
+        def sliced(batches):
+            # Bound the expansion working set: the k-gram emit holds
+            # ~k x a batch's text bytes in flight, so a 10k-row Arrow
+            # batch of very large documents could spike worker memory
+            # (every row is per-doc independent, so slicing input rows
+            # is semantics-free).  Slices group rows greedily up to
+            # _SHINGLE_SLICE_BYTES of text (always >= 1 row).
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                per_row = pc.fill_null(
+                    pc.binary_length(rb.column(1)), 0
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+                if per_row.sum() <= slice_bytes:
+                    yield rb
+                    continue
+                start = 0
+                n = rb.num_rows
+                while start < n:
+                    acc = 0
+                    end = start
+                    while end < n and (
+                        end == start
+                        or acc + per_row[end] <= slice_bytes
+                    ):
+                        acc += per_row[end]
+                        end += 1
+                    yield rb.slice(start, end - start)
+                    start = end
+
+        for rb in sliced(batches):
             n_rows = rb.num_rows
-            if n_rows == 0:
-                continue
             ids = rb.column(0)
             raw = rb.column(1).to_pylist()
             lowered = pa.array(
@@ -1171,11 +1210,26 @@ def _dedup_clusters_star(
     converged = False
     from feathub_spark.common.plan_shapes import symmetrize_pairs
 
+    from pyspark.sql import Window
+
+    # Each star half used to be a groupBy(min) + equi-join back onto the
+    # SAME rows — two consumers of one subtree, so Catalyst evaluated the
+    # round's upstream twice per half (and planned an exchange + a
+    # broadcast build per half).  A partition-only window computes the
+    # identical per-key min and re-attaches it to every row in ONE pass
+    # behind ONE exchange: per round the plan is now checkpoint scan ->
+    # Exchange(s) -> Window -> Exchange(a) -> Window -> Generate ->
+    # Exchange(a,b 'distinct') -> fingerprint, every subtree evaluated
+    # once (guide `2.4: two operations keyed the same way share one
+    # exchange).  The window's unbounded-frame min buffers one node's
+    # edges per group in a spillable row buffer — same magnitude the
+    # star reducer fundamentally regroups anyway.
+    w_s = Window.partitionBy("s")
+    w_a = Window.partitionBy("a")
     for _ in range(max_iterations):
         sym = symmetrize_pairs(e, "a", "b", "s", "d")
-        nmin = sym.groupBy("s").agg(F.min("d").alias("__m__"))
         large = (
-            sym.join(nmin, "s")
+            sym.withColumn("__m__", F.min("d").over(w_s))
             .filter(F.col("d") > F.col("s"))
             .select(
                 F.col("d").alias("a"),
@@ -1187,14 +1241,13 @@ def _dedup_clusters_star(
             # projection emits at most one row per symmetrized edge — the
             # exchange an intermediate distinct would add buys nothing
         )
-        small_min = large.groupBy("a").agg(F.min("b").alias("__m__"))
         new_e = (
-            large.join(small_min, "a")
+            large.withColumn("__m2__", F.min("b").over(w_a))
             .select(
                 F.explode(
                     F.array(
-                        F.struct(F.col("a").alias("x"), F.col("__m__").alias("y")),
-                        F.struct(F.col("b").alias("x"), F.col("__m__").alias("y")),
+                        F.struct(F.col("a").alias("x"), F.col("__m2__").alias("y")),
+                        F.struct(F.col("b").alias("x"), F.col("__m2__").alias("y")),
                     )
                 ).alias("__e__")
             )

@@ -240,10 +240,13 @@ def _per_node_triangles(e: DataFrame) -> DataFrame:
         F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
     )
     tris = wedges.join(closing, on=["b", "c"])
-    corners = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+    # credit all three corners with ONE in-place explode, NOT a 3-branch
+    # union: Catalyst does not dedupe repeated subplans, so the union
+    # form re-evaluated the whole wedge + closing join once per corner
+    # branch (three SortMergeJoin subtrees in the r14 plan dump) — the
+    # most expensive joins in the query, run 3x for a column rename
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")

@@ -455,6 +455,9 @@ def exact_quantiles(
     probs: Sequence[float],
     by: Optional[Sequence[str]] = None,
     n_buckets: Optional[int] = None,
+    max_distinct: Optional[int] = None,
+    on_exceed: str = "fallback",
+    fallback_accuracy: int = 10_000,
 ) -> DataFrame:
     """EXACT discrete quantiles (DuckDB ``quantile_disc`` semantics: the
     element at 1-based rank ``max(1, ceil(prob * n))`` of the sorted
@@ -489,15 +492,58 @@ def exact_quantiles(
     right tool for bounded-domain columns (prices, quantities, lengths,
     scores).  For truly continuous high-cardinality columns at extreme
     scale, distinct ~ rows and :func:`approx_quantiles` with a SANE
-    accuracy (1e4-1e5) is the honest trade.  With ``by``, ranks are
-    computed per group through one window partitioned by (group, column)
-    — per-group distinct values sort within one task, the usual grouped
-    contract.
+    accuracy (1e4-1e5) is the honest trade.  Pass ``max_distinct`` to
+    ENFORCE that contract instead of trusting the caller: one
+    ``approx_count_distinct`` probe per column runs up front, and any
+    column whose estimate exceeds the threshold either routes through
+    :func:`approx_quantiles` at ``fallback_accuracy``
+    (``on_exceed="fallback"``, the default — bounded-domain columns stay
+    exact, continuous ones degrade to the documented rank-error bound
+    instead of a row-count-sized shuffle) or raises ``ValueError`` with
+    that guidance (``on_exceed="raise"``).  ``max_distinct=None`` (the
+    default) keeps the unguarded exact path byte-for-byte unchanged.
+    With ``by``, ranks are computed per group through one window
+    partitioned by (group, column) — per-group distinct values sort
+    within one task, the usual grouped contract (the probe is global
+    per column either way — it guards the shuffle size, which sums over
+    groups).
 
     Returns long format (``by``..., ``column``, ``prob``, ``value``)."""
     cols = list(cols)
     by = list(by) if by else []
     probs = [float(p) for p in probs]
+    if on_exceed not in ("fallback", "raise"):
+        raise ValueError(f"unknown on_exceed: {on_exceed!r}")
+    if max_distinct is not None:
+        est = df.agg(
+            *[
+                F.approx_count_distinct(F.col(c).cast("double")).alias(c)
+                for c in cols
+            ]
+        ).first()
+        over = [c for c in cols if (est[c] or 0) > int(max_distinct)]
+        if over and on_exceed == "raise":
+            raise ValueError(
+                "exact_quantiles: column(s) "
+                + ", ".join(repr(c) for c in over)
+                + f" estimate more than max_distinct={max_distinct} "
+                "distinct values — the exact rank path would shuffle a "
+                "row-count-sized value table; use approx_quantiles "
+                "(accuracy 1e4-1e5) for continuous high-cardinality "
+                "columns, or raise max_distinct if the domain really is "
+                "bounded"
+            )
+        if over:
+            approx_part = approx_quantiles(
+                df, over, probs, accuracy=fallback_accuracy, by=by
+            )
+            keep = [c for c in cols if c not in set(over)]
+            if not keep:
+                return approx_part
+            exact_part = exact_quantiles(
+                df, keep, probs, by=by, n_buckets=n_buckets
+            )
+            return exact_part.unionByName(approx_part)
     melted = (
         ensure_parallelism(df)
         .select(
@@ -513,21 +559,25 @@ def exact_quantiles(
             ).alias("__m__"),
         )
         .select(*by, "__m__.column", "__m__.__v__")
-        # NaN drops with NULL: Spark's ordering ranks NaN as the LARGEST
-        # double (p=1.0 would return NaN) while SQL engines like DuckDB
-        # exclude it from quantiles — a quantile over NaN is meaningless,
-        # so take the exclude semantics both for sanity and oracle parity
-        .filter(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
     )
     # the value-count table feeds ranks, bucket stats, per-bucket offsets
     # AND the probability targets; its shuffle subplan repeats per branch
     # in the PRINTED plan but executes once — every branch shares the
     # identical exchange, which ReusedExchange deduplicates at runtime
     # (verified via the plan audit's ok + the warm runtime staying flat
-    # when a persist was added and removed)
-    vc = melted.groupBy(*by, "column", "__v__").agg(
+    # when a persist was added and removed).  NULL/NaN value rows pass
+    # THROUGH the aggregation (one extra group per (group, column) at
+    # most) and are filtered below it, so the grouped all-NULL surfacing
+    # can read its group list off this same shared exchange instead of
+    # re-executing ``df`` a second time.
+    vc_all = melted.groupBy(*by, "column", "__v__").agg(
         F.count(F.lit(1)).alias("__c__")
     )
+    # NaN drops with NULL: Spark's ordering ranks NaN as the LARGEST
+    # double (p=1.0 would return NaN) while SQL engines like DuckDB
+    # exclude it from quantiles — a quantile over NaN is meaningless,
+    # so take the exclude semantics both for sanity and oracle parity
+    vc = vc_all.filter(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
     if by:
         w = (
             Window.partitionBy(*by, "column")
@@ -640,14 +690,16 @@ def exact_quantiles(
     # instead surfaces it as NULL-value rows (its coalesce-to-NULL).  Emit
     # the same (by..., column, prob, NULL) rows for every requested
     # combination absent from totals.  The requested-columns frame is a
-    # bounded driver literal; grouped calls pay one extra distinct over the
-    # by-columns (the group list is not derivable from the value-filtered
-    # stream), ungrouped calls only an anti-join against the tiny totals.
+    # bounded driver literal; grouped calls derive the group list from the
+    # PRE-value-filter count table (all-NULL groups still appear there), so
+    # the distinct shares the aggregation's exchange instead of
+    # re-executing ``df``; ungrouped calls pay only an anti-join against
+    # the tiny totals.
     req_cols = df.sparkSession.createDataFrame(
         [(c,) for c in cols], "column string"
     )
     if by:
-        req = df.select(*by).distinct().crossJoin(F.broadcast(req_cols))
+        req = vc_all.select(*by).distinct().crossJoin(F.broadcast(req_cols))
         present = totals.select(*join_keys)
         cond = F.col("__rq__.column") == F.col("__pr__.column")
         for c in by:  # null-safe: NULL is a real group key in a groupBy

@@ -195,39 +195,43 @@ def token_surprisal(
     very high flags garbled or out-of-distribution text; quality pipelines
     cut both tails.
 
-    Plan shape (scale posture): one map-side-combinable token count
-    aggregation builds the unigram table (vocab-sized, NOT corpus-sized);
-    the corpus total is a 1-row aggregate of that count table attached via
-    a broadcast cross join — NO empty-partitionBy window anywhere, so no
-    stage ever serializes the vocab through a single task (web-scale
-    whitespace vocab reaches billions of distinct tokens — URL fragments,
-    numbers, typos — far too large for a one-task window); per-doc scoring
-    re-joins the exploded tokens against the unigram table on the token
-    key and one groupBy(doc) averages.  No collect.  Documents with zero
-    tokens drop out of the output (inner join).  The exploded projection
-    is persisted through the ``common.caching`` contract (it feeds the
-    vocab count AND the join back) — call ``release_caches()`` after the
-    consuming action.
+    Plan shape (scale posture): the exploded token stream is hash-
+    repartitioned ONCE on the token key, and that single exchange is the
+    shared intermediate — the unigram count table, the 1-row corpus
+    total and the scoring join all read the same shuffle output (Spark's
+    exchange reuse dedupes the identical subtrees), so NOTHING
+    corpus-sized is ever persisted (a corpus-sized MEMORY_AND_DISK cache
+    at 100 TB is a spill hazard; shuffle files are the storage layer
+    built for exactly this).  The corpus total attaches via a broadcast
+    cross join — NO empty-partitionBy window anywhere, so no stage ever
+    serializes the vocab through a single task (web-scale whitespace
+    vocab reaches billions of distinct tokens — URL fragments, numbers,
+    typos — far too large for a one-task window, and too large to
+    collect or broadcast, which is why the scoring join shuffles by
+    token instead of probing a broadcast vocab); per-doc scoring joins
+    the token-partitioned stream against the co-partitioned unigram
+    table and one groupBy(doc) averages.  No collect, no persist.
+    Documents with zero tokens drop out of the output (inner join).
 
     Returns (id_col, n_tokens, avg_surprisal) with avg_surprisal rounded
     to 6 dp (absorbs summation-order float noise across engines)."""
     toks = (
         f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
     )
-    exploded = register_cache(
-        ensure_parallelism(df).select(
-            F.col(id_col), F.explode(F.expr(toks)).alias("__tok__")
-        )
+    exploded = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(F.expr(toks)).alias("__tok__"))
+        .repartition(F.col("__tok__"))
     )
-    # the vocab-sized count table feeds BOTH the 1-row total and the
-    # scoring join — cache it so the exploded aggregation runs once
-    counts = register_cache(
-        exploded.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__n__"))
+    counts = exploded.groupBy("__tok__").agg(
+        F.count(F.lit(1)).alias("__n__")
     )
-    # the shared-lineage total: aliasing both sides keeps the analyzer from
+    # the shared-lineage total: aliasing keeps the analyzer from
     # resolving the cross join's columns through the common subtree (the
-    # ambiguity a plain counts-crossJoin-counts.agg hits)
-    total = counts.alias("__cnt__").agg(F.sum("__n__").alias("__tot__"))
+    # ambiguity a plain crossJoin over shared lineage hits)
+    total = exploded.alias("__tot_side__").agg(
+        F.count(F.lit(1)).alias("__tot__")
+    )
     unigram = counts.crossJoin(F.broadcast(total)).select(
         "__tok__",
         (-F.log2(F.col("__n__") / F.col("__tot__"))).alias("__surp__"),
@@ -264,13 +268,13 @@ def importance_weights(
     target rows ALSO count toward the source pool, matching the paper's
     raw-pool formulation.
 
-    Plan shape (scale posture): same as :func:`token_surprisal` — one
-    map-side-combinable token count (vocab-sized, with a per-token target
-    sub-count), a 1-row broadcast of the (total_src, total_tgt, vocab)
-    triple, per-doc scoring via an equi-join on token + one groupBy(doc).
-    No windows over the vocab, no collect; the exploded projection is
-    persisted through ``common.caching`` — call ``release_caches()``
-    after the consuming action.
+    Plan shape (scale posture): same as :func:`token_surprisal` — the
+    exploded (token, is_target) stream is hash-repartitioned ONCE on the
+    token key and that single shared exchange feeds the per-token count
+    table, the 1-row (total_src, total_tgt, vocab) broadcast AND the
+    per-doc scoring join (equi-join on token + one groupBy(doc)), so
+    nothing corpus-sized is persisted.  No windows over the vocab, no
+    collect.
 
     Returns (id_col, n_tokens, importance_weight) with the weight rounded
     to 6 dp (absorbs cross-engine float summation noise).  Zero-token
@@ -279,25 +283,31 @@ def importance_weights(
     toks = (
         f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
     )
-    exploded = register_cache(
-        ensure_parallelism(df).select(
+    exploded = (
+        ensure_parallelism(df)
+        .select(
             F.col(id_col),
             F.explode(F.expr(toks)).alias("__tok__"),
             F.expr(target_expr).cast("boolean").alias("__is_tgt__"),
         )
+        .repartition(F.col("__tok__"))
     )
-    counts = register_cache(
-        exploded.groupBy("__tok__").agg(
-            F.count(F.lit(1)).alias("__n_src__"),
-            F.sum(F.when(F.col("__is_tgt__"), 1).otherwise(0)).alias(
-                "__n_tgt__"
-            ),
-        )
+    counts = exploded.groupBy("__tok__").agg(
+        F.count(F.lit(1)).alias("__n_src__"),
+        F.sum(F.when(F.col("__is_tgt__"), 1).otherwise(0)).alias(
+            "__n_tgt__"
+        ),
     )
-    totals = counts.alias("__c__").agg(
-        F.sum("__n_src__").alias("__tot_src__"),
-        F.sum("__n_tgt__").alias("__tot_tgt__"),
-        F.count(F.lit(1)).alias("__vocab__"),
+    # the same totals the old counts-table pass produced: sum(n_src) =
+    # total occurrences, sum(n_tgt) = target occurrences, count(counts
+    # rows) = distinct tokens — the countDistinct's partial phase is
+    # aligned with the token partitioning, so no extra exchange
+    totals = exploded.alias("__t__").agg(
+        F.count(F.lit(1)).alias("__tot_src__"),
+        F.sum(
+            F.when(F.col("__is_tgt__"), 1).otherwise(0)
+        ).alias("__tot_tgt__"),
+        F.countDistinct("__tok__").alias("__vocab__"),
     )
     a = F.lit(float(alpha))
     ratio = counts.crossJoin(F.broadcast(totals)).select(
@@ -337,10 +347,12 @@ def cross_surprisal(
     sees the scored text — the signal is "does this look like the
     reference domain", the head/middle/tail cut of CCNet.
 
-    Plan shape: one map-side-combinable token count over the REFERENCE
-    (vocab-sized), a 1-row (N, V) broadcast, a left join of the scored
-    corpus's exploded tokens against that LM (OOV = the null side), one
-    groupBy(doc).  Reference and scored corpus are each scanned once.
+    Plan shape: the REFERENCE token stream is hash-repartitioned ONCE on
+    the token key; that shared exchange feeds the per-token count table
+    and the 1-row (N, V) broadcast (no persist — exchange reuse shares
+    the shuffle output).  The scored corpus's exploded tokens left-join
+    that LM on the token key (OOV = the null side), one groupBy(doc).
+    Reference and scored corpus are each scanned once.
 
     Returns (id_col, n_tokens, n_oov, avg_surprisal) — surprisal rounded
     to 6 dp; zero-token documents drop out."""
@@ -349,15 +361,17 @@ def cross_surprisal(
     def _toks(col):
         return f"filter(split(trim(lower(`{col}`)), '\\\\s+'), t -> t <> '')"
 
-    ref_toks = ensure_parallelism(ref_df).select(
-        F.explode(F.expr(_toks(ref_text_col))).alias("__tok__")
+    ref_toks = (
+        ensure_parallelism(ref_df)
+        .select(F.explode(F.expr(_toks(ref_text_col))).alias("__tok__"))
+        .repartition(F.col("__tok__"))
     )
-    counts = register_cache(
-        ref_toks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__n__"))
+    counts = ref_toks.groupBy("__tok__").agg(
+        F.count(F.lit(1)).alias("__n__")
     )
-    totals = counts.alias("__c__").agg(
-        F.sum("__n__").alias("__tot__"),
-        F.count(F.lit(1)).alias("__vocab__"),
+    totals = ref_toks.alias("__r__").agg(
+        F.count(F.lit(1)).alias("__tot__"),
+        F.countDistinct("__tok__").alias("__vocab__"),
     )
     doc_toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("__tok__")
@@ -519,13 +533,16 @@ def bigram_surprisal(
     "glued" boilerplate phrases low and genuinely novel continuations
     high.
 
-    Plan shape: everything derives from ONE exploded bigram projection
-    (cached via the ``common.caching`` contract): the bigram count table,
-    the prefix totals (groupBy prev), the continuation counts (groupBy
-    cur) and the 1-row type total (broadcast cross join — no global
-    window; same reasoning as token_surprisal).  All aggregations are
-    map-side combinable; the scoring join is on the bigram key.
-    Documents with fewer than 2 tokens drop out.
+    Plan shape: everything derives from ONE exploded bigram projection,
+    hash-repartitioned ONCE on the bigram key — that shared exchange
+    (reused, not persisted: nothing corpus-sized is ever cached) feeds
+    the bigram count table and the final scoring join.  The count table
+    ``bi`` IS persisted via the ``common.caching`` contract — it is the
+    LM itself (bigram-TYPE-sized, the minimal shared state) and feeds
+    four consumers: the prefix totals (groupBy prev), the continuation
+    counts (groupBy cur), the 1-row type total (broadcast cross join —
+    no global window; same reasoning as token_surprisal) and the scoring
+    join.  Documents with fewer than 2 tokens drop out.
 
     Returns (id_col, n_bigrams, avg_surprisal) rounded to 6 dp."""
     toks = (
@@ -537,18 +554,20 @@ def bigram_surprisal(
         f"'p', element_at(t, i - 1), 'c', element_at(t, i))) "
         f"ELSE CAST(array() AS ARRAY<STRUCT<p: STRING, c: STRING>>) END)[0]"
     )
-    exploded = register_cache(
-        ensure_parallelism(df).select(
-            F.col(id_col), F.explode(F.expr(pairs)).alias("__bg__")
-        ).select(
+    exploded = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(F.expr(pairs)).alias("__bg__"))
+        .select(
             id_col,
             F.col("__bg__.p").alias("__p__"),
             F.col("__bg__.c").alias("__c__"),
         )
+        .repartition(F.col("__p__"), F.col("__c__"))
     )
     # the bigram count table feeds FOUR consumers (prefix totals,
     # continuation counts, the type total and the scoring join) — cache it
-    # so the corpus-scale aggregation runs once
+    # so the corpus-scale aggregation runs once; it is vocab-pair-bounded
+    # (the LM model table), not corpus-bounded
     bi = register_cache(
         exploded.groupBy("__p__", "__c__").agg(
             F.count(F.lit(1)).alias("__n__")

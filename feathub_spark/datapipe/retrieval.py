@@ -2,17 +2,19 @@
 statistics — the lexical half of hybrid search (compose with
 ``similarity``'s ANN family for the vector half).
 
-Plan shape: the token stream is pruned to the QUERY vocabulary (a
-broadcast of distinct query terms) BEFORE the per-(doc, term) frequency
+Plan shape: the token array is pruned to the QUERY vocabulary (a
+collected, query-workload-bounded term set applied as an InSet filter
+inside the scan projection) BEFORE the per-(doc, term) frequency
 aggregation, so the only corpus-sized shuffle is gone — postings for
 non-query terms never leave the scan (same pattern as phrase_search);
-the document length rides through that pruned aggregation (no
-doc-length self-join).  Corpus totals (N, avgdl) come from a separate
-length-only pass whose shuffle is bounded by the DOCUMENT count, and
-attach as a 1-row broadcast.  Per-term partial scores round into
-integer micro-units so the per-(query, doc) sum is exact bigint
-arithmetic in any engine, and the final per-query top-k runs the salted
-two-stage rank.
+ONE tokenize pass feeds both that aggregation and the corpus totals
+(N, avgdl): explode_outer keeps a NULL-term row for term-free docs, so
+the cached narrow (doc, len, term) projection — bounded by query-term
+occurrences + document count, never corpus tokens — carries every
+document's length, and the stats attach as a 1-row broadcast.  Per-term
+partial scores round into integer micro-units so the per-(query, doc)
+sum is exact bigint arithmetic in any engine, and the final per-query
+top-k runs the salted two-stage rank.
 """
 
 from __future__ import annotations
@@ -52,16 +54,39 @@ def bm25_search(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.expr(f"array_distinct({qtoks})")).alias("__term__"),
     )
-    qvocab = F.broadcast(qterms.select("__term__").distinct())
-    # Token stream pruned to the query vocabulary BEFORE the (doc, term)
-    # aggregate: the broadcast hash semi-filter runs at the scan, so the
-    # groupBy's shuffle is bounded by query-term occurrences, never the
-    # corpus token count.  The length rides along (coalesce: size(NULL)
-    # is NULL, and a NULL-text doc must carry len 0 like an empty one).
-    # Plain explode is enough here — a NULL/empty doc has no term to
-    # match the vocabulary anyway; such docs enter the corpus stats
-    # through the separate length pass below.
-    exploded = (
+    # The query vocabulary is query-workload-bounded (it was ALREADY a
+    # broadcast hash relation), so collect it once and prune the token
+    # array IN the scan projection with an InSet membership filter — the
+    # same bounded-driver-artifact precedent as tokenize_to_ids' vocab.
+    # This lets ONE tokenize pass feed BOTH the per-(doc, term)
+    # aggregate and the corpus length stats: the r14 shape paid a second
+    # full tokenize scan for the length-only pass, which was its
+    # measured ~15% local regression.
+    qvocab_list = sorted(
+        r["__term__"]
+        for r in qterms.select("__term__").distinct().collect()
+        if r["__term__"] is not None
+    )
+    from feathub_spark.common.caching import register_cache
+
+    if qvocab_list:
+        pruned_toks = F.filter(
+            F.col("__toks__"), lambda t: t.isin(qvocab_list)
+        )
+    else:
+        # Column.isin() rejects an empty list; no query terms -> nothing
+        # can match, but every doc must still reach the length stats
+        pruned_toks = F.array().cast("array<string>")
+    # One row per query-term OCCURRENCE plus (via explode_outer) one
+    # NULL-term row for each doc with no query term — so this single
+    # narrow projection carries every doc's length for the corpus stats
+    # while staying bounded by query-term occurrences + document count,
+    # never the corpus token count.  The length rides along (coalesce:
+    # size(NULL) is NULL, and a NULL-text doc must carry len 0 like an
+    # empty one).  Cached: document frequencies, the scoring join and
+    # the corpus stats all read it (caller releases via
+    # release_caches()).
+    pruned = register_cache(
         ensure_parallelism(docs)
         .select(F.col(id_col), F.expr(toks).alias("__toks__"))
         .select(
@@ -69,17 +94,11 @@ def bm25_search(
             F.coalesce(F.size("__toks__").cast("double"), F.lit(0.0)).alias(
                 "__len__"
             ),
-            F.explode("__toks__").alias("__term__"),
+            F.explode_outer(pruned_toks).alias("__term__"),
         )
     )
-    # (doc, query-term, tf, len) feeds the document frequencies AND the
-    # scoring join — two scans of the tokenize+explode+filter otherwise
-    # (caller releases via release_caches()); bounded by query-term
-    # occurrences, not the corpus
-    from feathub_spark.common.caching import register_cache
-
-    doc_terms = register_cache(
-        exploded.join(qvocab, on="__term__")
+    doc_terms = (
+        pruned.filter(F.col("__term__").isNotNull())
         .groupBy(id_col, "__term__")
         .agg(
             F.count(F.lit(1)).cast("double").alias("__tf__"),
@@ -89,19 +108,12 @@ def bm25_search(
     # corpus totals over EVERY document (empty/NULL-text docs carry
     # __len__ = 0 — Okapi's N and avgdl are corpus-wide, so deriving
     # them from token-bearing docs only would deflate every idf as the
-    # empty-doc fraction grows).  Length-only pass: the groupBy (dup-id
-    # collapse, matching the previous doclens contract) shuffles one
-    # narrow row per document, nothing term-sized.
+    # empty-doc fraction grows).  The groupBy (dup-id collapse, matching
+    # the previous doclens contract) shuffles one narrow row per
+    # document-ish key (occurrence rows collapse map-side), nothing
+    # corpus-token-sized.
     doclens = (
-        ensure_parallelism(docs)
-        .select(
-            F.col(id_col),
-            F.coalesce(
-                F.size(F.expr(toks)).cast("double"), F.lit(0.0)
-            ).alias("__l__"),
-        )
-        .groupBy(id_col)
-        .agg(F.first("__l__").alias("__l__"))
+        pruned.groupBy(id_col).agg(F.first("__len__").alias("__l__"))
     )
     stats = doclens.alias("__dl__").agg(
         F.count(F.lit(1)).cast("double").alias("__N__"),

@@ -788,11 +788,25 @@ def tokenize_to_ids(
 
     Duplicate ``id_col`` rows each encode their own text (the previous
     join-based form merged them into one repeated token stream; no
-    caller tokenizes duplicate ids).
+    caller tokenizes duplicate ids).  NULL ``id_col`` rows likewise
+    encode their text normally and pass the NULL id through (the
+    join-based form returned them with empty token_ids / zero counts
+    because a NULL id never matched its final left join) — both corners
+    pinned by test_tokenize_to_ids_null_and_duplicate_ids_encode_per_row.
 
     Returns (id_col, token_ids array<int>, n_tokens, n_oov)."""
     from pyspark.sql import types as T
 
+    # LOAD-BEARING INVARIANT: this JVM tokenize (lower + trim + ASCII-\s
+    # split) and the Python/RE2 tokenize inside gen() below MUST agree on
+    # every codepoint — a divergence silently sends the affected token to
+    # OOV with no error because the count pass builds the vocab one way
+    # and the encode pass probes it the other.  The known-divergent hot
+    # spots (final sigma, dotted-I, sharp-s — where pyarrow's utf8proc
+    # lowering differs from JVM/Python) are why gen() uses Python
+    # str.lower, and the 300-text fuzz in
+    # test_tokenize_to_ids_arrow_matches_sql_join_model pins the pair;
+    # edit BOTH recipes together or not at all.
     toks = f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> t <> '')"
     counts = (
         ensure_parallelism(df)

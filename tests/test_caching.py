@@ -17,7 +17,7 @@ def _cache_manager_empty(spark) -> bool:
 
 def test_composed_pipeline_leaves_no_residual_caches(spark):
     from feathub_spark.datapipe.passages import dup_passage_stats
-    from feathub_spark.datapipe.quality import token_surprisal
+    from feathub_spark.datapipe.quality import bigram_surprisal, token_surprisal
 
     release_caches()
     spark.catalog.clearCache()
@@ -26,11 +26,18 @@ def test_composed_pipeline_leaves_no_residual_caches(spark):
               f"and some unique tail {i}") for i in range(40)],
         "doc_id long, text string",
     )
-    # two operators that each persist a corpus-sized exploded intermediate
-    stats = dup_passage_stats(docs, "text", "doc_id", gram_len=5, window=3)
+    # token_surprisal shares its exploded stream through ONE reused hash
+    # exchange instead of a persist (r15) — it must register NOTHING
     surp = token_surprisal(docs, "text", "doc_id")
-    assert stats.count() == 40
     assert surp.count() == 40
+    assert release_caches() == 0 and _cache_manager_empty(spark), (
+        "token_surprisal must not persist anything (shuffle-reuse shape)"
+    )
+    # two operators that do persist bounded shared intermediates
+    stats = dup_passage_stats(docs, "text", "doc_id", gram_len=5, window=3)
+    bi = bigram_surprisal(docs, "text", "doc_id")
+    assert stats.count() == 40
+    assert bi.count() == 40
     assert not _cache_manager_empty(spark), (
         "operators should have registered persisted intermediates"
     )

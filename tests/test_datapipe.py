@@ -1226,6 +1226,36 @@ def test_tokenize_to_ids_arrow_matches_sql_join_model(spark):
         assert got == want, (vocab_size, min_count)
 
 
+def test_tokenize_to_ids_null_and_duplicate_ids_encode_per_row(spark):
+    """Pin the two id corners the join-model conformance fuzz cannot
+    cover (its regroup model reproduces the OLD merged behavior): a NULL
+    id encodes its text normally with the NULL passed through (the old
+    join form returned it empty — NULL never matched the left join), and
+    duplicate ids each keep their own row/token stream."""
+    from feathub_spark.datapipe.text import tokenize_to_ids
+
+    df = spark.createDataFrame(
+        [(None, "a b"), (1, "a a"), (1, "b"), (2, None)],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=3, b=2 -> vocab_size=2 keeps both: a->1, b->2
+    got = sorted(
+        (
+            (r.doc_id, tuple(r.token_ids), r.n_tokens, r.n_oov)
+            for r in tokenize_to_ids(
+                df, "text", "doc_id", vocab_size=2
+            ).collect()
+        ),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [
+        (1, (1, 1), 2, 0),
+        (1, (2,), 1, 0),
+        (2, (), 0, 0),
+        (None, (1, 2), 2, 0),
+    ]
+
+
 def test_tokenize_to_ids_vocab_and_oov(spark):
     from feathub_spark.datapipe.text import tokenize_to_ids
 
@@ -1703,6 +1733,48 @@ def test_exact_quantiles_all_null_column_surfaces_null_rows(spark):
         assert all(got[("y", p)] is None for p in probs), fn
         assert all(got[("x", p)] is not None for p in probs), fn
         assert all(got[(None, p)] == 4.0 for p in probs), fn
+
+
+def test_exact_quantiles_max_distinct_guard(spark):
+    """The continuous-domain guard: with ``max_distinct`` set, a
+    high-cardinality column (distinct ~ rows — the case whose exact rank
+    path would shuffle a row-count-sized value table) routes through the
+    approx_quantiles sketch, a bounded-domain column stays exact, and
+    ``on_exceed='raise'`` names the offending column with the
+    approx_quantiles guidance.  ``max_distinct=None`` (the default, used
+    by every declared query) skips the probe entirely — pinned by the
+    unguarded tests above staying byte-identical."""
+    from feathub_spark.datapipe.profile import exact_quantiles
+
+    n = 100_000
+    df = spark.range(n).select(
+        (F.col("id") * 1.000001).alias("a"),  # ~n distinct: continuous
+        (F.col("id") % 10).cast("double").alias("b"),  # bounded domain
+    )
+    got = {
+        (r["column"], r["prob"]): r["value"]
+        for r in exact_quantiles(
+            df, ["a", "b"], [0.5], max_distinct=1000
+        ).collect()
+    }
+    # bounded column: exact rank rule, rank ceil(0.5*n) = 50000 -> 4.0
+    assert got[("b", 0.5)] == 4.0
+    # continuous column: sketch path, rank error <= n / accuracy = 10
+    true_median = 49999 * 1.000001
+    assert abs(got[("a", 0.5)] - true_median) <= 15 * 1.000001
+
+    with pytest.raises(ValueError, match="'a'"):
+        exact_quantiles(
+            df, ["a", "b"], [0.5], max_distinct=1000, on_exceed="raise"
+        )
+    # the bounded column alone passes the probe even in raise mode
+    ok = {
+        r["prob"]: r["value"]
+        for r in exact_quantiles(
+            df, ["b"], [0.5], max_distinct=1000, on_exceed="raise"
+        ).collect()
+    }
+    assert ok == {0.5: 4.0}
 
 
 def test_quantize_embeddings_and_quantized_topk(spark):
@@ -2399,6 +2471,35 @@ def test_shingle_rows_arrow_matches_sql_explode(spark):
             key=repr,
         )
         assert got == want, (k, got[:3], want[:3], len(got), len(want))
+
+
+def test_shingle_rows_arrow_sliced_emit_matches_unsliced(spark):
+    """The per-slice byte bound (memory guard for huge-document batches)
+    must be semantics-free: with the bound shrunk so every Arrow batch is
+    force-split into many row slices — including single-row slices larger
+    than the bound — the emitted row set is identical."""
+    import feathub_spark.datapipe.dedup as dedup_mod
+    from feathub_spark.datapipe.dedup import _shingle_rows_arrow
+
+    texts = [
+        (0, None), (1, ""), (2, "a b c d e f g"),
+        (3, " ".join(f"w{i}" for i in range(400))),  # one huge doc >> bound
+        (4, "lone"), (5, "Σ ΟΣ ΣΑΣ İ ß"), (6, "a b c " * 50),
+    ]
+    df = spark.createDataFrame(texts, "i long, t string")
+    baseline = sorted(
+        map(tuple, _shingle_rows_arrow(df, "t", "i", 3).collect()), key=repr
+    )
+    old = dedup_mod._SHINGLE_SLICE_BYTES
+    dedup_mod._SHINGLE_SLICE_BYTES = 16  # smaller than most single rows
+    try:
+        sliced = sorted(
+            map(tuple, _shingle_rows_arrow(df, "t", "i", 3).collect()),
+            key=repr,
+        )
+    finally:
+        dedup_mod._SHINGLE_SLICE_BYTES = old
+    assert sliced == baseline and len(baseline) > 100
 
 
 def test_expand_sized_pairs_arrow_matches_sql(spark):

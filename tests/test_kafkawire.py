@@ -136,13 +136,71 @@ def test_corrupt_crc_rejected():
         decode_record_batches(bytes(batch))
 
 
-def test_compressed_batch_rejected():
-    batch = bytearray(encode_record_batch([(b"a", b"b", 5)], base_offset=0))
-    batch[22] |= 0x01  # attributes low bits: gzip
-    # re-stamp the CRC so the compression check (not the CRC check) fires
-    batch[17:21] = struct.pack(">I", crc32c(bytes(batch[21:])))
-    with pytest.raises(ValueError, match="compressed"):
-        decode_record_batches(bytes(batch))
+def test_unsupported_codec_batch_rejected_naming_codec():
+    # snappy/lz4/zstd have no stdlib codec — the reader must raise a
+    # clear error NAMING the codec, never mis-decode
+    for codec, name in ((2, "snappy"), (3, "lz4"), (4, "zstd")):
+        batch = bytearray(encode_record_batch([(b"a", b"b", 5)], base_offset=0))
+        batch[22] |= codec  # attributes low bits
+        # re-stamp the CRC so the compression check (not the CRC) fires
+        batch[17:21] = struct.pack(">I", crc32c(bytes(batch[21:])))
+        with pytest.raises(ValueError, match=name):
+            decode_record_batches(bytes(batch))
+        with pytest.raises(ValueError, match=name):
+            list(iter_records(bytes(batch)))
+
+
+def _gzip_batch(recs, base_offset=0):
+    """Re-pack an encode_record_batch output as a gzip-compressed v2
+    batch: the records section after the 40-byte batch-header fields is
+    one gzip stream, attributes bits 0-2 = 1, lengths and CRC re-stamped
+    (layout per the public protocol page)."""
+    import gzip
+
+    batch = encode_record_batch(recs, base_offset=base_offset)
+    header = bytearray(batch[21:61])  # attributes .. recordCount
+    header[0:2] = struct.pack(">h", 1)  # attributes: gzip
+    payload = bytes(header) + gzip.compress(batch[61:])
+    out = bytearray(batch[:21])
+    out[8:12] = struct.pack(">i", 9 + len(payload))  # batchLength
+    out[17:21] = struct.pack(">I", crc32c(payload))
+    return bytes(out) + payload
+
+
+def test_gzip_batch_decodes_round_trip():
+    recs = [
+        (b"k1", b"v1", 1_700_000_000_000),
+        (None, b"v2", 1_700_000_000_500),
+        (b"k3", None, 1_700_000_001_000),
+    ]
+    [(base, lod, records)] = decode_record_batches(_gzip_batch(recs, 41))
+    assert (base, lod) == (41, 2)
+    assert [(r.key, r.value, r.timestamp, r.offset) for r in records] == [
+        (b"k1", b"v1", 1_700_000_000_000, 41),
+        (None, b"v2", 1_700_000_000_500, 42),
+        (b"k3", None, 1_700_000_001_000, 43),
+    ]
+
+
+def test_gzip_iter_records_matches_decode():
+    recs = [(b"a", b"1", 10), (None, None, 11), (b"c", b"3", 12)]
+    gz = _gzip_batch(recs, base_offset=5)
+    via_iter = list(iter_records(gz))
+    via_decode = [
+        (r.offset, r.timestamp, r.key, r.value)
+        for _, _, rs in decode_record_batches(gz)
+        for r in rs
+    ]
+    assert via_iter == via_decode
+    assert [o for o, _, _, _ in via_iter] == [5, 6, 7]
+
+
+def test_gzip_corrupt_stream_raises():
+    gz = bytearray(_gzip_batch([(b"a", b"b", 5)], base_offset=0))
+    gz[-1] ^= 0xFF  # corrupt the gzip trailer's data check
+    gz[17:21] = struct.pack(">I", crc32c(bytes(gz[21:])))  # CRC ok again
+    with pytest.raises(ValueError, match="decompress"):
+        decode_record_batches(bytes(gz))
 
 
 def test_partial_trailing_batch_dropped():
