@@ -7006,6 +7006,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # `python tools/rotate_window.py --apply` mechanizes the rotation (oldest
 # hash-green evidence first); self-verify at sf0.01+sf0.1 after applying.
 _RAW_QUERIES = {
+        "index_match": _q_index_match,
+        "sql_view_tpch_q3": _q_sql_view_q3,
+        "sql_view_tpch_q18": _q_sql_view_q18,
+        "pit_join": _q_pit_join,
+        "tokenize_ids": _q_tokenize_ids,
+        "domain_filter": _q_domain_filter,
+        "sql_view_tpch_q4": _q_sql_view_q4,
+        "sql_view_tpch_q6": _q_sql_view_q6,
+        "sql_view_tpch_q7": _q_sql_view_q7,
+        "sql_view_tpch_q8": _q_sql_view_q8,
+        "sql_view_tpch_q9": _q_sql_view_q9,
+        "sql_view_tpch_q10": _q_sql_view_q10,
+        "sql_view_tpch_q12": _q_sql_view_q12,
+        "sql_view_tpch_q13": _q_sql_view_q13,
+        "sql_view_tpch_q14": _q_sql_view_q14,
+        "sql_view_tpch_q15": _q_sql_view_q15,
+        "sql_view_tpch_q17": _q_sql_view_q17,
+        "sql_view_tpch_q19": _q_sql_view_q19,
+        "sql_view_tpch_q21": _q_sql_view_q21,
+        "sql_view_tpch_q22": _q_sql_view_q22,
+        "sql_view_running_total": _q_sql_view_running_total,
+        "sql_view_rollup": _q_sql_view_rollup,
+        "over_auto_salt_1h": _q_over_auto_salt_1h,
+        "minhash_index_match": _q_minhash_index_match,
+        "zorder_key": _q_zorder_key,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "approx_quantiles": _q_approx_quantiles,
+        "pit_join_expiry": _q_pit_join_expiry,
+        "map_entry_join": _q_map_entry_join,
+        "lookup_join": _q_lookup_join,
+        "cluster_split": _q_cluster_split,
+        "dup_passage_pairs": _q_dup_passage_pairs,
+        "quantile_sample": _q_quantile_sample,
+        "scd2_intervals": _q_scd2_intervals,
+        "scd2_snapshot": _q_scd2_snapshot,
+        "scd2_merge": _q_scd2_merge,
+        "importance_weights": _q_importance_weights,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "quantized_ann": _q_quantized_ann,
+        "hamming_ann": _q_hamming_ann,
+        "binary_rerank_ann": _q_binary_rerank_ann,
+        "quantized_ann_arrow": _q_quantized_ann_arrow,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "fuzzy_match": _q_fuzzy_match,
+        "cohort_retention": _q_cohort_retention,
+        "attribution": _q_attribution,
+        "transition_matrix": _q_transition_matrix,
+        "target_encode": _q_target_encode,
+        "cross_surprisal": _q_cross_surprisal,
+        "strip_html": _q_strip_html,
         "mmr_rerank": _q_mmr_rerank,
         "pca_apply": _q_pca_apply,
         "ivf_ann_trained": _q_ivf_ann_trained,
@@ -7106,59 +7156,9 @@ _RAW_QUERIES = {
         "dedup_clusters": _q_dedup_clusters,
         "pagerank": _q_pagerank,
         "ivf_ann": _q_ivf_ann,
-        "pit_join": _q_pit_join,
-        "tokenize_ids": _q_tokenize_ids,
-        "domain_filter": _q_domain_filter,
-        "sql_view_tpch_q4": _q_sql_view_q4,
-        "sql_view_tpch_q6": _q_sql_view_q6,
-        "sql_view_tpch_q7": _q_sql_view_q7,
-        "sql_view_tpch_q8": _q_sql_view_q8,
-        "sql_view_tpch_q9": _q_sql_view_q9,
-        "sql_view_tpch_q10": _q_sql_view_q10,
-        "sql_view_tpch_q12": _q_sql_view_q12,
-        "sql_view_tpch_q13": _q_sql_view_q13,
-        "sql_view_tpch_q14": _q_sql_view_q14,
-        "sql_view_tpch_q15": _q_sql_view_q15,
-        "sql_view_tpch_q17": _q_sql_view_q17,
-        "sql_view_tpch_q19": _q_sql_view_q19,
-        "sql_view_tpch_q21": _q_sql_view_q21,
-        "sql_view_tpch_q22": _q_sql_view_q22,
-        "sql_view_running_total": _q_sql_view_running_total,
-        "sql_view_rollup": _q_sql_view_rollup,
-        "over_auto_salt_1h": _q_over_auto_salt_1h,
-        "minhash_index_match": _q_minhash_index_match,
-        "zorder_key": _q_zorder_key,
-        "dedup_clusters_star": _q_dedup_clusters_star,
-        "approx_quantiles": _q_approx_quantiles,
-        "pit_join_expiry": _q_pit_join_expiry,
-        "map_entry_join": _q_map_entry_join,
-        "lookup_join": _q_lookup_join,
-        "cluster_split": _q_cluster_split,
-        "dup_passage_pairs": _q_dup_passage_pairs,
-        "quantile_sample": _q_quantile_sample,
-        "scd2_intervals": _q_scd2_intervals,
-        "scd2_snapshot": _q_scd2_snapshot,
-        "scd2_merge": _q_scd2_merge,
-        "importance_weights": _q_importance_weights,
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "quantized_ann": _q_quantized_ann,
-        "hamming_ann": _q_hamming_ann,
-        "binary_rerank_ann": _q_binary_rerank_ann,
-        "quantized_ann_arrow": _q_quantized_ann_arrow,
-        "time_weighted_avg": _q_time_weighted_avg,
-        "fuzzy_match": _q_fuzzy_match,
-        "cohort_retention": _q_cohort_retention,
-        "attribution": _q_attribution,
-        "transition_matrix": _q_transition_matrix,
-        "target_encode": _q_target_encode,
-        "cross_surprisal": _q_cross_surprisal,
-        "strip_html": _q_strip_html,
         "triangle_counts": _q_triangle_counts,
         "clustering_coeff": _q_clustering_coeff,
         "char_entropy": _q_char_entropy,
-        "index_match": _q_index_match,
-        "sql_view_tpch_q3": _q_sql_view_q3,
-        "sql_view_tpch_q18": _q_sql_view_q18,
         "remove_dup_passages_fast": _q_remove_dup_passages_fast,
         "index_match_fast": _q_index_match_fast,
         "compression_ratio": _q_compression_ratio,

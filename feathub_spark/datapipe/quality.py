@@ -196,22 +196,26 @@ def token_surprisal(
     cut both tails.
 
     Plan shape (scale posture): the exploded token stream is hash-
-    repartitioned ONCE on the token key, and that single exchange is the
-    shared intermediate — the unigram count table, the 1-row corpus
-    total and the scoring join all read the same shuffle output (Spark's
-    exchange reuse dedupes the identical subtrees), so NOTHING
-    corpus-sized is ever persisted (a corpus-sized MEMORY_AND_DISK cache
-    at 100 TB is a spill hazard; shuffle files are the storage layer
-    built for exactly this).  The corpus total attaches via a broadcast
-    cross join — NO empty-partitionBy window anywhere, so no stage ever
-    serializes the vocab through a single task (web-scale whitespace
-    vocab reaches billions of distinct tokens — URL fragments, numbers,
-    typos — far too large for a one-task window, and too large to
-    collect or broadcast, which is why the scoring join shuffles by
-    token instead of probing a broadcast vocab); per-doc scoring joins
-    the token-partitioned stream against the co-partitioned unigram
-    table and one groupBy(doc) averages.  No collect, no persist.
-    Documents with zero tokens drop out of the output (inner join).
+    repartitioned on the token key and the shuffle layer — not a persist
+    — is the shared intermediate: NOTHING corpus-sized is ever cached (a
+    corpus-sized MEMORY_AND_DISK persist at 100 TB competes with
+    execution memory and spills; shuffle files are the storage layer
+    built for exactly this).  Column pruning splits the consumers into
+    two exchanges (verified in the executed plan,
+    plans/r15/token_surprisal_after_executed.txt): the unigram count
+    table and the 1-row corpus total share ONE token-only exchange
+    (ReusedExchange), and the scoring join shuffles the (doc, token)
+    stream once by the same key.  The corpus total attaches via a
+    broadcast cross join — NO empty-partitionBy window anywhere, so no
+    stage ever serializes the vocab through a single task (web-scale
+    whitespace vocab reaches billions of distinct tokens — URL
+    fragments, numbers, typos — far too large for a one-task window,
+    and too large to collect or broadcast, which is why the scoring
+    join shuffles by token instead of probing a broadcast vocab);
+    per-doc scoring joins the token-partitioned stream against the
+    co-partitioned unigram table and one groupBy(doc) averages.  No
+    collect, no persist.  Documents with zero tokens drop out of the
+    output (inner join).
 
     Returns (id_col, n_tokens, avg_surprisal) with avg_surprisal rounded
     to 6 dp (absorbs summation-order float noise across engines)."""
@@ -269,12 +273,13 @@ def importance_weights(
     raw-pool formulation.
 
     Plan shape (scale posture): same as :func:`token_surprisal` — the
-    exploded (token, is_target) stream is hash-repartitioned ONCE on the
-    token key and that single shared exchange feeds the per-token count
-    table, the 1-row (total_src, total_tgt, vocab) broadcast AND the
-    per-doc scoring join (equi-join on token + one groupBy(doc)), so
-    nothing corpus-sized is persisted.  No windows over the vocab, no
-    collect.
+    exploded (token, is_target) stream is hash-repartitioned on the
+    token key and the shuffle layer is the shared intermediate: the
+    per-token count table and the 1-row (total_src, total_tgt, vocab)
+    broadcast share one pruned exchange (ReusedExchange), the per-doc
+    scoring join shuffles the (doc, token) stream once by the same key,
+    and nothing corpus-sized is persisted.  No windows over the vocab,
+    no collect.
 
     Returns (id_col, n_tokens, importance_weight) with the weight rounded
     to 6 dp (absorbs cross-engine float summation noise).  Zero-token
@@ -534,9 +539,10 @@ def bigram_surprisal(
     high.
 
     Plan shape: everything derives from ONE exploded bigram projection,
-    hash-repartitioned ONCE on the bigram key — that shared exchange
-    (reused, not persisted: nothing corpus-sized is ever cached) feeds
-    the bigram count table and the final scoring join.  The count table
+    hash-repartitioned on the bigram key — nothing corpus-sized is ever
+    persisted (the bigram-count aggregation and the final scoring join
+    each shuffle the stream once by that key; column pruning gives the
+    count side a narrower (prev, cur)-only exchange).  The count table
     ``bi`` IS persisted via the ``common.caching`` contract — it is the
     LM itself (bigram-TYPE-sized, the minimal shared state) and feeds
     four consumers: the prefix totals (groupBy prev), the continuation

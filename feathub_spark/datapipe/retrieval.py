@@ -2,19 +2,20 @@
 statistics — the lexical half of hybrid search (compose with
 ``similarity``'s ANN family for the vector half).
 
-Plan shape: the token array is pruned to the QUERY vocabulary (a
-collected, query-workload-bounded term set applied as an InSet filter
-inside the scan projection) BEFORE the per-(doc, term) frequency
-aggregation, so the only corpus-sized shuffle is gone — postings for
-non-query terms never leave the scan (same pattern as phrase_search);
-ONE tokenize pass feeds both that aggregation and the corpus totals
-(N, avgdl): explode_outer keeps a NULL-term row for term-free docs, so
-the cached narrow (doc, len, term) projection — bounded by query-term
-occurrences + document count, never corpus tokens — carries every
-document's length, and the stats attach as a 1-row broadcast.  Per-term
-partial scores round into integer micro-units so the per-(query, doc)
-sum is exact bigint arithmetic in any engine, and the final per-query
-top-k runs the salted two-stage rank.
+Plan shape: the token stream is pruned to the QUERY vocabulary BEFORE
+the per-(doc, term) frequency aggregation — each occurrence left-probes
+the broadcast query-term set at the scan and the groupBy key masks
+non-query terms to NULL, so they collapse map-side into one
+length-carrier row per doc and the only corpus-sized shuffle is gone
+(same prune-before-shuffle pattern as phrase_search).  ONE tokenize
+pass feeds both that aggregation and the corpus totals (N, avgdl):
+explode_outer keeps a row for token-free docs, so the cached narrow
+(doc, term, tf, len) table — bounded by query-term occurrences +
+document count, never corpus tokens — carries every document's length,
+and the stats attach as a 1-row broadcast.  Per-term partial scores
+round into integer micro-units so the per-(query, doc) sum is exact
+bigint arithmetic in any engine, and the final per-query top-k runs the
+salted two-stage rank.
 """
 
 from __future__ import annotations
@@ -54,39 +55,27 @@ def bm25_search(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.expr(f"array_distinct({qtoks})")).alias("__term__"),
     )
-    # The query vocabulary is query-workload-bounded (it was ALREADY a
-    # broadcast hash relation), so collect it once and prune the token
-    # array IN the scan projection with an InSet membership filter — the
-    # same bounded-driver-artifact precedent as tokenize_to_ids' vocab.
-    # This lets ONE tokenize pass feed BOTH the per-(doc, term)
-    # aggregate and the corpus length stats: the r14 shape paid a second
-    # full tokenize scan for the length-only pass, which was its
-    # measured ~15% local regression.
-    qvocab_list = sorted(
-        r["__term__"]
-        for r in qterms.select("__term__").distinct().collect()
-        if r["__term__"] is not None
+    qvocab = F.broadcast(
+        qterms.select("__term__").distinct().withColumn("__hit__", F.lit(1))
     )
     from feathub_spark.common.caching import register_cache
 
-    if qvocab_list:
-        pruned_toks = F.filter(
-            F.col("__toks__"), lambda t: t.isin(qvocab_list)
-        )
-    else:
-        # Column.isin() rejects an empty list; no query terms -> nothing
-        # can match, but every doc must still reach the length stats
-        pruned_toks = F.array().cast("array<string>")
-    # One row per query-term OCCURRENCE plus (via explode_outer) one
-    # NULL-term row for each doc with no query term — so this single
-    # narrow projection carries every doc's length for the corpus stats
-    # while staying bounded by query-term occurrences + document count,
-    # never the corpus token count.  The length rides along (coalesce:
-    # size(NULL) is NULL, and a NULL-text doc must carry len 0 like an
-    # empty one).  Cached: document frequencies, the scoring join and
-    # the corpus stats all read it (caller releases via
-    # release_caches()).
-    pruned = register_cache(
+    # ONE tokenize pass feeds BOTH the per-(doc, term) aggregate and the
+    # corpus length stats: every token occurrence (explode_outer keeps a
+    # NULL row for empty/NULL-text docs, whose length must still reach
+    # Okapi's N and avgdl) left-probes the broadcast query vocabulary AT
+    # THE SCAN, and the groupBy key MASKS non-query terms to NULL — so
+    # non-query tokens collapse map-side into one NULL-term row per doc
+    # (the length carrier) and the shuffle stays bounded by query-term
+    # occurrences + document count, never corpus tokens.  No driver
+    # collect (a separate collect job measured ~0.9 s of fixed overhead
+    # per call), no second tokenize scan (the r14 shape's ~15% local
+    # regression), no corpus-sized cache (the r13 shape's 100 TB spill
+    # hazard).  The length rides along (coalesce: size(NULL) is NULL,
+    # and a NULL-text doc must carry len 0 like an empty one).  Cached
+    # narrow: the frequencies, the scoring join and the stats all read
+    # it (caller releases via release_caches()).
+    occurrences = (
         ensure_parallelism(docs)
         .select(F.col(id_col), F.expr(toks).alias("__toks__"))
         .select(
@@ -94,24 +83,27 @@ def bm25_search(
             F.coalesce(F.size("__toks__").cast("double"), F.lit(0.0)).alias(
                 "__len__"
             ),
-            F.explode_outer(pruned_toks).alias("__term__"),
+            F.explode_outer("__toks__").alias("__term__"),
         )
+        .join(qvocab, on="__term__", how="left")
     )
-    doc_terms = (
-        pruned.filter(F.col("__term__").isNotNull())
-        .groupBy(id_col, "__term__")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("__tf__"),
+    pruned = register_cache(
+        occurrences.groupBy(
+            id_col,
+            F.when(F.col("__hit__").isNotNull(), F.col("__term__")).alias(
+                "__term__"
+            ),
+        ).agg(
+            F.count("__hit__").cast("double").alias("__tf__"),
             F.first("__len__").alias("__len__"),
         )
     )
+    doc_terms = pruned.filter(F.col("__term__").isNotNull())
     # corpus totals over EVERY document (empty/NULL-text docs carry
-    # __len__ = 0 — Okapi's N and avgdl are corpus-wide, so deriving
-    # them from token-bearing docs only would deflate every idf as the
-    # empty-doc fraction grows).  The groupBy (dup-id collapse, matching
-    # the previous doclens contract) shuffles one narrow row per
-    # document-ish key (occurrence rows collapse map-side), nothing
-    # corpus-token-sized.
+    # __len__ = 0 — deriving N/avgdl from token-bearing docs only would
+    # deflate every idf as the empty-doc fraction grows).  The groupBy
+    # (dup-id collapse, matching the previous doclens contract) reads
+    # the doc-bounded cached rows.
     doclens = (
         pruned.groupBy(id_col).agg(F.first("__len__").alias("__l__"))
     )

@@ -74,7 +74,8 @@ def main() -> None:
             pair.append(("alt", _load_attr(*alts[n])))
         arms[n] = pair
 
-    spark = default_spark_session("feathub_spark_ab_balanced", cpus=32)
+    cpus = int(os.environ.get("SPARK_GRAFT_AB_CPUS", "32"))
+    spark = default_spark_session("feathub_spark_ab_balanced", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()
 
